@@ -1,0 +1,115 @@
+"""End-to-end CDC pipeline: raw WAL text → parsed events → filter →
+partition key → JSON envelopes.
+
+This one declarative DataFrame graph replaces the reference's whole
+channel-wired app (``app/runner.go:269-301``):
+
+    Replication Client → Filter → Partitioner → Marshaller → Batcher →
+    Transporter, with the Progress Tracker closing the ack loop
+
+Catalyst gives us the reference's hand-built physical tricks for free
+(filter-before-serialize ordering, column pruning, pipelining —
+SURVEY.md §4 X1-X8); Structured Streaming's offset/commit log plays the
+progress-ledger role (X12) when the same graph runs under readStream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .filtering import table_filter_predicate
+from .marshaller import marshal
+from .parser import PARSED_SCHEMA_DDL, parse_lines_to_pandas
+from .partitioner import partition_key_expr
+
+
+@dataclass
+class PipelineConfig:
+    """Mirrors the reference's replicate CLI config surface
+    (``main/main.go:390-554``)."""
+
+    whitelist: list[str] = field(default_factory=list)
+    blacklist: list[str] = field(default_factory=list)
+    whitelist_regex: bool = False
+    blacklist_regex: bool = False
+    partition_method: str = "none"  # none|tablename|transaction|transaction-bucket
+    partition_buckets: int = 1
+    no_marshal_old_value: bool = False
+
+
+def parse_raw(df_lines: DataFrame) -> DataFrame:
+    """Raw (wal_start, server_wal_end, server_time_ms, line) → parsed
+    messages. Malformed lines are dropped and counted via an observable
+    metric (reference counts+drops at ``client.go:470-482``)."""
+    parsed = df_lines.mapInPandas(parse_lines_to_pandas, schema=PARSED_SCHEMA_DDL)
+    return parsed.observe(
+        "cdc_parse", F.count(F.col("parse_error")).alias("invalid_msgs")
+    ).filter(F.col("parse_error").isNull())
+
+
+def assemble_transactions(parsed: DataFrame, stream_id_col: str | None = None) -> DataFrame:
+    """Stamp every message with its surrounding transaction.
+
+    The xid only appears on BEGIN/COMMIT (``client.go:487-545`` carries
+    it across messages sequentially). Declaratively, that is a running
+    ``last(ignorenulls)`` over WAL order. ``time_based_key`` — the
+    replay-disambiguating identity ``"<xid>-<BEGIN receipt ns>"``
+    (``client.go:509-518``) — is synthesized deterministically from the
+    BEGIN's wal_start so fixtures replay byte-identically.
+
+    A CDC stream is totally ordered per source; partition by
+    ``stream_id_col`` when multiplexing many slots, else this is one
+    window over the (bounded) replay — fine for fixtures, and the real
+    streaming source assembles transactions inside the reader instead.
+    """
+    w = (
+        Window.partitionBy(stream_id_col).orderBy("wal_start")
+        if stream_id_col
+        else Window.orderBy("wal_start")
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    begin_xid = F.when(F.col("operation") == "BEGIN", F.col("txn_xid"))
+    begin_wal = F.when(F.col("operation") == "BEGIN", F.col("wal_start"))
+    df = (
+        parsed.withColumn("_last_begin_xid", F.last(begin_xid, ignorenulls=True).over(running))
+        .withColumn("_last_begin_wal", F.last(begin_wal, ignorenulls=True).over(running))
+        .withColumn("txn_id", F.coalesce(F.col("txn_xid"), F.col("_last_begin_xid")))
+        .withColumn(
+            "time_based_key",
+            F.concat_ws(
+                "-",
+                F.coalesce(F.col("txn_xid"), F.col("_last_begin_xid")),
+                F.coalesce(F.col("_last_begin_wal"), F.lit(0)).cast("string"),
+            ),
+        )
+        .drop("_last_begin_xid", "_last_begin_wal", "txn_xid")
+    )
+    return df
+
+
+def run_pipeline(df_lines: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Full M1 pipeline. Returns MarshalledMessage rows (json is null
+    for BEGIN/COMMIT control rows, which sinks exclude from payloads —
+    ``transport/batch/generic_batch.go:33-36``)."""
+    cfg = cfg or PipelineConfig()
+    events = assemble_transactions(parse_raw(df_lines))
+    events = events.filter(
+        table_filter_predicate(
+            whitelist=cfg.whitelist or None,
+            blacklist=cfg.blacklist or None,
+            whitelist_regex=cfg.whitelist_regex,
+            blacklist_regex=cfg.blacklist_regex,
+        )
+    )
+    events = events.withColumn(
+        "partition_key", partition_key_expr(cfg.partition_method, cfg.partition_buckets)
+    )
+    return marshal(events, cfg.no_marshal_old_value)
+
+
+def data_messages(marshalled: DataFrame) -> DataFrame:
+    """Only rows that reach sink payloads (BEGIN/COMMIT excluded)."""
+    return marshalled.filter(F.col("json").isNotNull())
