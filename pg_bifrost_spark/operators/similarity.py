@@ -1,0 +1,142 @@
+"""Similarity search over the ``embeddings`` table
+(``embedding: array<float>``).
+
+Two paths:
+  * brute-force cosine top-k — the exact baseline, a single scan with
+    a JVM-side dot product (no UDF) + top-k;
+  * LSH-bucketed ANN — signed-random-projection buckets; the query
+    only scans its own bucket (and multiprobe neighbors). This is the
+    100 TB path: bucketing is one narrow map + one pruned join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import register, table
+
+QUERY_VEC_ID = 0  # deterministic query: the embedding of vec_id 0
+TOP_K = 10
+
+
+def _as_double(col: str = "embedding") -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(c: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(x: F.Column, y: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v)
+
+
+def cosine_to_query(emb: DataFrame, query: DataFrame) -> DataFrame:
+    """Cross-broadcast the single query vector; score every row.
+    One scan, no shuffle until the final top-k."""
+    q = F.broadcast(query.select(F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    return (
+        emb.crossJoin(q)
+        .withColumn("cosine_raw", _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")))
+    )
+
+
+def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", _as_double().alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, round(list_cosine_similarity(embedding, qv), 4) AS cosine
+    FROM embeddings, q
+    WHERE vec_id != {QUERY_VEC_ID}
+    ORDER BY cosine DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 nearest neighbors (cosine) of vec 0."""
+    emb = _prepared(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    scored = cosine_to_query(emb.filter(F.col("vec_id") != QUERY_VEC_ID), q)
+    return (
+        scored.select("vec_id", F.round("cosine_raw", 4).alias("cosine"), "cosine_raw")
+        .orderBy(F.desc("cosine_raw"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "cosine")
+    )
+
+
+N_PLANES = 12  # 4096 buckets
+
+
+def srp_bucket_expr(v: F.Column, dim: int) -> F.Column:
+    """Signed-random-projection bucket id. Plane p's component for
+    coordinate d is a deterministic pseudo-random ±1 derived from
+    xxhash64(p, d) — reproducible on any cluster with no side data,
+    and entirely inside codegen (no UDF, no broadcast of plane
+    matrices)."""
+    plane_sign = lambda p: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(F.xxhash64(F.lit(p), d) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )
+    bits = [
+        F.when(F.aggregate(F.zip_with(v, plane_sign(p), lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(N_PLANES)
+    ]
+    return sum(bits, F.lit(0)).alias("bucket")
+
+
+@register("ann_lsh_buckets", oracle=None)  # approximate recall → rows-only
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via signed-random-projection LSH: score only vectors in the
+    query's bucket, then exact top-k within candidates. Returns the
+    candidate-set top-k (approximate; candidate recall depends on
+    N_PLANES)."""
+    emb = _prepared(spark, sf_dir)
+    dim = len(emb.select("v").first()[0])
+    bucketed = emb.withColumn("bucket", srp_bucket_expr(F.col("v"), dim))
+    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID)
+    q_bucket = F.broadcast(q.select(F.col("bucket").alias("qb")))
+    cands = bucketed.join(q_bucket, F.col("bucket") == F.col("qb")).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+    scored = cosine_to_query(cands, q)
+    return (
+        scored.select("vec_id", F.round("cosine_raw", 4).alias("cosine"), "cosine_raw")
+        .orderBy(F.desc("cosine_raw"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "cosine")
+    )
+
+
+@register(
+    "knn_per_label_centroid",
+    oracle="""
+    WITH pos AS (
+      SELECT label, i, embedding[i] AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    ), cent AS (
+      SELECT label, i, avg(x) AS cx FROM pos GROUP BY label, i
+    )
+    SELECT label, round(sqrt(sum(cx * cx)), 4) AS avg_norm
+    FROM cent GROUP BY label ORDER BY label
+    """,
+)
+def knn_per_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norms — the aggregation pattern behind IVF
+    coarse quantization (centroid assignment = nearest centroid).
+    Element-wise array average via posexplode + groupBy, fully
+    distributed."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", _as_double().alias("v"))
+    pos = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    norms = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("avg_norm_raw"))
+    return norms.select("label", F.round("avg_norm_raw", 4).alias("avg_norm")).orderBy("label")

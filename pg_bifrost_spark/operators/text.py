@@ -1,0 +1,173 @@
+"""Text-analysis operators over the ``documents`` table: token
+statistics, language ID, quality scoring, fingerprinting.
+
+All hot-path expressions are Spark built-ins (split/regexp/aggregate) —
+whole-stage codegen, no Python per row. The same formulas are written
+in the DuckDB oracles so every operator is hash-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import register, table
+
+# A BPE-ish word/number/punct tokenizer both engines support (RE2-safe).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "mit", "von", "zu", "den", "ein"]
+FR_STOPWORDS = ["le", "la", "de", "et", "est", "un", "une", "les", "des", "pour"]
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS n_unique_words,
+           round(length(replace(text, ' ', ''))::DOUBLE
+                 / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4)
+             AS avg_word_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: regex (BPE-ish) token count, char count,
+    vocabulary size, average word length."""
+    docs = table(spark, sf_dir, "documents")
+    words = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.array_distinct(words)).alias("n_unique_words"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            / F.greatest(F.size(words), F.lit(1)),
+            4,
+        ).alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+def _stopword_hits_sql(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        f" w -> list_contains([{lst}], w)))"
+    )
+
+
+def _stopword_hits(stopwords: list[str]) -> F.Column:
+    return F.size(
+        F.filter(_tokens(), lambda w: w.isin(stopwords))
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN {_stopword_hits_sql(EN_STOPWORDS)} >= {_stopword_hits_sql(DE_STOPWORDS)}
+              AND {_stopword_hits_sql(EN_STOPWORDS)} >= {_stopword_hits_sql(FR_STOPWORDS)}
+              THEN 'en'
+             WHEN {_stopword_hits_sql(DE_STOPWORDS)} >= {_stopword_hits_sql(FR_STOPWORDS)}
+              THEN 'de'
+             ELSE 'fr'
+           END AS guessed_lang
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free stopword-vote language ID (en/de/fr). A real system
+    would use char-n-gram profiles; the plumbing (per-doc vote max) is
+    identical and the tie-break is deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    en, de, fr = (
+        _stopword_hits(EN_STOPWORDS),
+        _stopword_hits(DE_STOPWORDS),
+        _stopword_hits(FR_STOPWORDS),
+    )
+    return docs.select(
+        "doc_id",
+        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr").alias(
+            "guessed_lang"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(
+             0.4 * least(len(string_split_regex(lower(trim(text)), '\\s+')) / 50.0, 1.0)
+           + 0.3 * ({_stopword_hits_sql(EN_STOPWORDS)}::DOUBLE
+                    / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1))
+           + 0.3 * (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1)), 4) AS quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + stopword density +
+    alphabetic ratio (the classic C4/Gopher-style cheap filters)."""
+    docs = table(spark, sf_dir, "documents")
+    n_words = F.size(_tokens())
+    length_score = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    stop_ratio = _stopword_hits(EN_STOPWORDS) / F.greatest(n_words, F.lit(1))
+    alpha_ratio = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z ]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(0.4 * length_score + 0.3 * stop_ratio + 0.3 * alpha_ratio, 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT source,
+           count(DISTINCT md5(array_to_string(
+             list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))), ' ')))
+             AS n_fingerprints,
+           count(*) AS n_docs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint (sorted unique tokens → md5): the
+    order-insensitive document identity used for fuzzy dedup grouping."""
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(F.countDistinct("fp").alias("n_fingerprints"), F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+@register("text_rolling_hash", oracle=None)  # engine-specific word hash → rows-only
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token stream (document
+    fingerprinting primitive; e.g. for shift-resistant chunk identity).
+    Engine-specific word hash → no cross-engine oracle; determinism is
+    unit-tested instead."""
+    docs = table(spark, sf_dir, "documents")
+    # modulus small enough that acc*31 + h stays inside int64 (ANSI mode)
+    word_hashes = F.transform(_tokens(), lambda w: F.pmod(F.xxhash64(w), F.lit(1000003)))
+    rolling = F.aggregate(
+        word_hashes,
+        F.lit(7).cast("long"),
+        lambda acc, h: F.pmod(acc * 31 + h, F.lit(1_000_000_007)),
+    )
+    return docs.select("doc_id", rolling.alias("fingerprint")).orderBy("doc_id")

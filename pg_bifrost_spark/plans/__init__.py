@@ -1,0 +1,53 @@
+"""Query registry: every operator the engine claims is registered here
+as a (Spark builder, DuckDB oracle SQL) pair. The driver's correctness
+gate runs both sides at sf0.01 and hash-compares.
+
+Conventions (critical for the hash compare):
+  * alias every computed column identically in Spark and SQL;
+  * ROUND floating aggregates on BOTH sides (sum order differs between
+    engines; bitwise-equal doubles are not guaranteed);
+  * session timezone is UTC on the Spark side, DuckDB is naive-UTC.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Register a query builder; ``oracle`` is DuckDB SQL over views
+    named after the parquet tables, or None for non-SQL-expressible
+    operators (driver then records a weaker rows-only check)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS), read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong). Convert to a real
+        # timestamp at microsecond precision — integer division, a
+        # double round-trip would lose precision at 1e18 nanos.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_all() -> None:
+    """Import every module that registers queries."""
+    from . import tpch, events  # noqa: F401
+    from . import cdc_bridge  # noqa: F401
+    from ..operators import dedup, similarity, text, multimodal  # noqa: F401

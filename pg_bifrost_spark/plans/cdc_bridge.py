@@ -1,0 +1,145 @@
+"""CDC bridge queries: replay parquet tables as synthetic test_decoding
+WAL text, run the FULL pipeline (parse → filter → partition → marshal),
+parse the JSON envelopes back, and compare against a plain SQL oracle
+over the same parquet (FIXTURES.md §C).
+
+This turns the driver's DuckDB hash-compare into an end-to-end
+correctness gate for every per-row CDC semantic at once: if any stage
+corrupts, reorders, or drops a value, the round-trip hash diverges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register, table
+from ..cdc.fixtures import wal_lines_from_table
+from ..cdc.pipeline import PipelineConfig, data_messages, run_pipeline
+
+LINEITEM_PG_TYPES = {
+    "l_orderkey": "bigint",
+    "l_partkey": "bigint",
+    "l_suppkey": "bigint",
+    "l_linenumber": "integer",
+    "l_quantity": "double precision",
+    "l_returnflag": "text",
+    "l_linestatus": "text",
+}
+
+_ENVELOPE_DDL = (
+    "table string, operation string, "
+    "columns map<string, map<string, struct<q: string, t: string, v: string>>>"
+)
+
+
+def _lineitem_envelopes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    raw = wal_lines_from_table(
+        li,
+        "public.lineitem",
+        LINEITEM_PG_TYPES,
+        order_col=F.struct("l_orderkey", "l_linenumber"),
+    )
+    out = data_messages(run_pipeline(raw, cfg))
+    return out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
+
+
+@register(
+    "cdc_lineitem_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS quantity,
+           l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def cdc_lineitem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every lineitem row → WAL text → pipeline → envelope → values
+    cast back to their SQL types. Hash-match against the source table
+    proves parser+marshaller round-trip fidelity."""
+    env = _lineitem_envelopes(spark, sf_dir, PipelineConfig())
+    cols = F.col("env.columns")
+
+    def v(name: str) -> F.Column:
+        return F.element_at(F.element_at(cols, name), "new")["v"]
+
+    return env.select(
+        v("l_orderkey").cast("bigint").alias("l_orderkey"),
+        v("l_linenumber").cast("int").alias("l_linenumber"),
+        F.round(v("l_quantity").cast("double"), 2).alias("quantity"),
+        v("l_returnflag").alias("l_returnflag"),
+        v("l_linestatus").alias("l_linestatus"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "cdc_envelope_counts",
+    oracle="""
+    SELECT 'public.lineitem' AS tbl, 'INSERT' AS op, count(*) AS n
+    FROM lineitem
+    """,
+)
+def cdc_envelope_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline emits exactly one INSERT envelope per source row, and
+    control rows (BEGIN/COMMIT) never reach payloads."""
+    env = _lineitem_envelopes(spark, sf_dir, PipelineConfig(partition_method="tablename"))
+    return env.groupBy(
+        F.col("env.table").alias("tbl"), F.col("env.operation").alias("op")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "cdc_whitelist_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_orderkey <= 256 ORDER BY o_orderkey
+    """,
+)
+def cdc_whitelist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a two-table stream (orders + nation), whitelist one table;
+    only that table's rows come out, values intact."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 256)
+    nation = table(spark, sf_dir, "nation")
+    raw_o = wal_lines_from_table(
+        orders,
+        "public.orders",
+        {"o_orderkey": "bigint", "o_orderstatus": "text"},
+        order_col="o_orderkey",
+    )
+    raw_n = wal_lines_from_table(
+        nation.withColumn("n_nationkey", F.col("n_nationkey") + 1_000_000),
+        "public.nation",
+        {"n_nationkey": "bigint", "n_name": "text"},
+        order_col="n_nationkey",
+    )
+    # interleave: offset the nation stream's LSNs past the orders stream
+    raw = raw_o.unionByName(
+        raw_n.select(
+            (F.col("wal_start") + 10_000_000).alias("wal_start"),
+            (F.col("server_wal_end") + 10_000_000).alias("server_wal_end"),
+            "server_time_ms",
+            "line",
+        )
+    )
+    out = data_messages(run_pipeline(raw, PipelineConfig(whitelist=["public.orders"])))
+    env = out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
+    cols = F.col("env.columns")
+    return env.select(
+        F.element_at(F.element_at(cols, "o_orderkey"), "new")["v"].cast("bigint").alias("o_orderkey"),
+        F.element_at(F.element_at(cols, "o_orderstatus"), "new")["v"].alias("o_orderstatus"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "cdc_partition_buckets",
+    oracle=None,  # crc32 is not available in DuckDB; rows-only check
+)
+def cdc_partition_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket partitioning: crc32(xid) % 8 — distribution of rows per
+    bucket (strict per-key co-location is asserted in unit tests
+    against zlib.crc32)."""
+    env = _lineitem_envelopes(
+        spark, sf_dir, PipelineConfig(partition_method="transaction-bucket", partition_buckets=8)
+    )
+    return env.groupBy("partition_key").agg(F.count("*").alias("n")).orderBy("partition_key")

@@ -1,0 +1,251 @@
+"""Event-stream operators over the ``events`` table.
+
+These are the batch-mode twins of the streaming operators in
+``pg_bifrost_spark/streaming`` — same DataFrame expressions, so the
+correctness proved here against the DuckDB oracle carries over to the
+readStream versions (Structured Streaming runs the identical plan per
+micro-batch).
+
+Reference lineage: the stats time-bucket aggregation
+(``stats/aggregator/aggregator.go:138-258``) is the 60 s tumbling
+window here; ledger last-writer-wins (``transport/progress/
+ledger.go:50-61``) is the keep-latest dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import register, table
+
+
+# --------------------------------------------------------------------------
+# Tumbling window aggregation (A6: 60s stat buckets with sum/count/min/max/avg)
+# --------------------------------------------------------------------------
+@register(
+    "tumbling_window_stats",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS window_start, event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total,
+           round(min(value), 2) AS vmin,
+           round(max(value), 2) AS vmax,
+           round(avg(value), 4) AS vavg
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "60 seconds").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.min("value"), 2).alias("vmin"),
+            F.round(F.max("value"), 2).alias("vmax"),
+            F.round(F.avg("value"), 4).alias("vavg"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total", "vmin", "vmax", "vavg")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding (hopping) window — width 10 min, hop 5 min
+# --------------------------------------------------------------------------
+@register(
+    "sliding_window_counts",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 300) * 300 - off)::timestamp AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events CROSS JOIN (VALUES (0), (300)) AS hops(off)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+        .orderBy("window_start")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization — gaps-and-islands, 5-minute inactivity gap
+# --------------------------------------------------------------------------
+@register(
+    "sessionize_users",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 2) AS session_value,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 300)
+    ).cast("int")
+    running = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(running))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join: each 'click' picks up the value of the user's latest
+# prior 'view' (Spark lacks a native as-of join; composition of window
+# ops keeps it shuffle-once and codegen'd)
+# --------------------------------------------------------------------------
+@register(
+    "asof_click_to_view",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_value
+    FROM events
+    QUALIFY event_type = 'click'
+    ORDER BY event_id
+    """,
+)
+def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_val = F.when(F.col("event_type") == "view", F.col("value"))
+    return (
+        ev.withColumn("last_view_value", F.last(view_val, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "last_view_value")
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Lead/lag analytics: inter-event gap per user
+# --------------------------------------------------------------------------
+@register(
+    "event_gaps",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             AS gap_us
+    FROM events
+    QUALIFY gap_us IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn(
+            "gap_us", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select("event_id", "user_id", "gap_us")
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup: keep-latest per key (ledger last-writer-wins semantics, W4)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id AS latest_event_id, ts AS latest_ts
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by("event_id", F.struct("ts", "event_id")).alias("latest_event_id"),
+            F.max("ts").alias("latest_ts"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact distinct (dropDuplicates semantics)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_events",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates().orderBy("user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# JSON prop extraction (the props column is a JSON string)
+# --------------------------------------------------------------------------
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,80 @@
+"""Correctness gate rehearsal: run every registered query on Spark and
+its DuckDB oracle on the same parquet, compare row count + column names
++ order-insensitive values (mirrors the driver's CORRECTNESS check).
+
+Default scale: sf0.001 for speed (set SPARK_GRAFT_ORACLE_SF=0.01 to
+rehearse the driver's exact scale).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.001")
+SF_DIR = f"/root/testdata/sf{SF}"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return repr(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.sql(ORACLES[name])
+    duck_cols = [c.lower() for c in res.columns]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    sn = _norm_rows(spark_cols, spark_rows)
+    dn = _norm_rows(duck_cols, duck_rows)
+    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    rows = sdf.collect()
+    assert rows is not None
+    # deterministic across two runs (replay identity)
+    again = QUERIES[name](spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again], f"{name}: nondeterministic"
