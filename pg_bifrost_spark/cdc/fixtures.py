@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .schema import RAW_LINE_SCHEMA
@@ -54,7 +54,7 @@ def dml_line(
 def ops_to_raw_lines(ops: Iterable[str | tuple[str, int]], start_lsn: int = 1000) -> list[tuple]:
     """Wrap op lines in BEGIN/COMMIT txns. ``ops`` items are either DML
     line strings or ('BEGIN'|'COMMIT', xid) markers; returns rows for
-    RAW_LINE_SCHEMA with monotonically increasing LSNs."""
+    RAW_LINE_SCHEMA (single stream 0) with monotonically increasing LSNs."""
     rows = []
     lsn = start_lsn
     for op in ops:
@@ -63,7 +63,7 @@ def ops_to_raw_lines(ops: Iterable[str | tuple[str, int]], start_lsn: int = 1000
             line = f"{kind} {xid}"
         else:
             line = op
-        rows.append((lsn, lsn + 8, 0, line))
+        rows.append((lsn, lsn + 8, 0, 0, line))
         lsn += 8
     return rows
 
@@ -84,12 +84,22 @@ def wal_lines_from_table(
     df: DataFrame,
     relation: str,
     pg_types: dict[str, str],
-    order_col: str,
+    seq_expr,
+    n_streams: int = 64,
 ) -> DataFrame:
     """Render each row of ``df`` as a test_decoding INSERT inside its own
-    transaction (BEGIN/INSERT/COMMIT), deterministically ordered by
-    ``order_col``. Built entirely from Column expressions — at 100 TB
-    this renders in parallel on executors.
+    transaction (BEGIN/INSERT/COMMIT). Built entirely from Column
+    expressions — at 100 TB this renders in parallel on executors.
+
+    ``seq_expr``: a Column (or name) yielding a UNIQUE integer per row —
+    derived from the data (e.g. ``l_orderkey*8+l_linenumber``), NOT a
+    global row_number (a partitionless window would serialize the whole
+    table through one task). It becomes the txn xid and the LSN base.
+
+    The replay is sharded into ``n_streams`` independent streams
+    (txn-contiguous), the parallelism unit for downstream transaction
+    assembly — the multi-slot analog of the reference's single ordered
+    connection.
 
     Returns RAW_LINE_SCHEMA rows.
     """
@@ -111,11 +121,11 @@ def wal_lines_from_table(
         F.lit(f"table {relation}: INSERT:"),
         *[cell(c) for c in pg_types],
     )
-    # one txn per row: xid = dense order index (deterministic)
-    seq = F.row_number().over(Window.orderBy(order_col))
-    base = df.select(insert_line.alias("_dml"), seq.alias("_seq"))
-    lsn0 = F.lit(1000) + (F.col("_seq") - 1) * 24
+    seq = F.col(seq_expr) if isinstance(seq_expr, str) else seq_expr
+    base = df.select(insert_line.alias("_dml"), seq.cast("long").alias("_seq"))
+    lsn0 = F.lit(1000) + F.col("_seq") * 24
     lines = base.select(
+        F.pmod(F.col("_seq"), F.lit(n_streams)).cast("int").alias("stream_id"),
         F.array(
             F.struct(lsn0.alias("wal_start"), F.concat(F.lit("BEGIN "), F.col("_seq")).alias("line")),
             F.struct((lsn0 + 8).alias("wal_start"), F.col("_dml").alias("line")),
@@ -123,11 +133,12 @@ def wal_lines_from_table(
                 (lsn0 + 16).alias("wal_start"),
                 F.concat(F.lit("COMMIT "), F.col("_seq")).alias("line"),
             ),
-        ).alias("msgs")
-    ).select(F.explode("msgs").alias("m"))
+        ).alias("msgs"),
+    ).select("stream_id", F.explode("msgs").alias("m"))
     return lines.select(
         F.col("m.wal_start").alias("wal_start"),
         (F.col("m.wal_start") + 8).alias("server_wal_end"),
         F.lit(0).cast("long").alias("server_time_ms"),
+        F.col("stream_id"),
         F.col("m.line").alias("line"),
-    )
+    ).repartition("stream_id")

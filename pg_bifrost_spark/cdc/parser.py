@@ -216,6 +216,7 @@ def parse_line(line: str) -> ParsedMessage:
 # Output schema of the vectorized parse stage (DDL form for mapInPandas).
 PARSED_SCHEMA_DDL = (
     "wal_start bigint, server_wal_end bigint, server_time_ms bigint, "
+    "stream_id int, "
     "operation string, relation string, txn_xid string, no_tuple_data boolean, "
     "columns map<string, struct<v: string, t: string, q: boolean>>, "
     "old_columns map<string, struct<v: string, t: string, q: boolean>>, "
@@ -237,6 +238,7 @@ def parse_lines_to_pandas(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
             "wal_start": pdf["wal_start"].tolist(),
             "server_wal_end": pdf["server_wal_end"].tolist(),
             "server_time_ms": pdf["server_time_ms"].tolist(),
+            "stream_id": pdf["stream_id"].tolist(),
             "operation": [],
             "relation": [],
             "txn_xid": [],

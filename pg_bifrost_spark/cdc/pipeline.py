@@ -50,7 +50,7 @@ def parse_raw(df_lines: DataFrame) -> DataFrame:
     ).filter(F.col("parse_error").isNull())
 
 
-def assemble_transactions(parsed: DataFrame, stream_id_col: str | None = None) -> DataFrame:
+def assemble_transactions(parsed: DataFrame, stream_id_col: str | None = "stream_id") -> DataFrame:
     """Stamp every message with its surrounding transaction.
 
     The xid only appears on BEGIN/COMMIT (``client.go:487-545`` carries
@@ -60,10 +60,11 @@ def assemble_transactions(parsed: DataFrame, stream_id_col: str | None = None) -
     (``client.go:509-518``) — is synthesized deterministically from the
     BEGIN's wal_start so fixtures replay byte-identically.
 
-    A CDC stream is totally ordered per source; partition by
-    ``stream_id_col`` when multiplexing many slots, else this is one
-    window over the (bounded) replay — fine for fixtures, and the real
-    streaming source assembles transactions inside the reader instead.
+    Ordering (and hence assembly) is only defined within one
+    replication stream, so the window partitions by ``stream_id_col``
+    — one stream is one task, many streams scale out. The real
+    streaming source instead assembles transactions inside its
+    (inherently sequential) reader.
     """
     w = (
         Window.partitionBy(stream_id_col).orderBy("wal_start")

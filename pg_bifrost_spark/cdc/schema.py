@@ -40,11 +40,15 @@ EVENT_SCHEMA = T.StructType(
 )
 
 # Raw line schema fed to the parser (what a source emits per message).
+# stream_id identifies the replication stream (slot) a message belongs
+# to: ordering/transaction assembly is only defined within a stream, so
+# it is also the parallelism unit for replay fixtures.
 RAW_LINE_SCHEMA = T.StructType(
     [
         T.StructField("wal_start", T.LongType()),
         T.StructField("server_wal_end", T.LongType()),
         T.StructField("server_time_ms", T.LongType()),
+        T.StructField("stream_id", T.IntegerType()),
         T.StructField("line", T.StringType()),
     ]
 )

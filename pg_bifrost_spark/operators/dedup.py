@@ -35,28 +35,53 @@ def tokens_expr(col: str = "text") -> F.Column:
     return F.split(F.lower(F.trim(F.col(col))), r"\s+")
 
 
-def shingles_expr(n: int = 3, col: str = "text") -> F.Column:
-    """Distinct word n-grams as an array<string>."""
-    toks = tokens_expr(col)
-    # zip each token with the (n-1) following ones: transform over indices
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Pin an explicit hash partitioning at core-count parallelism.
+
+    AQE coalesces shuffle partitions by BYTE size; expression-dense
+    stages (shingling, posting joins, set intersections) are
+    CPU-bound per row, so a few-MB intermediate collapses to one task
+    and serializes the work. An explicit numPartitions opts the
+    exchange out of AQE coalescing. Cost scales with rows, not bytes —
+    the same pinning is correct on a 1000-executor cluster."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
+def shingles_from_tokens(toks: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-grams from a MATERIALIZED token array column.
+
+    ``toks`` must be a plain column reference, not a nested expression:
+    higher-order functions are interpreted, so an expression captured
+    in the lambda would be re-evaluated per element (O(len²) per doc —
+    measured 25× slowdown on the documents fixture)."""
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
-        F.filter(
-            F.transform(
-                toks,
-                lambda _, i: F.when(
-                    i <= F.size(toks) - n,
-                    F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
-                ),
-            ),
-            lambda x: x.isNotNull(),
+        F.transform(
+            starts,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
         )
     )
 
 
 def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    return docs.select("doc_id", shingles_expr(n).alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    """doc_id + distinct shingles, both as strings and as xxhash64
+    longs. All joins/set-ops downstream run on the 8-byte hashes (a
+    2^64 collision is negligible and Jaccard on hashed sets equals
+    Jaccard on the sets); strings exist only for debugging."""
+    # documents is a single small parquet file (1 input split); spread
+    # it so shingling/hashing uses every core.
+    # NO size()>0 filter here: Catalyst would push it into the file
+    # scan with the whole (interpreted) shingle expression inlined —
+    # measured 10× slower than the projection itself. Filter on the
+    # materialized array downstream if empties matter (explode already
+    # drops them).
+    toks = spread(docs, "doc_id").select("doc_id", tokens_expr().alias("toks"))
+    return toks.select(
+        "doc_id", shingles_from_tokens(F.col("toks"), n).alias("shingles")
+    ).withColumn("hshingles", F.transform("shingles", lambda s: F.xxhash64(s)))
 
 
 # --------------------------------------------------------------------------
@@ -124,8 +149,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are the skew risk — AQE skew-join handles it; a production
     variant would also drop ultra-frequent shingles (stop-shingles)."""
     docs = table(spark, sf_dir, "documents")
-    sh = with_shingles(docs).select(
-        "doc_id", F.explode("shingles").alias("shingle"), F.size("shingles").alias("n")
+    # Materialize the shingle arrays once: Catalyst's projection
+    # collapse would otherwise inline the (interpreted, expensive)
+    # shingling expression into every downstream use, and the
+    # self-join would recompute the whole subtree twice.
+    base = (
+        with_shingles(docs)
+        .select("doc_id", "hshingles", F.size("hshingles").alias("n"))
+        .cache()
+    )
+    sh = spread(
+        base.select("doc_id", F.explode("hshingles").alias("shingle"), "n"), "shingle"
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -171,8 +205,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify on the candidate subset only. This is the shape that
     scales: no all-pairs work anywhere."""
     docs = table(spark, sf_dir, "documents")
-    sh = with_shingles(docs)
-    sig = sh.select("doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig"))
+    sh = (
+        with_shingles(docs)
+        .select("doc_id", "hshingles")
+        .cache()
+        .filter(F.size("hshingles") > 0)  # after cache: cheap array check
+    )
+    sig = sh.select("doc_id", "hshingles", minhash_signature(F.col("hshingles")).alias("sig"))
     rows_per_band = N_PERM // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -188,6 +227,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
+    bands = spread(bands, "band", "bh").cache()
     cand = (
         bands.alias("x")
         .join(
@@ -199,11 +239,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
-    # exact verification on candidates only
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # exact verification on candidates only (hashed sets: long compares)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hshingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hshingles").alias("sh_b"))
     verified = (
-        cand.join(sa, "doc_a")
+        spread(cand, "doc_a")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
@@ -228,7 +269,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks; pairs within hamming ≤ 3 share at least one exact block
     (pigeonhole), so a self-join per block replaces all-pairs."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok"))
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok")
+    )
     h = toks.withColumn("h", F.xxhash64("tok", F.lit(7)))
     # per (doc, bit): sum of ±1 votes; bit set if majority positive
     bit_cols = [
@@ -267,6 +310,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "fp", "e.blk", "e.bv")
+    blocks = spread(blocks, "blk", "bv").cache()
     pairs = (
         blocks.alias("x")
         .join(
@@ -289,6 +333,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Embedding cosine near-duplicates
 # --------------------------------------------------------------------------
+COSINE_THRESHOLD = 0.95
+_BLOCK = 2048  # rows per block: 2048×64 float64 ≈ 1 MB per block row
+
+
+def _cosine_block_kernel(batches):
+    """mapInPandas kernel over block PAIRS: one BLAS matmul per pair of
+    blocks instead of per-element lambda evaluation. Emits qualifying
+    (vec_a, vec_b, cosine) with vec_a < vec_b."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out_a, out_b, out_c = [], [], []
+        for _, row in pdf.iterrows():
+            ida = np.asarray([r["vec_id"] for r in row["xs"]], dtype=np.int64)
+            idb = np.asarray([r["vec_id"] for r in row["ys"]], dtype=np.int64)
+            A = np.asarray([r["v"] for r in row["xs"]], dtype=np.float64)
+            B = np.asarray([r["v"] for r in row["ys"]], dtype=np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            S = A @ B.T
+            ia, ib = np.nonzero((S >= COSINE_THRESHOLD) & (ida[:, None] < idb[None, :]))
+            out_a.append(ida[ia])
+            out_b.append(idb[ib])
+            out_c.append(S[ia, ib])
+        yield pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else [],
+                "vec_b": np.concatenate(out_b) if out_b else [],
+                "cos_raw": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle="""
@@ -300,31 +378,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vectors: cosine ≥ 0.95. Exact pairwise here
-    (hash-verifiable); the LSH-bucketed scale path for the same
-    predicate is ``similarity.ann_lsh_buckets``."""
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    """Near-duplicate vectors: cosine ≥ 0.95, exact.
+
+    Blocked all-pairs: vectors are grouped into ~1 MB blocks, the
+    upper-triangle of block pairs fans out as independent tasks, and
+    each task is a single BLAS matmul (Arrow in, numpy, Arrow out).
+    O(n²/B²) tasks — the distributed GEMM shape that survives scale-up;
+    for truly huge n the LSH-bucketed path (``similarity.
+    ann_lsh_buckets``) prunes the block grid first. Hash-verified
+    against DuckDB's list_cosine_similarity."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    # norms once per vector (map-side), not once per pair
-    emb = emb.withColumn("nrm", norm(F.col("v")))
-    a, b = emb.alias("a"), emb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    blocks = (
+        emb.withColumn("blk", (F.col("vec_id") / _BLOCK).cast("int"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "v")).alias("rows"))
     )
-    cosine = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine.alias("cos_raw"),
-        )
-        .filter(F.col("cos_raw") >= 0.95)
-        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
+    x, y = blocks.alias("x"), blocks.alias("y")
+    grid = x.join(y, F.col("x.blk") <= F.col("y.blk")).select(
+        F.col("x.rows").alias("xs"), F.col("y.rows").alias("ys")
     )
+    pairs = grid.mapInPandas(
+        _cosine_block_kernel, schema="vec_a bigint, vec_b bigint, cos_raw double"
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine")
+    ).orderBy("vec_a", "vec_b")
