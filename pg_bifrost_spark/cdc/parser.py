@@ -223,6 +223,11 @@ PARSED_SCHEMA_DDL = (
     "parse_error string"
 )
 
+# Variant for sources that already assembled transactions (the
+# streaming pgcdc reader stamps txn_id/time_based_key sequentially,
+# like the reference client): those two columns pass through the parse.
+PARSED_ASSEMBLED_SCHEMA_DDL = PARSED_SCHEMA_DDL + ", txn_id string, time_based_key string"
+
 
 def parse_lines_to_pandas(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
     """``mapInPandas`` kernel: input batches with columns
@@ -247,6 +252,10 @@ def parse_lines_to_pandas(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
             "old_columns": [],
             "parse_error": [],
         }
+        # pre-assembled txn columns (streaming source) pass through
+        for passthrough in ("txn_id", "time_based_key"):
+            if passthrough in pdf.columns:
+                out[passthrough] = pdf[passthrough].tolist()
         app_op = out["operation"].append
         app_rel = out["relation"].append
         app_txn = out["txn_xid"].append

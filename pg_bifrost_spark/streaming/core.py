@@ -1,0 +1,72 @@
+"""M2 streaming core: the CDC graph under Structured Streaming.
+
+One streaming query replaces the reference's whole runner
+(``app/runner.go:255-306``): source → stateless pipeline →
+foreachBatch sink, with ``checkpointLocation`` playing the progress
+tracker (offsets/N before batch N runs, commits/N after sinks
+succeed — the contiguous-prefix invariant X12 for free).
+
+Strict-ordering mode (reference: partition routing, K2 +
+``batcher.go:391-404``): repartition by partition_key then
+sortWithinPartitions(wal_start) inside foreachBatch — per-key total
+order across workers, like ``BATCHER_ROUTING_METHOD=partition``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..cdc.pipeline import PipelineConfig, run_pipeline_assembled
+from ..sources import pgcdc
+
+
+def read_cdc_stream(spark: SparkSession, **options: str) -> DataFrame:
+    """spark.readStream over the pgcdc source (option wal_dir=<replay
+    dir> or dsn=<postgres dsn>)."""
+    pgcdc.register(spark)
+    reader = spark.readStream.format("pgcdc")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def strict_order(df: DataFrame, workers: int) -> DataFrame:
+    """Pin each partition_key to one task and restore WAL order within
+    it (K2 'partition' routing; ordering guarantee of
+    ``test_strict_order_shared``)."""
+    return df.repartition(workers, F.col("partition_key")).sortWithinPartitions("wal_start")
+
+
+def start_cdc_query(
+    spark: SparkSession,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    trigger_seconds: float | None = None,
+    workers: int | None = None,
+    source_options: dict | None = None,
+) -> StreamingQuery:
+    """Wire source → pipeline → foreachBatch(sink) and start.
+
+    ``workers`` enables strict-order partition routing inside each
+    micro-batch before the sink sees it (None = Spark's own
+    partitioning, the reference's round-robin analog)."""
+    stream = read_cdc_stream(spark, **(source_options or {}))
+    marshalled = run_pipeline_assembled(stream, cfg)
+
+    def run_sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = strict_order(batch_df, workers) if workers else batch_df
+        sink(out, epoch_id)
+
+    writer = marshalled.writeStream.foreachBatch(run_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
