@@ -33,11 +33,21 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Queries must behave identically under ANY caller-provided
+    session (the correctness driver builds its own): pin the two confs
+    our plans depend on — UTC (oracle comparisons are naive-UTC) and
+    nanos-as-long (the events fixture stores TIMESTAMP(NANOS), which
+    the parquet reader otherwise rejects). Both are runtime-settable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong). Convert to a real
+        # ts was read as long nanos (nanosAsLong). Convert to a real
         # timestamp at microsecond precision — integer division, a
         # double round-trip would lose precision at 1e18 nanos.
         from pyspark.sql import functions as F
@@ -48,6 +58,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all() -> None:
     """Import every module that registers queries."""
-    from . import tpch, events  # noqa: F401
+    from . import tpch, tpch2, events, functions_suite  # noqa: F401
     from . import cdc_bridge  # noqa: F401
     from ..operators import dedup, similarity, text, multimodal  # noqa: F401

@@ -1,0 +1,90 @@
+"""Physical-plan quality gates: these tests pin the *plan shape*, not
+just results — a regression that silently drops a pushdown or turns a
+broadcast join into a 100 TB shuffle fails here first.
+
+(SURVEY.md §4: X1 filter pushdown, X2 column pruning, X4/X5 partition
+routing, plus broadcast strategy for dim joins.)
+"""
+
+from __future__ import annotations
+
+import pg_bifrost_spark.plans as plans
+
+plans.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return plans.QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    df = plans.QUERIES["q6_forecast_revenue"](spark, SF)
+    text = formatted(df)
+    # predicate reaches the parquet scan
+    assert "PushedFilters:" in text
+    assert "l_shipdate" in text.split("PushedFilters:")[1].split("\n")[0]
+    # column pruning: scan reads only the needed columns
+    read_schema = text.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_orderkey" not in read_schema  # untouched column pruned
+
+
+def test_dim_joins_broadcast(spark):
+    for q in ["q3_shipping_priority", "q5_local_supplier", "q10_returned_items"]:
+        text = plan_of(spark, q)
+        assert "BroadcastHashJoin" in text, f"{q}: dimension join did not broadcast"
+
+
+def test_q1_partial_aggregation(spark):
+    text = plan_of(spark, "q1_pricing_summary")
+    # map-side combine: partial then final HashAggregate around the shuffle
+    assert text.count("HashAggregate") >= 2
+    assert "partial_sum" in text or "partial" in text.lower()
+
+
+def test_cdc_pipeline_single_python_stage(spark):
+    """The envelope/filter path stays JVM-side: exactly one Python
+    stage (the Arrow-batched parser), and never a row-at-a-time
+    Python UDF."""
+    from pg_bifrost_spark.cdc.fixtures import dml_line, ops_to_raw_lines, raw_lines_df, txn
+    from pg_bifrost_spark.cdc.pipeline import PipelineConfig, run_pipeline
+
+    df = raw_lines_df(
+        spark, ops_to_raw_lines(txn(1, dml_line("public.t", "INSERT", [("id", "integer", 1)])))
+    )
+    text = run_pipeline(df, PipelineConfig(whitelist=["public.t"]))._jdf.queryExecution().executedPlan().toString()
+    assert text.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in text  # no row-at-a-time Python UDFs
+
+
+def test_topk_uses_window_not_global_sort(spark):
+    text = plan_of(spark, "topk_per_group")
+    assert "Window" in text
+
+
+def test_cdc_roundtrip_has_no_global_single_partition_window(spark):
+    """Transaction assembly must partition by stream — a partitionless
+    window would serialize the 100 TB replay through one task."""
+    text = plan_of(spark, "cdc_lineitem_roundtrip")
+    assert "windowspecdefinition(stream_id" in text
+
+
+def test_approx_aggregates_error_bound(spark, sf01_dir):
+    rows = {r.l_returnflag: r for r in plans.QUERIES["approx_aggregates"](spark, sf01_dir).collect()}
+    import duckdb
+
+    exact = duckdb.sql(
+        f"""SELECT l_returnflag, count(DISTINCT l_partkey) AS d,
+                   median(l_extendedprice) AS m
+            FROM '{sf01_dir}/lineitem.parquet' GROUP BY 1"""
+    ).fetchall()
+    for flag, d_exact, m_exact in exact:
+        r = rows[flag]
+        assert abs(r.approx_parts - d_exact) / d_exact < 0.10
+        assert abs(r.approx_median_price - m_exact) / m_exact < 0.05
