@@ -67,8 +67,11 @@ class ReplayTransport:
     def __init__(self, wal_dir: str):
         self.wal_dir = wal_dir
 
-    def fetch(self, after_lsn: int, limit: int) -> list[tuple[int, int, str]]:
-        out: list[tuple[int, int, str]] = []
+    def fetch(self, after_lsn: int, limit: int) -> list[tuple[int, int, str | None]]:
+        """Messages after ``after_lsn``. A file line ``{"wal_start": N,
+        "error": "..."}`` models a protocol ErrorResponse at that
+        position (line=None) — the replay analog of a decoding fault."""
+        out: list[tuple[int, int, str | None]] = []
         for name in sorted(os.listdir(self.wal_dir)):
             if not name.endswith(".jsonl"):
                 continue
@@ -79,10 +82,20 @@ class ReplayTransport:
                     msg = json.loads(raw)
                     if msg["wal_start"] > after_lsn:
                         out.append(
-                            (msg["wal_start"], msg.get("server_time_ms", 0), msg["line"])
+                            (
+                                msg["wal_start"],
+                                msg.get("server_time_ms", 0),
+                                None if "error" in msg else msg["line"],
+                            )
                         )
         out.sort()
         return out[:limit]
+
+    def current_end(self) -> int:
+        """Highest LSN available — the 'server WAL end' the reference
+        skips to on error recovery (client.go:386-424)."""
+        msgs = self.fetch(0, 1 << 62)
+        return msgs[-1][0] if msgs else 0
 
     def ack(self, lsn: int) -> None:
         with open(os.path.join(self.wal_dir, ".ack"), "w") as f:
@@ -160,6 +173,15 @@ class PgCdcSimpleReader(SimpleDataSourceStreamReader):
         rows = []
         xid, tbk = off.xid, off.tbk
         for lsn, time_ms, line in msgs:
+            if line is None:
+                # error-recovery skip-ahead (S7, client.go:386-424):
+                # close the open transaction with a synthetic COMMIT,
+                # then jump past everything currently available —
+                # at-least-once with an explicit, documented data gap.
+                if xid is not None:
+                    rows.append((lsn, lsn + 8, time_ms, 0, f"COMMIT {xid}", xid, tbk))
+                off.lsn = max(lsn, self.transport.current_end())
+                break
             # transaction assembly (client.go:487-545): xid appears on
             # BEGIN/COMMIT; intermediate rows take the last BEGIN's.
             # time_based_key uses the BEGIN's LSN as the deterministic

@@ -1,0 +1,63 @@
+"""Streaming analytics operators over event streams — the readStream
+twins of ``plans/events.py`` (same expressions, so the DuckDB-verified
+batch results carry over; Structured Streaming runs the identical plan
+per micro-batch with watermark-managed state).
+
+Reference lineage: the only streaming aggregation in pg-bifrost is the
+stats time-bucket (A6) with a late-data grace — generalized here to
+arbitrary tumbling/sliding/session windows and watermark dedup (W4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import _ensure_session_conf
+
+EVENTS_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file stream (ts: nanos → timestamp)."""
+    _ensure_session_conf(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    width: str = "60 seconds",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding window counts with late-data drop. Late rows
+    beyond ``watermark`` are discarded, exactly the stats aggregator's
+    grace semantics (aggregator.go:44, 278-285)."""
+    win = F.window("ts", width, slide) if slide else F.window("ts", width)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state for older keys is
+    evicted. This is the ledger's replay-dedup (W4,
+    ledger.go:50-61) generalized — the reference bounds state by txn
+    completion, Spark bounds it by event time."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -1,0 +1,73 @@
+"""Streaming analytics: windowed aggregation and watermark dedup under
+readStream, checked against their DuckDB-verified batch twins."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_bifrost_spark.streaming.analytics import (
+    dedup_within_watermark,
+    stream_events,
+    windowed_counts,
+)
+import pg_bifrost_spark.plans as plans
+
+plans.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def run_to_memory(df, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_streaming_tumbling_matches_batch_twin(spark):
+    ev = stream_events(spark, SF)
+    run_to_memory(windowed_counts(ev, "60 seconds"), "win_tumble", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total)
+        for r in spark.sql("select * from win_tumble").collect()
+    }
+    batch = plans.QUERIES["tumbling_window_stats"](spark, SF).collect()
+    expect = {(r.window_start, r.event_type): (r.n, r.total) for r in batch}
+    assert got == expect
+
+
+def test_streaming_sliding_window(spark):
+    ev = stream_events(spark, SF)
+    run_to_memory(windowed_counts(ev, "10 minutes", "5 minutes"), "win_slide", "complete")
+    rows = spark.sql("select * from win_slide").collect()
+    # every event lands in exactly 2 sliding windows
+    assert sum(r.n for r in rows) == 2 * 1000
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    # duplicate the events stream: two identical files → every event_id twice
+    import shutil
+
+    d = tmp_path / "dup"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    shutil.copy(f"{SF}/events.parquet", d / "events_copy.parquet")
+
+    from pg_bifrost_spark.streaming.analytics import EVENTS_DDL
+    from pyspark.sql import functions as F
+
+    raw = spark.readStream.schema(EVENTS_DDL).parquet(str(d))
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    run_to_memory(dedup_within_watermark(ev), "dedup_wm", "append")
+    n = spark.sql("select count(*) as n from dedup_wm").collect()[0].n
+    assert n == 1000  # duplicates dropped
+
+    # distinct event_ids preserved exactly once
+    dups = spark.sql(
+        "select event_id from dedup_wm group by event_id having count(*) > 1"
+    ).collect()
+    assert dups == []
