@@ -1,0 +1,212 @@
+"""Training-data curation operators: deterministic sampling, quality
+filtering, duplicate-cluster resolution, and the composed curation
+pipeline — the end-to-end shape of a pretraining data build.
+
+Scale posture: sampling is a hash predicate (no RNG state, no
+coordination — any executor can evaluate it); clustering is iterative
+label propagation over the dup-pair edge list (log-diameter rounds of
+joins), not a driver-side union-find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import register, table
+from .dedup import spread
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (reproducible train/eval splits)
+# ---------------------------------------------------------------------------
+
+# md5 exists in both engines with identical output → oracle-able sampling.
+_SAMPLE_BUCKETS = 100
+
+
+def md5_bucket(key: F.Column) -> F.Column:
+    """Stable [0,100) bucket from the first 8 hex digits of md5(key)."""
+    return F.pmod(F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+                  F.lit(_SAMPLE_BUCKETS))
+
+
+@register(
+    "sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_SAMPLE_BUCKETS}) < 30
+    ORDER BY doc_id
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30% sample by content-stable hash — the reproducible-split
+    primitive (same rows on any cluster, any partitioning, any day;
+    unlike rand()-based sampleBy). Hash sampling also keeps
+    train/eval splits disjoint by construction when keyed disjointly."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(md5_bucket(F.col("doc_id")) < 30)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "stratified_sample_by_source",
+    oracle=f"""
+    SELECT source, count(*) AS n FROM (
+      SELECT source,
+             (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % {_SAMPLE_BUCKETS}) AS b
+      FROM documents
+    )
+    WHERE (source = 'web' AND b < 20) OR (source <> 'web' AND b < 60)
+    GROUP BY source ORDER BY source
+    """,
+)
+def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates (downsample the over-represented source) —
+    the domain-mixing knob of a pretraining data recipe."""
+    docs = table(spark, sf_dir, "documents")
+    b = md5_bucket(F.col("doc_id"))
+    rate = F.when(F.col("source") == "web", F.lit(20)).otherwise(F.lit(60))
+    return (
+        docs.filter(b < rate).groupBy("source").agg(F.count("*").alias("n")).orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components by label propagation
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(src, dst) undirected edges → (node, component) with component =
+    min node id in the component. Iterative min-label propagation:
+    O(diameter) rounds, each one join + groupBy — the standard
+    large-graph shape (driver only checks a convergence count).
+    Deterministic."""
+    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst as src", "src as dst"))
+    labels = (
+        sym.selectExpr("src as node").union(sym.selectExpr("dst as node")).distinct()
+        .withColumn("component", F.col("node"))
+    )
+    sym = spread(sym, "src").cache()
+    for _ in range(max_iter):
+        # each node adopts min(own, neighbors' labels)
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left_outer")
+            .select("node", F.least("component", F.coalesce("nmin", "component")).alias("component"))
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON a.doc_id < b.doc_id
+       AND md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    walk(node, comp) AS (
+      SELECT DISTINCT src AS node, src AS comp FROM sym
+      UNION
+      SELECT s.dst AS node, w.comp
+      FROM walk w JOIN sym s ON s.src = w.node
+      WHERE w.comp < s.dst
+    )
+    SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node
+    ORDER BY doc_id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate clusters as connected components (keeper =
+    min doc_id per component). The label-propagation kernel is the
+    same one a fuzzy-dup graph (jaccard/cosine edges) would use;
+    exact-hash edges keep the oracle tractable (recursive CTE)."""
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+    edges = (
+        h.alias("a")
+        .join(h.alias("b"), (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    return (
+        connected_components(edges)
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The composed curation pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, source, text,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_toks
+      FROM documents
+    ),
+    filtered AS (SELECT * FROM quality WHERE n_toks >= 20),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id
+      FROM filtered GROUP BY md5(lower(trim(text)))
+    ),
+    sampled AS (
+      SELECT d.doc_id FROM deduped d
+      WHERE (CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % {_SAMPLE_BUCKETS}) < 50
+    )
+    SELECT q.source, count(*) AS n_docs, sum(q.n_toks) AS n_tokens
+    FROM sampled s JOIN quality q ON q.doc_id = s.doc_id
+    GROUP BY q.source ORDER BY q.source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter (min length) → exact-dedup (keep min doc_id) →
+    deterministic 50% sample → per-source token accounting: the whole
+    pretraining-data build as one declarative plan. Each stage is one
+    narrow dependency or one keyed shuffle; the composition gives
+    Catalyst the full graph to optimize across stages."""
+    docs = table(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id", "source", "text",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_toks"),
+    )
+    filtered = quality.filter(F.col("n_toks") >= 20)
+    deduped = (
+        filtered.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .drop("h")
+    )
+    sampled = deduped.filter(md5_bucket(F.col("doc_id")) < 50)
+    return (
+        sampled.join(quality, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+        .orderBy("source")
+    )

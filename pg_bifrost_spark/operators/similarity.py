@@ -11,7 +11,7 @@ Two paths:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import register, table
@@ -130,6 +130,69 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cent GROUP BY label ORDER BY label
     """,
 )
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Coarse quantizer: per-label centroids via posexplode+groupBy —
+    the IVF codebook. (A production build would run k-means||; the
+    assignment/probe machinery below is identical.)"""
+    pos = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+        .select("label", F.transform("pc", lambda e: e["cx"]).alias("centroid"))
+    )
+    return cent
+
+
+@register("ann_ivf_probe", oracle=None)  # approximate (probes a cell subset) → rows-only
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest centroid
+    cell (inverted file); the query scores only the nprobe=2 nearest
+    cells' members. At 100 TB the cells are the partition/pruning
+    unit — a probe touches nprobe/ncells of the data, and assignment
+    is one broadcast join against the (tiny) codebook."""
+    emb = _prepared(spark, sf_dir).drop("label")
+    cent = F.broadcast(
+        _centroids(_prepared(spark, sf_dir))
+        .withColumnRenamed("label", "cell_label")
+        .withColumn("cn", _norm(F.col("centroid")))
+    )
+    # assign every vector to its nearest centroid (cosine)
+    sim = _dot(F.col("v"), F.col("centroid")) / (F.col("nrm") * F.col("cn"))
+    assigned = (
+        emb.crossJoin(cent)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc(sim), "cell_label")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", F.col("cell_label").alias("cell"))
+    )
+    # query's nprobe=2 nearest cells
+    q = assigned.filter(F.col("vec_id") == QUERY_VEC_ID)
+    q_cells = (
+        q.crossJoin(cent)
+        .select(
+            (_dot(F.col("v"), F.col("centroid")) / (F.col("nrm") * F.col("cn"))).alias("s"),
+            F.col("cell_label").alias("qcell"),
+        )
+        .orderBy(F.desc("s"))
+        .limit(2)
+        .select(F.col("qcell").alias("cell"))
+    )
+    cands = assigned.join(F.broadcast(q_cells), "cell").filter(F.col("vec_id") != QUERY_VEC_ID)
+    scored = cosine_to_query(cands, q)
+    return (
+        scored.select("vec_id", F.round("cosine_raw", 4).alias("cosine"), "cosine_raw")
+        .orderBy(F.desc("cosine_raw"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "cosine")
+    )
+
+
 def knn_per_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norms — the aggregation pattern behind IVF
     coarse quantization (centroid assignment = nearest centroid).
