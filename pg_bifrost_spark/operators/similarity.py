@@ -117,19 +117,6 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "knn_per_label_centroid",
-    oracle="""
-    WITH pos AS (
-      SELECT label, i, embedding[i] AS x
-      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
-    ), cent AS (
-      SELECT label, i, avg(x) AS cx FROM pos GROUP BY label, i
-    )
-    SELECT label, round(sqrt(sum(cx * cx)), 4) AS avg_norm
-    FROM cent GROUP BY label ORDER BY label
-    """,
-)
 def _centroids(emb: DataFrame) -> DataFrame:
     """Coarse quantizer: per-label centroids via posexplode+groupBy —
     the IVF codebook. (A production build would run k-means||; the
@@ -193,6 +180,19 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_per_label_centroid",
+    oracle="""
+    WITH pos AS (
+      SELECT label, i, embedding[i] AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    ), cent AS (
+      SELECT label, i, avg(x) AS cx FROM pos GROUP BY label, i
+    )
+    SELECT label, round(sqrt(sum(cx * cx)), 4) AS avg_norm
+    FROM cent GROUP BY label ORDER BY label
+    """,
+)
 def knn_per_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norms — the aggregation pattern behind IVF
     coarse quantization (centroid assignment = nearest centroid).
