@@ -147,4 +147,7 @@ def marshal(df: DataFrame, no_marshal_old_value: bool = False) -> DataFrame:
         "wal_start",
         F.col("txn_id").alias("transaction"),
         "partition_key",
+        # not part of the reference's MarshalledMessage, but the S3
+        # time-partitioned layout keys off it (K5)
+        "server_time_ms",
     )

@@ -214,6 +214,61 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hypertable-style continuous rollup: minute → hour → day, each level
+# derived from the previous level's PARTIAL aggregates (merge, not
+# recompute) — the incremental-materialization shape of a timeseries
+# store; at 100 TB only the minute level ever scans raw events.
+# --------------------------------------------------------------------------
+@register(
+    "hypertable_rollup",
+    oracle="""
+    WITH minute AS (
+      SELECT date_trunc('minute', ts) AS b, event_type,
+             count(*) AS n, sum(value) AS s, min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1, 2
+    ), hour AS (
+      SELECT date_trunc('hour', b) AS b, event_type,
+             sum(n) AS n, sum(s) AS s, min(mn) AS mn, max(mx) AS mx
+      FROM minute GROUP BY 1, 2
+    ), day AS (
+      SELECT date_trunc('day', b) AS b, event_type,
+             sum(n) AS n, sum(s) AS s, min(mn) AS mn, max(mx) AS mx
+      FROM hour GROUP BY 1, 2
+    )
+    SELECT 'minute' AS level, count(*) AS n_buckets,
+           sum(n) AS n_events, round(sum(s), 2) AS total
+    FROM minute
+    UNION ALL SELECT 'hour', count(*), sum(n), round(sum(s), 2) FROM hour
+    UNION ALL SELECT 'day', count(*), sum(n), round(sum(s), 2) FROM day
+    ORDER BY level
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("b"), "event_type"
+    ).agg(
+        F.count("*").alias("n"), F.sum("value").alias("s"),
+        F.min("value").alias("mn"), F.max("value").alias("mx"),
+    )
+    def up(df, unit):
+        return df.groupBy(F.date_trunc(unit, F.col("b")).alias("b"), "event_type").agg(
+            F.sum("n").alias("n"), F.sum("s").alias("s"),
+            F.min("mn").alias("mn"), F.max("mx").alias("mx"),
+        )
+    hour, day = up(minute, "hour"), None
+    day = up(hour, "day")
+    def level(df, name):
+        return df.agg(
+            F.count("*").alias("n_buckets"), F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 2).alias("total"),
+        ).select(F.lit(name).alias("level"), "n_buckets", "n_events", "total")
+    return level(minute, "minute").unionByName(level(hour, "hour")).unionByName(
+        level(day, "day")
+    ).orderBy("level")
+
+
+# --------------------------------------------------------------------------
 # Exact distinct (dropDuplicates semantics)
 # --------------------------------------------------------------------------
 @register(

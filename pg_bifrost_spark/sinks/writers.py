@@ -41,9 +41,11 @@ def s3_time_partitioned(df: DataFrame, base_path: str, payload_col: str = "json"
     ``keyspace/yyyy/mm/dd/hh/<ts>_<firstWalStart>.gz`` key scheme
     (``s3/transporter/transporter.go:54-77``). Works the same against
     s3a:// on a real cluster."""
-    ts = F.coalesce(
-        F.timestamp_millis(F.col("server_time_ms")), F.current_timestamp().cast("timestamp")
-    )
+    # server_time_ms=0 (pg ≤11 sends none) → wall clock, like the
+    # reference's time.Now() key (s3/transporter.go:240-249)
+    ts = F.when(
+        F.col("server_time_ms") > 0, F.timestamp_millis(F.col("server_time_ms"))
+    ).otherwise(F.current_timestamp())
     (
         df.filter(F.col(payload_col).isNotNull())
         .withColumn("year", F.year(ts))
