@@ -52,6 +52,11 @@ def get_spark(
         # the events fixture stores TIMESTAMP(NANOS); Spark has no nanos
         # type — read as long and convert explicitly (plans.table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # static conf: saveAsTable target for bucketed tables
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/pg_bifrost_spark_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

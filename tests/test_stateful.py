@@ -1,0 +1,78 @@
+"""Custom stateful streaming operators (applyInPandasWithState):
+ledger completion semantics and running totals, driven by a two-batch
+file stream so state genuinely carries across micro-batches."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_bifrost_spark.streaming.stateful import running_user_totals, txn_ledger_stream
+
+LEDGER_IN_DDL = (
+    "time_based_key string, operation string, wal_start bigint, expected_msgs bigint"
+)
+
+
+def _write_batch(spark, d, name, rows, ddl):
+    """Write one flat parquet file into the stream dir (the file source
+    does not recurse into subdirectories)."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(rows, ddl).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.move(part, f"{d}/{name}.parquet")
+
+
+def _run_stream(spark, src_dir, ddl, build, mode):
+    stream = spark.readStream.schema(ddl).parquet(src_dir)
+    q = (
+        build(stream)
+        .writeStream.outputMode(mode)
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql("select * from stateful_out").collect()
+
+
+def test_txn_ledger_completion(spark, tmp_path):
+    d = str(tmp_path / "in")
+    # txn A: 2 data msgs + COMMIT expecting 2 → completes
+    # txn B: 1 data msg, COMMIT expects 2 → stays pending (no output)
+    rows = [
+        ("A-1", "INSERT", 10, -1),
+        ("A-1", "INSERT", 11, -1),
+        ("A-1", "COMMIT", 12, 2),
+        ("B-9", "INSERT", 20, -1),
+        ("B-9", "COMMIT", 21, 2),
+    ]
+    import os
+
+    os.makedirs(d)
+    _write_batch(spark, d, "b0", rows, LEDGER_IN_DDL)
+    out = _run_stream(spark, d, LEDGER_IN_DDL, txn_ledger_stream, "append")
+    got = {r.time_based_key: (r.total_msgs, r.commit_wal_start) for r in out}
+    assert got == {"A-1": (2, 12)}
+
+    # late arrival completes txn B in a later micro-batch (state carried)
+    _write_batch(spark, d, "b1", [("B-9", "INSERT", 22, -1)], LEDGER_IN_DDL)
+    out2 = _run_stream(spark, d, LEDGER_IN_DDL, txn_ledger_stream, "append")
+    got2 = {r.time_based_key: (r.total_msgs, r.commit_wal_start) for r in out2}
+    assert got2["B-9"] == (2, 21)
+
+
+def test_running_user_totals(spark, tmp_path):
+    import os
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    ddl = "user_id bigint, value double"
+    _write_batch(spark, d, "b0", [(1, 1.5), (1, 2.5), (2, 10.0)], ddl)
+    out = _run_stream(spark, d, ddl, running_user_totals, "update")
+    got = {r.user_id: (r.n_events, r.total_value) for r in out}
+    assert got == {1: (2, 4.0), 2: (1, 10.0)}
