@@ -39,6 +39,10 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_token_stats",
     "text_quality_score",
+    "hypertable_rollup",
+    "curation_pipeline",
+    "salted_skew_join",
+    "q13_customer_distribution",
     "cdc_lineitem_roundtrip",
 ]
 
