@@ -67,8 +67,12 @@ def columns_envelope_expr(
     map<col, map<'new'|'old', cell>>."""
 
     def pair_for(entry: Column) -> Column:
-        key, new = entry["key"], entry["value"]
-        old = F.element_at(old_columns, key)
+        # `entry` is a bound lambda variable over a MATERIALIZED struct
+        # (built by the inner transform below), so entry["old"] is one
+        # field access — NOT a re-evaluated element_at per branch
+        # (higher-order functions are interpreted; captured expressions
+        # re-run per reference).
+        key, new, old = entry["key"], entry["new"], entry["old"]
         new_is_null = (new["v"] == "null") & ~new["q"]
 
         changed = old.isNotNull() & (new["v"] != old["v"])
@@ -97,7 +101,15 @@ def columns_envelope_expr(
         )
         return F.struct(key.alias("key"), pair.alias("value"))
 
-    return F.map_from_entries(F.transform(F.map_entries(columns), pair_for))
+    enriched = F.transform(
+        F.map_entries(columns),
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            e["value"].alias("new"),
+            F.element_at(old_columns, e["key"]).alias("old"),
+        ),
+    )
+    return F.map_from_entries(F.transform(enriched, pair_for))
 
 
 def lsn_hex_expr(wal_start: Column) -> Column:

@@ -69,6 +69,65 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("doc_id", "n_bytes").orderBy("doc_id")
 
 
+FRAME_SCHEMA_DDL = "doc_id bigint, frame_idx int, frame_offset bigint, frame_bytes int"
+
+
+def sample_frames_batches(n_frames: int = 4):
+    """mapInPandas kernel factory: (doc_id, payload) → ``n_frames``
+    evenly spaced frame records per payload. STUB frame extraction
+    (offset arithmetic on the raw bytes); a real video path would call
+    ffmpeg/PyAV here with the identical batch shape. One input row →
+    many output rows: the fan-out pattern for frame/chunk-level
+    training records."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                step = max(n // n_frames, 1)
+                for i in range(min(n_frames, n)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(i * step)
+                    out["frame_bytes"].append(min(step, n - i * step))
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, count(*) AS n_frames, sum(frame_bytes) AS covered_bytes
+    FROM (
+      SELECT doc_id, i AS frame_idx,
+             (i * greatest(octet_length(encode(text)) // 4, 1)) AS frame_offset,
+             least(greatest(octet_length(encode(text)) // 4, 1),
+                   octet_length(encode(text)) - i * greatest(octet_length(encode(text)) // 4, 1))
+               AS frame_bytes
+      FROM documents,
+           LATERAL (SELECT unnest(range(0, least(4, octet_length(encode(text))))) AS i)
+    )
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (1 row → N frame rows via
+    mapInPandas) with per-document coverage accounting; the offset
+    arithmetic is oracle-verified, the decode itself is the stub."""
+    docs = table(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    frames = binary.mapInPandas(sample_frames_batches(4), schema=FRAME_SCHEMA_DDL)
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count("*").alias("n_frames"), F.sum("frame_bytes").alias("covered_bytes"))
+        .orderBy("doc_id")
+    )
+
+
 @register("multimodal_decode_stub", oracle=None)  # stubbed decode → rows-only
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decoded-metadata surface (fake dims): exercises the real
