@@ -86,6 +86,7 @@ def wal_lines_from_table(
     pg_types: dict[str, str],
     seq_expr,
     n_streams: int = 64,
+    operation: str = "INSERT",
 ) -> DataFrame:
     """Render each row of ``df`` as a test_decoding INSERT inside its own
     transaction (BEGIN/INSERT/COMMIT). Built entirely from Column
@@ -118,7 +119,7 @@ def wal_lines_from_table(
 
     insert_line = F.concat_ws(
         " ",
-        F.lit(f"table {relation}: INSERT:"),
+        F.lit(f"table {relation}: {operation}:"),
         *[cell(c) for c in pg_types],
     )
     seq = F.col(seq_expr) if isinstance(seq_expr, str) else seq_expr

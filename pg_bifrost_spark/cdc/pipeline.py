@@ -44,9 +44,14 @@ def parse_raw(df_lines: DataFrame) -> DataFrame:
     """Raw (wal_start, server_wal_end, server_time_ms, line) → parsed
     messages. Malformed lines are dropped and counted via an observable
     metric (reference counts+drops at ``client.go:470-482``)."""
+    import uuid
+
     parsed = df_lines.mapInPandas(parse_lines_to_pandas, schema=PARSED_SCHEMA_DDL)
+    # unique observation name: two pipeline instances may meet in one
+    # plan (e.g. snapshot apply), and observation names must not collide
     return parsed.observe(
-        "cdc_parse", F.count(F.col("parse_error")).alias("invalid_msgs")
+        f"cdc_parse_{uuid.uuid4().hex[:8]}",
+        F.count(F.col("parse_error")).alias("invalid_msgs"),
     ).filter(F.col("parse_error").isNull())
 
 

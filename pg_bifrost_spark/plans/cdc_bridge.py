@@ -137,6 +137,51 @@ def cdc_whitelist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_snapshot",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'UPDATED-' || n_nationkey
+                ELSE n_name END AS n_name
+    FROM nation WHERE n_nationkey <> 0
+    ORDER BY n_nationkey
+    """,
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → materialized table: replay INSERT-all / UPDATE-evens /
+    DELETE-key-0 through the full pipeline, resolve last-WAL-wins per
+    key, and compare the final snapshot against plain SQL over the
+    source — the end-to-end 'CDC consumer' correctness gate."""
+    from ..sinks.table_apply import apply_changes, changes_to_upserts, snapshot_as_columns
+
+    nation = table(spark, sf_dir, "nation")
+    types = {"n_nationkey": "bigint", "n_name": "text"}
+    inserts = wal_lines_from_table(nation, "public.nation", types, seq_expr="n_nationkey")
+    updates = wal_lines_from_table(
+        nation.filter(F.col("n_nationkey") % 2 == 0).withColumn(
+            "n_name", F.concat(F.lit("UPDATED-"), F.col("n_nationkey").cast("string"))
+        ),
+        "public.nation",
+        types,
+        seq_expr=F.col("n_nationkey") + 10_000,
+        operation="UPDATE",
+    )
+    deletes = wal_lines_from_table(
+        nation.filter(F.col("n_nationkey") == 0).select("n_nationkey"),
+        "public.nation",
+        {"n_nationkey": "bigint"},
+        seq_expr=F.col("n_nationkey") + 20_000,
+        operation="DELETE",
+    )
+    raw = inserts.unionByName(updates).unionByName(deletes)
+    marshalled = run_pipeline(raw, PipelineConfig())
+    upserts = changes_to_upserts(marshalled, pk="n_nationkey")
+    snapshot = apply_changes(None, upserts, pk="n_nationkey")
+    return snapshot_as_columns(
+        snapshot, {"n_nationkey": "bigint", "n_name": "string"}
+    ).orderBy("n_nationkey")
+
+
+@register(
     "cdc_partition_buckets",
     oracle=None,  # crc32 is not available in DuckDB; rows-only check
 )
