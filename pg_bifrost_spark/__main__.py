@@ -1,0 +1,121 @@
+"""CLI — mirrors the reference binary's command surface
+(``main/main.go:557-763``):
+
+    python -m pg_bifrost_spark replicate <stdout|s3|kinesis|rabbitmq|kafka>
+    python -m pg_bifrost_spark create   # replication slot (needs psycopg)
+    python -m pg_bifrost_spark drop
+
+Pipeline config comes from the environment (config.from_env — the
+reference's env-var names); source/sink specifics from flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import from_env
+from .session import get_spark
+from .streaming.core import start_cdc_query
+
+
+def _sink(args):
+    from pyspark.sql import functions as F
+
+    if args.sink == "stdout":
+        from .sinks.writers import stdout_writer
+
+        return stdout_writer()
+    if args.sink == "s3":
+        from .sinks.writers import s3_time_partitioned
+
+        if not args.out:
+            raise SystemExit("--out <path> required for the s3/file sink")
+        return lambda df, epoch: s3_time_partitioned(df, args.out)
+    if args.sink == "kinesis":
+        from .sinks.writers import kinesis_writer
+
+        if not args.stream_name:
+            raise SystemExit("--stream-name required for kinesis")
+        return kinesis_writer(args.stream_name)
+    if args.sink == "rabbitmq":
+        from .sinks.writers import rabbitmq_writer
+
+        return rabbitmq_writer(args.exchange or "pg_bifrost")
+    if args.sink == "kafka":
+        from .sinks.writers import kafka_frame
+
+        if not args.brokers or not args.topic:
+            raise SystemExit("--brokers and --topic required for kafka")
+
+        def kafka_sink(df, epoch):
+            (
+                kafka_frame(df)
+                .write.format("kafka")
+                .option("kafka.bootstrap.servers", args.brokers)
+                .option("topic", args.topic)
+                .option("kafka.compression.type", "snappy")
+                .save()
+            )
+
+        return kafka_sink
+    raise SystemExit(f"unknown sink {args.sink!r}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pg_bifrost_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rep = sub.add_parser("replicate", help="run the CDC pipeline into a sink")
+    rep.add_argument("sink", choices=["stdout", "s3", "kinesis", "rabbitmq", "kafka"])
+    rep.add_argument("--wal-dir", help="replay-transport WAL directory")
+    rep.add_argument("--dsn", help="postgres DSN for the live transport")
+    rep.add_argument("--slot", default="pg_bifrost_spark")
+    rep.add_argument("--checkpoint", required=True, help="checkpointLocation")
+    rep.add_argument("--out", help="s3/file sink output path")
+    rep.add_argument("--stream-name", help="kinesis stream name")
+    rep.add_argument("--exchange", help="rabbitmq exchange")
+    rep.add_argument("--brokers", help="kafka bootstrap servers")
+    rep.add_argument("--topic", help="kafka topic")
+    rep.add_argument("--trigger-seconds", type=float, default=None)
+    rep.add_argument("--once", action="store_true", help="drain available data and exit")
+
+    for name in ("create", "drop"):
+        c = sub.add_parser(name, help=f"{name} the replication slot")
+        c.add_argument("--dsn", required=True)
+        c.add_argument("--slot", default="pg_bifrost_spark")
+
+    args = p.parse_args(argv)
+
+    if args.cmd in ("create", "drop"):
+        from .sources.pgcdc import LiveTransport
+
+        fn = LiveTransport.create_slot if args.cmd == "create" else LiveTransport.drop_slot
+        fn(args.dsn, args.slot)
+        return 0
+
+    cfg = from_env()
+    spark = get_spark(app_name=f"pg_bifrost_spark_{args.sink}")
+    source_options = {}
+    if args.wal_dir:
+        source_options["wal_dir"] = args.wal_dir
+    if args.dsn:
+        source_options["dsn"] = args.dsn
+        source_options["slot"] = args.slot
+    source_options["max_msgs_per_batch"] = str(cfg.client_buffer_size)
+
+    q = start_cdc_query(
+        spark,
+        _sink(args),
+        checkpoint_dir=args.checkpoint,
+        cfg=cfg.pipeline,
+        trigger_seconds=None if args.once else args.trigger_seconds,
+        workers=cfg.workers if cfg.routing_method == "partition" else None,
+        source_options=source_options,
+    )
+    q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
