@@ -50,6 +50,27 @@ def windowed_counts(
     )
 
 
+def session_windows(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window`` merges
+    events within ``gap`` into one growing window per user; the
+    watermark closes sessions so state is bounded. Batch twin:
+    ``plans/events.py::sessionize_users`` (gaps-and-islands)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
 ) -> DataFrame:

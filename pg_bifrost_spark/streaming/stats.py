@@ -64,6 +64,29 @@ def observe_counts(df: DataFrame, observation_name: str, **named_exprs) -> DataF
     )
 
 
+def statsd_reporter(host: str = "127.0.0.1", port: int = 8125, prefix: str = "bifrost"):
+    """Datadog/statsd reporter factory (``stats/reporters/datadog/
+    datadog.go:44-77``): returns an emit callback for
+    StdoutStatsListener that pushes ``bifrost.<component>.<stat>``
+    counters over UDP statsd wire format. No statsd client library
+    needed — the wire format is one line per metric."""
+    import socket
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def emit(line: str) -> None:
+        stat = json.loads(line)
+        base = stat.get("name", f"{prefix}.stream.progress")
+        payloads = [f"{base}.rows:{stat.get('rows', 0)}|c"]
+        for obs_name, metrics in (stat.get("observed") or {}).items():
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    payloads.append(f"{prefix}.{obs_name}.{k}:{v}|g")
+        sock.sendto("\n".join(payloads).encode(), (host, port))
+
+    return emit
+
+
 class StdoutStatsListener(StreamingQueryListener):
     """Renders per-micro-batch progress + observed metrics as one JSON
     line each, statsd-ish names: bifrost.<component>.<name>."""
