@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import gzip
 import io
-import os
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame
@@ -67,14 +66,14 @@ def s3_time_partitioned(df: DataFrame, base_path: str, payload_col: str = "json"
 
 def _default_kinesis_transport(stream_name: str):
     try:
-        import boto3  # noqa: F401
+        import boto3
     except ImportError as exc:  # pragma: no cover - boto3 not in image
         raise NotImplementedError(
             "boto3 not available in this environment; inject a transport via "
             "kinesis_writer(..., transport=...)"
         ) from exc
 
-    client = __import__("boto3").client("kinesis")
+    client = boto3.client("kinesis")
 
     def send(batch: Sequence[tuple[bytes, str]]) -> Sequence[tuple[bytes, str]]:
         resp = client.put_records(
