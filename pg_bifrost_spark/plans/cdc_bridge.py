@@ -137,6 +137,46 @@ def cdc_whitelist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_events_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, ts, round(value, 2) AS value
+    FROM events WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+)
+def cdc_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp columns through the WAL text round trip: render
+    microsecond timestamps as quoted test_decoding values, parse back,
+    cast to timestamp — proves quoted-value parsing and timestamp
+    fidelity end to end."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    raw = wal_lines_from_table(
+        ev.select("event_id", "user_id", F.col("ts").cast("string").alias("ts"), "value"),
+        "public.events",
+        {
+            "event_id": "bigint",
+            "user_id": "bigint",
+            "ts": "timestamp without time zone",
+            "value": "double precision",
+        },
+        seq_expr="event_id",
+    )
+    out = data_messages(run_pipeline(raw, PipelineConfig()))
+    env = out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
+    cols = F.col("env.columns")
+
+    def v(name):
+        return F.element_at(F.element_at(cols, name), "new")["v"]
+
+    return env.select(
+        v("event_id").cast("bigint").alias("event_id"),
+        v("user_id").cast("bigint").alias("user_id"),
+        v("ts").cast("timestamp").alias("ts"),
+        F.round(v("value").cast("double"), 2).alias("value"),
+    )
+
+
+@register(
     "cdc_apply_snapshot",
     oracle="""
     SELECT n_nationkey,
