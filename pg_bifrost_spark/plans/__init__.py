@@ -58,6 +58,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all() -> None:
     """Import every module that registers queries."""
-    from . import tpch, tpch2, events, functions_suite  # noqa: F401
+    from . import tpch, tpch2, tpch3, events, functions_suite  # noqa: F401
     from . import cdc_bridge  # noqa: F401
     from ..operators import dedup, similarity, text, multimodal, curation, joins  # noqa: F401
