@@ -177,6 +177,46 @@ def cdc_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_to_analytics",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events WHERE event_id < 2000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_to_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full engine story in one plan: CDC ingestion (WAL text →
+    parse → envelope) feeding the analytics surface (event-time
+    tumbling windows) — changes stream in as row events and come out
+    as windowed aggregates, hash-matching plain SQL over the source
+    table."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    raw = wal_lines_from_table(
+        ev.select("event_id", F.col("ts").cast("string").alias("ts"), "value"),
+        "public.events",
+        {"event_id": "bigint", "ts": "timestamp without time zone", "value": "double precision"},
+        seq_expr="event_id",
+    )
+    out = data_messages(run_pipeline(raw, PipelineConfig()))
+    env = out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
+    cols = F.col("env.columns")
+
+    def v(name):
+        return F.element_at(F.element_at(cols, name), "new")["v"]
+
+    events = env.select(
+        v("ts").cast("timestamp").alias("ts"), v("value").cast("double").alias("value")
+    )
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+        .orderBy("window_start")
+    )
+
+
+@register(
     "cdc_apply_snapshot",
     oracle="""
     SELECT n_nationkey,
