@@ -87,6 +87,7 @@ def wal_lines_from_table(
     seq_expr,
     n_streams: int = 64,
     operation: str = "INSERT",
+    with_txn: bool = False,
 ) -> DataFrame:
     """Render each row of ``df`` as a test_decoding INSERT inside its own
     transaction (BEGIN/INSERT/COMMIT). Built entirely from Column
@@ -123,10 +124,17 @@ def wal_lines_from_table(
         *[cell(c) for c in pg_types],
     )
     seq = F.col(seq_expr) if isinstance(seq_expr, str) else seq_expr
-    base = df.select(insert_line.alias("_dml"), seq.cast("long").alias("_seq"))
+    # parallelize BEFORE rendering: the source is often one parquet
+    # split, and this shuffle moves narrow source rows (cheap) so that
+    # render/explode/parse downstream run on every core with no
+    # further exchange
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n_par).select(insert_line.alias("_dml"), seq.cast("long").alias("_seq"))
     lsn0 = F.lit(1000) + F.col("_seq") * 24
     lines = base.select(
         F.pmod(F.col("_seq"), F.lit(n_streams)).cast("int").alias("stream_id"),
+        F.col("_seq").cast("string").alias("_xid"),
+        F.concat_ws("-", F.col("_seq"), lsn0).alias("_tbk"),
         F.array(
             F.struct(lsn0.alias("wal_start"), F.concat(F.lit("BEGIN "), F.col("_seq")).alias("line")),
             F.struct((lsn0 + 8).alias("wal_start"), F.col("_dml").alias("line")),
@@ -135,11 +143,21 @@ def wal_lines_from_table(
                 F.concat(F.lit("COMMIT "), F.col("_seq")).alias("line"),
             ),
         ).alias("msgs"),
-    ).select("stream_id", F.explode("msgs").alias("m"))
-    return lines.select(
+    ).select("stream_id", "_xid", "_tbk", F.explode("msgs").alias("m"))
+    out = lines.select(
         F.col("m.wal_start").alias("wal_start"),
         (F.col("m.wal_start") + 8).alias("server_wal_end"),
         F.lit(0).cast("long").alias("server_time_ms"),
         F.col("stream_id"),
         F.col("m.line").alias("line"),
-    ).repartition("stream_id")
+        F.col("_xid").alias("txn_id"),
+        F.col("_tbk").alias("time_based_key"),
+    )
+    if with_txn:
+        # the generator IS an assembling source (each txn rendered
+        # whole), so it can stamp txn identity directly — downstream
+        # uses run_pipeline_assembled: no post-render shuffle, no
+        # window sort. This is the same contract the streaming pgcdc
+        # reader provides.
+        return out
+    return out.drop("txn_id", "time_based_key").repartition(n_par, "stream_id")

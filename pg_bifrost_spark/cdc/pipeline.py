@@ -140,10 +140,37 @@ def run_pipeline_assembled(
     time_based_key. Every stage is stateless → valid on a streaming
     DataFrame."""
     cfg = cfg or PipelineConfig()
-    parsed = df_lines_with_txn.mapInPandas(
-        parse_lines_to_pandas, schema=PARSED_ASSEMBLED_SCHEMA_DDL
+    # Control messages (BEGIN/COMMIT — two thirds of a typical stream)
+    # parse with two JVM string ops; only DML lines pay the Python
+    # (Arrow) hop. Strict two-token check: malformed control-ish lines
+    # fall through to the full parser and its error accounting.
+    tokens = F.split(F.col("line"), " ")
+    is_control = (
+        (F.col("line").startswith("BEGIN ") | F.col("line").startswith("COMMIT "))
+        & (F.size(tokens) == 2)
     )
-    events = parsed.filter(F.col("parse_error").isNull()).drop("txn_xid")
+    colmap_t = "map<string, struct<v: string, t: string, q: boolean>>"
+    ctrl = df_lines_with_txn.filter(is_control).select(
+        "wal_start",
+        "server_wal_end",
+        "server_time_ms",
+        "stream_id",
+        F.element_at(tokens, 1).alias("operation"),
+        F.lit(None).cast("string").alias("relation"),
+        F.lit(False).alias("no_tuple_data"),
+        F.lit(None).cast(colmap_t).alias("columns"),
+        F.lit(None).cast(colmap_t).alias("old_columns"),
+        F.lit(None).cast("string").alias("parse_error"),
+        "txn_id",
+        "time_based_key",
+    )
+    dml = (
+        df_lines_with_txn.filter(~is_control)
+        .mapInPandas(parse_lines_to_pandas, schema=PARSED_ASSEMBLED_SCHEMA_DDL)
+        .filter(F.col("parse_error").isNull())
+        .drop("txn_xid")
+    )
+    events = dml.unionByName(ctrl)
     return filter_partition_marshal(events, cfg)
 
 

@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from . import register, table
 from ..cdc.fixtures import wal_lines_from_table
-from ..cdc.pipeline import PipelineConfig, data_messages, run_pipeline
+from ..cdc.pipeline import (
+    PipelineConfig,
+    data_messages,
+    run_pipeline,
+    run_pipeline_assembled,
+)
 
 LINEITEM_PG_TYPES = {
     "l_orderkey": "bigint",
@@ -36,14 +41,17 @@ _ENVELOPE_DDL = (
 def _lineitem_envelopes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     # unique data-derived txn seq (l_linenumber is 1..7 in TPC-H) — no
-    # global row_number, so WAL rendering stays fully parallel
+    # global row_number, so WAL rendering stays fully parallel; the
+    # generator stamps txn identity (it renders whole txns), so the
+    # assembled pipeline runs with no shuffle at all before the sink
     raw = wal_lines_from_table(
         li,
         "public.lineitem",
         LINEITEM_PG_TYPES,
         seq_expr=F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+        with_txn=True,
     )
-    out = data_messages(run_pipeline(raw, cfg))
+    out = data_messages(run_pipeline_assembled(raw, cfg))
     return out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
 
 
@@ -160,8 +168,9 @@ def cdc_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value": "double precision",
         },
         seq_expr="event_id",
+        with_txn=True,
     )
-    out = data_messages(run_pipeline(raw, PipelineConfig()))
+    out = data_messages(run_pipeline_assembled(raw, PipelineConfig()))
     env = out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
     cols = F.col("env.columns")
 
@@ -197,8 +206,9 @@ def cdc_to_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "public.events",
         {"event_id": "bigint", "ts": "timestamp without time zone", "value": "double precision"},
         seq_expr="event_id",
+        with_txn=True,
     )
-    out = data_messages(run_pipeline(raw, PipelineConfig()))
+    out = data_messages(run_pipeline_assembled(raw, PipelineConfig()))
     env = out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
     cols = F.col("env.columns")
 

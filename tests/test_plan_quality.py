@@ -69,10 +69,21 @@ def test_topk_uses_window_not_global_sort(spark):
 
 
 def test_cdc_roundtrip_has_no_global_single_partition_window(spark):
-    """Transaction assembly must partition by stream — a partitionless
-    window would serialize the 100 TB replay through one task."""
+    """Transaction assembly must never serialize the replay through one
+    task: the assembled bridge path has NO window at all (txn identity
+    stamped at the source), and the raw-replay path's window must be
+    stream-partitioned."""
     text = plan_of(spark, "cdc_lineitem_roundtrip")
-    assert "windowspecdefinition(stream_id" in text
+    assert "windowspecdefinition" not in text  # assembled: windowless
+
+    from pg_bifrost_spark.cdc.fixtures import dml_line, ops_to_raw_lines, raw_lines_df, txn
+    from pg_bifrost_spark.cdc.pipeline import PipelineConfig, run_pipeline
+
+    df = raw_lines_df(
+        spark, ops_to_raw_lines(txn(1, dml_line("public.t", "INSERT", [("id", "integer", 1)])))
+    )
+    raw_text = run_pipeline(df, PipelineConfig())._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(stream_id" in raw_text
 
 
 def test_approx_aggregates_error_bound(spark, sf01_dir):
