@@ -195,18 +195,20 @@ def kafka_frame(df: DataFrame, key_method: str = "time-based-key") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def stdout_writer():
+def stdout_writer(emit: Callable[[str], None] | None = None):
     """Prints '<partition>: <json>' like the reference's
-    ``stdout/transporter/transporter.go:80-130``."""
+    ``stdout/transporter/transporter.go:80-130``. ``emit`` is
+    injectable for tests (runs in the executor's Python worker)."""
 
     def write(df: DataFrame, epoch_id: int) -> None:
         def per_partition(it):
             from pyspark import TaskContext
 
+            out = emit or print
             pid = TaskContext.get().partitionId()
             for r in it:
                 if r["json"] is not None:
-                    print(f"{pid}: {r['json']}")
+                    out(f"{pid}: {r['json']}")
 
         df.select("json").foreachPartition(per_partition)
 
