@@ -161,6 +161,41 @@ def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_ORACLE = """
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_value
+    FROM events
+    QUALIFY event_type = 'click'
+    ORDER BY event_id
+    """
+
+
+@register("asof_click_to_view_pandas", oracle=_ASOF_ORACLE)
+def asof_click_to_view_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics as ``asof_click_to_view`` but via
+    ``applyInPandas`` per user group (the pd.merge_asof-style path the
+    guide recommends when the composition gets hairy) — two independent
+    implementations hash-matched against ONE oracle."""
+    import pandas as pd  # noqa: F401
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+
+    def per_user(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # last view value among STRICTLY PRIOR rows in (ts, event_id)
+        # order — identical frame to the window-based twin
+        prior_view = pdf["value"].where(pdf["event_type"] == "view").ffill().shift(1)
+        out = pdf[pdf["event_type"] == "click"].copy()
+        out["last_view_value"] = prior_view[out.index]
+        return out[["event_id", "user_id", "ts", "last_view_value"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        per_user, schema="event_id bigint, user_id bigint, ts timestamp, last_view_value double"
+    ).orderBy("event_id")
+
+
 # --------------------------------------------------------------------------
 # Lead/lag analytics: inter-event gap per user
 # --------------------------------------------------------------------------
