@@ -70,6 +70,65 @@ def txn_ledger_stream(events):
     )
 
 
+# ---------------------------------------------------------------------------
+# The same ledger on the NEW Spark 4 stateful API
+# (transformWithStateInPandas + ValueState) — finer-grained state
+# primitives (value/list/map state, TTL, timers) than the legacy
+# GroupState; this is the API new custom operators should target.
+# NOTE: executing it requires google.protobuf (state wire protocol),
+# which this container lacks — code is real, test is env-gated.
+# ---------------------------------------------------------------------------
+try:  # pragma: no cover - exercised via the streaming test
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LedgerProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("ledger", LEDGER_STATE_DDL)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            count, expected, commit_wal = (
+                tuple(self.state.get()) if self.state.exists() else (0, -1, 0)
+            )
+            for pdf in rows:
+                for _, row in pdf.iterrows():
+                    if row["operation"] == "COMMIT":
+                        expected = int(row["expected_msgs"])
+                        commit_wal = int(row["wal_start"])
+                    elif row["operation"] != "BEGIN":
+                        count += 1
+            if expected >= 0 and count >= expected:
+                self.state.clear()
+                yield pd.DataFrame(
+                    {
+                        "time_based_key": [key[0]],
+                        "total_msgs": [count],
+                        "commit_wal_start": [commit_wal],
+                    }
+                )
+            else:
+                self.state.update((count, expected, commit_wal))
+
+        def close(self) -> None:
+            pass
+
+    def txn_ledger_stream_v2(events):
+        """``txn_ledger_stream`` on transformWithStateInPandas."""
+        return events.groupBy("time_based_key").transformWithStateInPandas(
+            LedgerProcessor(),
+            outputStructType=LEDGER_OUTPUT_DDL,
+            outputMode="Append",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - older pyspark
+
+    def txn_ledger_stream_v2(events):
+        raise NotImplementedError("transformWithStateInPandas requires pyspark >= 4.0")
+
+
 TOTALS_OUTPUT_DDL = "user_id bigint, n_events bigint, total_value double"
 TOTALS_STATE_DDL = "n bigint, total double"
 

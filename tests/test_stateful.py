@@ -26,17 +26,25 @@ def _write_batch(spark, d, name, rows, ddl):
     shutil.move(part, f"{d}/{name}.parquet")
 
 
-def _run_stream(spark, src_dir, ddl, build, mode):
+def _run_stream(spark, src_dir, ddl, build, mode, ckpt=None, acc=None):
+    """With ``ckpt``+``acc``: a checkpointed foreachBatch query whose
+    restart resumes from the committed offset — NEW rows only, so a
+    second call genuinely proves state carried across micro-batches
+    (a fresh memory-sink query would just reprocess everything)."""
     stream = spark.readStream.schema(ddl).parquet(src_dir)
-    q = (
-        build(stream)
-        .writeStream.outputMode(mode)
-        .format("memory")
-        .queryName("stateful_out")
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = build(stream).writeStream.outputMode(mode)
+    if ckpt is not None:
+        emitted = acc if acc is not None else []
+        writer = writer.foreachBatch(lambda df, e: emitted.extend(df.collect())).option(
+            "checkpointLocation", ckpt
+        )
+    else:
+        emitted = None
+        writer = writer.format("memory").queryName("stateful_out")
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination(180)
+    if ckpt is not None:
+        return list(emitted)
     return spark.sql("select * from stateful_out").collect()
 
 
@@ -54,16 +62,60 @@ def test_txn_ledger_completion(spark, tmp_path):
     import os
 
     os.makedirs(d)
+    ckpt, acc = str(tmp_path / "ck"), []
     _write_batch(spark, d, "b0", rows, LEDGER_IN_DDL)
-    out = _run_stream(spark, d, LEDGER_IN_DDL, txn_ledger_stream, "append")
+    out = _run_stream(spark, d, LEDGER_IN_DDL, txn_ledger_stream, "append", ckpt, acc)
     got = {r.time_based_key: (r.total_msgs, r.commit_wal_start) for r in out}
     assert got == {"A-1": (2, 12)}
 
-    # late arrival completes txn B in a later micro-batch (state carried)
+    # late arrival completes txn B in a later micro-batch: the resumed
+    # query reads ONLY the new file, so completion proves carried state
     _write_batch(spark, d, "b1", [("B-9", "INSERT", 22, -1)], LEDGER_IN_DDL)
-    out2 = _run_stream(spark, d, LEDGER_IN_DDL, txn_ledger_stream, "append")
+    out2 = _run_stream(spark, d, LEDGER_IN_DDL, txn_ledger_stream, "append", ckpt, acc)
     got2 = {r.time_based_key: (r.total_msgs, r.commit_wal_start) for r in out2}
     assert got2["B-9"] == (2, 21)
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (not functional "
+    "in this container); the applyInPandasWithState ledger is the tested path",
+)
+def test_txn_ledger_v2_transform_with_state(spark, tmp_path):
+    """Same ledger semantics on the new transformWithStateInPandas
+    API, including state carry across micro-batches."""
+    import os
+
+    from pg_bifrost_spark.streaming.stateful import txn_ledger_stream_v2
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    ckpt, acc = str(tmp_path / "ck"), []
+    _write_batch(
+        spark, d, "b0",
+        [("A-1", "INSERT", 10, -1), ("A-1", "COMMIT", 12, 2), ("B-9", "INSERT", 20, -1)],
+        LEDGER_IN_DDL,
+    )
+    out = _run_stream(spark, d, LEDGER_IN_DDL, txn_ledger_stream_v2, "append", ckpt, acc)
+    assert {r.time_based_key for r in out} == set()  # A expects 2, has 1
+
+    _write_batch(
+        spark, d, "b1",
+        [("A-1", "INSERT", 11, -1), ("B-9", "COMMIT", 21, 1)],
+        LEDGER_IN_DDL,
+    )
+    out2 = _run_stream(spark, d, LEDGER_IN_DDL, txn_ledger_stream_v2, "append", ckpt, acc)
+    got = {r.time_based_key: (r.total_msgs, r.commit_wal_start) for r in out2}
+    assert got == {"A-1": (2, 12), "B-9": (1, 21)}
 
 
 def test_running_user_totals(spark, tmp_path):

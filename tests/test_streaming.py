@@ -142,6 +142,45 @@ def test_kinesis_writer_with_fake_transport(spark, tmp_path):
     assert len(attempts) >= 2  # initial + at least one partial retry
 
 
+def test_kinesis_partition_key_methods(spark, tmp_path):
+    """K3: spread keys = per-record WalStart; sticky keys = the batch
+    partition_key (kinesis/utils/kinesis.go:19-24)."""
+    import tempfile
+
+    wal_dir = write_replay_dir(tmp_path, BASIC_OPS)
+    log = tempfile.mkdtemp()
+
+    def capture(batch):
+        with open(os.path.join(log, f"b{len(os.listdir(log))}"), "w") as f:
+            for _, pk in batch:
+                f.write(pk + "\n")
+        return []
+
+    def run(spread, ck):
+        def sink(df, epoch):
+            kinesis_writer("s", spread_keys=spread, transport=capture)(df.coalesce(1), epoch)
+
+        q = start_cdc_query(
+            spark,
+            sink,
+            str(tmp_path / ck),
+            cfg=PipelineConfig(partition_method="tablename"),
+            source_options={"wal_dir": wal_dir},
+        )
+        q.awaitTermination(120)
+        keys = []
+        for f in sorted(os.listdir(log)):
+            keys += open(os.path.join(log, f)).read().split()
+            os.remove(os.path.join(log, f))
+        return keys
+
+    spread_keys = run(True, "ck_spread")
+    assert all(k.isdigit() for k in spread_keys)  # WalStart per record
+    assert len(set(spread_keys)) == len(spread_keys)
+    sticky_keys = run(False, "ck_sticky")
+    assert set(sticky_keys) == {"public.users", "public.secrets"}
+
+
 def test_stats_aggregation_batch_twin(spark):
     import datetime as dt
 
