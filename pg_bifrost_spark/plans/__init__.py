@@ -60,4 +60,12 @@ def load_all() -> None:
     """Import every module that registers queries."""
     from . import tpch, tpch2, tpch3, events, functions_suite  # noqa: F401
     from . import cdc_bridge  # noqa: F401
-    from ..operators import dedup, similarity, text, multimodal, curation, joins  # noqa: F401
+    from ..operators import (  # noqa: F401
+        cleaning,
+        curation,
+        dedup,
+        joins,
+        multimodal,
+        similarity,
+        text,
+    )
