@@ -104,13 +104,26 @@ def main(argv: list[str] | None = None) -> int:
         source_options["slot"] = args.slot
     source_options["max_msgs_per_batch"] = str(cfg.client_buffer_size)
 
+    workers = cfg.workers if cfg.routing_method == "partition" else None
+    if args.once:
+        from .streaming.core import drain_cdc_query
+
+        drain_cdc_query(
+            spark,
+            _sink(args),
+            checkpoint_dir=args.checkpoint,
+            cfg=cfg.pipeline,
+            workers=workers,
+            source_options=source_options,
+        )
+        return 0
     q = start_cdc_query(
         spark,
         _sink(args),
         checkpoint_dir=args.checkpoint,
         cfg=cfg.pipeline,
-        trigger_seconds=None if args.once else args.trigger_seconds,
-        workers=cfg.workers if cfg.routing_method == "partition" else None,
+        trigger_seconds=args.trigger_seconds,
+        workers=workers,
         source_options=source_options,
     )
     q.awaitTermination()

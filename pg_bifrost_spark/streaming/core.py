@@ -70,3 +70,34 @@ def start_cdc_query(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drain_cdc_query(
+    spark: SparkSession,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    workers: int | None = None,
+    source_options: dict | None = None,
+    max_rounds: int = 10_000,
+) -> int:
+    """Process ALL currently-available WAL and stop.
+
+    The Python data source does not support Trigger.AvailableNow —
+    Spark falls back to ONE bounded micro-batch per query run, so with
+    a small client buffer a single run under-drains. This loop runs
+    single-batch queries against the same checkpoint until a run makes
+    no progress (the backpressure bound still applies per batch).
+    Returns the number of micro-batches executed."""
+    rounds = 0
+    for _ in range(max_rounds):
+        q = start_cdc_query(
+            spark, sink, checkpoint_dir, cfg=cfg, workers=workers,
+            source_options=source_options,
+        )
+        q.awaitTermination()
+        rounds += 1
+        progress = q.lastProgress
+        if not progress or progress["numInputRows"] == 0:
+            break
+    return rounds

@@ -192,3 +192,31 @@ def test_stats_aggregation_batch_twin(spark):
     df = spark.createDataFrame(rows, "component string, name string, unit string, value double, ts timestamp")
     out = {(r.bucket_start.minute, r.n, r.total) for r in aggregate_stats(df).collect()}
     assert out == {(0, 2, 3.0), (1, 1, 5.0)}
+
+
+def test_backpressure_many_microbatches(spark, tmp_path):
+    """W6: a tiny client buffer (max_msgs_per_batch=2, the reference's
+    CLIENT_BUFFER_SIZE=1 itest analog) forces many micro-batches; all
+    data still arrives exactly once in WAL order per stream."""
+    wal_dir = write_replay_dir(tmp_path, BASIC_OPS)
+    batches: list[int] = []
+    rows: list = []
+
+    def sink(df, epoch):
+        got = df.collect()
+        batches.append(len(got))
+        rows.extend(got)
+
+    from pg_bifrost_spark.streaming.core import drain_cdc_query
+
+    drain_cdc_query(
+        spark,
+        sink,
+        str(tmp_path / "ck"),
+        workers=1,  # strict-order routing: the mode that guarantees order
+        source_options={"wal_dir": wal_dir, "max_msgs_per_batch": "2"},
+    )
+    assert len(rows) == 9  # 3 txns x 3 messages
+    assert len([b for b in batches if b > 0]) >= 4  # actually split up
+    lsns = [r.wal_start for r in rows]
+    assert lsns == sorted(lsns)  # order preserved across micro-batches
