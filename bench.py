@@ -43,6 +43,8 @@ HEADLINE = [
     "curation_pipeline",
     "salted_skew_join",
     "q13_customer_distribution",
+    "q8_market_share",
+    "q21_waiting_supplier",
     "cdc_lineitem_roundtrip",
 ]
 

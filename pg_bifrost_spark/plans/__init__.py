@@ -58,7 +58,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all() -> None:
     """Import every module that registers queries."""
-    from . import tpch, tpch2, tpch3, tpch4, events, functions_suite  # noqa: F401
+    from . import tpch, tpch2, tpch3, tpch4, events, functions_suite, windows_suite  # noqa: F401
     from . import cdc_bridge  # noqa: F401
     from ..operators import (  # noqa: F401
         cleaning,
