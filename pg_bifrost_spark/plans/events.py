@@ -161,6 +161,55 @@ def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interval_click_views",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id,
+           c.user_id AS user_id, round(v.value, 2) AS view_value
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND v.ts BETWEEN c.ts - INTERVAL 24 HOUR AND c.ts
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+    ORDER BY click_id, view_id
+    """,
+)
+def interval_click_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every click paired with ALL of that
+    user's views in the trailing 24 h — the batch twin of the
+    stream-stream interval join (`streaming/analytics.py::
+    interval_join`), which bounds its state with two watermarks. The
+    equi-key (user_id) keeps this a hash join + post-filter, not a
+    cross product."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return (
+        c.join(
+            v,
+            (F.col("c_user") == F.col("v_user"))
+            & F.col("view_ts").between(
+                F.col("click_ts") - F.expr("INTERVAL 24 HOURS"), F.col("click_ts")
+            ),
+        )
+        .select(
+            "click_id",
+            "view_id",
+            F.col("c_user").alias("user_id"),
+            F.round("view_value", 2).alias("view_value"),
+        )
+        .orderBy("click_id", "view_id")
+    )
+
+
 _ASOF_ORACLE = """
     SELECT event_id, user_id, ts,
            last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)

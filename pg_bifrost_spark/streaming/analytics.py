@@ -71,6 +71,42 @@ def session_windows(
     )
 
 
+def interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    within: str = "24 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with EVERY view by
+    the same user in the trailing ``within`` interval (unlike the as-of
+    join, which keeps only the latest). Watermarks on BOTH sides let
+    Spark evict buffered rows once they can no longer match — state is
+    bounded by ``within`` + ``watermark`` regardless of stream length.
+    Batch twin: ``plans/events.py::interval_click_views``."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    ).withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        F.expr(
+            f"c_user = v_user AND view_ts BETWEEN click_ts - INTERVAL {within} AND click_ts"
+        ),
+    ).select(
+        "click_id",
+        "view_id",
+        F.col("c_user").alias("user_id"),
+        F.round("view_value", 2).alias("view_value"),
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
 ) -> DataFrame:

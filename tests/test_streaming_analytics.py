@@ -48,6 +48,26 @@ def test_streaming_sliding_window(spark):
     assert sum(r.n for r in rows) == 2 * 1000
 
 
+def test_streaming_interval_join_matches_batch_twin(spark):
+    """Stream-stream interval join result == the DuckDB-verified batch
+    twin (same pairs; watermark eviction must not drop valid matches
+    under availableNow replay)."""
+    from pg_bifrost_spark.streaming.analytics import interval_join
+
+    ev = stream_events(spark, SF)
+    clicks = ev.filter("event_type = 'click'")
+    views = ev.filter("event_type = 'view'")
+    run_to_memory(interval_join(clicks, views), "ij_pairs", "append")
+    got = {
+        (r.click_id, r.view_id, r.user_id, r.view_value)
+        for r in spark.sql("select * from ij_pairs").collect()
+    }
+    batch = plans.QUERIES["interval_click_views"](spark, SF).collect()
+    expect = {(r.click_id, r.view_id, r.user_id, r.view_value) for r in batch}
+    assert got == expect
+    assert len(got) > 0
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     # duplicate the events stream: two identical files → every event_id twice
     import shutil
