@@ -107,6 +107,19 @@ def interval_join(
     )
 
 
+def enrich_with_static(
+    events: DataFrame, dim: DataFrame, stream_key: str, dim_key: str
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    dimension, broadcast so the stream never shuffles. The static side
+    is re-resolved per micro-batch (Spark re-reads changed files), which
+    is how slowly-changing dims stay fresh without restarting the
+    query."""
+    return events.join(
+        F.broadcast(dim), F.col(stream_key) == F.col(dim_key), "left"
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
 ) -> DataFrame:

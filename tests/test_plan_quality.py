@@ -86,6 +86,37 @@ def test_cdc_roundtrip_has_no_global_single_partition_window(spark):
     assert "windowspecdefinition(stream_id" in raw_text
 
 
+def test_q8_all_dimensions_broadcast(spark):
+    """The 8-table market-share join must broadcast every dimension —
+    at 100 TB the only tolerable shuffle is lineitem⋈orders."""
+    text = plan_of(spark, "q8_market_share")
+    assert text.count("BroadcastHashJoin") >= 6
+
+
+def test_semi_anti_joins_stay_semi(spark):
+    """EXISTS/NOT-IN shapes must compile to semi/anti joins, never to
+    inner-join + distinct (which materializes the blowup it exists to
+    avoid)."""
+    assert "LeftSemi" in plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan_of(spark, "q20_excess_shippers")
+    assert "LeftAnti" in plan_of(spark, "q16_supplier_part_counts")
+
+
+def test_q21_single_lineitem_scan(spark):
+    """The EXISTS + NOT-EXISTS double correlation is decorrelated into
+    ONE per-order aggregate: exactly one lineitem scan, where the naive
+    triple self-join reads it three times."""
+    text = plan_of(spark, "q21_waiting_supplier")
+    assert text.count("lineitem.parquet") == 1
+
+
+def test_q12_shipdate_pushdown(spark):
+    df = plans.QUERIES["q12_priority_by_flag"](spark, SF)
+    text = formatted(df)
+    assert "PushedFilters:" in text
+    assert "l_shipdate" in text.split("PushedFilters:")[1].split("\n")[0]
+
+
 def test_approx_aggregates_error_bound(spark, sf01_dir):
     rows = {r.l_returnflag: r for r in plans.QUERIES["approx_aggregates"](spark, sf01_dir).collect()}
     import duckdb

@@ -68,6 +68,33 @@ def test_streaming_interval_join_matches_batch_twin(spark):
     assert len(got) > 0
 
 
+def test_stream_static_enrichment_broadcast(spark):
+    """Stream-static join: every event picks up its customer's segment
+    without shuffling the stream; unmatched user_ids survive (left)."""
+    from pg_bifrost_spark.streaming.analytics import enrich_with_static
+    from pg_bifrost_spark.plans import table
+
+    ev = stream_events(spark, SF)
+    dim = table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    run_to_memory(
+        enrich_with_static(ev, dim, "user_id", "c_custkey").select(
+            "event_id", "user_id", "c_mktsegment"
+        ),
+        "enriched",
+        "append",
+    )
+    got = spark.sql("select * from enriched").collect()
+    assert len(got) == 1000  # left join: no events lost
+    batch_ev = table(spark, SF, "events")
+    expect = {
+        (r.event_id, r.c_mktsegment)
+        for r in batch_ev.join(dim, batch_ev.user_id == dim.c_custkey, "left")
+        .select("event_id", "c_mktsegment")
+        .collect()
+    }
+    assert {(r.event_id, r.c_mktsegment) for r in got} == expect
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     # duplicate the events stream: two identical files → every event_id twice
     import shutil
