@@ -203,3 +203,59 @@ def knn_per_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = pos.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
     norms = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("avg_norm_raw"))
     return norms.select("label", F.round("avg_norm_raw", 4).alias("avg_norm")).orderBy("label")
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+      FROM d
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           CAST(list_sum(list_transform(v, x -> round(x / scale)))
+                AS BIGINT) AS code_sum,
+           round(sqrt(list_sum(list_transform(v,
+                 x -> pow(x - round(x / scale) * scale, 2)))), 6) AS l2_err
+    FROM s WHERE scale > 0
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127) with
+    reconstruction error — the storage-shrink step before ANN indexing
+    at scale (4x smaller vectors, distances on codes). Everything stays
+    in JVM higher-order functions: no UDF, no explode — one projection,
+    zero shuffles. code_sum is exact (integers), so it hash-verifies the
+    quantization itself; l2_err verifies the reconstruction arithmetic.
+    |x/scale| <= 127 by construction, so no clamp is needed."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
+    # NB: the raw scale column must NOT be named like the rounded output
+    # alias below — lambda references in the same select resolve the
+    # lateral alias first, silently quantizing with the 6dp-rounded
+    # scale (0.3% l2_err skew; found by the oracle hash).
+    emb = emb.withColumn(
+        "scale_raw", F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+    ).filter(F.col("scale_raw") > 0)
+    code = lambda x: F.round(x / F.col("scale_raw"))  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.round("scale_raw", 6).alias("scale"),
+        F.aggregate(
+            F.transform("v", code), F.lit(0.0), lambda acc, c: acc + c
+        ).cast("bigint").alias("code_sum"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: F.pow(x - code(x) * F.col("scale_raw"), F.lit(2.0))),
+                    F.lit(0.0),
+                    lambda acc, e: acc + e,
+                )
+            ),
+            6,
+        ).alias("l2_err"),
+    ).orderBy("vec_id")
