@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
+    "embedding_quantize_int8",
     "text_token_stats",
     "text_quality_score",
     "hypertable_rollup",

@@ -76,13 +76,17 @@ def interval_join(
     views: DataFrame,
     within: str = "24 hours",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each click pairs with EVERY view by
     the same user in the trailing ``within`` interval (unlike the as-of
     join, which keeps only the latest). Watermarks on BOTH sides let
     Spark evict buffered rows once they can no longer match — state is
     bounded by ``within`` + ``watermark`` regardless of stream length.
-    Batch twin: ``plans/events.py::interval_click_views``."""
+    ``how="left_outer"`` additionally emits unmatched clicks (null view
+    columns) once the watermark passes their match window — the emission
+    is watermark-DRIVEN, so outer rows appear a micro-batch later than
+    their inner twins. Batch twin: ``plans/events.py::interval_click_views``."""
     c = clicks.select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
@@ -99,6 +103,7 @@ def interval_join(
         F.expr(
             f"c_user = v_user AND view_ts BETWEEN click_ts - INTERVAL {within} AND click_ts"
         ),
+        how,
     ).select(
         "click_id",
         "view_id",

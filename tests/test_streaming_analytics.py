@@ -68,11 +68,49 @@ def test_streaming_interval_join_matches_batch_twin(spark):
     assert len(got) > 0
 
 
+def test_streaming_interval_join_left_outer(spark):
+    """Left-outer stream-stream: matched pairs equal the batch twin;
+    every unmatched click is null-emitted exactly once after the
+    watermark passes its match window (availableNow drains the state)."""
+    from pg_bifrost_spark.streaming.analytics import interval_join
+
+    ev = stream_events(spark, SF)
+    out = interval_join(
+        ev.filter("event_type = 'click'"),
+        ev.filter("event_type = 'view'"),
+        watermark="1 minute",
+        how="left_outer",
+    )
+    run_to_memory(out, "ij_outer", "append")
+    rows = spark.sql("select * from ij_outer").collect()
+    matched = {(r.click_id, r.view_id) for r in rows if r.view_id is not None}
+    null_clicks = [r.click_id for r in rows if r.view_id is None]
+    batch = plans.QUERIES["interval_click_views"](spark, SF).collect()
+    expect_pairs = {(r.click_id, r.view_id) for r in batch}
+    assert matched == expect_pairs
+    matched_clicks = {c for c, _ in expect_pairs}
+    clicks = plans.table(spark, SF, "events").filter("event_type='click'").collect()
+    unmatched = {r.event_id for r in clicks} - matched_clicks
+    # every null-emit is a real unmatched click, emitted exactly once
+    assert len(null_clicks) == len(set(null_clicks))
+    assert set(null_clicks) <= unmatched
+    # the only unmatched clicks NOT emitted are those still inside the
+    # final watermark horizon (their match window never closed — Spark
+    # correctly retains them awaiting possible matches)
+    import datetime
+
+    final_wm = max(r.ts for r in clicks) - datetime.timedelta(minutes=1)
+    held = unmatched - set(null_clicks)
+    assert all(
+        r.ts >= final_wm for r in clicks if r.event_id in held
+    ), f"non-boundary clicks went missing: {held}"
+
+
 def test_stream_static_enrichment_broadcast(spark):
     """Stream-static join: every event picks up its customer's segment
     without shuffling the stream; unmatched user_ids survive (left)."""
     from pg_bifrost_spark.streaming.analytics import enrich_with_static
-    from pg_bifrost_spark.plans import table
+    from pg_bifrost_spark.plans import table  # noqa
 
     ev = stream_events(spark, SF)
     dim = table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
