@@ -181,7 +181,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE (CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
              % {_SAMPLE_BUCKETS}) < 50
     )
-    SELECT q.source, count(*) AS n_docs, sum(q.n_toks) AS n_tokens
+    SELECT q.source, count(*) AS n_docs, CAST(sum(q.n_toks) AS BIGINT) AS n_tokens
     FROM sampled s JOIN quality q ON q.doc_id = s.doc_id
     GROUP BY q.source ORDER BY q.source
     """,

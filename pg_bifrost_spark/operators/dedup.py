@@ -115,9 +115,22 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard via inverted index
 # --------------------------------------------------------------------------
+# Stop-shingle document-frequency cutoff: a shingle occurring in k
+# docs emits k² candidate pairs from the posting-list self-join, so
+# ONE boilerplate shingle ("all rights reserved ...") in 10⁶ docs is
+# 10¹² pairs — AQE skew splitting rebalances the tasks but not the
+# O(k²) work. Shingles with df > DF_CUTOFF are dropped from the index
+# AND from the per-doc set size (Jaccard over non-stop shingles, the
+# standard curation semantics), mirrored exactly in the oracle. The
+# fixtures' max df is 25 (measured at sf0.001/0.01/0.1), so the
+# cutoff is semantically inert on the test tables while capping
+# worst-case pair fan-out at DF_CUTOFF² per shingle at any scale.
+DF_CUTOFF = 64
+
+
 @register(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct([
                x[1] || ' ' || x[2] || ' ' || x[3]
@@ -129,10 +142,14 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents)
       WHERE len(toks) >= 3
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {DF_CUTOFF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -144,38 +161,54 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with 3-gram Jaccard ≥ 0.5, computed exactly through an
-    inverted shingle index (posting-list join). At 100 TB the hot
-    shingles are the skew risk — AQE skew-join handles it; a production
-    variant would also drop ultra-frequent shingles (stop-shingles)."""
-    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, df_cutoff: int = DF_CUTOFF
+) -> DataFrame:
+    """All pairs with 3-gram Jaccard ≥ threshold over NON-STOP
+    shingles, computed exactly through an inverted shingle index
+    (posting-list join). Shingles with document frequency >
+    ``df_cutoff`` are excluded from both the index and the set sizes
+    (see DF_CUTOFF above) — the pair fan-out of any single shingle is
+    then bounded by df_cutoff², independent of corpus size."""
     # Materialize the shingle arrays once: Catalyst's projection
     # collapse would otherwise inline the (interpreted, expensive)
     # shingling expression into every downstream use, and the
     # self-join would recompute the whole subtree twice.
-    base = (
+    posts = spread(
         with_shingles(docs)
-        .select("doc_id", "hshingles", F.size("hshingles").alias("n"))
-        .cache()
+        .select("doc_id", F.explode("hshingles").alias("shingle")),
+        "shingle",
+    ).cache()
+    # hot set is tiny by construction (shingles in > df_cutoff docs) →
+    # broadcast anti-join keeps the filter map-side.
+    hot = (
+        posts.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cutoff)
+        .select("shingle")
     )
-    sh = spread(
-        base.select("doc_id", F.explode("hshingles").alias("shingle"), "n"), "shingle"
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    kept = posts.join(F.broadcast(hot), "shingle", "left_anti").cache()
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
         )
         .agg(F.count("*").alias("n_common"))
     )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.filter(jac >= 0.5)
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )

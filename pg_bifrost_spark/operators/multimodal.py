@@ -101,7 +101,7 @@ def sample_frames_batches(n_frames: int = 4):
 @register(
     "multimodal_frame_sample",
     oracle="""
-    SELECT doc_id, count(*) AS n_frames, sum(frame_bytes) AS covered_bytes
+    SELECT doc_id, count(*) AS n_frames, CAST(sum(frame_bytes) AS BIGINT) AS covered_bytes
     FROM (
       SELECT doc_id, i AS frame_idx,
              (i * greatest(octet_length(encode(text)) // 4, 1)) AS frame_offset,

@@ -91,12 +91,13 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sess AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           round(sum(value), 2) AS session_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value,
            min(ts) AS session_start, max(ts) AS session_end
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_id
@@ -120,7 +121,11 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # value is a 2dp grid → decimal sum is exact; a double sum
+            # rounded to 2dp is an engine coin flip on half-cents.
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("session_value"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
@@ -307,37 +312,47 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hypertable_rollup",
     oracle="""
     WITH minute AS (
-      SELECT date_trunc('minute', ts) AS b, event_type,
-             count(*) AS n, sum(value) AS s, min(value) AS mn, max(value) AS mx
+      SELECT date_trunc('minute', ts) AS b, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+             min(value) AS mn, max(value) AS mx
       FROM events GROUP BY 1, 2
     ), hour AS (
       SELECT date_trunc('hour', b) AS b, event_type,
-             sum(n) AS n, sum(s) AS s, min(mn) AS mn, max(mx) AS mx
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS DECIMAL(18,2)) AS s,
+             min(mn) AS mn, max(mx) AS mx
       FROM minute GROUP BY 1, 2
     ), day AS (
       SELECT date_trunc('day', b) AS b, event_type,
-             sum(n) AS n, sum(s) AS s, min(mn) AS mn, max(mx) AS mx
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS DECIMAL(18,2)) AS s,
+             min(mn) AS mn, max(mx) AS mx
       FROM hour GROUP BY 1, 2
     )
     SELECT 'minute' AS level, count(*) AS n_buckets,
-           sum(n) AS n_events, round(sum(s), 2) AS total
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(s) AS DECIMAL(38,2)) AS total
     FROM minute
-    UNION ALL SELECT 'hour', count(*), sum(n), round(sum(s), 2) FROM hour
-    UNION ALL SELECT 'day', count(*), sum(n), round(sum(s), 2) FROM day
+    UNION ALL SELECT 'hour', count(*), CAST(sum(n) AS BIGINT),
+                     CAST(sum(s) AS DECIMAL(38,2)) FROM hour
+    UNION ALL SELECT 'day', count(*), CAST(sum(n) AS BIGINT),
+                     CAST(sum(s) AS DECIMAL(38,2)) FROM day
     ORDER BY level
     """,
 )
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # value is a 2dp grid → exact decimal partials merge losslessly
+    # across levels; double sums re-rounded per level drift between
+    # engines (the r01 hash-fail class).
     minute = ev.groupBy(
         F.date_trunc("minute", F.col("ts")).alias("b"), "event_type"
     ).agg(
-        F.count("*").alias("n"), F.sum("value").alias("s"),
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("s"),
         F.min("value").alias("mn"), F.max("value").alias("mx"),
     )
     def up(df, unit):
         return df.groupBy(F.date_trunc(unit, F.col("b")).alias("b"), "event_type").agg(
-            F.sum("n").alias("n"), F.sum("s").alias("s"),
+            F.sum("n").alias("n"), F.sum("s").cast("decimal(18,2)").alias("s"),
             F.min("mn").alias("mn"), F.max("mx").alias("mx"),
         )
     hour, day = up(minute, "hour"), None
@@ -345,7 +360,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def level(df, name):
         return df.agg(
             F.count("*").alias("n_buckets"), F.sum("n").alias("n_events"),
-            F.round(F.sum("s"), 2).alias("total"),
+            F.sum("s").cast("decimal(38,2)").alias("total"),
         ).select(F.lit(name).alias("level"), "n_buckets", "n_events", "total")
     return level(minute, "minute").unionByName(level(hour, "hour")).unionByName(
         level(day, "day")
@@ -373,16 +388,27 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_props_extract",
     oracle="""
-    SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    SELECT event_type,
+           CAST(sum(CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                             '^-?[0-9]+$')
+                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string→bigint cast is made TOTAL on both engines by first
+    gating on an integer regex (Spark string cast NULLs "1.5"/"1e3",
+    DuckDB rounds or errors — semantics diverge on anything but pure
+    integers); the oracle additionally casts the sum back to BIGINT
+    because DuckDB sum(BIGINT) widens to HUGEINT, which pandas renders
+    as float and breaks the value hash."""
     ev = table(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
     return (
         ev.select(
             "event_type",
-            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.when(k_str.rlike(r"^-?[0-9]+$"), k_str.cast("bigint")).alias("k"),
         )
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"))

@@ -117,11 +117,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT sn.n_name AS supp_nation, year(o_orderdate) AS o_year,
-           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                         - CAST(0.5 AS DECIMAL(18,2))
-                           * CAST(p_retailprice AS DECIMAL(18,2))
-                           * CAST(l_quantity AS DECIMAL(18,2))
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                         - CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                                * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4))
+                           * CAST(0.5 AS DECIMAL(2,1))
                          AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS profit
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -137,19 +137,27 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue-minus-cost expression shape is what matters). Money math is
     done in DECIMAL: prices are a 2dp grid, so double group-sums land
     EXACTLY on half-cents and any float round() is a coin flip between
-    engines; exact decimal sums (per-row products have scale ≤4, exact
-    in (18,6)) are bit-identical instead."""
+    engines; exact decimal sums (per-row products have scale ≤5, exact
+    in (18,6)) are bit-identical instead.
+
+    Precision discipline (round-2 fix): every product is TWO-operand
+    with tight input types so no intermediate exceeds decimal(38,_) —
+    a three-operand (18,2)³ chain hits Spark's 38-digit cap and
+    allowPrecisionLoss silently rounds where DuckDB stays exact.
+    (12,2)×(13,2)→(26,4); ((12,2)×(12,2)→(25,4))×(2,1)→(28,5);
+    difference (29,5) — all lossless."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
-    d = lambda c: c.cast("decimal(18,2)")  # noqa: E731
-    profit = (
-        d(F.col("l_extendedprice")) * (1 - d(F.col("l_discount")))
-        - d(F.lit(0.5)) * d(F.col("p_retailprice")) * d(F.col("l_quantity"))
-    ).cast("decimal(18,6)")
+    d = lambda c: c.cast("decimal(12,2)")  # noqa: E731
+    rev = d(F.col("l_extendedprice")) * (1 - d(F.col("l_discount")))
+    cost = (d(F.col("p_retailprice")) * d(F.col("l_quantity"))).cast(
+        "decimal(25,4)"
+    ) * F.lit(0.5).cast("decimal(2,1)")
+    profit = (rev - cost).cast("decimal(18,6)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)

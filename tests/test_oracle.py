@@ -38,10 +38,15 @@ def duck():
 
 
 def _norm_cell(v):
+    """Strict value canonicalization — round-2 lesson: the r01 driver
+    hash-failed queries this rehearsal passed because floats were
+    normalized at 6dp here. Floats now compare at FULL precision
+    (repr), and Decimal compares scale-sensitively, so a query green
+    here should be green under the driver's value hash too."""
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return repr(v)
@@ -60,7 +65,14 @@ def test_query_matches_oracle(spark, duck, name):
 
     res = duck.sql(ORACLES[name])
     duck_cols = [c.lower() for c in res.columns]
-    duck_rows = res.fetchall()
+    # Arrow fetch mirrors how a pandas/arrow-based driver sees the
+    # values: DuckDB HUGEINT (the sum(BIGINT) result type) surfaces as
+    # decimal128 instead of silently collapsing to Python int — an
+    # oracle missing CAST(... AS BIGINT) fails HERE, not in the gate.
+    duck_rows = [
+        tuple(d[c] for c in res.columns)
+        for d in res.fetch_arrow_table().to_pylist()
+    ]
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
