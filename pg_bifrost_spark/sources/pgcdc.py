@@ -113,7 +113,16 @@ class LiveTransport:  # pragma: no cover - requires a PostgreSQL server
     """Replication-protocol transport over psycopg. The container has
     no psycopg/Postgres; the class documents the exact calls a
     deployment needs (START_REPLICATION with the test_decoding plugin,
-    standby status updates on ack — ``client.go:224-380``)."""
+    standby status updates on ack — ``client.go:224-380``).
+
+    The protocol engine itself — keepalive policy, rapid-heartbeat
+    shutdown, duplicate-COMMIT accounting, incomplete-transaction
+    reconnect, deadline handling, error-response skip-ahead — lives in
+    ``sources/protocol.py::ReplicationClientLoop`` and is fully tested
+    against a scripted fake connection (``tests/test_protocol_client``);
+    this class only has to adapt a psycopg replication connection to
+    the loop's ``receive/send_status/close/current_server_lsn``
+    surface and drain ``loop.step()`` into the fetch buffer."""
 
     def __init__(self, dsn: str, slot: str):
         try:
