@@ -63,6 +63,15 @@ def main() -> None:
     plans.QUERIES["cdc_lineitem_roundtrip"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    # the sf0.001 roundtrip only spawns a couple of Python workers (few
+    # input partitions); the sf0.1 run spawns one PER CORE on first
+    # exec and was billed ~4s of daemon fork cost (round-1 note). Spawn
+    # the full worker pool up front with a core-count-partition
+    # mapInPandas no-op.
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(0, n_workers * 4, 1, n_workers).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .config import from_env
+from .config import resolve
 from .session import get_spark
 from .streaming.core import start_cdc_query
 
@@ -79,6 +79,22 @@ def main(argv: list[str] | None = None) -> int:
     rep.add_argument("--topic", help="kafka topic")
     rep.add_argument("--trigger-seconds", type=float, default=None)
     rep.add_argument("--once", action="store_true", help="drain available data and exit")
+    # pipeline config flags (reference main.go:557-763); precedence
+    # CLI > env > --config YAML > default (main.go:561-567)
+    rep.add_argument("--config", help="YAML config file (lowest-precedence layer)")
+    rep.add_argument("--whitelist", help="comma-separated table whitelist")
+    rep.add_argument("--blacklist", help="comma-separated table blacklist")
+    rep.add_argument("--whitelist-regex", action="store_const", const="true", default=None)
+    rep.add_argument("--blacklist-regex", action="store_const", const="true", default=None)
+    rep.add_argument(
+        "--partition-method",
+        choices=["none", "tablename", "transaction", "transaction-bucket"],
+    )
+    rep.add_argument("--partition-count", type=int, default=None)
+    rep.add_argument("--no-marshal-old-value", action="store_const", const="true", default=None)
+    rep.add_argument("--workers", type=int, default=None)
+    rep.add_argument("--batcher-routing-method", choices=["round-robin", "partition"])
+    rep.add_argument("--client-buffer-size", type=int, default=None)
 
     for name in ("create", "drop"):
         c = sub.add_parser(name, help=f"{name} the replication slot")
@@ -94,7 +110,19 @@ def main(argv: list[str] | None = None) -> int:
         fn(args.dsn, args.slot)
         return 0
 
-    cfg = from_env()
+    cli_layer = {
+        "WHITELIST": args.whitelist,
+        "BLACKLIST": args.blacklist,
+        "WHITELIST_REGEX": args.whitelist_regex,
+        "BLACKLIST_REGEX": args.blacklist_regex,
+        "PARTITION_METHOD": args.partition_method,
+        "PARTITION_COUNT": args.partition_count,
+        "NO_MARSHAL_OLD_VALUE": args.no_marshal_old_value,
+        "WORKERS": args.workers,
+        "BATCHER_ROUTING_METHOD": args.batcher_routing_method,
+        "CLIENT_BUFFER_SIZE": args.client_buffer_size,
+    }
+    cfg = resolve(cli=cli_layer, config_file=args.config)
     spark = get_spark(app_name=f"pg_bifrost_spark_{args.sink}")
     source_options = {}
     if args.wal_dir:

@@ -1,7 +1,7 @@
-"""Environment-variable config surface — parity with the reference's
-CLI/env/YAML flags (``main/main.go:557-763``; precedence CLI > env in
-the reference, env-only here since Spark apps configure via env/spark
-conf).
+"""Layered config surface — parity with the reference's CLI/env/YAML
+precedence (``main/main.go:561-567``): CLI flag > environment
+variable > YAML config file > flag default. ``from_env`` remains the
+env-only fast path; ``resolve`` applies the full chain.
 
 | env var                  | reference flag            | default |
 |--------------------------|---------------------------|---------|
@@ -47,25 +47,94 @@ class RuntimeConfig:
     client_buffer_size: int = 10_000  # → source max_msgs_per_batch
 
 
-def from_env(env: dict | None = None) -> RuntimeConfig:
-    env = dict(os.environ) if env is None else env
+# every config key, its type, and its default — single source of truth
+# for all three layers (CLI dest / env var / YAML key are the same name
+# modulo case)
+_KEYS: dict[str, tuple[type, object]] = {
+    "WHITELIST": (list, []),
+    "BLACKLIST": (list, []),
+    "WHITELIST_REGEX": (bool, False),
+    "BLACKLIST_REGEX": (bool, False),
+    "PARTITION_METHOD": (str, "none"),
+    "PARTITION_COUNT": (int, 1),
+    "NO_MARSHAL_OLD_VALUE": (bool, False),
+    "WORKERS": (int, 1),
+    "BATCHER_ROUTING_METHOD": (str, "round-robin"),
+    "CLIENT_BUFFER_SIZE": (int, 10_000),
+}
+
+
+def _coerce(key: str, raw, typ: type):
+    """Normalize a raw layer value (string from env/CLI, native from
+    YAML) to the key's type."""
+    if raw is None:
+        return None
+    if typ is list:
+        return list(raw) if isinstance(raw, (list, tuple)) else _split(str(raw))
+    if typ is bool:
+        return raw if isinstance(raw, bool) else str(raw).lower() in _TRUE
+    return typ(raw)
+
+
+def _load_yaml(path: str) -> dict:
+    """YAML config layer (reference: ``altsrc.NewYamlSourceFromFlagFunc``,
+    main.go:566). Keys are the reference's flag names (lower-kebab or
+    lower_snake) or our env names — all normalized to env-name form."""
+    import yaml  # stdlib-adjacent; present in this environment
+
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+    if not isinstance(doc, dict):
+        raise ValueError(f"config file {path!r} must be a mapping")
+    return {str(k).replace("-", "_").upper(): v for k, v in doc.items()}
+
+
+def _build(get) -> RuntimeConfig:
     pipeline = PipelineConfig(
-        whitelist=_split(env.get("WHITELIST")),
-        blacklist=_split(env.get("BLACKLIST")),
-        whitelist_regex=_bool("WHITELIST_REGEX", env),
-        blacklist_regex=_bool("BLACKLIST_REGEX", env),
-        partition_method=env.get("PARTITION_METHOD", "none"),
-        partition_buckets=int(env.get("PARTITION_COUNT", "1")),
-        no_marshal_old_value=_bool("NO_MARSHAL_OLD_VALUE", env),
+        whitelist=get("WHITELIST"),
+        blacklist=get("BLACKLIST"),
+        whitelist_regex=get("WHITELIST_REGEX"),
+        blacklist_regex=get("BLACKLIST_REGEX"),
+        partition_method=get("PARTITION_METHOD"),
+        partition_buckets=get("PARTITION_COUNT"),
+        no_marshal_old_value=get("NO_MARSHAL_OLD_VALUE"),
     )
     if pipeline.whitelist and pipeline.blacklist:
         raise ValueError("WHITELIST and BLACKLIST are mutually exclusive")
-    routing = env.get("BATCHER_ROUTING_METHOD", "round-robin")
+    routing = get("BATCHER_ROUTING_METHOD")
     if routing not in ("round-robin", "partition"):
         raise ValueError(f"unknown BATCHER_ROUTING_METHOD {routing!r}")
     return RuntimeConfig(
         pipeline=pipeline,
-        workers=int(env.get("WORKERS", "1")),
+        workers=get("WORKERS"),
         routing_method=routing,
-        client_buffer_size=int(env.get("CLIENT_BUFFER_SIZE", "10000")),
+        client_buffer_size=get("CLIENT_BUFFER_SIZE"),
     )
+
+
+def resolve(
+    cli: dict | None = None,
+    env: dict | None = None,
+    config_file: str | None = None,
+) -> RuntimeConfig:
+    """Full precedence chain (main.go:561-567): CLI > env > YAML >
+    default. ``cli`` maps env-style key names to values (None = flag
+    not given); ``config_file`` is an optional YAML path."""
+    cli = cli or {}
+    env = dict(os.environ) if env is None else env
+    yaml_layer = _load_yaml(config_file) if config_file else {}
+
+    def get(key: str):
+        typ, default = _KEYS[key]
+        for layer in (cli, env, yaml_layer):
+            v = _coerce(key, layer.get(key), typ)
+            if v is not None:
+                return v
+        return default
+
+    return _build(get)
+
+
+def from_env(env: dict | None = None) -> RuntimeConfig:
+    """Env-only fast path (back-compat)."""
+    return resolve(cli={}, env=env, config_file=None)

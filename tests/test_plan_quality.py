@@ -146,12 +146,21 @@ def test_ngram_jaccard_stop_shingle_cutoff(spark):
     rows = [
         (i, f"all rights reserved worldwide unique{i} tail{i} words{i} here{i}")
         for i in range(40)
+    ] + [
+        # twin docs sharing no shingle with the boilerplate group —
+        # their pair must SURVIVE the cutoff
+        (100, "alpha beta gamma delta epsilon"),
+        (101, "alpha beta gamma delta epsilon"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     with_hot = ngram_jaccard_pairs(docs, threshold=0.1, df_cutoff=64)
     without_hot = ngram_jaccard_pairs(docs, threshold=0.1, df_cutoff=8)
-    assert with_hot.count() == 40 * 39 // 2
-    assert without_hot.count() == 0
+    assert with_hot.count() == 40 * 39 // 2 + 1
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in without_hot.collect()] == [(100, 101, 1.0)]
+    # the distributed anti-join fallback (|hot| > literal_max) must
+    # produce identical results to the map-side array_except path
+    fallback = ngram_jaccard_pairs(docs, threshold=0.1, df_cutoff=8, literal_max=0)
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in fallback.collect()] == [(100, 101, 1.0)]
 
 
 def test_ivf_assignment_is_shuffle_free(spark):
