@@ -1,0 +1,169 @@
+"""Corpus-level text operators over the ``documents`` table:
+vocabulary statistics, TF-IDF term ranking, and benchmark-contamination
+detection — the corpus-wide passes of a training-data pipeline (the
+per-document passes live in ``text.py``).
+
+All hot paths are built-in column expressions plus ordinary
+aggregations/joins, so every stage gets whole-stage codegen and
+map-side partial aggregation. The one corpus-wide scalar (document
+count) flows in as a broadcast single-row crossJoin, never a driver
+collect in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import register, table
+
+from .text import _tokens
+
+TOP_VOCAB = 100
+TFIDF_TOP_K = 3
+CONTAM_N = 5  # n-gram order for the contamination probe match
+PROBE_MOD = 97  # doc_id % PROBE_MOD == 0 → benchmark probe set
+
+
+@register(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token, count(*) AS term_count, count(DISTINCT doc_id) AS doc_freq
+      FROM tok GROUP BY token
+      ORDER BY term_count DESC, token LIMIT {TOP_VOCAB}
+    )
+    SELECT row_number() OVER (ORDER BY term_count DESC, token) AS rank,
+           token, term_count, doc_freq
+    FROM vocab ORDER BY rank
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: the {TOP_VOCAB} most frequent tokens with
+    collection frequency and document frequency (the first artifact a
+    tokenizer-training / data-audit pass needs). The groupBy is
+    map-side-combined on token; the global rank window runs AFTER the
+    top-k cut, so it only ever sees {TOP_VOCAB} rows regardless of
+    corpus size."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    vocab = (
+        docs.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("term_count"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("term_count"), "token")
+        .limit(TOP_VOCAB)
+    )
+    w = Window.orderBy(F.desc("term_count"), "token")
+    return vocab.select(
+        F.row_number().over(w).alias("rank"), "token", "term_count", "doc_freq"
+    ).orderBy("rank")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY ALL),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    nd AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, token,
+           round(tf * n_docs / df, 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN nd
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY tf * n_docs / df DESC, token) <= {TFIDF_TOP_K}
+    ORDER BY doc_id, tfidf DESC, token
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} characteristic terms per document by TF-IDF.
+    The idf is the rational ``N/df`` (not log-scaled): rank order is
+    identical and the score stays a single exact-int division, so the
+    cross-engine hash can't drift on transcendental rounding. The term
+    window partitions by doc_id — fully distributed."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    tok = docs.select("doc_id", F.explode("toks").alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.select(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.col("n_docs") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), "token")
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "token", F.round(score, 4).alias("tfidf"))
+        .orderBy("doc_id", F.desc("tfidf"), "token")
+    )
+
+
+_GRAM_SQL = (
+    f"list_transform(range(1, len(toks) - {CONTAM_N - 2}), i -> "
+    + " || ' ' || ".join(f"toks[i+{k}]" for k in range(CONTAM_N))
+    + ")"
+)
+
+
+@register(
+    "contamination_ngram",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct({_GRAM_SQL})) AS g FROM tok
+    ),
+    probe AS (SELECT doc_id AS probe_id, g FROM grams WHERE doc_id % {PROBE_MOD} = 0)
+    SELECT d.doc_id,
+           count(DISTINCT d.g) AS n_shared_grams,
+           count(DISTINCT p.probe_id) AS n_probes_hit
+    FROM grams d JOIN probe p ON d.g = p.g AND d.doc_id <> p.probe_id
+    WHERE d.doc_id % {PROBE_MOD} <> 0
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag training documents sharing
+    any {CONTAM_N}-gram with a held-out probe set (here: doc_id %
+    {PROBE_MOD} == 0, standing in for an eval benchmark). The probe
+    gram table is tiny by construction and broadcast, so the scan is a
+    map-side hash join over the corpus — no shuffle of the big side, the
+    shape that survives a 100-TB training set vs a fixed benchmark."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("toks") >= CONTAM_N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (CONTAM_N - 1)),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at(F.col("toks"), i + k) for k in range(CONTAM_N)]
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("g"),
+    )
+    probes = grams.filter(F.col("doc_id") % PROBE_MOD == 0).select(
+        F.col("doc_id").alias("probe_id"), "g"
+    )
+    return (
+        grams.filter(F.col("doc_id") % PROBE_MOD != 0)
+        .join(F.broadcast(probes), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("probe_id").alias("n_probes_hit"),
+        )
+        .orderBy("doc_id")
+    )

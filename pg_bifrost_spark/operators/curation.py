@@ -210,3 +210,58 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
         .orderBy("source")
     )
+
+
+PACK_WINDOW = 512  # tokens per training context window
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_toks
+      FROM documents
+    ),
+    placed AS (
+      SELECT source, doc_id, n_toks,
+             floor((sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_toks) / {PACK_WINDOW})::BIGINT AS bin_id
+      FROM sized
+    )
+    SELECT source, bin_id,
+           count(*) AS n_docs,
+           sum(n_toks)::BIGINT AS bin_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM placed GROUP BY source, bin_id ORDER BY source, bin_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: assign documents to
+    {PACK_WINDOW}-token training context windows by running token
+    total, per source, in doc_id order (the streaming-friendly
+    contiguous packer — documents never reorder, so packing is
+    replayable). The window partitions by source: fully distributed,
+    no global ordering. Output is per-bin occupancy, the input a
+    packing-efficiency audit needs."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    sized = docs.select("source", "doc_id", n_toks.alias("n_toks"))
+    placed = sized.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / PACK_WINDOW).cast("long"),
+    )
+    return (
+        placed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )

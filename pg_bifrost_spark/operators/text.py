@@ -171,3 +171,149 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: F.pmod(acc * 31 + h, F.lit(1_000_000_007)),
     )
     return docs.select("doc_id", rolling.alias("fingerprint")).orderBy("doc_id")
+
+
+def _ngram_col(toks: str, n: int) -> F.Column:
+    """Word n-grams over a MATERIALIZED token-array column (HOF lambdas
+    must index a real column, not recompute the split per element).
+    Empty when the doc has fewer than n tokens (sequence() would
+    otherwise count DOWN for start > stop)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col(toks), i + k) for k in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB mirror of ``_ngram_col`` (1-indexed lists; range()
+    excludes the stop and is empty when stop <= start)."""
+    parts = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return f"list_transform(range(1, len(toks) - {n - 2}), i -> {parts})"
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, 2 AS gram_n, unnest({_ngram_sql(2)}) AS g FROM tok
+      UNION ALL
+      SELECT doc_id, 3 AS gram_n, unnest({_ngram_sql(3)}) AS g FROM tok
+    ),
+    counts AS (
+      SELECT doc_id, gram_n, g, count(*) AS c FROM grams GROUP BY ALL
+    )
+    SELECT doc_id, gram_n,
+           sum(c)::BIGINT AS total_grams,
+           count(*)::BIGINT AS distinct_grams,
+           round((sum(c) - count(*))::DOUBLE / sum(c), 4) AS dup_frac,
+           round(max(c)::DOUBLE / sum(c), 4) AS top_frac
+    FROM counts GROUP BY doc_id, gram_n ORDER BY doc_id, gram_n
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Rae/Gopher repetition
+    filter): per doc and n-gram order, the fraction of n-grams that are
+    duplicates and the fraction taken by the single most frequent
+    n-gram. One explode + a two-level aggregate — partial-agg friendly,
+    no per-doc state, scales linearly in corpus size."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(_ngram_col("toks", 2), lambda g: F.struct(F.lit(2).alias("gram_n"), g.alias("g"))),
+                F.transform(_ngram_col("toks", 3), lambda g: F.struct(F.lit(3).alias("gram_n"), g.alias("g"))),
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.gram_n", "t.g")
+    counts = grams.groupBy("doc_id", "gram_n", "g").agg(F.count("*").alias("c"))
+    total = F.sum("c")
+    return (
+        counts.groupBy("doc_id", "gram_n")
+        .agg(
+            total.alias("total_grams"),
+            F.count("*").alias("distinct_grams"),
+            F.round((total - F.count("*")) / total, 4).alias("dup_frac"),
+            F.round(F.max("c") / total, 4).alias("top_frac"),
+        )
+        .orderBy("doc_id", "gram_n")
+    )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, Table A1) — the word
+# bound straddles the fixtures' 10-99-word spread so both outcomes are
+# exercised.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3.0, 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             length(replace(text, ' ', ''))::DOUBLE AS nonspace_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_words,
+           round(nonspace_chars / greatest(len(toks), 1), 4) AS mean_word_len,
+           (len(toks) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS ok_word_count,
+           (nonspace_chars / greatest(len(toks), 1)
+              BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN}) AS ok_mean_word_len,
+           (len(list_distinct(list_filter(toks,
+              w -> list_contains({EN_STOPWORDS!r}, w)))) >= {GOPHER_MIN_STOPWORDS})
+             AS ok_stopwords,
+           (len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+              / greatest(len(toks), 1) >= {GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha_words,
+           ((len(toks) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (nonspace_chars / greatest(len(toks), 1)
+                   BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN})
+            AND (len(list_distinct(list_filter(toks,
+                   w -> list_contains({EN_STOPWORDS!r}, w)))) >= {GOPHER_MIN_STOPWORDS})
+            AND (len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+                   / greatest(len(toks), 1) >= {GOPHER_MIN_ALPHA_FRAC})) AS keep
+    FROM feat ORDER BY doc_id
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher heuristic quality battery as per-rule booleans plus
+    the conjunctive keep flag: word-count bounds, mean word length,
+    stopword presence, alphabetic-word fraction. Pure column
+    expressions (codegen, no shuffle beyond the scan) — at 100 TB this
+    is a map-only pass suitable as the first filter stage."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    n_words = F.size("toks")
+    mean_wlen = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.greatest(
+        n_words, F.lit(1)
+    )
+    ok_words = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_wlen = mean_wlen.between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
+    ok_stop = (
+        F.size(F.array_distinct(F.filter("toks", lambda w: w.isin(EN_STOPWORDS))))
+        >= GOPHER_MIN_STOPWORDS
+    )
+    ok_alpha = (
+        F.size(F.filter("toks", lambda w: w.rlike("[a-z]"))) / F.greatest(n_words, F.lit(1))
+        >= GOPHER_MIN_ALPHA_FRAC
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        ok_words.alias("ok_word_count"),
+        ok_wlen.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha_words"),
+        (ok_words & ok_wlen & ok_stop & ok_alpha).alias("keep"),
+    ).orderBy("doc_id")

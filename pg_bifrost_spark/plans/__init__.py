@@ -138,10 +138,12 @@ def load_all() -> None:
     from . import cdc_bridge  # noqa: F401
     from ..operators import (  # noqa: F401
         cleaning,
+        corpus,
         curation,
         dedup,
         joins,
         multimodal,
+        privacy,
         similarity,
         text,
     )

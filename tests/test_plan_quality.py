@@ -197,3 +197,28 @@ def test_ivf_assignment_is_shuffle_free(spark):
     cells = {r.cell_label for r in codebook}
     got = assigned.select("cell").distinct().collect()
     assert {r.cell for r in got} <= cells and got
+
+
+def test_contamination_probe_join_broadcasts(spark):
+    """The probe gram table is tiny by construction — the corpus-side
+    scan must hash-join against a broadcast, never sort-merge (a
+    sort-merge here shuffles the full corpus gram stream at 100 TB)."""
+    text = plan_of(spark, "contamination_ngram")
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_map_only_passes_have_no_hash_shuffle(spark):
+    """Gopher rules and PII redaction are single-pass column
+    expressions: the only exchange allowed is the output sort's range
+    partitioning (oracle determinism), never a hash shuffle."""
+    for q in ("quality_gopher_rules", "pii_redact_customers"):
+        text = plan_of(spark, q)
+        assert "hashpartitioning" not in text, f"{q}: unexpected hash shuffle"
+
+
+def test_sequence_packing_partitions_by_source(spark):
+    """The packing window must partition by source (distributed), not
+    run as a single global window task."""
+    text = plan_of(spark, "sequence_packing")
+    assert "hashpartitioning(source" in text
