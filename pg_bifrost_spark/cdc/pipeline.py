@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .fastparse import jvm_parse, jvm_parseable
 from .filtering import table_filter_predicate
 from .marshaller import marshal
 from .parser import PARSED_ASSEMBLED_SCHEMA_DDL, PARSED_SCHEMA_DDL, parse_lines_to_pandas
@@ -43,10 +44,20 @@ class PipelineConfig:
 def parse_raw(df_lines: DataFrame) -> DataFrame:
     """Raw (wal_start, server_wal_end, server_time_ms, line) → parsed
     messages. Malformed lines are dropped and counted via an observable
-    metric (reference counts+drops at ``client.go:470-482``)."""
+    metric (reference counts+drops at ``client.go:470-482``).
+
+    Two-branch split: control lines and fast-path-eligible DML parse
+    entirely JVM-side inside whole-stage codegen (``fastparse.py``);
+    only lines outside the fast grammar pay the Python (Arrow) hop —
+    on a typical CDC stream that is ~zero rows."""
     import uuid
 
-    parsed = df_lines.mapInPandas(parse_lines_to_pandas, schema=PARSED_SCHEMA_DDL)
+    able = jvm_parseable(F.col("line"))
+    fast = jvm_parse(df_lines.filter(able))
+    slow = df_lines.filter(~able).mapInPandas(
+        parse_lines_to_pandas, schema=PARSED_SCHEMA_DDL
+    )
+    parsed = fast.unionByName(slow)
     # unique observation name: two pipeline instances may meet in one
     # plan (e.g. snapshot apply), and observation names must not collide
     return parsed.observe(
@@ -140,37 +151,20 @@ def run_pipeline_assembled(
     time_based_key. Every stage is stateless → valid on a streaming
     DataFrame."""
     cfg = cfg or PipelineConfig()
-    # Control messages (BEGIN/COMMIT — two thirds of a typical stream)
-    # parse with two JVM string ops; only DML lines pay the Python
-    # (Arrow) hop. Strict two-token check: malformed control-ish lines
-    # fall through to the full parser and its error accounting.
-    tokens = F.split(F.col("line"), " ")
-    is_control = (
-        (F.col("line").startswith("BEGIN ") | F.col("line").startswith("COMMIT "))
-        & (F.size(tokens) == 2)
-    )
-    colmap_t = "map<string, struct<v: string, t: string, q: boolean>>"
-    ctrl = df_lines_with_txn.filter(is_control).select(
-        "wal_start",
-        "server_wal_end",
-        "server_time_ms",
-        "stream_id",
-        F.element_at(tokens, 1).alias("operation"),
-        F.lit(None).cast("string").alias("relation"),
-        F.lit(False).alias("no_tuple_data"),
-        F.lit(None).cast(colmap_t).alias("columns"),
-        F.lit(None).cast(colmap_t).alias("old_columns"),
-        F.lit(None).cast("string").alias("parse_error"),
-        "txn_id",
-        "time_based_key",
-    )
-    dml = (
-        df_lines_with_txn.filter(~is_control)
+    # Control lines (BEGIN/COMMIT — two thirds of a typical stream)
+    # and fast-grammar DML lines parse entirely JVM-side inside
+    # whole-stage codegen (fastparse.py); only lines outside the fast
+    # grammar pay the Python (Arrow) hop — ~zero on a typical stream.
+    able = jvm_parseable(F.col("line"))
+    fast = jvm_parse(
+        df_lines_with_txn.filter(able), passthrough=["txn_id", "time_based_key"]
+    ).drop("txn_xid")
+    slow = (
+        df_lines_with_txn.filter(~able)
         .mapInPandas(parse_lines_to_pandas, schema=PARSED_ASSEMBLED_SCHEMA_DDL)
-        .filter(F.col("parse_error").isNull())
         .drop("txn_xid")
     )
-    events = dml.unionByName(ctrl)
+    events = fast.unionByName(slow).filter(F.col("parse_error").isNull())
     return filter_partition_marshal(events, cfg)
 
 

@@ -41,6 +41,9 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     the parquet reader otherwise rejects). Both are runtime-settable."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # CDC fast-path parser builds column maps with map_concat; LAST_WIN
+    # matches the Python scanner's dict overwrite for duplicate names
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -52,6 +52,10 @@ def get_spark(
         # the events fixture stores TIMESTAMP(NANOS); Spark has no nanos
         # type — read as long and convert explicitly (plans.table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the JVM fast-path parser builds column maps with map_concat;
+        # LAST_WIN matches the Python scanner's dict overwrite semantics
+        # for a (pathological) duplicate column name instead of raising
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # static conf: saveAsTable target for bucketed tables
         .config(
             "spark.sql.warehouse.dir",
