@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.barrier import opt_barrier
 from .fastparse import jvm_parse, jvm_parseable
 from .filtering import table_filter_predicate
 from .marshaller import marshal
@@ -57,7 +58,11 @@ def parse_raw(df_lines: DataFrame) -> DataFrame:
     slow = df_lines.filter(~able).mapInPandas(
         parse_lines_to_pandas, schema=PARSED_SCHEMA_DDL
     )
-    parsed = fast.unionByName(slow)
+    # barrier: the fast branch's token fold must evaluate ONCE per row.
+    # Without it, CollapseProject inlines the fold into every downstream
+    # reference (columns / old_columns / envelope JSON) — measured 3×
+    # the work on the roundtrip bench (see functions/barrier.py).
+    parsed = opt_barrier(fast.unionByName(slow))
     # unique observation name: two pipeline instances may meet in one
     # plan (e.g. snapshot apply), and observation names must not collide
     return parsed.observe(
@@ -164,7 +169,10 @@ def run_pipeline_assembled(
         .mapInPandas(parse_lines_to_pandas, schema=PARSED_ASSEMBLED_SCHEMA_DDL)
         .drop("txn_xid")
     )
-    events = fast.unionByName(slow).filter(F.col("parse_error").isNull())
+    # same once-per-row barrier as parse_raw (see functions/barrier.py)
+    events = opt_barrier(fast.unionByName(slow)).filter(
+        F.col("parse_error").isNull()
+    )
     return filter_partition_marshal(events, cfg)
 
 

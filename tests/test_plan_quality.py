@@ -86,6 +86,19 @@ def test_cdc_roundtrip_has_no_global_single_partition_window(spark):
     assert "windowspecdefinition(stream_id" in raw_text
 
 
+def test_cdc_fold_evaluated_once_and_json_cancelled(spark):
+    """The fast-path token fold (interpreted HOF — no runtime CSE) must
+    appear exactly once in the optimized roundtrip plan: CollapseProject
+    inlining it per extraction once cost 3 copies ≈ 3× the pipeline
+    (functions/barrier.py). And the envelope's from_json(to_json(...))
+    must cancel (OptimizeCsvJsonExprs) — the barrier must sit BELOW
+    marshal, never between marshal and the consumer."""
+    df = plans.QUERIES["cdc_lineitem_roundtrip"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("aggregate(") <= 1, "token fold duplicated in plan"
+    assert "to_json" not in opt, "envelope JSON round-trip not cancelled"
+
+
 def test_q8_all_dimensions_broadcast(spark):
     """The 8-table market-share join must broadcast every dimension —
     at 100 TB the only tolerable shuffle is lineitem⋈orders."""
