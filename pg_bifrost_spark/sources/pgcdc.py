@@ -135,15 +135,22 @@ class LiveTransport:  # pragma: no cover - requires a PostgreSQL server
         raise NotImplementedError("live replication transport is deployment-only")
 
     @staticmethod
-    def create_slot(dsn: str, slot: str) -> None:
+    def create_slot(dsn: str, slot: str) -> bool:
         """CREATE_REPLICATION_SLOT <slot> LOGICAL test_decoding
-        (idempotent on SQLSTATE 42710) — utils/utils.go:38-56."""
-        raise NotImplementedError
+        (idempotent on SQLSTATE 42710) — utils/utils.go:38-56. The
+        full DDL semantics (retry/idempotency/WAIT) live in
+        sources/slots.py and are mock-tested; only the psycopg
+        adapter needs a server."""
+        from .slots import SlotAdmin, psycopg_factory
+
+        return SlotAdmin(psycopg_factory(dsn)).create(slot)
 
     @staticmethod
     def drop_slot(dsn: str, slot: str) -> None:
         """DROP_REPLICATION_SLOT <slot> WAIT — utils/utils.go:59-77."""
-        raise NotImplementedError
+        from .slots import SlotAdmin, psycopg_factory
+
+        SlotAdmin(psycopg_factory(dsn)).drop(slot)
 
 
 @dataclass
