@@ -50,12 +50,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts was read as long nanos (nanosAsLong). Convert to a real
-        # timestamp at microsecond precision — integer division, a
-        # double round-trip would lose precision at 1e18 nanos.
-        from pyspark.sql import functions as F
+        df = events_ts_to_timestamp(df)
+    return df
 
+
+def events_ts_to_timestamp(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to a timestamp regardless of fixture vintage:
+    TIMESTAMP(NANOS) parquet surfaces as long under nanosAsLong and is
+    converted (integer division — a double round-trip would lose
+    precision at 1e18 nanos); timestamp[us] fixtures pass through."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Session tz is pinned UTC, so NTZ→LTZ is value-preserving; the
+        # LTZ type keeps downstream epoch casts (`ts.cast('bigint')`)
+        # legal — NTZ forbids them.
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -21,15 +21,28 @@ EVENTS_DDL = (
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file stream (ts: nanos → timestamp)."""
+def events_stream_schema(spark: SparkSession, sf_dir: str) -> str:
+    """Streams need an explicit schema; probe the parquet footer with a
+    batch read so the DDL matches the fixture vintage (ts was
+    TIMESTAMP(NANOS)→bigint under nanosAsLong in older fixtures,
+    timestamp[us] in newer ones)."""
     _ensure_session_conf(spark)
+    ts_type = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
+    return EVENTS_DDL.replace("ts bigint", f"ts {ts_type.simpleString()}")
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file stream (ts normalized to timestamp)."""
+    from ..plans import events_ts_to_timestamp
+
     raw = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(events_stream_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return events_ts_to_timestamp(raw)
 
 
 def windowed_counts(

@@ -142,11 +142,11 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
     shutil.copy(f"{SF}/events.parquet", d / "events_copy.parquet")
 
-    from pg_bifrost_spark.streaming.analytics import EVENTS_DDL
-    from pyspark.sql import functions as F
+    from pg_bifrost_spark.plans import events_ts_to_timestamp
+    from pg_bifrost_spark.streaming.analytics import events_stream_schema
 
-    raw = spark.readStream.schema(EVENTS_DDL).parquet(str(d))
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = spark.readStream.schema(events_stream_schema(spark, SF)).parquet(str(d))
+    ev = events_ts_to_timestamp(raw)
     run_to_memory(dedup_within_watermark(ev), "dedup_wm", "append")
     n = spark.sql("select count(*) as n from dedup_wm").collect()[0].n
     assert n == 1000  # duplicates dropped
