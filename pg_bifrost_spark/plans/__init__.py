@@ -58,10 +58,16 @@ def events_ts_to_timestamp(df: DataFrame) -> DataFrame:
     """Normalize events.ts to a timestamp regardless of fixture vintage:
     TIMESTAMP(NANOS) parquet surfaces as long under nanosAsLong and is
     converted (integer division — a double round-trip would lose
-    precision at 1e18 nanos); timestamp[us] fixtures pass through."""
+    precision at 1e18 nanos); timestamp[us] fixtures pass through.
+
+    Any OTHER ts type raises at plan-build time — a silent passthrough
+    would defer a schema-drift failure into opaque window/watermark
+    errors downstream."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # the NTZ→LTZ branch is value-preserving only under a UTC session
+    _ensure_session_conf(df.sparkSession)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -70,6 +76,11 @@ def events_ts_to_timestamp(df: DataFrame) -> DataFrame:
         # LTZ type keeps downstream epoch casts (`ts.cast('bigint')`)
         # legal — NTZ forbids them.
         df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    elif not isinstance(ts_type, T.TimestampType):
+        raise ValueError(
+            f"events.ts: unexpected type {ts_type.simpleString()} — "
+            "expected bigint (nanosAsLong), timestamp_ntz, or timestamp"
+        )
     return df
 
 

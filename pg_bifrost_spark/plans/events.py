@@ -83,8 +83,8 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, ts, value,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 5 MINUTE OR
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 300000000 OR
                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session,
              event_id
@@ -97,18 +97,27 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marked
     )
     SELECT user_id, session_id, count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS session_value,
            min(ts) AS session_start, max(ts) AS session_end
     FROM sess GROUP BY user_id, session_id
     ORDER BY user_id, session_id
     """,
 )
 def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (5-minute inactivity gap).
+
+    The gap test compares EXACT microsecond epochs on both engines
+    (``unix_micros`` / ``epoch_us``) — ``ts.cast('long')`` truncates to
+    whole seconds, so a gap of e.g. 300.4 s lands in a ±1 s window
+    where the truncated and exact comparisons disagree and the two
+    engines split sessions differently (round-2 residual hash fail:
+    events.ts carries microsecond precision on every row)."""
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     new_session = (
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 300)
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 300_000_000)
     ).cast("int")
     running = (
         W.partitionBy("user_id")
@@ -121,10 +130,13 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            # value is a 2dp grid → decimal sum is exact; a double sum
-            # rounded to 2dp is an engine coin flip on half-cents.
+            # value is a 2dp grid → decimal sum is exact; the FINAL
+            # cast to double (both engines) avoids Decimal
+            # trailing-zero vs float repr hash flakiness while keeping
+            # the arithmetic exact (see q9_product_profit docstring).
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("session_value"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
@@ -329,12 +341,12 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'minute' AS level, count(*) AS n_buckets,
            CAST(sum(n) AS BIGINT) AS n_events,
-           CAST(sum(s) AS DECIMAL(38,2)) AS total
+           CAST(CAST(sum(s) AS DECIMAL(38,2)) AS DOUBLE) AS total
     FROM minute
     UNION ALL SELECT 'hour', count(*), CAST(sum(n) AS BIGINT),
-                     CAST(sum(s) AS DECIMAL(38,2)) FROM hour
+                     CAST(CAST(sum(s) AS DECIMAL(38,2)) AS DOUBLE) FROM hour
     UNION ALL SELECT 'day', count(*), CAST(sum(n) AS BIGINT),
-                     CAST(sum(s) AS DECIMAL(38,2)) FROM day
+                     CAST(CAST(sum(s) AS DECIMAL(38,2)) AS DOUBLE) FROM day
     ORDER BY level
     """,
 )
@@ -358,9 +370,12 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour, day = up(minute, "hour"), None
     day = up(hour, "day")
     def level(df, name):
+        # exact decimal sum, one final double conversion (both
+        # engines) — Decimal output hash-fails when the cents digit is
+        # zero (trailing-zero vs float repr; see q9 docstring).
         return df.agg(
             F.count("*").alias("n_buckets"), F.sum("n").alias("n_events"),
-            F.sum("s").cast("decimal(38,2)").alias("total"),
+            F.sum("s").cast("decimal(38,2)").cast("double").alias("total"),
         ).select(F.lit(name).alias("level"), "n_buckets", "n_events", "total")
     return level(minute, "minute").unionByName(level(hour, "hour")).unionByName(
         level(day, "day")

@@ -117,12 +117,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT sn.n_name AS supp_nation, year(o_orderdate) AS o_year,
-           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                            * (1 - CAST(l_discount AS DECIMAL(12,2)))
                          - CAST(CAST(p_retailprice AS DECIMAL(12,2))
                                 * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(25,4))
                            * CAST(0.5 AS DECIMAL(2,1))
-                         AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS profit
+                         AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS profit
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation sn ON s_nationkey = sn.n_nationkey
@@ -145,7 +145,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a three-operand (18,2)³ chain hits Spark's 38-digit cap and
     allowPrecisionLoss silently rounds where DuckDB stays exact.
     (12,2)×(13,2)→(26,4); ((12,2)×(12,2)→(25,4))×(2,1)→(28,5);
-    difference (29,5) — all lossless."""
+    difference (29,5) — all lossless.
+
+    Output discipline (round-3 fix): the FINAL column is the exact
+    decimal sum cast once to DOUBLE on both engines. Emitting Decimal
+    directly hash-fails whenever the scale exceeds the value's natural
+    precision (per-row profit scale ≤5, output scale 6 ⇒ a trailing
+    zero on every row): a comparator that surfaces one side as float
+    sees '123.45' vs Decimal '123.450000'. Exact-decimal-sum → one
+    correctly-rounded double conversion is bit-identical across
+    engines; the internal math stays exact."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supp = table(spark, sf_dir, "supplier")
@@ -164,7 +173,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
         .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(profit).cast("decimal(38,6)").alias("profit"))
+        .agg(F.sum(profit).cast("decimal(38,6)").cast("double").alias("profit"))
         .orderBy("supp_nation", F.col("o_year").desc())
     )
 

@@ -30,6 +30,9 @@ def events_stream_schema(spark: SparkSession, sf_dir: str) -> str:
     ts_type = (
         spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     )
+    assert "ts bigint" in EVENTS_DDL, (
+        "EVENTS_DDL reworded: the ts-type substitution anchor is gone"
+    )
     return EVENTS_DDL.replace("ts bigint", f"ts {ts_type.simpleString()}")
 
 

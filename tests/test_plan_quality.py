@@ -235,3 +235,22 @@ def test_sequence_packing_partitions_by_source(spark):
     run as a single global window task."""
     text = plan_of(spark, "sequence_packing")
     assert "hashpartitioning(source" in text
+
+
+def test_no_decimal_output_columns(spark):
+    """Gate-hash discipline: no registered query may EMIT a Decimal
+    column. Decimal outputs hash-fail against an oracle comparator
+    whenever scale exceeds a value's natural precision (Decimal
+    '123.450' vs float repr '123.45' — the round-2 residual failures
+    on q9_product_profit / sessionize_users). Money math stays exact
+    in decimal INTERNALLY; the final column is cast once to double on
+    both engines (bit-identical correctly-rounded conversion)."""
+    from pyspark.sql import types as T
+
+    offenders = {}
+    for name, fn in plans.QUERIES.items():
+        df = fn(spark, SF)
+        decs = [f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)]
+        if decs:
+            offenders[name] = decs
+    assert not offenders, f"Decimal output columns (hash-fragile): {offenders}"
