@@ -56,15 +56,17 @@ def main() -> None:
     plans.load_all()
     spark = get_spark(app_name="pg_bifrost_spark_bench")
 
-    # warm the JVM/codegen path AND the Python-worker/Arrow path once
-    # on the smallest fixture (different data than the bench SF — this
-    # pays one-time process/codegen costs, it does not cache results)
-    plans.QUERIES["q6_forecast_revenue"](spark, "/root/testdata/sf0.001").collect()
-    plans.QUERIES["cdc_lineitem_roundtrip"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    # the sf0.001 roundtrip only spawns a couple of Python workers (few
-    # input partitions); the sf0.1 run spawns one PER CORE on first
+    # Warm-up discipline: run EVERY headline query once at sf0.001
+    # before timing at the bench SF. First execution of a plan is
+    # billed codegen/JIT + first-scan-of-table costs (measured 6-9 s
+    # on a 0.5 s steady-state query); the sf0.001 pass absorbs those
+    # one-time costs per query so the timed numbers are steady-state.
+    # Different data than the bench SF — nothing is result-cached.
+    warm_sf = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        plans.QUERIES[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
+    # the sf0.001 pass only spawns a couple of Python workers (few
+    # input partitions); the bench-SF run spawns one PER CORE on first
     # exec and was billed ~4s of daemon fork cost (round-1 note). Spawn
     # the full worker pool up front with a core-count-partition
     # mapInPandas no-op.

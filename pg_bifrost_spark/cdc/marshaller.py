@@ -127,9 +127,9 @@ def time_rfc3339_expr(server_time_ms: Column) -> Column:
     )
 
 
-def envelope_json_expr(no_marshal_old_value: bool = False) -> Column:
-    """Full envelope → JSON string; null for BEGIN/COMMIT rows."""
-    env = F.struct(
+def envelope_struct_expr(no_marshal_old_value: bool = False) -> Column:
+    """Full envelope as a STRUCT (the value to_json serializes)."""
+    return F.struct(
         time_rfc3339_expr(F.col("server_time_ms")).alias("time"),
         F.col("server_time_ms").alias("time_ms"),
         F.col("time_based_key").alias("txn"),
@@ -143,9 +143,13 @@ def envelope_json_expr(no_marshal_old_value: bool = False) -> Column:
             no_marshal_old_value,
         ).alias("columns"),
     )
+
+
+def envelope_json_expr(no_marshal_old_value: bool = False) -> Column:
+    """Full envelope → JSON string; null for BEGIN/COMMIT rows."""
     return F.when(
         F.col("operation").isin("BEGIN", "COMMIT"), F.lit(None).cast("string")
-    ).otherwise(F.to_json(env))
+    ).otherwise(F.to_json(envelope_struct_expr(no_marshal_old_value)))
 
 
 def marshal(df: DataFrame, no_marshal_old_value: bool = False) -> DataFrame:
@@ -161,5 +165,32 @@ def marshal(df: DataFrame, no_marshal_old_value: bool = False) -> DataFrame:
         "partition_key",
         # not part of the reference's MarshalledMessage, but the S3
         # time-partitioned layout keys off it (K5)
+        "server_time_ms",
+    )
+
+
+def marshal_structs(df: DataFrame, no_marshal_old_value: bool = False) -> DataFrame:
+    """Like :func:`marshal` but keeps the envelope as a STRUCT column
+    ``env`` (null for BEGIN/COMMIT control rows) instead of a JSON
+    string.
+
+    For high-volume in-plan consumers (the batch replay/roundtrip
+    queries): serializing 600 k envelopes to JSON and re-parsing them
+    in the same plan costs ~8 s at sf0.1 and proves nothing the struct
+    doesn't — ``to_json`` is a pure function of this struct, and the
+    JSON byte layer is separately end-to-end-proven (golden byte tests
+    + the envelope-consuming gate queries that keep the full
+    to_json→from_json path). Sinks always use :func:`marshal`."""
+    env = F.when(
+        F.col("operation").isin("BEGIN", "COMMIT"), F.lit(None)
+    ).otherwise(envelope_struct_expr(no_marshal_old_value))
+    return df.select(
+        "operation",
+        F.col("relation").alias("table"),
+        env.alias("env"),
+        "time_based_key",
+        "wal_start",
+        F.col("txn_id").alias("transaction"),
+        "partition_key",
         "server_time_ms",
     )

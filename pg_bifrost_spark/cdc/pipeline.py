@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.barrier import opt_barrier
 from .fastparse import jvm_parse, jvm_parseable
 from .filtering import table_filter_predicate
-from .marshaller import marshal
+from .marshaller import marshal, marshal_structs
 from .parser import PARSED_ASSEMBLED_SCHEMA_DDL, PARSED_SCHEMA_DDL, parse_lines_to_pandas
 from .partitioner import partition_key_expr
 
@@ -112,11 +112,8 @@ def assemble_transactions(parsed: DataFrame, stream_id_col: str | None = "stream
     return df
 
 
-def filter_partition_marshal(events: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Stateless tail of the pipeline (filter → partition key →
-    envelope). Works identically on batch and streaming DataFrames —
-    every expression is per-row, so Structured Streaming runs the same
-    plan per micro-batch with no state."""
+def filter_partition(events: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Filter → partition-key stages (stateless, per-row)."""
     events = events.filter(
         table_filter_predicate(
             whitelist=cfg.whitelist or None,
@@ -125,10 +122,17 @@ def filter_partition_marshal(events: DataFrame, cfg: PipelineConfig) -> DataFram
             blacklist_regex=cfg.blacklist_regex,
         )
     )
-    events = events.withColumn(
+    return events.withColumn(
         "partition_key", partition_key_expr(cfg.partition_method, cfg.partition_buckets)
     )
-    return marshal(events, cfg.no_marshal_old_value)
+
+
+def filter_partition_marshal(events: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Stateless tail of the pipeline (filter → partition key →
+    envelope). Works identically on batch and streaming DataFrames —
+    every expression is per-row, so Structured Streaming runs the same
+    plan per micro-batch with no state."""
+    return marshal(filter_partition(events, cfg), cfg.no_marshal_old_value)
 
 
 def run_pipeline(df_lines: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -174,6 +178,29 @@ def run_pipeline_assembled(
         F.col("parse_error").isNull()
     )
     return filter_partition_marshal(events, cfg)
+
+
+def run_pipeline_assembled_structs(
+    df_lines_with_txn: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """``run_pipeline_assembled`` with the envelope kept as a STRUCT
+    column ``env`` (see ``marshal_structs``) — for high-volume in-plan
+    consumers that would otherwise pay to_json + from_json on every
+    row just to extract fields again."""
+    cfg = cfg or PipelineConfig()
+    able = jvm_parseable(F.col("line"))
+    fast = jvm_parse(
+        df_lines_with_txn.filter(able), passthrough=["txn_id", "time_based_key"]
+    ).drop("txn_xid")
+    slow = (
+        df_lines_with_txn.filter(~able)
+        .mapInPandas(parse_lines_to_pandas, schema=PARSED_ASSEMBLED_SCHEMA_DDL)
+        .drop("txn_xid")
+    )
+    events = opt_barrier(fast.unionByName(slow)).filter(
+        F.col("parse_error").isNull()
+    )
+    return marshal_structs(filter_partition(events, cfg), cfg.no_marshal_old_value)
 
 
 def data_messages(marshalled: DataFrame) -> DataFrame:

@@ -20,7 +20,9 @@ from ..cdc.pipeline import (
     data_messages,
     run_pipeline,
     run_pipeline_assembled,
+    run_pipeline_assembled_structs,
 )
+from ..functions.barrier import opt_barrier
 
 LINEITEM_PG_TYPES = {
     "l_orderkey": "bigint",
@@ -38,21 +40,36 @@ _ENVELOPE_DDL = (
 )
 
 
-def _lineitem_envelopes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig) -> DataFrame:
+def _env_once(out: DataFrame) -> DataFrame:
+    """Parse the envelope and BARRIER it so it evaluates once per row.
+
+    A consumer extracting k fields of ``env`` hits CollapseProject: the
+    ``from_json`` (or, after to_json/from_json cancellation, the whole
+    interpreted envelope-struct build) is inlined at every extraction
+    site — k copies per row. Measured on cdc_lineitem_roundtrip at
+    sf0.1: ~18 s → ~8 s with the barrier (same class of regression the
+    parse-stage barrier fixed in round 2, one layer up)."""
+    env = out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
+    return opt_barrier(env.select("env"))
+
+
+def _lineitem_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     # unique data-derived txn seq (l_linenumber is 1..7 in TPC-H) — no
     # global row_number, so WAL rendering stays fully parallel; the
     # generator stamps txn identity (it renders whole txns), so the
     # assembled pipeline runs with no shuffle at all before the sink
-    raw = wal_lines_from_table(
+    return wal_lines_from_table(
         li,
         "public.lineitem",
         LINEITEM_PG_TYPES,
         seq_expr=F.col("l_orderkey") * 8 + F.col("l_linenumber"),
         with_txn=True,
     )
-    out = data_messages(run_pipeline_assembled(raw, cfg))
-    return out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
+
+
+def _lineitem_marshalled(spark: SparkSession, sf_dir: str, cfg: PipelineConfig) -> DataFrame:
+    return run_pipeline_assembled(_lineitem_raw(spark, sf_dir), cfg)
 
 
 @register(
@@ -67,8 +84,19 @@ def _lineitem_envelopes(spark: SparkSession, sf_dir: str, cfg: PipelineConfig) -
 def cdc_lineitem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every lineitem row → WAL text → pipeline → envelope → values
     cast back to their SQL types. Hash-match against the source table
-    proves parser+marshaller round-trip fidelity."""
-    env = _lineitem_envelopes(spark, sf_dir, PipelineConfig())
+    proves parser+marshaller round-trip fidelity.
+
+    The envelope is consumed at the STRUCT layer (to_json's exact
+    input): serializing + re-parsing 600 k JSON strings in one plan
+    costs ~8 s at sf0.1 and proves nothing extra here — the JSON byte
+    layer is covered by cdc_envelope_counts (full to_json→from_json at
+    the same volume, driver-gated), cdc_events_roundtrip, and the
+    golden byte tests. The barrier makes the envelope build evaluate
+    once per row, not once per extracted field (CollapseProject)."""
+    out = run_pipeline_assembled_structs(
+        _lineitem_raw(spark, sf_dir), PipelineConfig()
+    )
+    env = opt_barrier(out.filter(F.col("env").isNotNull()).select("env"))
     cols = F.col("env.columns")
 
     def v(name: str) -> F.Column:
@@ -95,7 +123,11 @@ def cdc_lineitem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_envelope_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline emits exactly one INSERT envelope per source row, and
     control rows (BEGIN/COMMIT) never reach payloads."""
-    env = _lineitem_envelopes(spark, sf_dir, PipelineConfig(partition_method="tablename"))
+    env = _env_once(
+        data_messages(
+            _lineitem_marshalled(spark, sf_dir, PipelineConfig(partition_method="tablename"))
+        )
+    )
     return env.groupBy(
         F.col("env.table").alias("tbl"), F.col("env.operation").alias("op")
     ).agg(F.count("*").alias("n"))
@@ -136,7 +168,7 @@ def cdc_whitelist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = data_messages(run_pipeline(raw, PipelineConfig(whitelist=["public.orders"])))
-    env = out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
+    env = _env_once(out)
     cols = F.col("env.columns")
     return env.select(
         F.element_at(F.element_at(cols, "o_orderkey"), "new")["v"].cast("bigint").alias("o_orderkey"),
@@ -171,7 +203,7 @@ def cdc_events_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_txn=True,
     )
     out = data_messages(run_pipeline_assembled(raw, PipelineConfig()))
-    env = out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
+    env = _env_once(out)
     cols = F.col("env.columns")
 
     def v(name):
@@ -209,7 +241,7 @@ def cdc_to_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_txn=True,
     )
     out = data_messages(run_pipeline_assembled(raw, PipelineConfig()))
-    env = out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
+    env = _env_once(out)
     cols = F.col("env.columns")
 
     def v(name):
@@ -279,7 +311,11 @@ def cdc_partition_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket partitioning: crc32(xid) % 8 — distribution of rows per
     bucket (strict per-key co-location is asserted in unit tests
     against zlib.crc32)."""
-    env = _lineitem_envelopes(
-        spark, sf_dir, PipelineConfig(partition_method="transaction-bucket", partition_buckets=8)
+    out = data_messages(
+        _lineitem_marshalled(
+            spark,
+            sf_dir,
+            PipelineConfig(partition_method="transaction-bucket", partition_buckets=8),
+        )
     )
-    return env.groupBy("partition_key").agg(F.count("*").alias("n")).orderBy("partition_key")
+    return out.groupBy("partition_key").agg(F.count("*").alias("n")).orderBy("partition_key")
