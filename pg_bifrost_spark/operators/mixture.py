@@ -1,0 +1,278 @@
+"""Corpus-mixture planning operators: the passes that decide WHAT goes
+into a training mix — mixture accounting by language/source, per-domain
+caps, and global token-budget selection — plus the k-means trainer that
+produces the IVF codebook ``similarity.ann_ivf_probe`` probes.
+
+Scale posture (100 TB):
+  * mixture_report: one map-side-combined groupBy; the corpus totals
+    join back as a broadcast of ~|lang×source| rows.
+  * domain_cap_sample: the only window partitions by ``source`` — one
+    domain is one task's worth of top-K, never a global sort.
+  * token_budget_sample: a global "take documents in priority order
+    until the token budget is spent" needs a global running sum, which
+    naively is a single-task window. It is decomposed into (a) a
+    running sum PER priority bucket (parallel over buckets) plus (b) a
+    prefix sum over the ~tens of per-bucket totals (tiny window) joined
+    back as a broadcast — the classic partial-sums + offsets prefix
+    scan, expressed declaratively.
+  * ivf_kmeans_codebook: Lloyd's iterations as groupBy/agg over the
+    full embedding set; per-iteration centroids (k×d floats) are the
+    ONLY thing that ever reaches the driver — the legitimate
+    broadcast-variable pattern, identical to what Spark MLlib's KMeans
+    does between iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans import register, table
+
+# token proxy used by the budget pass: whitespace word count — matches
+# string_split_regex(lower(trim(text)), '\s+') on the oracle side
+TOKEN_BUDGET = 10_000
+DOMAIN_CAP = 8
+BUCKET_CHARS = 50  # priority-bucket width in characters
+
+
+@register(
+    "corpus_mixture_report",
+    oracle="""
+    WITH per AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY lang, source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM per
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           n_tokens / (SELECT corpus_tokens FROM tot) AS token_frac
+    FROM per ORDER BY lang, source
+    """,
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture accounting: documents and tokens per (lang, source) with
+    each cell's fraction of the total token count — the table a mixture
+    designer reweights against. One shuffle (the groupBy); the total is
+    a broadcast single-row crossJoin, not a second pass over data."""
+    docs = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    per = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            # raw double, no round(): the bigint/bigint division is
+            # bit-identical on both engines; rounding a double is the
+            # r01 hash-fail class (engine rounding rules differ)
+            (F.col("n_tokens") / F.col("corpus_tokens")).alias("token_frac"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "domain_cap_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {DOMAIN_CAP}
+    ORDER BY source, n_chars DESC, doc_id
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (anti-domination): keep at most {DOMAIN_CAP}
+    documents per source, preferring longer documents, deterministic
+    tie-break on doc_id — the 'no single crawl domain swamps the mix'
+    pass every web-corpus pipeline runs. The window partitions by
+    source, so work distributes across domains; no global sort."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .drop("rk")
+        .orderBy("source", F.desc("n_chars"), "doc_id")
+    )
+
+
+@register(
+    "token_budget_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             CAST(n_chars AS BIGINT) // {BUCKET_CHARS} AS bucket
+      FROM documents
+    ), in_bucket AS (
+      SELECT doc_id, n_tokens, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bucket_running
+      FROM d
+    ), bucket_tot AS (
+      SELECT bucket, sum(n_tokens) AS btok FROM d GROUP BY bucket
+    ), bucket_off AS (
+      SELECT bucket,
+             CAST(coalesce(sum(btok) OVER (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS offset
+      FROM bucket_tot
+    )
+    SELECT i.doc_id,
+           CAST(i.n_tokens AS BIGINT) AS n_tokens,
+           CAST(o.offset + i.bucket_running AS BIGINT) AS running_tokens
+    FROM in_bucket i JOIN bucket_off o ON i.bucket = o.bucket
+    WHERE o.offset + i.bucket_running <= {TOKEN_BUDGET}
+    ORDER BY running_tokens
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-budget selection: take documents in priority order
+    (longer documents first — bucket = n_chars/{BUCKET_CHARS}, then
+    doc_id within a bucket) until {TOKEN_BUDGET} tokens are spent.
+
+    The global running sum is decomposed scale-safely: a running sum
+    per priority bucket (window partitioned by bucket — parallel), a
+    prefix sum over the per-bucket totals (a window over ~tens of
+    rows), and a broadcast join of those offsets back onto the data.
+    No single-task global window ever sees the full corpus."""
+    docs = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    d = docs.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        (F.col("n_chars").cast("bigint") / F.lit(BUCKET_CHARS))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = d.withColumn("bucket_running", F.sum("n_tokens").over(wb))
+    btot = d.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    # higher bucket = higher priority → offset = tokens in all higher buckets
+    woff = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = btot.withColumn(
+        "offset", F.coalesce(F.sum("btok").over(woff), F.lit(0)).cast("bigint")
+    ).select("bucket", "offset")
+    return (
+        in_bucket.join(F.broadcast(boff), "bucket")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("offset") + F.col("bucket_running")).cast("bigint").alias("running_tokens"),
+        )
+        .filter(F.col("running_tokens") <= TOKEN_BUDGET)
+        .orderBy("running_tokens")
+    )
+
+
+# --------------------------------------------------------------------------
+# k-means codebook training (the IVF index-build step)
+# --------------------------------------------------------------------------
+KMEANS_K = 16
+KMEANS_ITERS = 5
+
+
+def kmeans_codebook(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Distributed Lloyd's iterations over an ``embedding`` column.
+
+    Deterministic init: the k lowest vec_ids. Each iteration is one
+    groupBy over the data (assign map-side against the broadcast
+    centroid literal, partial-agg the per-cell sums); only the k×d
+    centroid matrix touches the driver between iterations — the same
+    driver/executor split as MLlib KMeans (mllib/clustering/KMeans).
+
+    Returns (centroids: list[list[float]], inertia_history: list[float]).
+    """
+    dim = len(emb.select("embedding").first()[0])
+    init = [
+        r[0]
+        for r in emb.orderBy("vec_id").select("embedding").limit(k).collect()
+    ]
+    cents = [[float(x) for x in v] for v in init]
+    history: list[float] = []
+    for _ in range(iters):
+        cent_lit = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in cents]
+        )
+        # nearest centroid map-side: squared L2 via aggregate() fold
+        dist_to = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("embedding"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists = F.transform(cent_lit, dist_to)
+        assigned = emb.select(
+            F.array_position(dists, F.array_min(dists)).alias("cell"),
+            F.array_min(dists).alias("d2"),
+            "embedding",
+        )
+        per_cell = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            F.sum("d2").alias("inertia"),
+            *[
+                F.sum(F.element_at("embedding", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        rows = per_cell.collect()
+        history.append(float(sum(r["inertia"] for r in rows)))
+        new_cents = list(cents)
+        for r in rows:
+            new_cents[int(r["cell"]) - 1] = [
+                float(r[f"s{i}"]) / r["n"] for i in range(dim)
+            ]
+        cents = new_cents
+    return cents, history
+
+
+@register(
+    "ivf_kmeans_codebook",
+    oracle=None,  # iterative refinement — not SQL-expressible; quality pinned in tests
+)
+def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF codebook on the embeddings table and report the
+    final cell populations and mean within-cell squared distance —
+    the index-build step ``ann_ivf_probe`` assumes. Deterministic:
+    fixed init, fixed iteration count."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_codebook(emb)
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    dist_to = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("embedding"), c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = F.transform(cent_lit, dist_to)
+    assigned = emb.select(
+        F.array_position(dists, F.array_min(dists)).alias("cell"),
+        F.array_min(dists).alias("d2"),
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("d2"), 6).alias("mean_d2"),
+        )
+        .orderBy("cell")
+    )

