@@ -121,10 +121,13 @@ GATE_PRIORITY: list[str] = [
     "text_fingerprint",
     "text_clean_normalize",
     "boilerplate_line_stats",
-    # curation
+    # curation / mixture planning
     "sample_deterministic",
     "stratified_sample_by_source",
     "curation_pipeline",
+    "corpus_mixture_report",
+    "domain_cap_sample",
+    "token_budget_sample",
     "salted_skew_join",
     # multimodal plumbing
     "multimodal_binary_meta",
@@ -146,11 +149,12 @@ GATE_PRIORITY: list[str] = [
     "topk_per_group",
     "exact_percentiles",
     "fuzzy_name_match",
+    # (rotated out to keep 50 slots — still oracle-backed and pytest-
+    # rehearsed: sliding_window_counts ~ tumbling_window_stats,
+    # interval_click_views ~ asof_click_to_view, event_gaps ~
+    # sessionize_users' lag shape)
     "tumbling_window_stats",
-    "sliding_window_counts",
     "asof_click_to_view",
-    "interval_click_views",
-    "event_gaps",
     "dedup_keep_latest",
     "window_distribution_suite",
     "grouping_sets_status",
