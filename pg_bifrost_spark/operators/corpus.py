@@ -167,3 +167,104 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# document chunking — the segmentation pass before tokenize/pack
+# --------------------------------------------------------------------------
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "document_chunking",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS chunk_start
+      FROM tok
+    )
+    SELECT doc_id, CAST(chunk_start AS INT) AS chunk_start,
+           CAST(len(list_slice(toks, chunk_start, chunk_start + {CHUNK_TOKENS} - 1)) AS INT)
+             AS n_tokens,
+           array_to_string(list_slice(toks, chunk_start, chunk_start + {CHUNK_TOKENS} - 1), ' ')
+             AS chunk_text
+    FROM starts ORDER BY doc_id, chunk_start
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows ({CHUNK_TOKENS} tokens,
+    stride {CHUNK_STRIDE}) per document — the segmentation step before
+    context packing or embedding. Pure array expressions (sequence →
+    slice) inside codegen; the explode multiplies rows ~len/stride×,
+    which is the intended output size, not overhead. No shuffle at all:
+    chunking is embarrassingly per-document."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    starts = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+        ).alias("chunk_start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_start"), CHUNK_TOKENS)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_start")
+
+
+# --------------------------------------------------------------------------
+# rare-token quality score — integer-exact unigram-LM proxy
+# --------------------------------------------------------------------------
+RARE_MAX_FREQ = 10  # corpus frequency ≤ this ⇒ token counts as rare
+
+
+@register(
+    "rare_token_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, count(*) AS freq FROM tok GROUP BY token
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.freq <= {RARE_MAX_FREQ} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           sum(CASE WHEN v.freq <= {RARE_MAX_FREQ} THEN 1 ELSE 0 END) / count(*)
+             AS rare_frac
+    FROM tok t JOIN vocab v USING (token)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy with INTEGER-EXACT arithmetic: per
+    document, how many tokens are corpus-rare (frequency ≤
+    {RARE_MAX_FREQ}) and the rare fraction (int/int division — the
+    same double on any engine, unlike a sum of logprobs whose
+    accumulation order varies). High rare_frac flags gibberish /
+    OCR noise / wrong-language content.
+
+    Plan shape: vocab is one map-side-combined groupBy; the token →
+    freq join is a plain equi-join that AQE can broadcast when vocab
+    is small and shuffle-join at web scale (vocab grows ~log corpus)."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    tok = docs.select("doc_id", F.explode("toks").alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    rare = F.sum(F.when(F.col("freq") <= RARE_MAX_FREQ, 1).otherwise(0))
+    return (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            rare.cast("bigint").alias("n_rare"),
+            (rare / F.count("*")).alias("rare_frac"),
+        )
+        .orderBy("doc_id")
+    )
