@@ -268,3 +268,60 @@ def rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# passage-level dedup — duplicated chunks ACROSS documents
+# --------------------------------------------------------------------------
+@register(
+    "dedup_chunk_passages",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, s, s + {CHUNK_TOKENS} - 1), ' ') AS chunk_text
+      FROM tok, unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS u(s)
+    )
+    SELECT md5(chunk_text) AS chunk_hash,
+           count(*) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_doc_id
+    FROM chunks
+    GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+    ORDER BY chunk_hash
+    """,
+)
+def dedup_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: chunks (via ``document_chunking``'s
+    windowing) that appear verbatim in MORE THAN ONE document — the
+    practical approximation of cross-document substring dedup
+    (boilerplate headers, licence blocks, syndicated passages). Digest
+    computed map-side; the shuffle carries (hash, doc_id) only — the
+    same one-shuffle shape as dedup_exact_documents, ~len/stride× more
+    rows."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.array_join(F.slice(F.col("toks"), F.col("s"), CHUNK_TOKENS), " ").alias(
+            "chunk_text"
+        ),
+    )
+    return (
+        chunks.select(F.md5(F.col("chunk_text")).alias("chunk_hash"), "doc_id")
+        .groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("chunk_hash")
+    )
