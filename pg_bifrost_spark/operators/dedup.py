@@ -153,7 +153,7 @@ DF_CUTOFF = 64
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard
+           n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
     FROM common JOIN sizes sa ON sa.doc_id = doc_a
                 JOIN sizes sb ON sb.doc_id = doc_b
     WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5
@@ -235,7 +235,9 @@ def ngram_jaccard_pairs(
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         common.filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        # raw double ratio: int/int division is bit-identical across
+        # engines; round(,4) was boundary roulette (q1 hash discipline)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

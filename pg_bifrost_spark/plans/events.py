@@ -28,24 +28,29 @@ from . import register, table
     oracle="""
     SELECT date_trunc('minute', ts) AS window_start, event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total,
-           round(min(value), 2) AS vmin,
-           round(max(value), 2) AS vmax,
-           round(avg(value), 4) AS vavg
+           CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS total,
+           min(value) AS vmin,
+           max(value) AS vmax,
+           CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) / count(*) AS vavg
     FROM events
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
 def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 stat buckets. Hash discipline (see q1): exact decimal sum →
+    one double cast; avg = exact-sum-as-double / count; min/max are
+    order-free picks of existing doubles — no rounding anywhere."""
     ev = table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(9,2)")
+    n = F.count("*")
     return (
         ev.groupBy(F.window("ts", "60 seconds").alias("w"), "event_type")
         .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
-            F.round(F.min("value"), 2).alias("vmin"),
-            F.round(F.max("value"), 2).alias("vmax"),
-            F.round(F.avg("value"), 4).alias("vavg"),
+            n.alias("n"),
+            F.sum(val).cast("double").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            (F.sum(val).cast("double") / n).alias("vavg"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total", "vmin", "vmax", "vavg")
         .orderBy("window_start", "event_type")

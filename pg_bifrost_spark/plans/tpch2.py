@@ -66,7 +66,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / 7.0 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
       AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
@@ -86,7 +86,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(avg_qty), li.l_partkey == F.col("ak"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        # exact decimal sum → double, then the /7.0 is the same double
+        # op on both engines; round(double_sum/7, 2) was boundary
+        # roulette (q1 hash discipline). The qty_cut threshold itself
+        # is deterministic: quantities are integral, so the double avg
+        # is an exact integer ratio on both engines.
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(9,2)")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 

@@ -61,7 +61,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH vol AS (
       SELECT year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(l_extendedprice AS DECIMAL(9,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
              sn.n_name AS supp_nation
       FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -72,8 +73,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN part     ON l_partkey = p_partkey
       WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
     FROM vol GROUP BY 1 ORDER BY 1
     """,
 )
@@ -101,14 +102,27 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
         .select(
             F.year("o_orderdate").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            # exact decimal volume: the share is a ratio of two EXACT
+            # sums cast to double, bit-identical across engines —
+            # round(double_sum/double_sum, 4) was boundary roulette
+            # (q1 hash discipline)
+            (
+                F.col("l_extendedprice").cast("decimal(9,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("volume"),
             "supp_nation",
         )
     )
-    share = F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(4,2)")
+        )
+    )
     return (
         vol.groupBy("o_year")
-        .agg(F.round(share / F.sum("volume"), 4).alias("mkt_share"))
+        .agg(
+            (share.cast("double") / F.sum("volume").cast("double")).alias("mkt_share")
+        )
         .orderBy("o_year")
     )
 
