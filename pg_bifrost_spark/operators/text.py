@@ -32,8 +32,8 @@ def _tokens(col: str = "text") -> F.Column:
            len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
            length(text) AS n_chars_measured,
            len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS n_unique_words,
-           round(length(replace(text, ' ', ''))::DOUBLE
-                 / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 4)
+           length(replace(text, ' ', ''))::DOUBLE
+             / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
              AS avg_word_len
     FROM documents ORDER BY doc_id
     """,
@@ -48,10 +48,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)).alias("n_tokens"),
         F.length("text").alias("n_chars_measured"),
         F.size(F.array_distinct(words)).alias("n_unique_words"),
-        F.round(
+        # raw int-ratio double (q1 hash discipline)
+        (
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-            / F.greatest(F.size(words), F.lit(1)),
-            4,
+            / F.greatest(F.size(words), F.lit(1))
         ).alias("avg_word_len"),
     ).orderBy("doc_id")
 
@@ -107,12 +107,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_score",
     oracle=f"""
     SELECT doc_id,
-           round(
-             0.4 * least(len(string_split_regex(lower(trim(text)), '\\s+')) / 50.0, 1.0)
+           0.4 * least(len(string_split_regex(lower(trim(text)), '\\s+')) / 50.0, 1.0)
            + 0.3 * ({_stopword_hits_sql(EN_STOPWORDS)}::DOUBLE
                     / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1))
            + 0.3 * (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
-                    / greatest(length(text), 1)), 4) AS quality
+                    / greatest(length(text), 1)) AS quality
     FROM documents ORDER BY doc_id
     """,
 )
@@ -128,7 +127,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.round(0.4 * length_score + 0.3 * stop_ratio + 0.3 * alpha_ratio, 4).alias("quality"),
+        # raw double: every term is an int-ratio (bit-identical across
+        # engines) combined in the same association order; round(,4)
+        # was boundary roulette (q1 hash discipline)
+        (0.4 * length_score + 0.3 * stop_ratio + 0.3 * alpha_ratio).alias("quality"),
     ).orderBy("doc_id")
 
 
