@@ -199,8 +199,10 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride {CHUNK_STRIDE}) per document — the segmentation step before
     context packing or embedding. Pure array expressions (sequence →
     slice) inside codegen; the explode multiplies rows ~len/stride×,
-    which is the intended output size, not overhead. No shuffle at all:
-    chunking is embarrassingly per-document."""
+    which is the intended output size, not overhead. Chunking itself
+    is embarrassingly per-document (zero shuffle); the only exchange
+    in this query is the final presentation orderBy, which a pipeline
+    consumer would drop."""
     docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
     starts = docs.select(
         "doc_id",
