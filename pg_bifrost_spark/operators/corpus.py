@@ -74,7 +74,7 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
     nd AS (SELECT count(*) AS n_docs FROM documents)
     SELECT doc_id, token,
-           round(tf * n_docs / df, 4) AS tfidf
+           tf * n_docs / df AS tfidf
     FROM tf JOIN df USING (token) CROSS JOIN nd
     QUALIFY row_number() OVER (
       PARTITION BY doc_id ORDER BY tf * n_docs / df DESC, token) <= {TFIDF_TOP_K}
@@ -99,7 +99,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TFIDF_TOP_K)
-        .select("doc_id", "token", F.round(score, 4).alias("tfidf"))
+        .select("doc_id", "token", score.alias("tfidf"))
         .orderBy("doc_id", F.desc("tfidf"), "token")
     )
 

@@ -214,8 +214,8 @@ def _ngram_sql(n: int) -> str:
     SELECT doc_id, gram_n,
            sum(c)::BIGINT AS total_grams,
            count(*)::BIGINT AS distinct_grams,
-           round((sum(c) - count(*))::DOUBLE / sum(c), 4) AS dup_frac,
-           round(max(c)::DOUBLE / sum(c), 4) AS top_frac
+           (sum(c) - count(*))::DOUBLE / sum(c) AS dup_frac,
+           max(c)::DOUBLE / sum(c) AS top_frac
     FROM counts GROUP BY doc_id, gram_n ORDER BY doc_id, gram_n
     """,
 )
@@ -242,8 +242,9 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             total.alias("total_grams"),
             F.count("*").alias("distinct_grams"),
-            F.round((total - F.count("*")) / total, 4).alias("dup_frac"),
-            F.round(F.max("c") / total, 4).alias("top_frac"),
+            # raw int-ratio doubles (q1 hash discipline)
+            ((total - F.count("*")) / total).alias("dup_frac"),
+            (F.max("c") / total).alias("top_frac"),
         )
         .orderBy("doc_id", "gram_n")
     )
@@ -269,7 +270,7 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
     )
     SELECT doc_id,
            len(toks)::BIGINT AS n_words,
-           round(nonspace_chars / greatest(len(toks), 1), 4) AS mean_word_len,
+           nonspace_chars / greatest(len(toks), 1) AS mean_word_len,
            (len(toks) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS ok_word_count,
            (nonspace_chars / greatest(len(toks), 1)
               BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN}) AS ok_mean_word_len,
@@ -312,7 +313,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.round(mean_wlen, 4).alias("mean_word_len"),
+        mean_wlen.alias("mean_word_len"),
         ok_words.alias("ok_word_count"),
         ok_wlen.alias("ok_mean_word_len"),
         ok_stop.alias("ok_stopwords"),

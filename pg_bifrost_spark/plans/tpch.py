@@ -27,6 +27,18 @@ def _r(c, n=2):
     return F.round(c, n)
 
 
+def _dec_revenue() -> F.Column:
+    """Exact-decimal revenue sum -> one double cast (q1 hash
+    discipline): sum(price*(1-disc)) as decimal(9,2)x(.,2) products —
+    round(double_sum, 2) is an engine coin flip on x.xx50 boundaries."""
+    return (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(9,2)")
+            * (1 - F.col("l_discount").cast("decimal(4,2)"))
+        ).cast("double")
+    )
+
+
 # --------------------------------------------------------------------------
 # Q1: pricing summary report (classic TPC-H Q1 shape)
 # --------------------------------------------------------------------------
@@ -136,7 +148,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
     FROM region JOIN nation   ON n_regionkey = r_regionkey
                 JOIN customer ON c_nationkey = n_nationkey
                 JOIN orders   ON o_custkey   = c_custkey
@@ -165,7 +179,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dec_revenue().alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -176,7 +190,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
@@ -193,7 +208,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(_r(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(9,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
     )
 
 
@@ -204,7 +226,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            n_name
     FROM customer JOIN orders   ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -225,7 +248,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dec_revenue().alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)

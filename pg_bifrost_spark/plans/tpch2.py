@@ -45,9 +45,13 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_share",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                  THEN l_extendedprice * (1 - l_discount) END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN CAST(l_extendedprice AS DECIMAL(9,2))
+                                       * (1 - CAST(l_discount AS DECIMAL(4,2))) END)
+                        AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     """,
 )
@@ -55,11 +59,15 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-aggregate ratio (TPC-H Q14)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal sums -> double ratio (q1 hash discipline)
+    rev = F.col("l_extendedprice").cast("decimal(9,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
     promo = F.when(F.col("p_type").like("PROMO%"), rev)
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+            "promo_revenue_pct"
+        )
     )
 
 
@@ -102,7 +110,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 30)
        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 40)
@@ -126,21 +135,30 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return j.filter(
         arm("Brand#12", 15, 1, 30) | arm("Brand#23", 25, 10, 40) | arm("Brand#34", 35, 20, 50)
-    ).agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(9,2)")
+            * (1 - F.col("l_discount").cast("decimal(4,2)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
 
 
 @register(
     "q11_important_stock",
     oracle="""
     WITH v AS (
-      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                 * CAST(l_quantity AS DECIMAL(4,2))) AS val
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                     JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'GERMANY'
       GROUP BY l_partkey
     )
-    SELECT l_partkey, round(val, 2) AS val FROM v
-    WHERE val > (SELECT sum(val) * 0.001 FROM v)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS val FROM v
+    WHERE CAST(val AS DOUBLE) > CAST((SELECT sum(val) FROM v) AS DOUBLE) * 0.001
     ORDER BY val DESC, l_partkey
     """,
 )
@@ -151,16 +169,23 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
     german = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    # exact decimal per-part sums; the 0.1% cut compares doubles that
+    # are identical on both engines (exact sum -> one double cast)
     v = (
         li.join(F.broadcast(german), li.l_suppkey == german.s_suppkey)
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(9,2)")
+                * F.col("l_quantity").cast("decimal(4,2)")
+            ).alias("val")
+        )
     )
-    threshold = v.agg((F.sum("val") * 0.001).alias("cut"))
+    threshold = v.agg((F.sum("val").cast("double") * 0.001).alias("cut"))
     return (
         v.crossJoin(F.broadcast(threshold))
-        .filter(F.col("val") > F.col("cut"))
-        .select("l_partkey", _r(F.col("val")).alias("val"))
+        .filter(F.col("val").cast("double") > F.col("cut"))
+        .select("l_partkey", F.col("val").cast("double").alias("val"))
         .orderBy(F.desc("val"), "l_partkey")
     )
 
@@ -168,9 +193,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_idle_customers",
     oracle="""
-    WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(9,2))) AS DOUBLE) / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0)
     SELECT substr(c_name, 10, 1) AS cgroup, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(9,2))) AS DOUBLE) AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -182,13 +209,21 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     our schema: group by a name digit instead of phone prefix)."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    # threshold = exact-decimal sum as double / count: bit-identical on
+    # both engines, so boundary customers filter identically (a plain
+    # double avg's accumulation order differs per engine)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(9,2)")).cast("double") / F.count("*")).alias("ab")
+    )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy(F.substring("c_name", 10, 1).alias("cgroup"))
-        .agg(F.count("*").alias("numcust"), _r(F.sum("c_acctbal")).alias("totacctbal"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(9,2)")).cast("double").alias("totacctbal"),
+        )
         .orderBy("cgroup")
     )
 
