@@ -78,33 +78,52 @@ def test_headline_queries_within_budget(spark):
         "noop"
     ).mode("overwrite").save()
 
-    ratios = {}
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        plans.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
     timings = {}
     try:
-        for name, prev in base.items():
-            if name not in plans.QUERIES:
-                continue
-            t0 = time.perf_counter()
-            plans.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 3)
-            ratios[name] = dt / prev
+        for name in base:
+            if name in plans.QUERIES:
+                timings[name] = run_once(name)
+
+        def flagged() -> list[str]:
+            machine_factor = statistics.median(
+                timings[n] / base[n] for n in timings
+            )
+            out = []
+            for name, dt in timings.items():
+                prev = base[name]
+                budget = max(RELATIVE_SLACK * machine_factor * prev, prev + ABS_FLOOR_S)
+                if dt > budget:
+                    out.append(
+                        f"{name}: {dt:.2f}s > budget {budget:.2f}s "
+                        f"(base {prev:.2f}s, ratio {dt / prev:.2f}x "
+                        f"vs median {machine_factor:.2f}x)"
+                    )
+            return out
+
+        # A query flagged on the first pass is re-measured once and the
+        # better time kept: inside the full suite, accumulated JVM/GC
+        # state from 200+ prior tests can inflate ONE query several-x
+        # (transient — a fresh run is fast again), while a genuine plan
+        # regression (lost broadcast, new shuffle) reproduces on the
+        # immediate re-run and still fails.
+        first = flagged()
+        if first:
+            for line in first:
+                name = line.split(":")[0]
+                timings[name] = min(timings[name], run_once(name))
+        failures = flagged()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
-    machine_factor = statistics.median(ratios.values())
-    failures = []
-    for name, ratio in ratios.items():
-        prev = base[name]
-        budget = max(RELATIVE_SLACK * machine_factor * prev, prev + ABS_FLOOR_S)
-        if timings[name] > budget:
-            failures.append(
-                f"{name}: {timings[name]:.2f}s > budget {budget:.2f}s "
-                f"(base {prev:.2f}s, ratio {ratio:.2f}x vs median {machine_factor:.2f}x)"
-            )
     assert not failures, (
-        "perf regressions (machine factor "
-        f"{machine_factor:.2f}x):\n" + "\n".join(failures) + f"\nall: {timings}"
+        "perf regressions (reproduced on re-run):\n"
+        + "\n".join(failures)
+        + f"\nall: {timings}"
     )
