@@ -1,0 +1,97 @@
+"""Data-profiling operators: the diagnostics you run BEFORE tuning a
+100 TB job — join-key skew reports and corpus shape histograms.
+
+Both are single map-side-combined groupBys; the "top heavy hitters"
+cut happens after aggregation on the already-tiny key-frequency table,
+so the full corpus is scanned exactly once with no wide rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import register, table
+
+SKEW_TOP_K = 10
+HIST_BUCKET_TOKENS = 16
+
+
+@register(
+    "join_skew_report",
+    oracle=f"""
+    WITH freq AS (
+      SELECT l_orderkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_n
+      FROM freq
+    )
+    SELECT f.key, CAST(f.n AS BIGINT) AS n,
+           f.n / (s.n_rows / s.n_keys) AS skew_factor
+    FROM freq f CROSS JOIN stats s
+    ORDER BY f.n DESC, f.key LIMIT {SKEW_TOP_K}
+    """,
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{SKEW_TOP_K} heaviest join keys on lineitem.l_orderkey with
+    each key's skew factor (its row count over the mean rows-per-key).
+    This is the first diagnostic before salting or AQE-skew-tuning a
+    big join: a skew_factor in the hundreds means one task drags the
+    stage. One scan, one groupBy; the global stats join back as a
+    broadcast single row. skew_factor is a ratio of exact integers
+    (bit-identical across engines — no rounding)."""
+    li = table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_orderkey").alias("key")).agg(F.count("*").alias("n"))
+    stats = freq.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n") / (F.col("n_rows") / F.col("n_keys"))).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(SKEW_TOP_K)
+    )
+
+
+@register(
+    "corpus_length_histogram",
+    oracle=f"""
+    SELECT CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                // {HIST_BUCKET_TOKENS} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+             AS min_tokens,
+           CAST(max(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+             AS max_tokens
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in {HIST_BUCKET_TOKENS}-token buckets
+    — the corpus-shape overview (truncation loss, short-doc mass) a
+    mixture designer reads before setting packing lengths. Fixed-width
+    integer buckets: deterministic, partial-agg friendly, no
+    percentile state."""
+    docs = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (
+        docs.select(
+            ntok.alias("nt"),
+            (ntok / F.lit(HIST_BUCKET_TOKENS)).cast("bigint").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("nt").cast("bigint").alias("min_tokens"),
+            F.max("nt").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )

@@ -4,8 +4,21 @@ gate runs both sides at sf0.01 and hash-compares.
 
 Conventions (critical for the hash compare):
   * alias every computed column identically in Spark and SQL;
-  * ROUND floating aggregates on BOTH sides (sum order differs between
-    engines; bitwise-equal doubles are not guaranteed);
+  * NEVER round a double aggregate and NEVER emit a Decimal column.
+    Money/metric sums are EXACT decimal sums internally with ONE final
+    cast to double on both engines (bit-identical correctly-rounded
+    conversion); averages/shares are exact-sum-as-double over exact
+    counts; integer-ratio scores emit the raw double division.
+    round(double_agg, k) is an engine coin flip on rounding boundaries
+    (Spark rounds the shortest repr HALF_UP, DuckDB rounds the binary
+    value) and Decimal output trailing zeros hash-mismatch against
+    float-surfacing comparators — both classes caused real gate
+    failures in rounds 1-2. Pinned by test_no_decimal_output_columns;
+    the only remaining round() sites are per-row grid values, sums of
+    raw 2dp columns (exact by construction at gate scale), and
+    inherent float-kernel tolerances (cosine similarity);
+  * timestamp threshold logic compares exact microsecond epochs
+    (unix_micros / epoch_us) on both sides, never whole-second casts;
   * session timezone is UTC on the Spark side, DuckDB is naive-UTC.
 """
 
@@ -177,6 +190,7 @@ def load_all() -> None:
         multimodal,
         mixture,
         privacy,
+        profiling,
         similarity,
         text,
     )
