@@ -95,3 +95,70 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+ZSCORE_CUT = 3.0
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2)))
+                  AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, n,
+             s1 / n AS mean,
+             sqrt((s2 - s1 * s1 / n) / n) AS std
+      FROM s
+    )
+    SELECT e.event_type, any_value(st.n) AS n,
+           any_value(st.mean) AS mean, any_value(st.std) AS std,
+           CAST(sum(CASE WHEN abs((e.value - st.mean) / st.std) > {ZSCORE_CUT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM events e JOIN stats st USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly counts per event type with DETERMINISTIC
+    variance: a naive stddev over doubles is accumulation-order
+    dependent (different per engine/partitioning), so mean and
+    population variance are derived from EXACT decimal sums of value
+    and value² — (9,2)² products are exact (19,4) decimals — cast once
+    to double, then the identical (s2 - s1²/n)/n expression runs on
+    both engines. Two passes over events expressed as one groupBy plus
+    a broadcast join of the per-type stats (tiny) back onto the rows —
+    at 100 TB the stats table is |event_types| rows, the re-scan
+    streams."""
+    ev = table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(9,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(val).cast("double").alias("s1"),
+        F.sum(val * val).cast("double").alias("s2"),
+    )
+    stats = s.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")).alias(
+            "std"
+        ),
+    )
+    z = F.abs((F.col("value") - F.col("mean")) / F.col("std"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value(F.col("n")).alias("n"),
+            F.any_value(F.col("mean")).alias("mean"),
+            F.any_value(F.col("std")).alias("std"),
+            F.sum(F.when(z > ZSCORE_CUT, 1).otherwise(0)).cast("bigint").alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
