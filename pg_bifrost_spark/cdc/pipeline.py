@@ -151,19 +151,17 @@ def run_pipeline(df_lines: DataFrame, cfg: PipelineConfig | None = None) -> Data
     return filter_partition_marshal(events, cfg)
 
 
-def run_pipeline_assembled(
-    df_lines_with_txn: DataFrame, cfg: PipelineConfig | None = None
-) -> DataFrame:
-    """Pipeline for sources that already stamp txn_id/time_based_key
-    per message (the streaming pgcdc source assembles transactions in
-    its sequential reader). Input: RAW_LINE_SCHEMA + txn_id +
-    time_based_key. Every stage is stateless → valid on a streaming
-    DataFrame."""
-    cfg = cfg or PipelineConfig()
-    # Control lines (BEGIN/COMMIT — two thirds of a typical stream)
-    # and fast-grammar DML lines parse entirely JVM-side inside
-    # whole-stage codegen (fastparse.py); only lines outside the fast
-    # grammar pay the Python (Arrow) hop — ~zero on a typical stream.
+def _parse_assembled(df_lines_with_txn: DataFrame) -> DataFrame:
+    """Shared parse stage for pre-assembled inputs (RAW_LINE_SCHEMA +
+    txn_id + time_based_key): fast/slow split, barrier, parse-error
+    drop. One definition so the json and struct pipeline entry points
+    can never drift (ADVICE r3).
+
+    Control lines (BEGIN/COMMIT — two thirds of a typical stream) and
+    fast-grammar DML lines parse entirely JVM-side inside whole-stage
+    codegen (fastparse.py); only lines outside the fast grammar pay
+    the Python (Arrow) hop — ~zero on a typical stream. The barrier is
+    the same once-per-row guard as parse_raw (functions/barrier.py)."""
     able = jvm_parseable(F.col("line"))
     fast = jvm_parse(
         df_lines_with_txn.filter(able), passthrough=["txn_id", "time_based_key"]
@@ -173,11 +171,19 @@ def run_pipeline_assembled(
         .mapInPandas(parse_lines_to_pandas, schema=PARSED_ASSEMBLED_SCHEMA_DDL)
         .drop("txn_xid")
     )
-    # same once-per-row barrier as parse_raw (see functions/barrier.py)
-    events = opt_barrier(fast.unionByName(slow)).filter(
-        F.col("parse_error").isNull()
-    )
-    return filter_partition_marshal(events, cfg)
+    return opt_barrier(fast.unionByName(slow)).filter(F.col("parse_error").isNull())
+
+
+def run_pipeline_assembled(
+    df_lines_with_txn: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Pipeline for sources that already stamp txn_id/time_based_key
+    per message (the streaming pgcdc source assembles transactions in
+    its sequential reader). Input: RAW_LINE_SCHEMA + txn_id +
+    time_based_key. Every stage is stateless → valid on a streaming
+    DataFrame."""
+    cfg = cfg or PipelineConfig()
+    return filter_partition_marshal(_parse_assembled(df_lines_with_txn), cfg)
 
 
 def run_pipeline_assembled_structs(
@@ -188,18 +194,7 @@ def run_pipeline_assembled_structs(
     consumers that would otherwise pay to_json + from_json on every
     row just to extract fields again."""
     cfg = cfg or PipelineConfig()
-    able = jvm_parseable(F.col("line"))
-    fast = jvm_parse(
-        df_lines_with_txn.filter(able), passthrough=["txn_id", "time_based_key"]
-    ).drop("txn_xid")
-    slow = (
-        df_lines_with_txn.filter(~able)
-        .mapInPandas(parse_lines_to_pandas, schema=PARSED_ASSEMBLED_SCHEMA_DDL)
-        .drop("txn_xid")
-    )
-    events = opt_barrier(fast.unionByName(slow)).filter(
-        F.col("parse_error").isNull()
-    )
+    events = _parse_assembled(df_lines_with_txn)
     return marshal_structs(filter_partition(events, cfg), cfg.no_marshal_old_value)
 
 

@@ -13,8 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans import register, table
-from .dedup import spread
+from ..plans import register, table, tracked_cache
+from .dedup import PLANTED_DOCS_SQL, plant_duplicates, spread
 
 # ---------------------------------------------------------------------------
 # Deterministic hash sampling (reproducible train/eval splits)
@@ -92,7 +92,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         sym.selectExpr("src as node").union(sym.selectExpr("dst as node")).distinct()
         .withColumn("component", F.col("node"))
     )
-    sym = spread(sym, "src").cache()
+    sym = tracked_cache(spread(sym, "src"))
+    prev_cached: DataFrame | None = None
     for _ in range(max_iter):
         # each node adopts min(own, neighbors' labels)
         neighbor_min = (
@@ -112,18 +113,29 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the count above materialized new_labels — the previous
+        # iteration's cache is now dead weight; without this the loop
+        # leaks one cached DataFrame PER ITERATION (VERDICT r3)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
             break
+    if prev_cached is not None:
+        # the surviving iterate is referenced by the returned plan —
+        # hand it to the deferred-release registry instead
+        tracked_cache(prev_cached, already_cached=True)
     return labels
 
 
 @register(
     "dedup_cluster_components",
-    oracle="""
-    WITH RECURSIVE edges AS (
+    oracle=f"""
+    WITH RECURSIVE {PLANTED_DOCS_SQL},
+    edges AS (
       SELECT a.doc_id AS src, b.doc_id AS dst
-      FROM documents a JOIN documents b
+      FROM documents_planted a JOIN documents_planted b
         ON a.doc_id < b.doc_id
        AND md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
     ),
@@ -141,10 +153,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate clusters as connected components (keeper =
-    min doc_id per component). The label-propagation kernel is the
-    same one a fuzzy-dup graph (jaccard/cosine edges) would use;
-    exact-hash edges keep the oracle tractable (recursive CTE)."""
-    docs = table(spark, sf_dir, "documents")
+    min doc_id per component), over documents with planted duplicates
+    (dedup.PLANT_MOD) so the gate verifies non-empty components: each
+    planted clone forms a 2-node component labeled by the original.
+    The label-propagation kernel is the same one a fuzzy-dup graph
+    (jaccard/cosine edges) would use; exact-hash edges keep the
+    oracle tractable (recursive CTE)."""
+    docs = plant_duplicates(table(spark, sf_dir, "documents"), "doc_id")
     h = docs.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
     edges = (
         h.alias("a")

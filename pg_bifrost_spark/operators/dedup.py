@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans import register, table
+from ..plans import register, table, tracked_cache
 
 # --------------------------------------------------------------------------
 # shared shingling helpers (word-level n-grams)
@@ -85,24 +85,53 @@ def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# planted-duplicate gate fixtures
+# --------------------------------------------------------------------------
+# The sf* documents/embeddings fixtures contain NO exact or cosine
+# duplicates, so the driver's gate rows for the dedup operators were
+# matching empty sets — a vacuous green (VERDICT r3). The reference
+# proves behaviors on inputs that exercise them (itests/tests/base/
+# test_basic/input/*.sql plants the exact rows its goldens expect);
+# the same move here: the GATE QUERIES union a deterministic clone of
+# every id % PLANT_MOD == 0 row (id offset by PLANT_OFFSET), mirrored
+# exactly in the oracles, so both engines must find the SAME non-empty
+# duplicate set. The raw operators over arbitrary DataFrames remain
+# available un-planted (exact_dup_groups, ngram_jaccard_pairs, ...).
+PLANT_MOD = 101
+PLANT_OFFSET = 10_000_000
+
+
+def plant_duplicates(df: DataFrame, id_col: str) -> DataFrame:
+    """Union a cloned subset (id % PLANT_MOD == 0, id += PLANT_OFFSET)."""
+    clones = df.filter(F.col(id_col) % PLANT_MOD == 0).withColumn(
+        id_col, F.col(id_col) + PLANT_OFFSET
+    )
+    return df.unionByName(clones)
+
+
+# oracle-side mirror of plant_duplicates on each table (column order
+# matches the parquet schema, so UNION ALL aligns positionally)
+PLANTED_DOCS_SQL = f"""documents_planted AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % {PLANT_MOD} = 0
+    )"""
+PLANTED_EMB_SQL = f"""embeddings_planted AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding, label
+      FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+    )"""
+
+
+# --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
-@register(
-    "dedup_exact_documents",
-    oracle="""
-    SELECT md5(lower(trim(text))) AS content_hash,
-           count(*) AS n_copies,
-           min(doc_id) AS keeper_doc_id
-    FROM documents
-    GROUP BY 1 HAVING count(*) > 1
-    ORDER BY content_hash
-    """,
-)
-def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by content digest. At scale: one shuffle
     on the digest; the digest is computed map-side so the shuffle
     carries (hash, doc_id) only."""
-    docs = table(spark, sf_dir, "documents")
     return (
         docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"), "doc_id")
         .groupBy("content_hash")
@@ -110,6 +139,27 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .orderBy("content_hash")
     )
+
+
+@register(
+    "dedup_exact_documents",
+    oracle=f"""
+    WITH {PLANTED_DOCS_SQL}
+    SELECT md5(lower(trim(text))) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents_planted
+    GROUP BY 1 HAVING count(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``exact_dup_groups`` over the documents table with planted
+    duplicates (see PLANT_MOD above) so the gate verifies a NON-EMPTY
+    duplicate set: every planted clone must surface as a group with
+    n_copies ≥ 2 and keeper = the original doc_id."""
+    docs = plant_duplicates(table(spark, sf_dir, "documents"), "doc_id")
+    return exact_dup_groups(docs)
 
 
 # --------------------------------------------------------------------------
@@ -190,7 +240,7 @@ def ngram_jaccard_pairs(
     # collapse would otherwise inline the (interpreted, expensive)
     # shingling expression into every downstream use, and the
     # self-join would recompute the whole subtree twice.
-    base = with_shingles(docs).select("doc_id", "hshingles").cache()
+    base = tracked_cache(with_shingles(docs).select("doc_id", "hshingles"))
     posts = base.select("doc_id", F.explode("hshingles").alias("shingle"))
     hot = (
         posts.groupBy("shingle")
@@ -266,12 +316,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verify on the candidate subset only. This is the shape that
     scales: no all-pairs work anywhere."""
     docs = table(spark, sf_dir, "documents")
-    sh = (
-        with_shingles(docs)
-        .select("doc_id", "hshingles")
-        .cache()
-        .filter(F.size("hshingles") > 0)  # after cache: cheap array check
-    )
+    sh = tracked_cache(
+        with_shingles(docs).select("doc_id", "hshingles")
+    ).filter(F.size("hshingles") > 0)  # after cache: cheap array check
     sig = sh.select("doc_id", "hshingles", minhash_signature(F.col("hshingles")).alias("sig"))
     rows_per_band = N_PERM // N_BANDS
     bands = sig.select(
@@ -288,7 +335,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
-    bands = spread(bands, "band", "bh").cache()
+    bands = tracked_cache(spread(bands, "band", "bh"))
     cand = (
         bands.alias("x")
         .join(
@@ -371,7 +418,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "fp", "e.blk", "e.bv")
-    blocks = spread(blocks, "blk", "bv").cache()
+    blocks = tracked_cache(spread(blocks, "blk", "bv"))
     pairs = (
         blocks.alias("x")
         .join(
@@ -430,16 +477,20 @@ def _cosine_block_kernel(batches):
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
+    WITH {PLANTED_EMB_SQL}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM embeddings_planted a JOIN embeddings_planted b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
     ORDER BY vec_a, vec_b
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vectors: cosine ≥ 0.95, exact.
+    """Near-duplicate vectors: cosine ≥ 0.95, exact, over the
+    embeddings table with planted clones (cosine exactly 1.0 against
+    their originals — see PLANT_MOD) so the gate verifies a non-empty
+    pair set.
 
     Blocked all-pairs: vectors are grouped into ~1 MB blocks, the
     upper-triangle of block pairs fans out as independent tasks, and
@@ -448,7 +499,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     for truly huge n the LSH-bucketed path (``similarity.
     ann_lsh_buckets``) prunes the block grid first. Hash-verified
     against DuckDB's list_cosine_similarity."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = plant_duplicates(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )

@@ -155,9 +155,10 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         ntok.alias("n_tokens"),
-        (F.col("n_chars").cast("bigint") / F.lit(BUCKET_CHARS))
-        .cast("bigint")
-        .alias("bucket"),
+        # exact integer division (div), matching the oracle's `//` —
+        # double-divide-then-truncate was the one spot where the two
+        # engines ran different arithmetic (ADVICE r3)
+        F.expr(f"CAST(n_chars AS BIGINT) div {BUCKET_CHARS}").alias("bucket"),
     )
     wb = (
         Window.partitionBy("bucket")
@@ -196,11 +197,18 @@ KMEANS_ITERS = 5
 def kmeans_codebook(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     """Distributed Lloyd's iterations over an ``embedding`` column.
 
-    Deterministic init: the k lowest vec_ids. Each iteration is one
-    groupBy over the data (assign map-side against the broadcast
-    centroid literal, partial-agg the per-cell sums); only the k×d
-    centroid matrix touches the driver between iterations — the same
-    driver/executor split as MLlib KMeans (mllib/clustering/KMeans).
+    Deterministic init (the k lowest vec_ids) and a fixed iteration
+    count make the ALGORITHM replay-stable, but the per-cell centroid
+    sums are F.sum over doubles, so centroids are reproducible only up
+    to floating-point accumulation order (partitioning-dependent in
+    the last ulps) — NOT bit-stable across runs. All downstream
+    quality checks (recall/inertia tests, the registered query's
+    rows-only gate) are therefore tolerance-based, never exact-hash.
+    Each iteration is one groupBy over the data (assign map-side
+    against the broadcast centroid literal, partial-agg the per-cell
+    sums); only the k×d centroid matrix touches the driver between
+    iterations — the same driver/executor split as MLlib KMeans
+    (mllib/clustering/KMeans).
 
     Returns (centroids: list[list[float]], inertia_history: list[float]).
     """
@@ -253,8 +261,9 @@ def kmeans_codebook(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the IVF codebook on the embeddings table and report the
     final cell populations and mean within-cell squared distance —
-    the index-build step ``ann_ivf_probe`` assumes. Deterministic:
-    fixed init, fixed iteration count."""
+    the index-build step ``ann_ivf_probe`` assumes. Replay-stable up
+    to float accumulation order (see ``kmeans_codebook``): registered
+    rows-only, quality pinned by tolerance-based tests."""
     emb = table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_codebook(emb)
     cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])

@@ -113,12 +113,13 @@ ZSCORE_CUT = 3.0
     ), stats AS (
       SELECT event_type, n,
              s1 / n AS mean,
-             sqrt((s2 - s1 * s1 / n) / n) AS std
+             sqrt(greatest((s2 - s1 * s1 / n) / n, 0)) AS std
       FROM s
     )
     SELECT e.event_type, any_value(st.n) AS n,
            any_value(st.mean) AS mean, any_value(st.std) AS std,
-           CAST(sum(CASE WHEN abs((e.value - st.mean) / st.std) > {ZSCORE_CUT}
+           CAST(sum(CASE WHEN st.std > 0
+                          AND abs((e.value - st.mean) / st.std) > {ZSCORE_CUT}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
     FROM events e JOIN stats st USING (event_type)
     GROUP BY e.event_type ORDER BY e.event_type
@@ -134,7 +135,16 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines. Two passes over events expressed as one groupBy plus
     a broadcast join of the per-type stats (tiny) back onto the rows —
     at 100 TB the stats table is |event_types| rows, the re-scan
-    streams."""
+    streams.
+
+    Degenerate-variance guard (identical on both engines): variance is
+    clamped to ≥ 0 before sqrt (double cancellation can go slightly
+    negative — sqrt(neg) is NaN in Spark but an error in DuckDB), and
+    anomalies count only WHEN std > 0. Without the guard a
+    zero-variance event type divides by zero, which Spark's non-ANSI
+    division turns into NULL (counts 0) while DuckDB's IEEE division
+    yields NaN/inf (NaN > cut under DuckDB total ordering counts ALL
+    rows) — a fixture-dependent cross-engine hash mismatch."""
     ev = table(spark, sf_dir, "events")
     val = F.col("value").cast("decimal(9,2)")
     s = ev.groupBy("event_type").agg(
@@ -146,11 +156,15 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         (F.col("s1") / F.col("n")).alias("mean"),
-        F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")).alias(
-            "std"
-        ),
+        F.sqrt(
+            F.greatest(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n"),
+                F.lit(0.0),
+            )
+        ).alias("std"),
     )
     z = F.abs((F.col("value") - F.col("mean")) / F.col("std"))
+    is_anomaly = (F.col("std") > 0) & (z > ZSCORE_CUT)
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
@@ -158,7 +172,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value(F.col("n")).alias("n"),
             F.any_value(F.col("mean")).alias("mean"),
             F.any_value(F.col("std")).alias("std"),
-            F.sum(F.when(z > ZSCORE_CUT, 1).otherwise(0)).cast("bigint").alias("n_anomalies"),
+            F.sum(F.when(is_anomaly, 1).otherwise(0)).cast("bigint").alias("n_anomalies"),
         )
         .orderBy("event_type")
     )

@@ -31,14 +31,55 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Cache hygiene (VERDICT r3 "Wrong #3"): several operators .cache()
+# intermediates that the RETURNED lazy plan still references, so they
+# cannot unpersist before execution. Tracking them here bounds the
+# leak to ONE query's caches at a time in any session that builds
+# queries sequentially (the driver's correctness gate, bench.py, the
+# oracle rehearsal): building query N+1 releases query N's caches.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def tracked_cache(df: DataFrame, already_cached: bool = False) -> DataFrame:
+    """`.cache()` that registers the DataFrame for deferred release.
+    ``already_cached=True`` only tracks (for a df cached elsewhere,
+    e.g. the surviving iterate of an unpersist-as-you-go loop)."""
+    if not already_cached:
+        df = df.cache()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every tracked cache (non-blocking). Safe to call at
+    any time — a released cache recomputes, it never breaks a plan."""
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
 
 def register(name: str, oracle: str | None = None):
     """Register a query builder; ``oracle`` is DuckDB SQL over views
     named after the parquet tables, or None for non-SQL-expressible
-    operators (driver then records a weaker rows-only check)."""
+    operators (driver then records a weaker rows-only check).
+
+    The registered callable releases the PREVIOUS query's tracked
+    caches before building (see ``release_caches``) — no registered
+    query builds another registered query, so this can never release
+    a cache the new plan depends on."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_caches()
+            return fn(spark, sf_dir)
+
+        build.__name__ = fn.__name__
+        build.__doc__ = fn.__doc__
+        build.__wrapped__ = fn
+        QUERIES[name] = build
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
