@@ -159,11 +159,13 @@ GATE_PRIORITY: list[str] = [
     "cdc_envelope_counts",
     "cdc_to_analytics",
     "cdc_apply_snapshot",
-    # LLM-data-pipeline: dedup family
+    # LLM-data-pipeline: dedup family (planted-duplicate fixtures —
+    # the gate must see these find duplicates, not match empty sets)
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_cluster_components",
+    "dedup_chunk_passages",
     # similarity / embeddings
     "ann_bruteforce_topk",
     "knn_per_label_centroid",
@@ -174,46 +176,50 @@ GATE_PRIORITY: list[str] = [
     "text_quality_score",
     "text_fingerprint",
     "text_clean_normalize",
+    "text_repetition_stats",
+    "quality_gopher_rules",
     "boilerplate_line_stats",
+    # corpus-wide passes (r3 additions — first gate rotation)
+    "vocab_top_tokens",
+    "tfidf_top_terms",
+    "contamination_ngram",
+    "document_chunking",
+    "rare_token_score",
     # curation / mixture planning
     "sample_deterministic",
     "stratified_sample_by_source",
     "curation_pipeline",
+    "sequence_packing",
     "corpus_mixture_report",
     "domain_cap_sample",
     "token_budget_sample",
     "salted_skew_join",
+    "pii_redact_customers",
+    # profiling / diagnostics (r3 additions — first gate rotation)
+    "join_skew_report",
+    "corpus_length_histogram",
+    "events_anomaly_zscore",
     # multimodal plumbing
     "multimodal_binary_meta",
     "multimodal_frame_sample",
-    # round-1 hash-mismatch fixes (must re-prove green)
+    # round-1 hash-mismatch fixes (re-proven green r2+r3; keep until
+    # they reach 3 green rounds)
     "q9_product_profit",
     "sessionize_users",
     "hypertable_rollup",
     "json_props_extract",
     "approx_aggregates",
-    # already-proven keepers: one per distinct plan shape
+    # long-proven keepers: one per distinct architectural shape.
+    # Rotated OUT after 3 straight green rounds (union of r1-r4 gate
+    # rows now covers every oracle-backed operator): q2, q8, q13, q17,
+    # q21, topk_per_group, exact_percentiles, fuzzy_name_match,
+    # grouping_sets_status, window_distribution_suite,
+    # asof_click_to_view, dedup_keep_latest, s3_time_partition_layout
+    # — all still oracle-backed and pytest-rehearsed every round.
     "q1_pricing_summary",
-    "q2_min_cost_supplier",
     "q3_shipping_priority",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q21_waiting_supplier",
-    "topk_per_group",
-    "exact_percentiles",
-    "fuzzy_name_match",
-    # (rotated out to keep 50 slots — still oracle-backed and pytest-
-    # rehearsed: sliding_window_counts ~ tumbling_window_stats,
-    # interval_click_views ~ asof_click_to_view, event_gaps ~
-    # sessionize_users' lag shape)
     "tumbling_window_stats",
-    "asof_click_to_view",
-    "dedup_keep_latest",
-    "window_distribution_suite",
-    "grouping_sets_status",
     "scalar_function_suite",
-    "s3_time_partition_layout",
 ]
 
 

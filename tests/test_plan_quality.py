@@ -213,12 +213,27 @@ def test_ivf_assignment_is_shuffle_free(spark):
 
 
 def test_contamination_probe_join_broadcasts(spark):
-    """The probe gram table is tiny by construction — the corpus-side
-    scan must hash-join against a broadcast, never sort-merge (a
-    sort-merge here shuffles the full corpus gram stream at 100 TB)."""
+    """The probe gram table is bounded by construction (PROBE_CAP id
+    ceiling → ≤ 104 probe docs at ANY corpus size) — the corpus-side
+    scan must hash-join against a broadcast, never sort-merge, and the
+    big gram stream must never be exchanged on the join key (either
+    would shuffle the full corpus gram stream at 100 TB)."""
     text = plan_of(spark, "contamination_ngram")
     assert "BroadcastHashJoin" in text
     assert "SortMergeJoin" not in text
+    # no Exchange hashpartitioning on the gram key: the only hash
+    # shuffles allowed are the post-join doc_id aggregations
+    assert "hashpartitioning(g#" not in text
+
+
+def test_contamination_probe_is_bounded():
+    """The probe predicate must include the id ceiling — a mod-only
+    probe is ~1% of the corpus, whose exploded 5-grams at 100 TB are a
+    tens-of-GB broadcast (the r3 scale-killer)."""
+    from pg_bifrost_spark.operators import corpus
+
+    assert corpus.PROBE_CAP / corpus.PROBE_MOD < 256  # probe docs ≤ a few hundred
+    assert f"doc_id < {corpus.PROBE_CAP}" in plans.ORACLES["contamination_ngram"]
 
 
 def test_map_only_passes_have_no_hash_shuffle(spark):
