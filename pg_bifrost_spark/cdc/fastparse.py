@@ -17,17 +17,38 @@ entirely with Spark SQL expressions, inside whole-stage codegen:
                   left-to-right order (a quoted value containing the
                   marker text is consumed INSIDE its token, so it can
                   never be mistaken for a real marker)
-    fold:         ``transform`` parses each token, then one
-                  ``aggregate`` builds the columns / old_columns maps,
-                  switching target on the markers — exactly the
-                  scanner's loop, declaratively
+    split+build:  the eligibility grammar pins the only marker shapes
+                  test_decoding emits (no markers, or exactly
+                  ``old-key: <cols> new-tuple: <cols>``), so the
+                  old/new split is two ``slice`` calls around the
+                  ``new-tuple:`` position and each map is ONE
+                  ``map_from_entries`` over the parsed slice
+
+The split+build formulation replaced the r1-r3 ``aggregate()`` fold
+(kept below as ``_fold`` behind ``USE_FOLD`` for the equivalence
+suite): the fold built each map by chaining one ``map_concat`` per
+token — O(n²) map copying per row on top of interpreted HOF dispatch —
+and was the single largest CPU sink in the engine (VERDICT r3).
+``map_from_entries`` builds each map in one pass, and the lines with
+any OTHER marker arrangement (never produced by test_decoding) now
+fall to the Python scanner by failing eligibility.
+
+Measured (sf0.1 cdc_lineitem_roundtrip, ~1.8 M WAL lines, local[32],
+interleaved A/B, median of 3 per arm, two rounds): fold 9.80 s /
+10.42 s vs slice 7.98 s / 9.02 s — a consistent ~1.2× on the FULL
+roundtrip (parse + marshal + envelope consumption; the parse stage
+itself gains more). The gap widens with column count (the fold's
+map_concat chain is quadratic in row width, the slice path linear),
+so the slice path is the default at any schema wider than the
+fixtures'.
 
 Lines that fail the eligibility regex (quoted identifiers, TRUNCATE,
 malformed input) fall through to the Python scanner, which remains the
 arbiter of the full grammar. Equivalence of the two paths on eligible
 lines is pinned by ``tests/test_fastparse.py`` over an adversarial
 corpus (quoted values with spaces, ``''`` escapes, ``]:`` inside
-values, marker text inside values, NULL and TOAST sentinels).
+values, marker text inside values, NULL and TOAST sentinels), run
+against BOTH the slice path and the fold fallback.
 
 All repeated quantifiers in the regexes are possessive (Java regex) —
 every alternation is first-character-disjoint, so possessive matching
@@ -60,12 +81,21 @@ _COL = rf"{_NAME}\[{_TYPE}\]:{_VAL}"
 TOKEN_RE = rf"old-key:|new-tuple:|{_COL}"
 
 # Anchored full-line eligibility: if this matches, the tokenizer above
-# consumes the body exactly — nothing can be silently skipped.
-_BODY = (
-    rf"(?:\(no-tuple-data\)"
-    rf"|(?:old-key: |new-tuple: )?+{_COL}(?: (?:old-key:|new-tuple:|{_COL}))*+)"
-)
+# consumes the body exactly — nothing can be silently skipped — AND the
+# marker arrangement is one of the two shapes test_decoding actually
+# emits: no markers at all, or exactly `old-key: <cols> new-tuple:
+# <cols>` (an UPDATE/DELETE with replica identity). That pinned shape
+# is what lets the parser split old/new by slicing at the single
+# `new-tuple:` position instead of folding over every token; any other
+# marker arrangement routes to the Python scanner.
+_COLS = rf"{_COL}(?: {_COL})*+"
+_BODY = rf"(?:\(no-tuple-data\)|(?:old-key: {_COLS} new-tuple: )?+{_COLS})"
 ELIGIBLE_RE = rf"^table ({_NAME}(?:\.{_NAME})*+): (INSERT|UPDATE|DELETE): {_BODY}$"
+
+# Fold fallback switch (see module docstring): False = slice+
+# map_from_entries (default), True = the r1-r3 aggregate() fold. The
+# equivalence suite runs both.
+USE_FOLD = False
 
 _COLMAP_T = "map<string,struct<v:string,t:string,q:boolean>>"
 
@@ -75,9 +105,51 @@ def fast_eligible(line: Column) -> Column:
     return line.rlike(ELIGIBLE_RE)
 
 
+def _entry(tk: Column) -> Column:
+    """One COLUMN token → struct(key=name, value=struct(v,t,q)) — the
+    map_from_entries element shape (slice path; markers never reach
+    this, they are cut away by the split)."""
+    prefix = F.regexp_extract(tk, rf"^([^\[]++\[{_TYPE}\]:)", 1)
+    raw = tk.substr(F.length(prefix) + 1, F.length(tk))
+    quoted = raw.startswith("'")
+    value = F.when(
+        quoted,
+        F.regexp_replace(raw.substr(F.lit(2), F.length(raw) - 2), "''", "'"),
+    ).otherwise(raw)
+    return F.struct(
+        F.regexp_extract(tk, r"^([^\[]++)\[", 1).alias("key"),
+        F.struct(
+            value.alias("v"),
+            F.regexp_extract(tk, rf"^[^\[]++\[({_TYPE})\]:", 1).alias("t"),
+            quoted.alias("q"),
+        ).alias("value"),
+    )
+
+
+def _split_maps(tokens: Column) -> Column:
+    """Tokenized body → struct(cols, old) by slicing at the marker
+    positions ELIGIBLE_RE pinned: tokens are either all columns, or
+    ``['old-key:', *old_cols, 'new-tuple:', *new_cols]``. Each map is
+    ONE ``map_from_entries`` pass (honors mapKeyDedupPolicy=LAST_WIN,
+    matching the Python scanner's dict overwrite) — no per-token
+    ``map_concat`` chain."""
+    has_old = F.get(tokens, 0) == "old-key:"
+    p_new = F.array_position(tokens, "new-tuple:")
+    old_toks = F.when(
+        has_old, F.slice(tokens, F.lit(2), (p_new - 2).cast("int"))
+    ).otherwise(F.array().cast("array<string>"))
+    new_toks = F.when(
+        has_old, F.slice(tokens, (p_new + 1).cast("int"), (F.size(tokens) - p_new).cast("int"))
+    ).otherwise(tokens)
+    return F.struct(
+        F.map_from_entries(F.transform(new_toks, _entry)).alias("cols"),
+        F.map_from_entries(F.transform(old_toks, _entry)).alias("old"),
+    )
+
+
 def _parse_token(tk: Column) -> Column:
     """One token → struct(marker, name, entry) — marker 1/2 for the
-    section switches, 0 for a real column."""
+    section switches, 0 for a real column. (Fold fallback only.)"""
     prefix = F.regexp_extract(tk, rf"^([^\[]++\[{_TYPE}\]:)", 1)
     raw = tk.substr(F.length(prefix) + 1, F.length(tk))
     quoted = raw.startswith("'")
@@ -101,7 +173,9 @@ def _parse_token(tk: Column) -> Column:
 
 def _fold(parsed_tokens: Column) -> Column:
     """Fold parsed tokens into struct(cols, old) maps, switching the
-    insertion target on the section markers."""
+    insertion target on the section markers. (Fold fallback, kept for
+    the equivalence suite — the slice path replaced it; this chains
+    one map_concat per token, O(n²) map copying per row.)"""
     empty = F.expr(f"cast(map() as {_COLMAP_T})")
     init = F.struct(
         empty.alias("cols"), empty.alias("old"), F.lit(True).alias("to_new")
@@ -146,41 +220,62 @@ def jvm_parseable(line: Column) -> Column:
     return _is_control(line) | fast_eligible(line)
 
 
-def jvm_parse(df: DataFrame, passthrough: list[str] = ()) -> DataFrame:
+def jvm_parse(
+    df: DataFrame, passthrough: list[str] = (), use_fold: bool | None = None
+) -> DataFrame:
     """Parse a DataFrame of JVM-PARSEABLE raw lines (RAW_LINE_SCHEMA
     [+ passthrough txn columns]) into the Python parser's output schema
     (PARSED_SCHEMA_DDL order, incl. txn_xid — callers on the assembled
-    path drop it). Entirely JVM expressions inside whole-stage codegen:
-    one regex tokenize + one fold per DML line, two string ops per
-    control line."""
+    path drop it). Entirely JVM expressions: one regex tokenize + one
+    map build per DML line, two string ops per control line.
+    ``use_fold`` overrides the module default (equivalence suite)."""
+    if use_fold is None:
+        use_fold = USE_FOLD
     line = F.col("line")
-    ctrl_tokens = F.split(line, " ")
     is_ctrl = _is_control(line)
     body = F.regexp_extract(line, r"^table [^:]++: [A-Z]++: (.*+)$", 1)
     tokens = F.regexp_extract_all(body, F.lit(TOKEN_RE), F.lit(0))
-    folded = _fold(F.transform(tokens, _parse_token))
-    # control rows carry EMPTY maps — byte-equal to the Python
-    # parser's output for BEGIN/COMMIT (empty dicts, not NULL)
+    head = ["wal_start", "server_wal_end", "server_time_ms", "stream_id"]
+    # Staging discipline: the HOF-built expressions below are
+    # codegen-fallback (no common-subexpression elimination), so any
+    # attribute referenced more than once downstream must be
+    # materialized in its OWN projection — CollapseProject's
+    # multi-reference guard then keeps it evaluated once per row
+    # (an inlined fold ran 2.2× slower; see also functions/barrier.py
+    # for the cross-operator case).
+    if use_fold:
+        folded = _fold(F.transform(tokens, _parse_token))
+        staged = df.select(
+            *head,
+            line.alias("line"),
+            # control rows carry NULL here → coalesced to EMPTY maps
+            # below, byte-equal to the Python parser's BEGIN/COMMIT
+            # output (empty dicts, not NULL)
+            F.when(is_ctrl, F.lit(None)).otherwise(folded).alias("_maps"),
+            *passthrough,
+        )
+    else:
+        # slice path: the token array is referenced five times by the
+        # split (head check, marker position, two slices, size) — stage
+        # it first so the regex scan runs once per line.
+        toks_staged = df.select(
+            *head,
+            line.alias("line"),
+            F.when(is_ctrl, F.lit(None)).otherwise(tokens).alias("_toks"),
+            *passthrough,
+        )
+        staged = toks_staged.select(
+            *head,
+            "line",
+            F.when(F.col("_toks").isNull(), F.lit(None))
+            .otherwise(_split_maps(F.col("_toks")))
+            .alias("_maps"),
+            *passthrough,
+        )
     empty_map = F.expr(f"cast(map() as {_COLMAP_T})")
-    # The fold feeds BOTH output maps. aggregate() is codegen-fallback
-    # (no common-subexpression elimination), so referencing it twice in
-    # one projection runs the whole fold twice per line — measured 2.2×
-    # slower. Materialize it ONCE in a first projection, split after.
-    staged = df.select(
-        "wal_start",
-        "server_wal_end",
-        "server_time_ms",
-        "stream_id",
-        line.alias("line"),
-        F.when(is_ctrl, F.lit(None)).otherwise(folded).alias("_folded"),
-        *passthrough,
-    )
     is_ctrl2 = _is_control(F.col("line"))
     return staged.select(
-        "wal_start",
-        "server_wal_end",
-        "server_time_ms",
-        "stream_id",
+        *head,
         F.when(is_ctrl2, F.element_at(F.split("line", " "), 1))
         .otherwise(
             F.regexp_extract("line", r"^table [^:]++: (INSERT|UPDATE|DELETE):", 1)
@@ -193,8 +288,8 @@ def jvm_parse(df: DataFrame, passthrough: list[str] = ()) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
         .alias("txn_xid"),
         (~is_ctrl2 & F.col("line").endswith(": (no-tuple-data)")).alias("no_tuple_data"),
-        F.coalesce(F.col("_folded.cols"), empty_map).alias("columns"),
-        F.coalesce(F.col("_folded.old"), empty_map).alias("old_columns"),
+        F.coalesce(F.col("_maps.cols"), empty_map).alias("columns"),
+        F.coalesce(F.col("_maps.old"), empty_map).alias("old_columns"),
         F.lit(None).cast("string").alias("parse_error"),
         *passthrough,
     )

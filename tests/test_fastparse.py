@@ -11,6 +11,7 @@ of malformed junk that must route to Python error accounting.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pg_bifrost_spark.cdc.fastparse import jvm_parse, jvm_parseable
@@ -31,6 +32,10 @@ ELIGIBLE = [
     "table a.b.c: INSERT: x[bigint]:9223372036854775807",
     "table t: INSERT: e[text]:'only''''quotes'",
     "table public.t: INSERT: sci[double precision]:1e-5 neg[integer]:-42",
+    # duplicate column name: map build must keep the LAST value (the
+    # Python scanner's dict-overwrite semantics; mapKeyDedupPolicy)
+    "table public.t: INSERT: a[integer]:1 a[integer]:2",
+    "table public.t: UPDATE: old-key: k[integer]:1 k[integer]:3 new-tuple: k[integer]:9",
 ]
 
 INELIGIBLE = [
@@ -46,6 +51,12 @@ INELIGIBLE = [
     "BEGIN 1 2",
     "",
     "x",
+    # marker arrangements test_decoding never emits — the slice-based
+    # fast path cannot represent them, so they must route to Python
+    "table public.t: UPDATE: new-tuple: id[integer]:2",
+    "table public.t: UPDATE: id[integer]:1 old-key: id[integer]:2",
+    "table public.t: UPDATE: old-key: id[integer]:1",
+    "table public.t: UPDATE: old-key: a[integer]:1 new-tuple: b[integer]:2 old-key: c[integer]:3",
 ]
 
 CONTROL = ["BEGIN 42", "COMMIT 42", "BEGIN 607", "COMMIT 607"]
@@ -60,13 +71,17 @@ def _as_map(d):
     return {k: {"v": v, "t": t, "q": q} for k, (v, t, q) in d.items()}
 
 
-def test_jvm_parse_matches_python_scanner(spark):
+@pytest.mark.parametrize("use_fold", [False, True], ids=["slice", "fold"])
+def test_jvm_parse_matches_python_scanner(spark, use_fold):
     lines = ELIGIBLE + CONTROL
     df = _rows_df(spark, lines)
     flags = [r[0] for r in df.select(jvm_parseable(F.col("line"))).collect()]
     assert all(flags), "every corpus line must be JVM-parseable"
 
-    got = {r["wal_start"]: r.asDict(recursive=True) for r in jvm_parse(df).collect()}
+    got = {
+        r["wal_start"]: r.asDict(recursive=True)
+        for r in jvm_parse(df, use_fold=use_fold).collect()
+    }
     for i, line in enumerate(lines):
         pr = parse_line(line)
         r = got[1000 + 8 * i]

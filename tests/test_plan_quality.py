@@ -87,15 +87,24 @@ def test_cdc_roundtrip_has_no_global_single_partition_window(spark):
 
 
 def test_cdc_fold_evaluated_once_and_json_cancelled(spark):
-    """The fast-path token fold (interpreted HOF — no runtime CSE) must
-    appear exactly once in the optimized roundtrip plan: CollapseProject
-    inlining it per extraction once cost 3 copies ≈ 3× the pipeline
-    (functions/barrier.py). And the envelope's from_json(to_json(...))
+    """The fast-path parse expressions (interpreted HOFs — no runtime
+    CSE) must appear exactly once in the optimized roundtrip plan:
+    CollapseProject inlining them per extraction once cost 3 copies ≈
+    3× the pipeline (functions/barrier.py). Pinned for the slice path:
+    ONE regexp_extract_all token scan and at most one map build per
+    output map (cols + old). And the envelope's from_json(to_json(...))
     must cancel (OptimizeCsvJsonExprs) — the barrier must sit BELOW
     marshal, never between marshal and the consumer."""
     df = plans.QUERIES["cdc_lineitem_roundtrip"](spark, SF)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("aggregate(") <= 1, "token fold duplicated in plan"
+    assert opt.count("regexp_extract_all(") <= 1, "token scan duplicated in plan"
+    # parse-stage map builds (they reference the staged _toks array —
+    # the marshaller's envelope maps also use map_from_entries, so the
+    # count is scoped): exactly one per output map
+    assert opt.count("map_from_entries(transform(CASE WHEN (_toks") <= 2, (
+        "parse-stage map build duplicated in plan"
+    )
     assert "to_json" not in opt, "envelope JSON round-trip not cancelled"
 
 
