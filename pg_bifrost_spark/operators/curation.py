@@ -86,14 +86,39 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     min node id in the component. Iterative min-label propagation:
     O(diameter) rounds, each one join + groupBy — the standard
     large-graph shape (driver only checks a convergence count).
-    Deterministic."""
+    Deterministic.
+
+    Each iterate is ``localCheckpoint``-ed, NOT just cached: the next
+    iterate's logical plan references ``labels`` twice (the join and
+    the neighbor aggregation), so without lineage truncation the plan
+    tree DOUBLES per round — analysis cost and driver heap go
+    exponential and a 20-round run OOMs even on a 41-node test graph
+    (execution would have reused the cache; planning is what explodes).
+    The checkpoint replaces the subtree with a leaf. Superseded
+    iterates' checkpoint RDDs are unpersisted as the loop advances
+    (they have no DataFrame-level unpersist, so the loop releases them
+    by RDD id); the surviving iterate is released at the next
+    registered-query build via ``track_release``. On a real cluster
+    the same loop would use reliable ``checkpoint()`` to survive
+    executor loss — localCheckpoint is the single-box analog."""
+    from ..plans import track_release
+
+    sc = edges.sparkSession.sparkContext
+
+    def persistent_ids() -> set[int]:
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def release_rdds(ids: set[int]) -> None:
+        for rid in ids:
+            sc._jsc.sc().unpersistRDD(rid, False)
+
     sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst as src", "src as dst"))
     labels = (
         sym.selectExpr("src as node").union(sym.selectExpr("dst as node")).distinct()
         .withColumn("component", F.col("node"))
     )
     sym = tracked_cache(spread(sym, "src"))
-    prev_cached: DataFrame | None = None
+    prev_ids: set[int] = set()
     for _ in range(max_iter):
         # each node adopts min(own, neighbors' labels)
         neighbor_min = (
@@ -105,7 +130,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             labels.join(neighbor_min, "node", "left_outer")
             .select("node", F.least("component", F.coalesce("nmin", "component")).alias("component"))
         )
-        new_labels = new_labels.cache()
+        before = persistent_ids()
+        new_labels = new_labels.localCheckpoint(eager=True)
+        new_ids = persistent_ids() - before
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -113,19 +140,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        # the count above materialized new_labels — the previous
-        # iteration's cache is now dead weight; without this the loop
-        # leaks one cached DataFrame PER ITERATION (VERDICT r3)
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = new_labels
+        # the previous iterate's checkpoint is now dead weight —
+        # without this the loop leaks one per round (VERDICT r3)
+        release_rdds(prev_ids)
+        prev_ids = new_ids
         labels = new_labels
         if changed == 0:
             break
-    if prev_cached is not None:
-        # the surviving iterate is referenced by the returned plan —
-        # hand it to the deferred-release registry instead
-        tracked_cache(prev_cached, already_cached=True)
+    if prev_ids:
+        # the surviving iterate backs the returned plan — defer
+        surviving = set(prev_ids)
+        track_release(lambda: release_rdds(surviving))
     return labels
 
 

@@ -37,7 +37,7 @@ ORACLES: dict[str, str] = {}
 # leak to ONE query's caches at a time in any session that builds
 # queries sequentially (the driver's correctness gate, bench.py, the
 # oracle rehearsal): building query N+1 releases query N's caches.
-_LIVE_CACHES: list[DataFrame] = []
+_LIVE_CACHES: list[Callable[[], None]] = []  # one release callable per resource
 
 
 def tracked_cache(df: DataFrame, already_cached: bool = False) -> DataFrame:
@@ -46,17 +46,23 @@ def tracked_cache(df: DataFrame, already_cached: bool = False) -> DataFrame:
     e.g. the surviving iterate of an unpersist-as-you-go loop)."""
     if not already_cached:
         df = df.cache()
-    _LIVE_CACHES.append(df)
+    _LIVE_CACHES.append(df.unpersist)
     return df
 
 
+def track_release(fn: Callable[[], None]) -> None:
+    """Register an arbitrary release action (e.g. unpersisting a
+    localCheckpoint's RDD, which has no DataFrame-level unpersist)."""
+    _LIVE_CACHES.append(fn)
+
+
 def release_caches() -> None:
-    """Unpersist every tracked cache (non-blocking). Safe to call at
-    any time — a released cache recomputes, it never breaks a plan."""
+    """Run every tracked release (non-blocking). Safe to call at any
+    time — a released cache recomputes, it never breaks a plan."""
     while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
+        fn = _LIVE_CACHES.pop()
         try:
-            df.unpersist()
+            fn()
         except Exception:
             pass  # session already stopped — nothing to release
 
