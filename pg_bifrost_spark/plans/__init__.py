@@ -104,6 +104,13 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     # CDC fast-path parser builds column maps with map_concat; LAST_WIN
     # matches the Python scanner's dict overwrite for duplicate names
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # InferFiltersFromGenerate re-evaluates expression-dense generator
+    # children inside an inferred size()>0 filter — measured 1.5x on
+    # the CDC roundtrip (envelope built twice per row); see session.py
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -56,6 +56,21 @@ def get_spark(
         # LAST_WIN matches the Python scanner's dict overwrite semantics
         # for a (pathological) duplicate column name instead of raising
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # InferFiltersFromGenerate duplicates the generator's CHILD
+        # expression into an inferred `size(e) > 0` filter. For cheap
+        # array columns that enables pruning, but every explode in this
+        # engine feeds either the optimizer barrier (explode over a
+        # 1-element literal array — the filter is tautological) or an
+        # expression-dense array (shingles, envelope structs) where the
+        # duplicated evaluation costs far more than pruning saves:
+        # measured 1.5x on cdc_lineitem_roundtrip (11s -> 7s median,
+        # the envelope build ran twice per row) and parity-or-better on
+        # every other headline query. Same pathology the with_shingles
+        # docstring documents for a hand-written size() filter.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # static conf: saveAsTable target for bucketed tables
         .config(
             "spark.sql.warehouse.dir",

@@ -105,6 +105,11 @@ def test_cdc_fold_evaluated_once_and_json_cancelled(spark):
     assert opt.count("map_from_entries(transform(CASE WHEN (_toks") <= 2, (
         "parse-stage map build duplicated in plan"
     )
+    # whole-plan bound: 2 parse maps + 1 envelope map. A count of 4 is
+    # the InferFiltersFromGenerate signature — the envelope build
+    # duplicated into an inferred size()>0 filter, which cost 1.5x on
+    # the roundtrip before the rule was excluded (session.py)
+    assert opt.count("map_from_entries(") <= 3, "envelope map build duplicated"
     assert "to_json" not in opt, "envelope JSON round-trip not cancelled"
 
 
