@@ -108,19 +108,27 @@ def fast_eligible(line: Column) -> Column:
 def _entry(tk: Column) -> Column:
     """One COLUMN token → struct(key=name, value=struct(v,t,q)) — the
     map_from_entries element shape (slice path; markers never reach
-    this, they are cut away by the split)."""
-    prefix = F.regexp_extract(tk, rf"^([^\[]++\[{_TYPE}\]:)", 1)
-    raw = tk.substr(F.length(prefix) + 1, F.length(tk))
+    this, they are cut away by the split).
+
+    Plain string ops, no per-token regex: the token grammar guarantees
+    the name contains no ``[`` (so the FIRST ``[`` ends it) and the
+    type charset contains no ``:`` (so the FIRST ``]:`` is exactly the
+    type/value delimiter — a ``]:`` inside a quoted value always comes
+    later). The ``''`` unescape is a literal replace (left-to-right
+    non-overlapping, same as the regex it replaced)."""
+    name = F.substring_index(tk, "[", 1)
+    pre = F.substring_index(tk, "]:", 1)  # "name[type"
+    raw = tk.substr(F.length(pre) + 3, F.length(tk))
     quoted = raw.startswith("'")
     value = F.when(
         quoted,
-        F.regexp_replace(raw.substr(F.lit(2), F.length(raw) - 2), "''", "'"),
+        F.replace(raw.substr(F.lit(2), F.length(raw) - 2), F.lit("''"), F.lit("'")),
     ).otherwise(raw)
     return F.struct(
-        F.regexp_extract(tk, r"^([^\[]++)\[", 1).alias("key"),
+        name.alias("key"),
         F.struct(
             value.alias("v"),
-            F.regexp_extract(tk, rf"^[^\[]++\[({_TYPE})\]:", 1).alias("t"),
+            pre.substr(F.length(name) + 2, F.length(pre)).alias("t"),
             quoted.alias("q"),
         ).alias("value"),
     )
