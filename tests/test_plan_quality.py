@@ -266,6 +266,52 @@ def test_sequence_packing_partitions_by_source(spark):
     assert "hashpartitioning(source" in text
 
 
+def test_vocab_rank_window_after_topk_cut(spark):
+    """vocab_top_tokens' global rank window must run AFTER the top-K
+    cut (TakeOrderedAndProject), so it only ever sees TOP_VOCAB rows —
+    a global window over the full vocabulary would serialize a
+    ~log-corpus-size table through one task."""
+    text = plan_of(spark, "vocab_top_tokens")
+    assert "TakeOrderedAndProject" in text
+    assert "Window" in text
+
+
+def test_tfidf_window_partitions_by_doc(spark):
+    """tfidf_top_terms' term-rank window partitions by doc_id — fully
+    distributed, never a global empty-partition window."""
+    text = plan_of(spark, "tfidf_top_terms")
+    assert "windowspecdefinition(doc_id" in text
+
+
+def test_skew_and_zscore_stats_join_broadcast(spark):
+    """The single-row/tiny stats tables must come back as broadcasts:
+    join_skew_report's corpus totals (broadcast nested-loop over one
+    row) and events_anomaly_zscore's per-type stats (broadcast hash).
+    A sort-merge here shuffles the full fact stream at 100 TB."""
+    text = plan_of(spark, "join_skew_report")
+    assert "BroadcastNestedLoopJoin" in text and "SortMergeJoin" not in text
+    text = plan_of(spark, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in text and "SortMergeJoin" not in text
+
+
+def test_chunk_passes_are_windowless(spark):
+    """document_chunking and dedup_chunk_passages are per-document
+    array expressions + (for dedup) one digest groupBy — no window
+    function anywhere, nothing single-task."""
+    for q in ("document_chunking", "dedup_chunk_passages"):
+        text = plan_of(spark, q)
+        assert "windowspecdefinition" not in text, f"{q}: unexpected window"
+
+
+def test_planted_dup_queries_still_single_digest_shuffle(spark):
+    """The planted-duplicate union must not change dedup_exact's plan
+    class: digest computed map-side on both union branches, ONE
+    hash-shuffle on the digest (the groupBy), no join."""
+    text = plan_of(spark, "dedup_exact_documents")
+    assert "Join" not in text
+    assert text.count("hashpartitioning(content_hash") <= 1
+
+
 def test_no_decimal_output_columns(spark):
     """Gate-hash discipline: no registered query may EMIT a Decimal
     column. Decimal outputs hash-fail against an oracle comparator
