@@ -301,9 +301,24 @@ N_BANDS = 16  # 4 rows/band → catches jaccard ≳ 0.5 with high prob
 
 def minhash_signature(shingles: F.Column) -> F.Column:
     """64 minhash values; permutation i = min over shingles of
-    xxhash64(shingle, seed=i). Built-ins only — codegen'd, no UDF."""
-    return F.array(
-        *[F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(N_PERM)]
+    xxhash64(shingle, seed=i). Built-ins only, no UDF.
+
+    ONE aggregate pass over the shingle array, folding an elementwise
+    running minimum of the 64 per-shingle hashes — vs the naive 64 ×
+    (transform + array_min), which re-traverses the (typically ≫64
+    element) shingle array once per permutation and allocates 64
+    hash arrays of that length per doc. Measured 1.2× on the full
+    dedup_minhash_lsh query at sf0.1 (2.0 s → 1.6 s median).
+    On an empty array the signature is the MAX_LONG init vector
+    (callers filter empty docs first)."""
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), N_PERM),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(N_PERM)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
