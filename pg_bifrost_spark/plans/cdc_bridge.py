@@ -90,9 +90,14 @@ def cdc_lineitem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     input): serializing + re-parsing 600 k JSON strings in one plan
     costs ~8 s at sf0.1 and proves nothing extra here — the JSON byte
     layer is covered by cdc_envelope_counts (full to_json→from_json at
-    the same volume, driver-gated), cdc_events_roundtrip, and the
-    golden byte tests. The barrier makes the envelope build evaluate
-    once per row, not once per extracted field (CollapseProject)."""
+    the same volume, driver-gated), cdc_events_roundtrip, the golden
+    byte tests, AND a lineitem-specific small-N full-JSON roundtrip
+    (tests/test_lineitem_json_roundtrip.py: every envelope re-parsed
+    in plain Python against the source parquet, so a regression in
+    lineitem-specific JSON value rendering cannot slip past this
+    gate's struct shortcut). The barrier makes the envelope build
+    evaluate once per row, not once per extracted field
+    (CollapseProject)."""
     out = run_pipeline_assembled_structs(
         _lineitem_raw(spark, sf_dir), PipelineConfig()
     )
