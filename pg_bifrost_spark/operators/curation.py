@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import register, table, tracked_cache
-from .dedup import PLANTED_DOCS_SQL, plant_duplicates, spread
+from .dedup import DF_CUTOFF, PLANTED_DOCS_SQL, ngram_jaccard_pairs, plant_duplicates, spread
 
 # ---------------------------------------------------------------------------
 # Deterministic hash sampling (reproducible train/eval splits)
@@ -195,6 +195,84 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components(edges)
         .select(F.col("node").alias("doc_id"), "component")
         .orderBy("doc_id")
+    )
+
+
+_JACCARD_EDGES_SQL = f"""sh AS (
+      SELECT doc_id, unnest(list_distinct([
+               x[1] || ' ' || x[2] || ' ' || x[3]
+               FOR x IN [
+                 toks[i:i+2] FOR i IN range(1, len(toks) - 1)
+               ] IF len(x) = 3
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {DF_CUTOFF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5
+    )"""
+
+
+@register(
+    "dedup_jaccard_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_EDGES_SQL},
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    walk(node, comp) AS (
+      SELECT DISTINCT src AS node, src AS comp FROM sym
+      UNION
+      SELECT s.dst AS node, w.comp
+      FROM walk w JOIN sym s ON s.src = w.node
+      WHERE w.comp < s.dst
+    ),
+    comp AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           max(node) AS max_doc_id
+    FROM comp GROUP BY component ORDER BY component
+    """,
+)
+def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate CLUSTERS: the n-gram-Jaccard pair list (exact,
+    posting-list generated — ``dedup.ngram_jaccard_pairs``) resolved
+    into connected components, each labeled by its minimum doc_id (the
+    keeper a dedup pass retains). This is the step an actual curation
+    run needs between pair detection and row dropping — near-dup
+    relations are not transitive, so A~B and B~C must collapse into
+    ONE {A,B,C} cluster or the pass would keep B twice.
+
+    Scale shape: pair generation is the bounded posting-list join,
+    clustering is O(diameter) label-propagation rounds with
+    checkpointed iterates — no driver union-find, no all-pairs
+    anywhere. The oracle mirrors both stages (same DF cutoff, same
+    threshold) with a recursive CTE walk."""
+    edges = (
+        ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    cc = connected_components(edges)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("node").alias("max_doc_id"),
+        )
+        .orderBy("component")
     )
 
 
