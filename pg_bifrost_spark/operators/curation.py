@@ -276,6 +276,70 @@ def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "near_dup_resolution",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_EDGES_SQL},
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    walk(node, comp) AS (
+      SELECT DISTINCT src AS node, src AS comp FROM sym
+      UNION
+      SELECT s.dst AS node, w.comp
+      FROM walk w JOIN sym s ON s.src = w.node
+      WHERE w.comp < s.dst
+    ),
+    comp AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM comp WHERE node <> component)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN dr.doc_id IS NULL
+                    THEN len(string_split_regex(lower(trim(d.text)), '\\s+'))
+                    ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM documents d LEFT JOIN dropped dr USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def near_dup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-dropping step of fuzzy dedup, as an auditable report:
+    every non-keeper member of a Jaccard cluster (keeper = min doc_id,
+    per ``dedup_jaccard_clusters``) is dropped; the report gives
+    per-source kept/dropped doc counts and the surviving token mass —
+    the before/after a curation run records next to its config.
+
+    Scale shape: the dropped set is |cluster members - clusters| rows
+    (tiny relative to the corpus); it joins back to documents as a
+    broadcast-able left join, then one groupBy on source. No second
+    pass over text beyond the token count already being computed."""
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    dropped = (
+        cc.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+        .withColumn("_dropped", F.lit(1))
+    )
+    ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    is_drop = F.col("_dropped").isNotNull()
+    return (
+        docs.join(F.broadcast(dropped), "doc_id", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(is_drop, 0).otherwise(1)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(is_drop, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(is_drop, 0).otherwise(ntok)).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # The composed curation pipeline
 # ---------------------------------------------------------------------------
