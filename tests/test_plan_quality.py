@@ -312,6 +312,15 @@ def test_planted_dup_queries_still_single_digest_shuffle(spark):
     assert text.count("hashpartitioning(content_hash") <= 1
 
 
+def test_near_dup_resolution_drop_join_broadcasts(spark):
+    """The dropped set (cluster members minus keepers) is tiny
+    relative to the corpus — the documents side must hash-join against
+    a broadcast of it, never sort-merge-shuffle the corpus."""
+    text = plan_of(spark, "near_dup_resolution")
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
 def test_no_decimal_output_columns(spark):
     """Gate-hash discipline: no registered query may EMIT a Decimal
     column. Decimal outputs hash-fail against an oracle comparator
