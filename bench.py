@@ -64,7 +64,10 @@ HEADLINE = [
     "cdc_lineitem_roundtrip",
 ]
 
-N_EXECS = 3  # per-query executions; the median is reported
+# per-query executions (median reported). Overridable for hosts where
+# 3 full sweeps would not fit a wall-clock budget; 3 is the default
+# measurement discipline.
+N_EXECS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_EXECS", "3")))
 
 
 def _clean_state(spark) -> None:
