@@ -118,6 +118,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("node"))
     )
     sym = tracked_cache(spread(sym, "src"))
+    # Materialize the sym cache NOW: its cached-buffer RDD registers
+    # lazily at first materialization, which would otherwise happen
+    # during iteration 1's eager checkpoint job — landing its id in
+    # that iteration's `new_ids` diff and force-unpersisting the edge
+    # cache after iteration 2 (every later round would recompute the
+    # edge list from source, e.g. re-running the posting-list self-join
+    # per round for the Jaccard-edge callers). One count() on the edge
+    # list; iteration 1 reuses the blocks it fills.
+    sym.count()
     prev_ids: set[int] = set()
     for _ in range(max_iter):
         # each node adopts min(own, neighbors' labels)
@@ -311,10 +320,17 @@ def near_dup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source kept/dropped doc counts and the surviving token mass —
     the before/after a curation run records next to its config.
 
-    Scale shape: the dropped set is |cluster members - clusters| rows
-    (tiny relative to the corpus); it joins back to documents as a
-    broadcast-able left join, then one groupBy on source. No second
-    pass over text beyond the token count already being computed."""
+    Scale shape: the dropped set is |cluster members - clusters| rows.
+    On the test fixtures that is a handful, but in a REAL web-corpus
+    fuzzy dedup it is 20-50% of all documents — corpus-proportional,
+    billions of ids at 100 TB — so the join strategy is left to the
+    planner: AQE broadcasts when the runtime size is genuinely small
+    and falls back to a shuffled join when it is not (a forced
+    broadcast here was the round-4 scale-killer finding — tens of GB
+    pushed to every executor). The corpus itself is scanned exactly
+    once; the only further corpus-side work is the one groupBy on
+    source. No second pass over text beyond the token count already
+    being computed."""
     docs = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -328,7 +344,7 @@ def near_dup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     is_drop = F.col("_dropped").isNotNull()
     return (
-        docs.join(F.broadcast(dropped), "doc_id", "left_outer")
+        docs.join(dropped, "doc_id", "left_outer")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -109,6 +109,34 @@ def plant_duplicates(df: DataFrame, id_col: str) -> DataFrame:
     return df.unionByName(clones)
 
 
+# Planted BOILERPLATE (VERDICT r4 "Wrong #2"): the fixtures' max
+# shingle document-frequency is 25, under DF_CUTOFF=64, so the hot-set
+# branch of the posting-list cutoff machinery never executed on real
+# data — the engine's headline skew defense was proven only by a
+# synthetic unit test. This fixture prepends a fixed boilerplate
+# sentence to every doc_id % BOILER_MOD == 0 document (~1/7 of the
+# corpus ⇒ its 4 interior shingles have df ≈ 72 at the 500-doc
+# fixtures), and the hotset gate query runs the Jaccard operator with
+# HOTSET_CUTOFF below that df but above the natural max (25): the hot
+# set is then EXACTLY the boilerplate shingles, the map-side
+# array_except subtraction provably executes, and the full oracle
+# mirrors the plant + the cutoff.
+BOILER_TEXT = "all rights reserved unauthorized reproduction strictly prohibited"
+BOILER_MOD = 7
+HOTSET_CUTOFF = 32
+
+
+def plant_boilerplate(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Prepend BOILER_TEXT to every id % BOILER_MOD == 0 row's text."""
+    return df.withColumn(
+        "text",
+        F.when(
+            F.col(id_col) % BOILER_MOD == 0,
+            F.concat(F.lit(BOILER_TEXT + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+
+
 # oracle-side mirror of plant_duplicates on each table (column order
 # matches the parquet schema, so UNION ALL aligns positionally)
 PLANTED_DOCS_SQL = f"""documents_planted AS (
@@ -290,6 +318,70 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+_HOTSET_DOCS_SQL = f"""documents_boiler AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {BOILER_MOD} = 0
+                  THEN '{BOILER_TEXT} ' || text ELSE text END AS text,
+             lang, source, n_chars
+      FROM documents
+    ),
+    documents_hotset AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents_boiler
+      UNION ALL
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id, text, lang, source, n_chars
+      FROM documents_boiler WHERE doc_id % {PLANT_MOD} = 0
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard_hotset",
+    oracle=f"""
+    WITH {_HOTSET_DOCS_SQL},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([
+               x[1] || ' ' || x[2] || ' ' || x[3]
+               FOR x IN [
+                 toks[i:i+2] FOR i IN range(1, len(toks) - 1)
+               ] IF len(x) = 3
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents_hotset)
+      WHERE len(toks) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {HOTSET_CUTOFF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard_hotset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ngram_jaccard_pairs`` over documents with planted BOILERPLATE
+    (see BOILER_TEXT above) plus planted exact clones, at a cutoff
+    (HOTSET_CUTOFF=32) between the natural max shingle df (25) and the
+    boilerplate df (~72): the hot set is non-empty BY CONSTRUCTION, so
+    this gate row proves the map-side ``array_except`` hot-shingle
+    subtraction end-to-end against the DuckDB oracle — the clone pairs
+    must still surface at jaccard 1.0 computed over NON-boilerplate
+    shingles only. (Before this fixture the hot branch only ever ran
+    in a synthetic unit test: VERDICT r4 "Wrong #2".)"""
+    docs = plant_duplicates(
+        plant_boilerplate(table(spark, sf_dir, "documents")), "doc_id"
+    )
+    return ngram_jaccard_pairs(docs, df_cutoff=HOTSET_CUTOFF)
 
 
 # --------------------------------------------------------------------------

@@ -57,8 +57,19 @@ def track_release(fn: Callable[[], None]) -> None:
 
 
 def release_caches() -> None:
-    """Run every tracked release (non-blocking). Safe to call at any
-    time — a released cache recomputes, it never breaks a plan."""
+    """Run every tracked release (non-blocking).
+
+    Contract (precise — ADVICE r4): a released ``.cache()`` simply
+    recomputes, so releasing never breaks a *cache-backed* plan. But
+    the connected-components family (dedup_cluster_components,
+    dedup_jaccard_clusters, near_dup_resolution) registers
+    ``localCheckpoint`` RDD releases here, and a LocalCheckpointRDD's
+    blocks are the ONLY copy — it cannot recompute. A CC-family plan
+    is therefore INVALIDATED by the next release (in practice: by the
+    next registered-query build). Callers must follow
+    build → execute → build-next, never build A, build B, execute A —
+    which is how every in-repo consumer (the driver's gate, bench.py,
+    the oracle rehearsal) already behaves."""
     while _LIVE_CACHES:
         fn = _LIVE_CACHES.pop()
         try:
@@ -75,7 +86,11 @@ def register(name: str, oracle: str | None = None):
     The registered callable releases the PREVIOUS query's tracked
     caches before building (see ``release_caches``) — no registered
     query builds another registered query, so this can never release
-    a cache the new plan depends on."""
+    a resource the NEW plan depends on. It does mean a previously
+    built but not-yet-executed CC-family plan (localCheckpoint leaves
+    — see ``release_caches`` for why those cannot recompute) is
+    invalidated by this build; execute each plan before building the
+    next."""
 
     def deco(fn):
         def build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,8 +191,11 @@ GATE_PRIORITY: list[str] = [
     # the gate must see these find duplicates, not match empty sets)
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_hotset",
     "dedup_embedding_cosine",
     "dedup_cluster_components",
+    "dedup_jaccard_clusters",
+    "near_dup_resolution",
     "dedup_chunk_passages",
     # similarity / embeddings
     "ann_bruteforce_topk",
@@ -215,20 +233,24 @@ GATE_PRIORITY: list[str] = [
     # multimodal plumbing
     "multimodal_binary_meta",
     "multimodal_frame_sample",
-    # round-1 hash-mismatch fixes (re-proven green r2+r3; keep until
-    # they reach 3 green rounds)
-    "q9_product_profit",
-    "sessionize_users",
+    # round-1 hash-mismatch fixes, re-proven green r2+r3+r4 (3 straight
+    # rounds): q9_product_profit, sessionize_users, json_props_extract
+    # rotated OUT in r5 to make room for the round-4/5 first-timers
+    # above (dedup_jaccard_clusters, near_dup_resolution,
+    # dedup_ngram_jaccard_hotset); hypertable_rollup and
+    # approx_aggregates stay one more round as the rollup- and
+    # sketch-shaped representatives.
     "hypertable_rollup",
-    "json_props_extract",
     "approx_aggregates",
     # long-proven keepers: one per distinct architectural shape.
-    # Rotated OUT after 3 straight green rounds (union of r1-r4 gate
-    # rows now covers every oracle-backed operator): q2, q8, q13, q17,
+    # Rotated OUT after 3 straight green rounds: q2, q8, q9, q13, q17,
     # q21, topk_per_group, exact_percentiles, fuzzy_name_match,
-    # grouping_sets_status, window_distribution_suite,
-    # asof_click_to_view, dedup_keep_latest, s3_time_partition_layout
-    # — all still oracle-backed and pytest-rehearsed every round.
+    # grouping_sets_status, window_distribution_suite, sessionize_users,
+    # asof_click_to_view, dedup_keep_latest, json_props_extract,
+    # s3_time_partition_layout — all still oracle-backed and
+    # pytest-rehearsed every round. Union of r1-r5 gate rows covers
+    # every oracle-backed operator (the r4 additions hold gate slots
+    # this round).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "tumbling_window_stats",

@@ -35,7 +35,13 @@ def test_label_propagation_unpersists_each_iteration(spark):
     got = {r.node: r.component for r in labels.collect()}
     # min-label propagation moves the 0 label one hop per iteration
     assert got[0] == 0 and got[20] == 0 and len(got) == 41
-    assert _n_persistent(spark) <= 2, "label-propagation iterates leaked"
+    # EXACTLY the edge cache + the surviving iterate. >2 = iterate
+    # leak (VERDICT r3); <2 = the edge cache was force-unpersisted by
+    # the per-iteration diff (ADVICE r4: the sym cache RDD used to
+    # register during iteration 1's checkpoint job, land in that
+    # iteration's new_ids, and get released after iteration 2 — every
+    # later round recomputed the edge list from source).
+    assert _n_persistent(spark) == 2, "edge cache or surviving iterate wrong"
     plans.release_caches()
     assert _n_persistent(spark) == 0
 

@@ -312,13 +312,37 @@ def test_planted_dup_queries_still_single_digest_shuffle(spark):
     assert text.count("hashpartitioning(content_hash") <= 1
 
 
-def test_near_dup_resolution_drop_join_broadcasts(spark):
-    """The dropped set (cluster members minus keepers) is tiny
-    relative to the corpus — the documents side must hash-join against
-    a broadcast of it, never sort-merge-shuffle the corpus."""
-    text = plan_of(spark, "near_dup_resolution")
-    assert "BroadcastHashJoin" in text
-    assert "SortMergeJoin" not in text
+def test_hotset_cutoff_fires_on_planted_boilerplate(spark):
+    """dedup_ngram_jaccard_hotset exists to run the hot-shingle branch
+    on real fixture data (VERDICT r4 "Wrong #2": the branch had only
+    ever executed in a synthetic unit test). The proof the branch took:
+    the optimized plan contains the map-side array_except subtraction,
+    which only appears when the collected hot set is NON-empty — and
+    the planted clone pairs must still surface at jaccard 1.0 over the
+    surviving (non-boilerplate) shingles."""
+    from pg_bifrost_spark.operators.dedup import PLANT_OFFSET
+
+    df = plans.QUERIES["dedup_ngram_jaccard_hotset"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_except" in opt, "hot set empty — cutoff fixture not firing"
+    clone_pairs = [r for r in df.collect() if r.doc_b == r.doc_a + PLANT_OFFSET]
+    assert clone_pairs and all(r.jaccard == 1.0 for r in clone_pairs)
+
+
+def test_near_dup_resolution_no_forced_broadcast_single_corpus_scan(spark):
+    """The dropped set is corpus-PROPORTIONAL in a realistic fuzzy
+    dedup (20-50% of all documents), so the drop-set join must NOT
+    carry a forced broadcast hint — at 100 TB that is tens of GB
+    pushed to every executor (the round-4 scale-killer finding; the
+    round-3 contamination_ngram lesson). AQE picks broadcast at
+    runtime when the set is genuinely small. What IS pinned: the
+    corpus parquet is scanned exactly once (the token count rides the
+    same scan as the join), so the operator never re-reads text."""
+    df = plans.QUERIES["near_dup_resolution"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, "drop-set join strategy must be left to AQE"
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert text.count("documents.parquet") == 1
 
 
 def test_no_decimal_output_columns(spark):
