@@ -26,3 +26,51 @@ def test_lsh_recall_vs_exact(spark):
     # …and 16 bands × 4 rows gives ≥99% expected recall at j≥0.5
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.95, f"LSH recall {recall:.2%}"
+
+
+def test_bucket_cap_drops_degenerate_mass(spark):
+    """BUCKET_CAP (VERDICT r4 "Wrong #3"): 100 identical boilerplate
+    docs collapse onto ONE signature, so every band bucket they share
+    has 100 members — 100² candidate pairs per band without the cap.
+    The capped operator must emit ZERO pairs among the degenerate mass
+    (those are exact duplicates — exact dedup's job, and the
+    documented recall trade-off of the cap) while a normal twin pair
+    elsewhere in the corpus survives untouched. Same property for the
+    SimHash block buckets."""
+    from pg_bifrost_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    rows = [
+        (i, "all rights reserved worldwide reproduction strictly prohibited forever")
+        for i in range(100)
+    ] + [
+        (200, "alpha beta gamma delta epsilon zeta eta theta"),
+        (201, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lsh_pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert lsh_pairs == {(200, 201)}
+    sim_pairs = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs).collect()}
+    assert sim_pairs == {(200, 201)}
+
+
+def test_bucket_cap_adds_no_shuffle(spark):
+    """The bucket-size window must ride the existing (band, bh)
+    exchange ``spread`` already emits — a second hashpartitioning on
+    the band keys would double the candidate-generation shuffle at
+    100 TB."""
+    import pg_bifrost_spark.plans as p
+
+    text = (
+        p.QUERIES["dedup_minhash_lsh"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(band" in text
+    # the only (band, bh) exchange is spread's explicit repartition
+    # (REPARTITION_BY_NUM); a window-induced one would be tagged
+    # ENSURE_REQUIREMENTS. (The cached bands subtree prints once per
+    # join side, so occurrence COUNTS double — tag is the invariant.)
+    band_exchanges = [
+        ln for ln in text.splitlines() if "hashpartitioning(band" in ln
+    ]
+    assert band_exchanges
+    assert all("REPARTITION_BY_NUM" in ln for ln in band_exchanges), band_exchanges
