@@ -69,6 +69,85 @@ HEADLINE = [
 # measurement discipline.
 N_EXECS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_EXECS", "3")))
 
+# streaming replay: every Nth order of the bench-SF lineitem becomes a
+# BEGIN/INSERT/COMMIT WAL transaction on disk (sf0.1 → ~200 k rows ≈
+# 600 k messages, 12× the reference itest corpus). Bounded so the
+# streaming leg stays a fraction of the sweep.
+STREAM_ORDER_MOD = 3
+STREAM_BATCH_MSGS = 200_000
+
+
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Time the ACTUAL streaming path — spark.readStream over the pgcdc
+    source (replay transport) → run_pipeline_assembled → foreachBatch
+    noop sink — over a WAL corpus derived from the bench-SF lineitem.
+    This is the reference's own workload shape (its floor:
+    50 k msgs ≤ 180 s, BASELINE.md); the batch roundtrip measures the
+    same parse+marshal plan without source/checkpoint overhead."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pg_bifrost_spark.cdc.fixtures import wal_lines_from_table
+    from pg_bifrost_spark.cdc.pipeline import PipelineConfig
+    from pg_bifrost_spark.plans import table
+    from pg_bifrost_spark.plans.cdc_bridge import LINEITEM_PG_TYPES
+    from pg_bifrost_spark.streaming.core import drain_cdc_query
+
+    wal_dir = tempfile.mkdtemp(prefix="bench_wal_")
+    ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
+    try:
+        li = table(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % STREAM_ORDER_MOD == 0
+        )
+        raw = wal_lines_from_table(
+            li,
+            "public.lineitem",
+            LINEITEM_PG_TYPES,
+            seq_expr=F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+        )
+        (
+            raw.select(
+                F.to_json(F.struct("wal_start", "server_time_ms", "line")).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(wal_dir)
+        )
+        n_msgs = 0
+        for name in os.listdir(wal_dir):
+            if name.startswith("part-"):
+                path = os.path.join(wal_dir, name)
+                with open(path) as f:
+                    n_msgs += sum(1 for ln in f if ln.strip())
+                os.rename(path, path + ".jsonl")
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.format("noop").mode("overwrite").save()
+
+        _clean_state(spark)
+        t0 = time.perf_counter()
+        rounds = drain_cdc_query(
+            spark,
+            sink,
+            ckpt,
+            cfg=PipelineConfig(),
+            source_options={
+                "wal_dir": wal_dir,
+                "max_msgs_per_batch": str(STREAM_BATCH_MSGS),
+            },
+        )
+        dt = round(time.perf_counter() - t0, 3)
+        return {
+            "msgs": n_msgs,
+            "sec": dt,
+            "msg_per_sec": round(n_msgs / dt, 1),
+            "micro_batches": rounds,
+        }
+    finally:
+        shutil.rmtree(wal_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
 
 def _clean_state(spark) -> None:
     """Release every cached block before a measurement: the tracked
@@ -127,6 +206,18 @@ def main() -> None:
         timings[name] = round(statistics.median(runs[name]), 3)
         print(f"# {name}: median {timings[name]:.3f}s of {runs[name]}", file=sys.stderr)
 
+    # measurement-trust cross-check (VERDICT r4 ask): the in-sweep
+    # roundtrip median must stay within 1.5x of the clean-state
+    # standalone number, or the sweep itself is suspect
+    rt, rt_solo = timings["cdc_lineitem_roundtrip"], standalone["cdc_lineitem_roundtrip"]
+    divergence = round(max(rt, rt_solo) / max(min(rt, rt_solo), 1e-9), 3)
+    if divergence > 1.5:
+        print(f"# WARNING: roundtrip median {rt}s vs standalone {rt_solo}s "
+              f"diverge {divergence}x (>1.5x) — sweep numbers suspect", file=sys.stderr)
+
+    streaming = bench_streaming(spark, sf_dir)
+    print(f"# streaming replay: {streaming}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -138,6 +229,8 @@ def main() -> None:
                 "sf": float(sf),
                 "runs": runs,
                 "standalone": standalone,
+                "roundtrip_divergence": divergence,
+                "streaming": streaming,
             }
         )
     )

@@ -62,39 +62,65 @@ class ReplayTransport:
     """Reads WAL messages from ``<dir>/*.jsonl`` files (sorted), each
     line ``{"wal_start": N, "server_time_ms": M, "line": "..."}``.
     Acked LSNs are recorded in ``<dir>/.ack`` — the test-visible stand-in
-    for StandbyStatusUpdate."""
+    for StandbyStatusUpdate.
+
+    The corpus is parsed ONCE per on-disk state (file name/size/mtime
+    signature) and fetches are a bisect + slice: the naive
+    re-read-everything-per-fetch version made a K-micro-batch drain
+    O(corpus × K) of driver-side JSON parsing — at the bench corpus
+    (hundreds of thousands of messages, dozens of batches) the
+    transport dwarfed the pipeline it feeds. Appending/rewriting WAL
+    files between fetches still works: the signature changes and the
+    corpus reloads."""
 
     def __init__(self, wal_dir: str):
         self.wal_dir = wal_dir
+        self._sig: tuple | None = None
+        self._msgs: list[tuple[int, int, str | None]] = []
+        self._lsns: list[int] = []
 
-    def fetch(self, after_lsn: int, limit: int) -> list[tuple[int, int, str | None]]:
-        """Messages after ``after_lsn``. A file line ``{"wal_start": N,
-        "error": "..."}`` models a protocol ErrorResponse at that
-        position (line=None) — the replay analog of a decoding fault."""
-        out: list[tuple[int, int, str | None]] = []
-        for name in sorted(os.listdir(self.wal_dir)):
-            if not name.endswith(".jsonl"):
-                continue
-            with open(os.path.join(self.wal_dir, name)) as f:
-                for raw in f:
-                    if not raw.strip():
-                        continue
-                    msg = json.loads(raw)
-                    if msg["wal_start"] > after_lsn:
-                        out.append(
+    def _load(self) -> list[tuple[int, int, str | None]]:
+        names = sorted(n for n in os.listdir(self.wal_dir) if n.endswith(".jsonl"))
+        stats = []
+        for n in names:
+            st = os.stat(os.path.join(self.wal_dir, n))
+            stats.append((n, st.st_size, st.st_mtime_ns))
+        sig = tuple(stats)
+        if sig != self._sig:
+            msgs: list[tuple[int, int, str | None]] = []
+            for name in names:
+                with open(os.path.join(self.wal_dir, name)) as f:
+                    for raw in f:
+                        if not raw.strip():
+                            continue
+                        msg = json.loads(raw)
+                        msgs.append(
                             (
                                 msg["wal_start"],
                                 msg.get("server_time_ms", 0),
                                 None if "error" in msg else msg["line"],
                             )
                         )
-        out.sort()
-        return out[:limit]
+            msgs.sort(key=lambda t: (t[0], t[1]))
+            self._msgs = msgs
+            self._lsns = [m[0] for m in msgs]
+            self._sig = sig
+        return self._msgs
+
+    def fetch(self, after_lsn: int, limit: int) -> list[tuple[int, int, str | None]]:
+        """Messages after ``after_lsn``. A file line ``{"wal_start": N,
+        "error": "..."}`` models a protocol ErrorResponse at that
+        position (line=None) — the replay analog of a decoding fault."""
+        import bisect
+
+        msgs = self._load()
+        i = bisect.bisect_right(self._lsns, after_lsn)
+        return msgs[i : i + limit]
 
     def current_end(self) -> int:
         """Highest LSN available — the 'server WAL end' the reference
         skips to on error recovery (client.go:386-424)."""
-        msgs = self.fetch(0, 1 << 62)
+        msgs = self._load()
         return msgs[-1][0] if msgs else 0
 
     def ack(self, lsn: int) -> None:

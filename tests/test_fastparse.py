@@ -36,6 +36,15 @@ ELIGIBLE = [
     # Python scanner's dict-overwrite semantics; mapKeyDedupPolicy)
     "table public.t: INSERT: a[integer]:1 a[integer]:2",
     "table public.t: UPDATE: old-key: k[integer]:1 k[integer]:3 new-tuple: k[integer]:9",
+    # bare UNQUOTED values carrying marker text / ']:' lookalikes —
+    # legal under the value grammar [^ ']+ (ADVICE r4: these stress the
+    # slice path's token-equality marker detection, which substring
+    # heuristics would get wrong: the second line contains the byte
+    # sequence " new-tuple: " TWICE, once as a value, once as marker)
+    "table public.t: INSERT: a[text]:new-tuple: b[text]:old-key:",
+    "table public.t: UPDATE: old-key: k[text]:new-tuple: new-tuple: k[text]:z",
+    "table public.t: UPDATE: old-key: k[text]:x]:y new-tuple: k[text]:a[b]",
+    "table public.t: DELETE: k[text]:old-key:",
 ]
 
 INELIGIBLE = [

@@ -59,6 +59,14 @@ _FRAGMENTS = [
 ]
 
 
+# bare UNQUOTED marker-text / ']:' lookalike values — legal under the
+# value grammar [^ ']+ and previously only generated INSIDE quotes
+# (ADVICE r4). A bare 'new-tuple:' value makes the byte sequence
+# " new-tuple: " appear twice in an old-key line, so only token-exact
+# marker detection parses it right.
+_BARE = ["new-tuple:", "old-key:", "x]:y", "a[b]", "line:with:colons", "{1,2,3}"]
+
+
 def _rand_value(rng: random.Random) -> tuple[str, bool]:
     """(rendered_token_value, quoted)"""
     kind = rng.random()
@@ -66,7 +74,9 @@ def _rand_value(rng: random.Random) -> tuple[str, bool]:
         return "null", False
     if kind < 0.25:
         return "unchanged-toast-datum", False
-    if kind < 0.45:
+    if kind < 0.35:
+        return rng.choice(_BARE), False
+    if kind < 0.5:
         return str(rng.randint(-(2**62), 2**62)), False
     parts = "".join(rng.choice(_FRAGMENTS) for _ in range(rng.randint(0, 3)))
     return "'" + parts + "'", True

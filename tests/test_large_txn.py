@@ -48,3 +48,24 @@ def test_one_txn_spans_many_batches(tmp_path):
     assert len({r[6] for r in total}) == 1  # one time_based_key
     reader.commit(off)
     assert ReplayTransport(wal_dir).acked() == total[-1][0]
+
+
+def test_replay_transport_cache_sees_new_files(tmp_path):
+    """The parse-once corpus cache must reload when the on-disk WAL
+    state changes (new file, or an existing file appended to) — the
+    live-tailing pattern error-recovery tests rely on."""
+    wal_dir = str(tmp_path)
+    p0 = os.path.join(wal_dir, "0.jsonl")
+    with open(p0, "w") as f:
+        f.write(json.dumps({"wal_start": 8, "line": "BEGIN 1"}) + "\n")
+    t = ReplayTransport(wal_dir)
+    assert [m[0] for m in t.fetch(0, 10)] == [8]
+    # append to the same file
+    with open(p0, "a") as f:
+        f.write(json.dumps({"wal_start": 16, "line": "COMMIT 1"}) + "\n")
+    assert [m[0] for m in t.fetch(0, 10)] == [8, 16]
+    # new file
+    with open(os.path.join(wal_dir, "1.jsonl"), "w") as f:
+        f.write(json.dumps({"wal_start": 24, "line": "BEGIN 2"}) + "\n")
+    assert [m[0] for m in t.fetch(16, 10)] == [24]
+    assert t.current_end() == 24

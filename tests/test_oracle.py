@@ -2,8 +2,10 @@
 its DuckDB oracle on the same parquet, compare row count + column names
 + order-insensitive values (mirrors the driver's CORRECTNESS check).
 
-Default scale: sf0.001 for speed (set SPARK_GRAFT_ORACLE_SF=0.01 to
-rehearse the driver's exact scale).
+Default scale: sf0.01 — the DRIVER'S gate scale, so rehearsal and gate
+are byte-comparable (VERDICT r4 ask; sf0.001 rehearsal once passed a
+query the gate hash-failed). Set SPARK_GRAFT_ORACLE_SF=0.001 for a
+faster smoke pass while iterating.
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.001")
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01")
 SF_DIR = f"/root/testdata/sf{SF}"
 
 TABLES = [

@@ -127,3 +127,28 @@ def test_headline_queries_within_budget(spark):
         + "\n".join(failures)
         + f"\nall: {timings}"
     )
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SKIP_PERF") == "1", reason="perf gate disabled"
+)
+def test_streaming_replay_throughput_floor(spark):
+    """The STREAMING path (pgcdc replay source → assembled pipeline →
+    foreachBatch sink) must clear the reference's own throughput bar
+    (50 k msgs ≤ 180 s ≈ 278 msg/s, BASELINE.md) with wide margin even
+    at the small sf0.01 corpus, where per-micro-batch fixed costs
+    (query startup, checkpoint I/O) dominate. Floor = 1000 msg/s ≈
+    3.6× the reference bar while tolerating a ~4× slower host than the
+    recording machine (~3.8 k msg/s at sf0.01)."""
+    import bench as bench_mod
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        r = bench_mod.bench_streaming(spark, "/root/testdata/sf0.01")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    assert r["msgs"] > 50_000  # larger than the reference itest corpus
+    assert r["msg_per_sec"] >= 1000, r
