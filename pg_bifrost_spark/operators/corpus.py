@@ -340,3 +340,82 @@ def dedup_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("chunk_hash")
     )
+
+
+# --------------------------------------------------------------------------
+# unigram language-model quality score
+# --------------------------------------------------------------------------
+# Per-token log-probabilities are QUANTIZED to integer micro-nats
+# (floor(ln(p) * 1e6)) BEFORE the per-document sum: a double sum's
+# value depends on accumulation order, which neither engine pins, but
+# a BIGINT sum of identical per-token integers is order-free — the
+# same trick that keeps every other float-bearing oracle here
+# hash-stable. ln() itself is evaluated on bit-identical doubles
+# (exact-int count / exact-int total) on both engines.
+LOGPROB_SCALE = 1_000_000
+
+
+@register(
+    "quality_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT sum(c) AS n FROM cnt),
+    lp AS (
+      SELECT token, CAST(floor(ln(c / n) * {LOGPROB_SCALE}) AS BIGINT) AS micro_nats
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(l.micro_nats) AS BIGINT) AS sum_micro_nats,
+           round(sum(l.micro_nats) / (count(*) * {LOGPROB_SCALE}.0), 6) AS avg_nats
+    FROM tok t JOIN lp l USING (token)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: a unigram LM fit on the corpus
+    itself scores every document by mean token log-probability — the
+    cheap first-pass quality filter (KenLM stand-in) a training-data
+    pipeline runs before any model-based scoring. Lower (more
+    negative) avg_nats ⇒ rarer vocabulary ⇒ candidate for closer
+    review; the absolute scale is nats per token.
+
+    Plan: one map-side-combined token count (shuffle keyed on token),
+    the corpus total as a broadcast single-row crossJoin (never a
+    driver collect), one shuffle join token→logprob, one final
+    groupBy(doc_id). The LM table is vocabulary-sized — it stays
+    distributed; nothing corpus-proportional is broadcast or
+    collected. All shuffles are on high-cardinality keys (token,
+    doc_id) — no skew hot-spot beyond natural Zipf heads, which
+    map-side partial aggregation absorbs."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    tok = docs.select("doc_id", F.explode("toks").alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(F.log(F.col("c") / F.col("n")) * LOGPROB_SCALE)
+        .cast("bigint")
+        .alias("micro_nats"),
+    )
+    return (
+        tok.join(lp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("micro_nats").cast("bigint").alias("sum_micro_nats"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_micro_nats",
+            F.round(
+                F.col("sum_micro_nats") / (F.col("n_tokens") * float(LOGPROB_SCALE)), 6
+            ).alias("avg_nats"),
+        )
+        .orderBy("doc_id")
+    )

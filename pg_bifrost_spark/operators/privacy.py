@@ -98,3 +98,109 @@ def pii_redact_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# corpus-wide PII audit over documents
+# --------------------------------------------------------------------------
+# The fixture text is PII-free, so the scan query PLANTS deterministic
+# PII into overlapping corpus slices (the planted-fixture move —
+# dedup.plant_duplicates): ~1/9 of docs get an email, ~1/6 a phone,
+# ~1/15 an IP; the overlaps produce docs with 0, 1, 2, or 3 PII kinds,
+# so the per-source rollup is non-vacuous and both engines must agree
+# on the SAME planted input.
+_EMAIL_MOD = 9
+_PHONE_MOD = 6
+_IP_MOD = 15
+
+
+def _plant_pii() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % _EMAIL_MOD == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % _PHONE_MOD == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((did * 13 % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % _IP_MOD == 0,
+            F.concat(
+                F.lit(" from 172."),
+                (did % 32).cast("string"),
+                F.lit("."),
+                (did * 5 % 256).cast("string"),
+                F.lit(".9"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PLANT_PII_SQL = f"""
+  text
+  || CASE WHEN doc_id % {_EMAIL_MOD} = 0
+          THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % {_PHONE_MOD} = 0
+          THEN ' call 555-' || lpad((doc_id * 13 % 10000)::VARCHAR, 4, '0') ELSE '' END
+  || CASE WHEN doc_id % {_IP_MOD} = 0
+          THEN ' from 172.' || (doc_id % 32)::VARCHAR || '.'
+               || (doc_id * 5 % 256)::VARCHAR || '.9' ELSE '' END
+"""
+
+
+@register(
+    "pii_scan_documents",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, source, {_PLANT_PII_SQL} AS text FROM documents
+    ),
+    per_doc AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{EMAIL_RE}')) AS e,
+             len(regexp_extract_all(text, '{PHONE_RE}')) AS p,
+             len(regexp_extract_all(text, '{IPV4_RE}')) AS i
+      FROM planted
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_scanned,
+           CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(sum(e) AS BIGINT) AS emails,
+           CAST(sum(p) AS BIGINT) AS phones,
+           CAST(sum(i) AS BIGINT) AS ips
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PII audit: per-source counts of documents scanned,
+    documents carrying any PII, and total email/phone/IP hits — the
+    release-gate report a curation pipeline publishes before text
+    leaves the boundary (redaction itself is the sibling
+    ``pii_redact_customers`` shape applied per row).
+
+    Map-only regex counting (whole-stage codegen) followed by ONE
+    map-side-combined groupBy on ``source`` (tens of keys) — the
+    aggregate state is O(sources), so the plan is a linear scan at any
+    corpus size with a trivial final shuffle."""
+    docs = table(spark, sf_dir, "documents").withColumn("text", _plant_pii())
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("e"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0)).alias("p"),
+        F.size(F.regexp_extract_all("text", F.lit(IPV4_RE), 0)).alias("i"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_scanned"),
+            F.sum(((F.col("e") + F.col("p") + F.col("i")) > 0).cast("int"))
+            .cast("bigint")
+            .alias("docs_with_pii"),
+            F.sum("e").cast("bigint").alias("emails"),
+            F.sum("p").cast("bigint").alias("phones"),
+            F.sum("i").cast("bigint").alias("ips"),
+        )
+        .orderBy("source")
+    )

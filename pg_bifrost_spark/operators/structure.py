@@ -1,0 +1,316 @@
+"""Structural text-cleaning operators over the ``documents`` table:
+cross-document repeated-paragraph removal, intra-document line
+deduplication, and HTML/markup stripping — the passes a web-corpus
+refinery runs between raw extraction and document-level dedup
+(CCNet/RefinedWeb-style line- and paragraph-level cleaning).
+
+The synthetic fixture text carries no newlines or markup, so each
+operator first PLANTS deterministic structure (boilerplate paragraphs,
+duplicated lines, an HTML wrapper) with the exact same derivation
+mirrored in the oracle — the established planted-fixture move
+(``dedup.plant_duplicates``): both engines must clean the SAME
+non-trivial input and produce hash-identical output.
+
+Scale posture: paragraph removal is explode → one count shuffle → one
+removal join → one reassembly shuffle (no broadcast of anything
+corpus-proportional); line dedup and HTML stripping are map-only
+column expressions (whole-stage codegen, zero shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import register, table
+
+# --------------------------------------------------------------------------
+# planted structure fixtures (mirrored verbatim in each oracle)
+# --------------------------------------------------------------------------
+# Two boilerplate paragraphs appended to overlapping slices of the
+# corpus: ~1/7 of docs get the legal footer, ~1/5 get the newsletter
+# pitch, so their paragraph document-frequencies (~72 and ~100 at the
+# 500-doc fixture) sit far above PARA_DF_CUTOFF while every original
+# text is unique (df = 1). The cutoff provably fires on fixture data.
+PARA_LEGAL = "all rights reserved unauthorized reproduction strictly prohibited"
+PARA_PROMO = "subscribe to our newsletter for updates delivered every morning"
+LEGAL_MOD = 7
+PROMO_MOD = 5
+PARA_DF_CUTOFF = 10  # paragraphs in >= this many docs are boilerplate
+
+# Line-dedup plant: ~1/4 of docs get their own text duplicated as a
+# second line (the classic scraped-page artifact: body repeated in a
+# print view), and ~1/6 additionally get a repeated sign-off pair.
+SIGNOFF = "thanks for reading"
+DUPLINE_MOD = 4
+SIGNOFF_MOD = 6
+
+
+def plant_paragraphs(docs: DataFrame) -> DataFrame:
+    """Append the boilerplate paragraphs ('\\n'-separated) per the MODs."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % LEGAL_MOD == 0, F.lit("\n" + PARA_LEGAL)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % PROMO_MOD == 0, F.lit("\n" + PARA_PROMO)
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+# oracle-side mirror (chr(10) keeps the SQL literal newline-free)
+PLANT_PARAS_SQL = f"""docs_p AS (
+      SELECT doc_id, text
+             || CASE WHEN doc_id % {LEGAL_MOD} = 0
+                     THEN chr(10) || '{PARA_LEGAL}' ELSE '' END
+             || CASE WHEN doc_id % {PROMO_MOD} = 0
+                     THEN chr(10) || '{PARA_PROMO}' ELSE '' END AS text
+      FROM documents
+    )"""
+
+
+@register(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH {PLANT_PARAS_SQL},
+    paras AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS para,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM docs_p
+    ),
+    hot AS (
+      SELECT para FROM paras GROUP BY para
+      HAVING count(DISTINCT doc_id) >= {PARA_DF_CUTOFF}
+    ),
+    kept AS (
+      SELECT p.doc_id, p.para, p.pos FROM paras p
+      WHERE p.para NOT IN (SELECT para FROM hot)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             count(*) AS paras_kept,
+             string_agg(para, chr(10) ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    ),
+    before AS (SELECT doc_id, len(string_split(text, chr(10))) AS paras_before FROM docs_p)
+    SELECT b.doc_id,
+           CAST(b.paras_before AS BIGINT) AS paras_before,
+           CAST(b.paras_before - r.paras_kept AS BIGINT) AS paras_removed,
+           md5(r.cleaned) AS cleaned_digest
+    FROM before b JOIN rebuilt r USING (doc_id)
+    WHERE b.paras_before > r.paras_kept
+    ORDER BY doc_id
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-paragraph removal (the CCNet move):
+    any paragraph appearing in >= {PARA_DF_CUTOFF} distinct documents
+    is boilerplate and is stripped from every document; returns the
+    affected documents with before/after counts and a digest of the
+    cleaned text.
+
+    Plan shape (scale-first): explode to (doc, pos, para) rows; ONE
+    map-side-combined count shuffle keyed on the paragraph itself
+    finds the hot set; removal is a LEFT ANTI join on the paragraph
+    key (shuffle join — the hot set is corpus-proportional in the
+    worst case, so it is never collected or broadcast; AQE may still
+    choose broadcast when it measures small); reassembly is one
+    groupBy(doc_id) with ``sort_array(collect_list(struct(pos, para)))``
+    — deterministic order under any shuffle placement. No driver-side
+    data path at any corpus size."""
+    docs = plant_paragraphs(table(spark, sf_dir, "documents"))
+    paras = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "para")
+    )
+    hot = (
+        paras.groupBy("para")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= PARA_DF_CUTOFF)
+        .select("para")
+    )
+    kept = paras.join(hot, "para", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("paras_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+    before = docs.select("doc_id", F.size(F.split("text", "\n")).alias("paras_before"))
+    return (
+        before.join(rebuilt, "doc_id")
+        .filter(F.col("paras_before") > F.col("paras_kept"))
+        .select(
+            "doc_id",
+            F.col("paras_before").cast("bigint").alias("paras_before"),
+            (F.col("paras_before") - F.col("paras_kept"))
+            .cast("bigint")
+            .alias("paras_removed"),
+            F.md5(F.col("cleaned").cast("binary")).alias("cleaned_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def plant_dup_lines(docs: DataFrame) -> DataFrame:
+    """Duplicate the body line and/or append a doubled sign-off."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % DUPLINE_MOD == 0,
+                F.concat(F.lit("\n"), F.col("text")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % SIGNOFF_MOD == 0,
+                F.lit("\n" + SIGNOFF + "\n" + SIGNOFF),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+PLANT_DUPLINES_SQL = f"""docs_l AS (
+      SELECT doc_id, text
+             || CASE WHEN doc_id % {DUPLINE_MOD} = 0
+                     THEN chr(10) || text ELSE '' END
+             || CASE WHEN doc_id % {SIGNOFF_MOD} = 0
+                     THEN chr(10) || '{SIGNOFF}' || chr(10) || '{SIGNOFF}'
+                     ELSE '' END AS text
+      FROM documents
+    )"""
+
+
+@register(
+    "doc_line_dedup",
+    oracle=f"""
+    WITH {PLANT_DUPLINES_SQL},
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM docs_l
+    ),
+    ranked AS (
+      SELECT doc_id, line, pos,
+             row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+      FROM lines
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             count(*) AS lines_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    before AS (SELECT doc_id, len(string_split(text, chr(10))) AS lines_before FROM docs_l)
+    SELECT b.doc_id,
+           CAST(b.lines_before AS BIGINT) AS lines_before,
+           CAST(b.lines_before - r.lines_kept AS BIGINT) AS lines_removed,
+           md5(r.cleaned) AS cleaned_digest
+    FROM before b JOIN rebuilt r USING (doc_id)
+    WHERE b.lines_before > r.lines_kept
+    ORDER BY doc_id
+    """,
+)
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate-line removal, keeping the FIRST
+    occurrence (scraped-page print-view and repeated sign-off
+    artifacts); returns affected documents with counts and a cleaned
+    digest.
+
+    MAP-ONLY: each document is cleaned by an array higher-order filter
+    — keep line i iff its first occurrence index equals i
+    (``array_position`` is 1-based, the lambda index 0-based). No
+    explode, no shuffle, no state leaves the row; at 100 TB this is a
+    pure codegen'd projection that scales linearly with executors.
+    The O(L²) per-row scan is bounded by lines-per-document, not
+    corpus size. Oracle cross-checks with the window-function
+    formulation (row_number over (doc, line))."""
+    docs = plant_dup_lines(table(spark, sf_dir, "documents"))
+    lines = F.split("text", "\n")
+    docs = docs.select("doc_id", lines.alias("lines"))
+    kept = F.filter(
+        F.col("lines"), lambda x, i: F.array_position(F.col("lines"), x) == i + 1
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size("lines").cast("bigint").alias("lines_before"),
+            (F.size("lines") - F.size(kept)).cast("bigint").alias("lines_removed"),
+            F.md5(F.array_join(kept, "\n").cast("binary")).alias("cleaned_digest"),
+        )
+        .filter(F.col("lines_removed") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# HTML stripping
+# --------------------------------------------------------------------------
+# Wrapper planted around every document: head/title boilerplate, <p>
+# body with every ' data ' token bolded, and a void <br/> — enough tag
+# variety (attrs-free open/close/void, digits in the title) to
+# exercise the stripper beyond the trivial case.
+TAG_RE = "<[^>]+>"  # Java-regex ∩ RE2 common subset (no lookaround)
+
+
+def plant_html(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><head><title>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title></head><body><p>"),
+            F.regexp_replace("text", " data ", " <b>data</b> "),
+            F.lit("</p><br/></body></html>"),
+        ),
+    )
+
+
+PLANT_HTML_SQL = """docs_h AS (
+      SELECT doc_id,
+             '<html><head><title>doc ' || doc_id::VARCHAR
+             || '</title></head><body><p>'
+             || regexp_replace(text, ' data ', ' <b>data</b> ', 'g')
+             || '</p><br/></body></html>' AS text
+      FROM documents
+    )"""
+
+
+@register(
+    "html_strip_text",
+    oracle=f"""
+    WITH {PLANT_HTML_SQL}
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TAG_RE}')) AS BIGINT) AS tags_stripped,
+           trim(regexp_replace(regexp_replace(text, '{TAG_RE}', ' ', 'g'),
+                               ' +', ' ', 'g')) AS stripped
+    FROM docs_h ORDER BY doc_id
+    """,
+)
+def html_strip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal: strip every ``<...>`` tag, collapse the spaces
+    the removal leaves behind, and report how many tags each document
+    carried. Map-only regexp expressions (whole-stage codegen, zero
+    shuffle); the tag pattern stays inside the Java-regex ∩ RE2 subset
+    so Spark and DuckDB agree byte-for-byte. A real extraction pass
+    would also decode entities and drop script/style CONTENT — both
+    still map-only regexp/translate layers over this same shape."""
+    docs = plant_html(table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TAG_RE), 0))
+        .cast("bigint")
+        .alias("tags_stripped"),
+        F.trim(
+            F.regexp_replace(F.regexp_replace("text", TAG_RE, " "), " +", " ")
+        ).alias("stripped"),
+    ).orderBy("doc_id")

@@ -274,6 +274,7 @@ def load_all() -> None:
         privacy,
         profiling,
         similarity,
+        structure,
         text,
     )
 
