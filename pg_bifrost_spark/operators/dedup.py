@@ -662,3 +662,168 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine")
     ).orderBy("vec_a", "vec_b")
+
+
+# --------------------------------------------------------------------------
+# normalized exact dedup (casefold + whitespace collapse)
+# --------------------------------------------------------------------------
+# The planted clones here are MUTATED (upper-cased, double-spaced,
+# padded) so the raw md5 of clone != original: exact dedup misses
+# them by construction and only the normalized digest may group them —
+# the gate row is then evidence the normalization itself works, not a
+# re-test of exact dedup. n_variants counts distinct RAW digests per
+# group (2 for every planted pair) as the in-row proof.
+
+
+def _mutate(text: F.Column) -> F.Column:
+    return F.concat(
+        F.lit("  "), F.upper(F.regexp_replace(text, " ", "  ")), F.lit(" ")
+    )
+
+
+@register(
+    "dedup_normalized",
+    oracle=f"""
+    WITH docs_m AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+             '  ' || upper(replace(text, ' ', '  ')) || ' ' AS text
+      FROM documents WHERE doc_id % {PLANT_MOD} = 0
+    )
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_hash,
+           count(*) AS n_copies,
+           count(DISTINCT md5(text)) AS n_variants,
+           min(doc_id) AS keeper_doc_id
+    FROM docs_m
+    GROUP BY 1 HAVING count(*) > 1
+    ORDER BY norm_hash
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup (the Dolma/Gopher first pass):
+    casefold, trim, collapse runs of whitespace, THEN digest-group —
+    catches the re-encoded/re-wrapped copies raw-byte dedup misses
+    while staying a single map-side digest + one shuffle (identical
+    scale posture to ``dedup_exact_documents``; any further
+    normalizers — punctuation strip, unicode NFKC via a JVM expr —
+    slot into the same map stage at zero extra shuffles)."""
+    docs = table(spark, sf_dir, "documents")
+    clones = docs.filter(F.col("doc_id") % PLANT_MOD == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        _mutate(F.col("text")).alias("text"),
+    )
+    planted = docs.select("doc_id", "text").unionByName(clones)
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        planted.select(
+            F.md5(norm).alias("norm_hash"), F.md5(F.col("text")).alias("raw_hash"), "doc_id"
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("raw_hash").alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("norm_hash")
+    )
+
+
+# --------------------------------------------------------------------------
+# semantic dedup: SRP bucket + within-bucket exact cosine
+# --------------------------------------------------------------------------
+# SemDeDup-shaped: partition the embedding space coarsely, verify
+# pairs ONLY within a cell. The cells here are axis-aligned sign
+# buckets over the first SRP_PLANES dims — a random-hyperplane LSH
+# whose planes are the coordinate axes, which keeps the oracle plain
+# SQL (sign tests) while exercising the same plan shape as the
+# hash-derived-plane variant (ann_lsh_buckets). 2^SRP_PLANES cells is
+# deliberately tiny for the fixture; production uses 12-16 planes
+# (4k-65k cells) or the IVF codebook (ivf_kmeans_codebook) — the plan
+# below is unchanged, only the bucket expression widens.
+SRP_PLANES = 3
+SEM_COSINE_THRESHOLD = 0.95
+SEM_BUCKET_CAP = 4096  # same degenerate-cell defense as BUCKET_CAP
+
+
+def _srp_bucket(v: F.Column) -> F.Column:
+    b = F.lit(0)
+    for i in range(SRP_PLANES):
+        b = b + F.when(F.element_at(v, i + 1) > 0, F.lit(1 << (SRP_PLANES - 1 - i))).otherwise(
+            F.lit(0)
+        )
+    return b.cast("int")
+
+
+@register(
+    "semantic_dedup_srp",
+    oracle=f"""
+    WITH {PLANTED_EMB_SQL},
+    b AS (
+      SELECT vec_id, embedding,
+             4 * CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+           + 2 * CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END
+           +     CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS bucket
+      FROM embeddings_planted
+    ),
+    ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= {SEM_BUCKET_CAP}),
+    bb AS (SELECT b.vec_id, b.embedding, b.bucket FROM b JOIN ok USING (bucket))
+    SELECT a.bucket, a.vec_id AS keep_id, c.vec_id AS drop_id,
+           round(list_cosine_similarity(a.embedding, c.embedding), 4) AS cosine
+    FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.embedding, c.embedding) >= {SEM_COSINE_THRESHOLD}
+    ORDER BY keep_id, drop_id
+    """,
+)
+def semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs, SemDeDup-shaped: coarse-partition the
+    embedding space (sign-bucket LSH), drop degenerate cells above
+    SEM_BUCKET_CAP, exact-verify cosine ONLY within a cell. vs the
+    blocked-GEMM exact path (dedup_embedding_cosine): candidate count
+    falls from O(n²/B²) blocks to O(Σ cell²) — at production plane
+    counts cells are small and the join is the standard bucketed
+    self-join that survives 100 TB.
+
+    All JVM: sign bucket and L2 norm are map-side expressions; the
+    self-join shuffles on the bucket key; the dot product is a
+    codegen'd ``aggregate(zip_with(...))`` fold — no Python, no UDF.
+    Cosine values hash-checked against DuckDB's
+    list_cosine_similarity at 4 dp (same contract as
+    dedup_embedding_cosine)."""
+    emb = plant_duplicates(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    emb = emb.select(
+        "vec_id",
+        "v",
+        _srp_bucket(F.col("v")).alias("bucket"),
+        F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    emb = _cap_buckets(spread(emb, "bucket"), "bucket", cap=SEM_BUCKET_CAP)
+    a, c = emb.alias("a"), emb.alias("c")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("c.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos_raw = dot / (F.col("a.nrm") * F.col("c.nrm"))
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.bucket").alias("bucket"),
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("c.vec_id").alias("drop_id"),
+            cos_raw.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= SEM_COSINE_THRESHOLD)
+        .select("bucket", "keep_id", "drop_id", F.round("cos_raw", 4).alias("cosine"))
+        .orderBy("keep_id", "drop_id")
+    )
