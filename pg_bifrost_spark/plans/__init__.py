@@ -190,9 +190,11 @@ GATE_PRIORITY: list[str] = [
     # LLM-data-pipeline: dedup family (planted-duplicate fixtures —
     # the gate must see these find duplicates, not match empty sets)
     "dedup_exact_documents",
+    "dedup_normalized",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_hotset",
     "dedup_embedding_cosine",
+    "semantic_dedup_srp",
     "dedup_cluster_components",
     "dedup_jaccard_clusters",
     "near_dup_resolution",
@@ -201,15 +203,19 @@ GATE_PRIORITY: list[str] = [
     "ann_bruteforce_topk",
     "knn_per_label_centroid",
     "embedding_quantize_int8",
-    # text analysis
+    # text analysis / structural cleaning (r5 additions:
+    # paragraph/line/html/PII/unigram-LM — first gate appearance)
     "text_token_stats",
-    "text_lang_id",
     "text_quality_score",
     "text_fingerprint",
-    "text_clean_normalize",
     "text_repetition_stats",
     "quality_gopher_rules",
     "boilerplate_line_stats",
+    "paragraph_dedup",
+    "doc_line_dedup",
+    "html_strip_text",
+    "pii_scan_documents",
+    "quality_unigram_logprob",
     # corpus-wide passes (r3 additions — first gate rotation)
     "vocab_top_tokens",
     "tfidf_top_terms",
@@ -217,8 +223,6 @@ GATE_PRIORITY: list[str] = [
     "document_chunking",
     "rare_token_score",
     # curation / mixture planning
-    "sample_deterministic",
-    "stratified_sample_by_source",
     "curation_pipeline",
     "sequence_packing",
     "corpus_mixture_report",
@@ -233,26 +237,21 @@ GATE_PRIORITY: list[str] = [
     # multimodal plumbing
     "multimodal_binary_meta",
     "multimodal_frame_sample",
-    # round-1 hash-mismatch fixes, re-proven green r2+r3+r4 (3 straight
-    # rounds): q9_product_profit, sessionize_users, json_props_extract
-    # rotated OUT in r5 to make room for the round-4/5 first-timers
-    # above (dedup_jaccard_clusters, near_dup_resolution,
-    # dedup_ngram_jaccard_hotset); hypertable_rollup and
-    # approx_aggregates stay one more round as the rollup- and
-    # sketch-shaped representatives.
-    "hypertable_rollup",
-    "approx_aggregates",
     # long-proven keepers: one per distinct architectural shape.
-    # Rotated OUT after 3 straight green rounds: q2, q8, q9, q13, q17,
-    # q21, topk_per_group, exact_percentiles, fuzzy_name_match,
-    # grouping_sets_status, window_distribution_suite, sessionize_users,
-    # asof_click_to_view, dedup_keep_latest, json_props_extract,
-    # s3_time_partition_layout — all still oracle-backed and
+    # Rotated OUT after >=3 straight green rounds: q2, q3, q8, q9,
+    # q13, q17, q21, topk_per_group, exact_percentiles,
+    # fuzzy_name_match, grouping_sets_status,
+    # window_distribution_suite, sessionize_users, asof_click_to_view,
+    # dedup_keep_latest, json_props_extract, s3_time_partition_layout,
+    # hypertable_rollup, approx_aggregates, text_lang_id,
+    # text_clean_normalize, sample_deterministic,
+    # stratified_sample_by_source — all still oracle-backed and
     # pytest-rehearsed every round. Union of r1-r5 gate rows covers
-    # every oracle-backed operator (the r4 additions hold gate slots
-    # this round).
+    # every oracle-backed operator (the seven r5 additions hold gate
+    # slots this round; q1 stays as the TPC-H representative,
+    # tumbling_window_stats and scalar_function_suite anchor the
+    # streaming-stats and scalar-suite evidence rows).
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "tumbling_window_stats",
     "scalar_function_suite",
 ]
