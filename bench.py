@@ -57,6 +57,9 @@ HEADLINE = [
     "curation_pipeline",
     "token_budget_sample",
     "dedup_chunk_passages",
+    "paragraph_dedup",
+    "quality_unigram_logprob",
+    "semantic_dedup_srp",
     "salted_skew_join",
     "q13_customer_distribution",
     "q8_market_share",
@@ -74,7 +77,13 @@ N_EXECS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_EXECS", "3")))
 # 600 k messages, 12× the reference itest corpus). Bounded so the
 # streaming leg stays a fraction of the sweep.
 STREAM_ORDER_MOD = 3
-STREAM_BATCH_MSGS = 200_000
+# One admission-controlled micro-batch covers the whole corpus: each
+# extra drain round costs a full query restart (~4 s measured —
+# stream init + Python-runner launch + checkpoint setup), which at
+# bench scale swamps the per-batch work. Small-cap many-batch
+# behavior (backpressure, W6) is pinned separately by
+# test_backpressure_many_microbatches.
+STREAM_BATCH_MSGS = 1_000_000
 
 
 def bench_streaming(spark, sf_dir: str) -> dict:
@@ -124,6 +133,48 @@ def bench_streaming(spark, sf_dir: str) -> dict:
 
         def sink(batch_df, epoch_id):
             batch_df.write.format("noop").mode("overwrite").save()
+
+        # Warm the STREAMING machinery once on a throwaway ~100-msg
+        # corpus (same move as the batch sweep's sf0.001 warm-up pass):
+        # the first streaming query of a session is billed the Python
+        # streaming-runner launch + per-plan codegen — measured 49 s vs
+        # 14 s steady-state on the same corpus. Different wal_dir and
+        # checkpoint — nothing about the timed corpus is pre-computed.
+        warm_wal = tempfile.mkdtemp(prefix="bench_wal_warm_")
+        warm_ckpt = tempfile.mkdtemp(prefix="bench_ckpt_warm_")
+        try:
+            warm_li = table(spark, "/root/testdata/sf0.001", "lineitem").filter(
+                F.col("l_orderkey") % 50 == 0
+            )
+            warm_raw = wal_lines_from_table(
+                warm_li,
+                "public.lineitem",
+                LINEITEM_PG_TYPES,
+                seq_expr=F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+            )
+            (
+                warm_raw.select(
+                    F.to_json(
+                        F.struct("wal_start", "server_time_ms", "line")
+                    ).alias("value")
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .text(warm_wal)
+            )
+            for name in os.listdir(warm_wal):
+                if name.startswith("part-"):
+                    os.rename(
+                        os.path.join(warm_wal, name),
+                        os.path.join(warm_wal, name + ".jsonl"),
+                    )
+            drain_cdc_query(
+                spark, sink, warm_ckpt, cfg=PipelineConfig(),
+                source_options={"wal_dir": warm_wal},
+            )
+        finally:
+            shutil.rmtree(warm_wal, ignore_errors=True)
+            shutil.rmtree(warm_ckpt, ignore_errors=True)
 
         _clean_state(spark)
         t0 = time.perf_counter()
@@ -194,7 +245,15 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     # clean-state reference number for the heaviest query, measured
-    # before the sweep: the honest-measurement cross-check
+    # before the sweep: the honest-measurement cross-check. One
+    # UNTIMED full-scale execution first: the very first sf-bench exec
+    # is billed cold-page-cache I/O and large-input codegen variants
+    # that the sf0.001 warm-up cannot absorb (measured 12.9 s cold vs
+    # 6.5 s steady on an otherwise idle host) — costs every IN-SWEEP
+    # query is also free of, so including them in the standalone would
+    # make the divergence check fire on host I/O state rather than on
+    # the sweep-residue effect it exists to catch.
+    _run_once(spark, "cdc_lineitem_roundtrip", sf_dir)
     standalone = {"cdc_lineitem_roundtrip": _run_once(spark, "cdc_lineitem_roundtrip", sf_dir)}
     print(f"# standalone cdc_lineitem_roundtrip: "
           f"{standalone['cdc_lineitem_roundtrip']:.3f}s", file=sys.stderr)

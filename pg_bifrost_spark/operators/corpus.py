@@ -419,3 +419,64 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate counting (tokenizer training inner loop)
+# --------------------------------------------------------------------------
+BPE_TOP_MERGES = 40
+
+
+@register(
+    "bpe_pair_merges",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS pair
+      FROM toks WHERE len(t) >= 2
+    ),
+    counted AS (
+      SELECT pair, count(*) AS pair_count FROM pairs GROUP BY pair
+      ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_MERGES}
+    )
+    SELECT row_number() OVER (ORDER BY pair_count DESC, pair) AS merge_rank,
+           pair, pair_count
+    FROM counted ORDER BY merge_rank
+    """,
+)
+def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of the BPE/WordPiece training inner loop at corpus
+    scale: count every ADJACENT token pair (with multiplicity — merge
+    scoring needs frequencies, not the distinct sets shingling uses)
+    and rank the top {BPE_TOP_MERGES} merge candidates. A full trainer
+    iterates this ~vocab-size times with re-tokenization between
+    rounds; each round is exactly this plan.
+
+    Plan: pair construction is a map-side array transform (one pass
+    per doc, no per-element re-evaluation — the materialized-column
+    rule from ``dedup.shingles_from_tokens``); the count is ONE
+    map-side-combined shuffle on the pair; the rank window runs after
+    the LIMIT cut so it sees {BPE_TOP_MERGES} rows at any corpus
+    size."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    toks = docs.filter(F.size("toks") >= 2).select("toks")
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    counted = (
+        toks.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP_MERGES)
+    )
+    w = Window.orderBy(F.desc("pair_count"), "pair")
+    return counted.select(
+        F.row_number().over(w).alias("merge_rank"), "pair", "pair_count"
+    ).orderBy("merge_rank")
