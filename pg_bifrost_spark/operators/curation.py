@@ -463,3 +463,111 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus snapshot diff (dataset versioning audit)
+# --------------------------------------------------------------------------
+# Version-2 of the corpus is DERIVED deterministically (the planted-
+# fixture move): ~1/13 of docs removed, ~1/11 of the survivors
+# re-edited, ~1/17 cloned in as new docs — so the diff report is
+# non-vacuous and byte-mirrored in the oracle. The operator itself
+# (snapshot_diff) takes any two DataFrames.
+DIFF_REMOVE_MOD = 13
+DIFF_EDIT_MOD = 11
+DIFF_ADD_MOD = 17
+DIFF_ADD_OFFSET = 20_000_000
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0
+                  THEN text || ' rev2' ELSE text END AS text,
+             n_chars
+      FROM documents WHERE doc_id % {DIFF_REMOVE_MOD} <> 0
+      UNION ALL
+      SELECT doc_id + {DIFF_ADD_OFFSET} AS doc_id, text, n_chars
+      FROM documents WHERE doc_id % {DIFF_ADD_MOD} = 0
+    ),
+    j AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE
+               WHEN a.doc_id IS NULL THEN 'added'
+               WHEN b.doc_id IS NULL THEN 'removed'
+               WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+               ELSE 'unchanged'
+             END AS status,
+             coalesce(b.n_chars, a.n_chars) AS n_chars
+      FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS char_mass,
+           min(doc_id) AS first_doc_id,
+           max(doc_id) AS last_doc_id
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning audit: diff two corpus snapshots by doc_id +
+    content digest into added / removed / changed / unchanged classes
+    with document and character mass per class — the release-notes
+    artifact a training-data pipeline publishes per corpus version
+    (and the guard against silently re-training on a shifted corpus).
+
+    ONE full outer join keyed on doc_id (shuffle both sides on the
+    id — no broadcast of anything corpus-proportional), digests
+    computed map-side, then an O(4)-state aggregate. Identical plan
+    shape at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    v2 = (
+        docs.filter(F.col("doc_id") % DIFF_REMOVE_MOD != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % DIFF_EDIT_MOD == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text")).alias("text"),
+            "n_chars",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % DIFF_ADD_MOD == 0).select(
+                (F.col("doc_id") + DIFF_ADD_OFFSET).alias("doc_id"), "text", "n_chars"
+            )
+        )
+    )
+    return snapshot_diff(docs.select("doc_id", "text", "n_chars"), v2)
+
+
+def snapshot_diff(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """Generic two-snapshot diff: (doc_id, text, n_chars) → per-status
+    counts/mass. Digest-compare, never text-compare, so the join rows
+    stay narrow."""
+    a = v1.select(
+        F.col("doc_id"), F.md5(F.col("text")).alias("h1"), F.col("n_chars").alias("c1")
+    )
+    b = v2.select(
+        F.col("doc_id"), F.md5(F.col("text")).alias("h2"), F.col("n_chars").alias("c2")
+    )
+    j = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.coalesce("c2", "c1").alias("n_chars"),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("char_mass"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("status")
+    )

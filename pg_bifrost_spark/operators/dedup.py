@@ -827,3 +827,125 @@ def semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "keep_id", "drop_id", F.round("cos_raw", 4).alias("cosine"))
         .orderBy("keep_id", "drop_id")
     )
+
+
+# --------------------------------------------------------------------------
+# containment (asymmetric near-dup: excerpt/superset detection)
+# --------------------------------------------------------------------------
+# Jaccard misses the classic scraped-web shape where one document CONTAINS
+# another (quote + commentary): |A∩B|/|A∪B| dilutes with the superset's
+# extra content, but |A∩B|/min(|A|,|B|) stays 1.0. The planted fixture
+# clones id % PLANT_MOD == 0 docs WITH APPENDED COMMENTARY, so the clone
+# strictly contains the original's shingles — a pair only the containment
+# measure is guaranteed to flag.
+CONTAIN_THRESHOLD = 0.9
+CONTAIN_SUFFIX = (
+    "editorial note this excerpt is reproduced with additional commentary "
+    "for context and review purposes only"
+)
+
+_CONTAIN_DOCS_SQL = f"""documents_contain AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+             text || ' {CONTAIN_SUFFIX}' AS text, lang, source, n_chars
+      FROM documents WHERE doc_id % {PLANT_MOD} = 0
+    )"""
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_CONTAIN_DOCS_SQL},
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([
+               x[1] || ' ' || x[2] || ' ' || x[3]
+               FOR x IN [
+                 toks[i:i+2] FOR i IN range(1, len(toks) - 1)
+               ] IF len(x) = 3
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents_contain)
+      WHERE len(toks) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {DF_CUTOFF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common::DOUBLE / least(sa.n, sb.n) AS containment
+    FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common::DOUBLE / least(sa.n, sb.n) >= {CONTAIN_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs — |A∩B| / min(|A|, |B|) ≥ {CONTAIN_THRESHOLD}
+    over non-stop 3-gram shingles, via the SAME posting-list index,
+    DF cutoff, and hot-set subtraction as ``ngram_jaccard_pairs``
+    (identical scale posture: per-shingle fan-out ≤ DF_CUTOFF², no
+    corpus-proportional broadcast). Only the final per-pair formula
+    differs — an exact-int division, hash-stable across engines."""
+    docs = table(spark, sf_dir, "documents")
+    clones = docs.filter(F.col("doc_id") % PLANT_MOD == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + CONTAIN_SUFFIX)).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    planted = docs.unionByName(clones)
+    pairs = ngram_containment_pairs(planted)
+    return pairs
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = CONTAIN_THRESHOLD,
+    df_cutoff: int = DF_CUTOFF,
+) -> DataFrame:
+    """``ngram_jaccard_pairs``'s index with the containment measure."""
+    base = tracked_cache(with_shingles(docs).select("doc_id", "hshingles"))
+    posts = base.select("doc_id", F.explode("hshingles").alias("shingle"))
+    hot = (
+        posts.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cutoff)
+        .select("shingle")
+    )
+    hot_rows = [r.shingle for r in hot.collect()]
+    if hot_rows:
+        base = base.select(
+            "doc_id",
+            F.array_except(
+                "hshingles", F.array(*[F.lit(s) for s in hot_rows])
+            ).alias("hshingles"),
+        )
+    sh = spread(
+        base.select(
+            "doc_id", F.size("hshingles").alias("n"), F.explode("hshingles").alias("shingle")
+        ),
+        "shingle",
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    cont = F.col("n_common") / F.least(F.col("na"), F.col("nb"))
+    return (
+        common.filter(cont >= threshold)
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -11,7 +11,7 @@ Two paths:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import register, table
@@ -303,3 +303,70 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l2_err"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# batched top-k (retrieval serving shape)
+# --------------------------------------------------------------------------
+BATCH_Q_MOD = 50  # vec_id % 50 == 0 → the query batch (~2% of vectors)
+BATCH_TOP_K = 3
+
+
+@register(
+    "ann_batch_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % {BATCH_Q_MOD} = 0
+    ),
+    c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {BATCH_Q_MOD} <> 0
+    ),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             list_cosine_similarity(c.v, q.qv) AS cos_raw
+      FROM q CROSS JOIN c
+    )
+    SELECT qid, vec_id, round(cos_raw, 4) AS cosine,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id)
+                AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) <= {BATCH_TOP_K}
+    ORDER BY qid, rank
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BATCH_TOP_K} nearest corpus vectors for a BATCH of query
+    vectors — the retrieval-serving shape (one query per user request,
+    batched for throughput), vs the single-query
+    ``ann_bruteforce_topk``.
+
+    The query batch is broadcast BY CONSTRUCTION bounded (it is a
+    request batch, not a corpus slice), the corpus side streams
+    through the join map-side — zero shuffle of the corpus — and the
+    per-query top-k window partitions on qid, so the sort state is
+    k-bounded per query. The exact-scoring inner loop is the codegen'd
+    HOF dot product; at production corpus sizes the LSH/IVF variants
+    (``ann_lsh_buckets``/``ann_ivf_probe``) prune the corpus FIRST and
+    feed this same scoring/ranking tail."""
+    emb = _prepared(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % BATCH_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = emb.filter(F.col("vec_id") % BATCH_Q_MOD != 0)
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cos_raw", _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_TOP_K)
+        .select(
+            "qid",
+            "vec_id",
+            F.round("cos_raw", 4).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("qid", "rank")
+    )
