@@ -803,7 +803,10 @@ def semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("nrm"),
     )
-    emb = _cap_buckets(spread(emb, "bucket"), "bucket", cap=SEM_BUCKET_CAP)
+    # cache the bucketed+capped relation: the self-join references it
+    # twice, and without the cache each alias branch re-scans and
+    # re-caps the full corpus (2× scan at any scale)
+    emb = tracked_cache(_cap_buckets(spread(emb, "bucket"), "bucket", cap=SEM_BUCKET_CAP))
     a, c = emb.alias("a"), emb.alias("c")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("c.v"), lambda x, y: x * y),

@@ -362,3 +362,84 @@ def test_no_decimal_output_columns(spark):
         if decs:
             offenders[name] = decs
     assert not offenders, f"Decimal output columns (hash-fragile): {offenders}"
+
+
+def test_paragraph_dedup_no_driver_path_and_anti_join(spark):
+    """The hot-paragraph set is corpus-proportional in the worst case:
+    removal must be a JOIN against the distributed hot set (left
+    anti), with no forced broadcast hint in the operator (AQE may
+    still pick broadcast when it measures small — that is allowed) and
+    no collect anywhere in the build."""
+    import inspect
+
+    from pg_bifrost_spark.operators import structure
+
+    src = inspect.getsource(structure.paragraph_dedup.__wrapped__ if hasattr(structure.paragraph_dedup, "__wrapped__") else structure.paragraph_dedup)
+    assert ".collect()" not in src and "broadcast(" not in src
+    text = plan_of(spark, "paragraph_dedup")
+    assert "LeftAnti" in text
+    # deterministic reassembly: the aggregate must carry the position
+    # inside the collected struct (order restored by sort, not by
+    # shuffle luck)
+    assert "collect_list(struct(pos" in text
+
+
+def test_doc_line_dedup_is_map_only(spark):
+    """Intra-doc line dedup must be a pure projection: no Exchange
+    other than the final presentation orderBy's range partitioning —
+    the per-row HOF filter is the whole algorithm."""
+    text = plan_of(spark, "doc_line_dedup")
+    assert "Join" not in text
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning", text)
+
+
+def test_semantic_dedup_shuffles_on_bucket_only(spark):
+    """The SRP self-join must key on the bucket with NO forced
+    broadcast hint in the operator (at sf0.001 Spark's statistics
+    legitimately pick broadcast; at scale the same plan compiles to a
+    shuffle join — a pinned hint would freeze the small-data choice,
+    the r4 near_dup_resolution lesson). The degenerate-cell cap must
+    ride the bucket exchange as a window, not add a shuffle."""
+    import inspect
+
+    from pg_bifrost_spark.operators import dedup as _d
+
+    src = inspect.getsource(_d.semantic_dedup_srp)
+    assert "F.broadcast" not in src
+    text = plan_of(spark, "semantic_dedup_srp")
+    assert "Exchange hashpartitioning(bucket" in text  # spread on bucket
+    assert "Window [count(1)" in text  # cap over the same exchange
+    # the self-join's two references to the bucketed+capped relation
+    # must BOTH read the cached relation, not re-scan the corpus
+    # (FileScan lines appearing inside the InMemoryRelation's printed
+    # cached-plan subtree don't execute)
+    assert text.count("InMemoryTableScan") == 2
+
+
+def test_ann_batch_topk_broadcasts_queries_only(spark):
+    """The query batch is request-bounded → broadcast; the corpus must
+    stream map-side (no Exchange between the embeddings scan and the
+    scoring join)."""
+    text = plan_of(spark, "ann_batch_topk")
+    assert "BroadcastNestedLoopJoin" in text
+    # below the join (its children, top-down print): the corpus scan
+    # feeds the join with no hash exchange — only the query batch's
+    # BroadcastExchange is allowed
+    below = text.split("BroadcastNestedLoopJoin")[1]
+    assert "Exchange hashpartitioning" not in below
+    # per-query top-k is rank-limited BEFORE the qid shuffle: at most
+    # k rows per query per map partition cross the wire
+    assert "WindowGroupLimit" in text and "Partial" in text
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    """One full outer join on doc_id, digests map-side: the plan must
+    contain exactly one SortMergeJoin/ShuffledHashJoin (FullOuter) and
+    no md5 evaluation after the join (digest is computed pre-shuffle,
+    so the join rows stay narrow)."""
+    text = plan_of(spark, "corpus_snapshot_diff")
+    assert text.count("FullOuter") >= 1
+    post_join = text.split("FullOuter")[0]  # executedPlan prints top-down
+    assert "md5" not in post_join
