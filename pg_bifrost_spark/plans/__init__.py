@@ -193,6 +193,7 @@ GATE_PRIORITY: list[str] = [
     "dedup_normalized",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_hotset",
+    "dedup_containment",
     "dedup_embedding_cosine",
     "semantic_dedup_srp",
     "dedup_cluster_components",
@@ -201,16 +202,15 @@ GATE_PRIORITY: list[str] = [
     "dedup_chunk_passages",
     # similarity / embeddings
     "ann_bruteforce_topk",
-    "knn_per_label_centroid",
+    "ann_batch_topk",
     "embedding_quantize_int8",
     # text analysis / structural cleaning (r5 additions:
-    # paragraph/line/html/PII/unigram-LM — first gate appearance)
-    "text_token_stats",
+    # paragraph/line/html/PII/unigram-LM/BPE — first gate appearance)
     "text_quality_score",
     "text_fingerprint",
     "text_repetition_stats",
     "quality_gopher_rules",
-    "boilerplate_line_stats",
+    "bpe_pair_merges",
     "paragraph_dedup",
     "doc_line_dedup",
     "html_strip_text",
@@ -223,7 +223,7 @@ GATE_PRIORITY: list[str] = [
     "document_chunking",
     "rare_token_score",
     # curation / mixture planning
-    "curation_pipeline",
+    "corpus_snapshot_diff",
     "sequence_packing",
     "corpus_mixture_report",
     "domain_cap_sample",
@@ -234,8 +234,10 @@ GATE_PRIORITY: list[str] = [
     "join_skew_report",
     "corpus_length_histogram",
     "events_anomaly_zscore",
-    # multimodal plumbing
-    "multimodal_binary_meta",
+    # multimodal plumbing (image_decode: the real PNG/JPEG header
+    # parser that replaced the r4 stub — first gate appearance;
+    # binary_meta rotates out after 3 straight green rounds)
+    "multimodal_image_decode",
     "multimodal_frame_sample",
     # long-proven keepers: one per distinct architectural shape.
     # Rotated OUT after >=3 straight green rounds: q2, q3, q8, q9,
@@ -245,9 +247,11 @@ GATE_PRIORITY: list[str] = [
     # dedup_keep_latest, json_props_extract, s3_time_partition_layout,
     # hypertable_rollup, approx_aggregates, text_lang_id,
     # text_clean_normalize, sample_deterministic,
-    # stratified_sample_by_source — all still oracle-backed and
+    # stratified_sample_by_source, text_token_stats,
+    # boilerplate_line_stats, curation_pipeline,
+    # knn_per_label_centroid — all still oracle-backed and
     # pytest-rehearsed every round. Union of r1-r5 gate rows covers
-    # every oracle-backed operator (the seven r5 additions hold gate
+    # every oracle-backed operator (all ELEVEN r5 additions hold gate
     # slots this round; q1 stays as the TPC-H representative,
     # tumbling_window_stats and scalar_function_suite anchor the
     # streaming-stats and scalar-suite evidence rows).
