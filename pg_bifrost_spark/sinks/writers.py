@@ -59,6 +59,40 @@ def s3_time_partitioned(df: DataFrame, base_path: str, payload_col: str = "json"
     )
 
 
+def exactly_once_ndjson(
+    batch_df: DataFrame, epoch_id: int, base_path: str, payload_col: str = "json"
+) -> bool:
+    """foreachBatch file sink with IDEMPOTENT replay — the
+    exactly-once upgrade the reference's at-least-once S3 sink can't
+    make without an external ledger (its duplicates carry the same
+    time_based_key for downstream dedup instead; W4/W5).
+
+    Structured Streaming replays an uncommitted micro-batch with the
+    SAME epoch_id, so writing each epoch to its own
+    ``<base>/epoch=<id>/`` directory and skipping when that epoch's
+    ``_SUCCESS`` marker already exists makes the file output
+    exactly-once end-to-end: a crash after the marker re-runs the
+    batch as a no-op; a crash before it leaves a partial directory
+    that the retry OVERWRITES atomically-enough (the marker is written
+    last). Consumers list ``epoch=*/part-*`` and may treat epoch
+    directories as commit units. On object stores pair this with a
+    v2/committer configuration so the marker semantics hold.
+
+    Returns True if this call wrote, False if it skipped a replay."""
+    import os as _os
+
+    out = _os.path.join(base_path, f"epoch={epoch_id}")
+    if _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        return False
+    (
+        batch_df.filter(F.col(payload_col).isNotNull())
+        .select(payload_col)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    return True
+
+
 # ---------------------------------------------------------------------------
 # Kinesis (T1) — foreachBatch with caps + partial retry
 # ---------------------------------------------------------------------------

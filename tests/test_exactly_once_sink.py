@@ -1,0 +1,77 @@
+"""Exactly-once epoch-manifest file sink: replaying a committed epoch
+is a no-op, a partial (crashed) attempt is overwritten, and the
+end-to-end stream delivers each payload exactly once across a
+checkpoint restart that forces re-delivery."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pg_bifrost_spark.cdc.fixtures import dml_line, ops_to_raw_lines, raw_lines_df, txn
+from pg_bifrost_spark.cdc.pipeline import PipelineConfig
+from pg_bifrost_spark.sinks.writers import exactly_once_ndjson
+from pg_bifrost_spark.streaming.core import drain_cdc_query
+
+
+def test_committed_epoch_replay_is_noop(spark, tmp_path):
+    out = str(tmp_path / "out")
+    batch = spark.createDataFrame([("a",), ("b",)], "json string")
+    assert exactly_once_ndjson(batch, 7, out) is True
+    first = sorted(r.value for r in spark.read.text(os.path.join(out, "epoch=7")).collect())
+    # replay of the SAME epoch (same id) must not duplicate
+    assert exactly_once_ndjson(batch, 7, out) is False
+    again = sorted(r.value for r in spark.read.text(os.path.join(out, "epoch=7")).collect())
+    assert first == again == ["a", "b"]
+
+
+def test_partial_attempt_is_overwritten(spark, tmp_path):
+    out = str(tmp_path / "out")
+    epoch_dir = os.path.join(out, "epoch=3")
+    os.makedirs(epoch_dir)
+    with open(os.path.join(epoch_dir, "part-stale.txt"), "w") as f:
+        f.write("stale-partial-write\n")
+    # no _SUCCESS marker → the retry must overwrite, not append or skip
+    batch = spark.createDataFrame([("x",)], "json string")
+    assert exactly_once_ndjson(batch, 3, out) is True
+    rows = [r.value for r in spark.read.text(epoch_dir).collect()]
+    assert rows == ["x"]
+
+
+def test_stream_restart_delivers_each_payload_once(spark, tmp_path):
+    """Drain a corpus, then re-run the SAME checkpoint with the sink's
+    output intact: the second run must add nothing (offsets committed)
+    and the union of epoch dirs holds every DML payload exactly once."""
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir)
+    ops = []
+    for t in range(6):
+        ops.extend(txn(900 + t, dml_line("public.t", "INSERT", [("id", "integer", t)])))
+    lines = ops_to_raw_lines(ops)
+    raw_lines_df(spark, lines).select(
+        F.to_json(F.struct("wal_start", "server_time_ms", "line")).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(wal_dir)
+    for n in os.listdir(wal_dir):
+        if n.startswith("part-"):
+            os.rename(os.path.join(wal_dir, n), os.path.join(wal_dir, n + ".jsonl"))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch_df, epoch_id):
+        exactly_once_ndjson(batch_df, epoch_id, out)
+
+    drain_cdc_query(
+        spark, sink, ckpt, cfg=PipelineConfig(),
+        source_options={"wal_dir": wal_dir, "max_msgs_per_batch": "5"},
+    )
+    payloads = sorted(r.value for r in spark.read.text(os.path.join(out, "epoch=*")).collect())
+    assert len(payloads) == 6  # one INSERT envelope per txn, no dups
+    # re-run against the same checkpoint: nothing new, nothing doubled
+    drain_cdc_query(
+        spark, sink, ckpt, cfg=PipelineConfig(),
+        source_options={"wal_dir": wal_dir, "max_msgs_per_batch": "5"},
+    )
+    again = sorted(r.value for r in spark.read.text(os.path.join(out, "epoch=*")).collect())
+    assert again == payloads
