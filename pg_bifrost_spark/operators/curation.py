@@ -571,3 +571,118 @@ def snapshot_diff(v1: DataFrame, v2: DataFrame) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# leakage-safe train/val split
+# --------------------------------------------------------------------------
+# Splitting documents independently leaks: two copies of the same
+# content land on opposite sides of the train/val boundary and the
+# eval set scores memorization (planted clones make this concrete —
+# the naive split provably leaks on the fixture). The safe split keys
+# the assignment on the DUPLICATE GROUP (content digest here; the
+# fuzzy-dedup cluster id in a full pipeline), so a group moves as one
+# unit. Assignment is a deterministic hash-range test on the group
+# key — reproducible, no RNG state.
+VAL_HEX_PREFIX = "0"  # md5 first hex digit '0' → ~1/16 of groups → val
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH docs_m AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {{plant_offset}} AS doc_id, text
+      FROM documents WHERE doc_id % {{plant_mod}} = 0
+    ),
+    keyed AS (
+      SELECT doc_id, md5(lower(trim(text))) AS grp FROM docs_m
+    ),
+    aware AS (
+      SELECT doc_id, grp,
+             CASE WHEN substr(grp, 1, 1) = '{VAL_HEX_PREFIX}'
+                  THEN 'val' ELSE 'train' END AS split
+      FROM keyed
+    ),
+    naive AS (
+      SELECT doc_id, grp,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) = '{VAL_HEX_PREFIX}'
+                  THEN 'val' ELSE 'train' END AS split
+      FROM keyed
+    ),
+    leak AS (
+      SELECT 'group_aware' AS method,
+             count(DISTINCT CASE WHEN split = 'train' THEN doc_id END) AS n_train,
+             count(DISTINCT CASE WHEN split = 'val' THEN doc_id END) AS n_val,
+             CAST(count(DISTINCT grp) FILTER (
+               grp IN (SELECT grp FROM aware GROUP BY grp
+                       HAVING count(DISTINCT split) > 1)) AS BIGINT) AS leaked_groups
+      FROM aware
+      UNION ALL
+      SELECT 'naive',
+             count(DISTINCT CASE WHEN split = 'train' THEN doc_id END),
+             count(DISTINCT CASE WHEN split = 'val' THEN doc_id END),
+             CAST(count(DISTINCT grp) FILTER (
+               grp IN (SELECT grp FROM naive GROUP BY grp
+                       HAVING count(DISTINCT split) > 1)) AS BIGINT)
+      FROM naive
+    )
+    SELECT method, CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_val AS BIGINT) AS n_val, leaked_groups
+    FROM leak ORDER BY method
+    """.format(plant_offset=10_000_000, plant_mod=101),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split audit: the dup-group-aware assignment (split
+    decided by the GROUP digest) vs the naive per-document assignment,
+    each reporting its split sizes and how many duplicate groups
+    straddle the boundary. On the planted-clone fixture the naive
+    method must leak (>0 groups with copies in both splits) and the
+    aware method must report exactly 0 — the property that makes an
+    eval set trustworthy.
+
+    Plan: digests map-side; each method is one groupBy(grp) counting
+    distinct splits (2-value state), then an O(2)-row aggregate. No
+    joins against the corpus, nothing collected."""
+    docs = plant_duplicates(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    keyed = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("grp")
+    )
+
+    def classify(split_col: F.Column, method: str) -> DataFrame:
+        d = keyed.withColumn("split", split_col)
+        leaked = (
+            d.groupBy("grp")
+            .agg(F.countDistinct("split").alias("ns"))
+            .filter(F.col("ns") > 1)
+            .agg(F.count("*").cast("bigint").alias("leaked_groups"))
+        )
+        sizes = d.agg(
+            F.countDistinct(F.when(F.col("split") == "train", F.col("doc_id")))
+            .cast("bigint")
+            .alias("n_train"),
+            F.countDistinct(F.when(F.col("split") == "val", F.col("doc_id")))
+            .cast("bigint")
+            .alias("n_val"),
+        )
+        return sizes.crossJoin(F.broadcast(leaked)).select(
+            F.lit(method).alias("method"), "n_train", "n_val", "leaked_groups"
+        )
+
+    aware = classify(
+        F.when(F.substring("grp", 1, 1) == VAL_HEX_PREFIX, F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+        "group_aware",
+    )
+    naive = classify(
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == VAL_HEX_PREFIX,
+            F.lit("val"),
+        ).otherwise(F.lit("train")),
+        "naive",
+    )
+    return aware.unionByName(naive).orderBy("method")
