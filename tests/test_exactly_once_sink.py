@@ -75,3 +75,68 @@ def test_stream_restart_delivers_each_payload_once(spark, tmp_path):
     )
     again = sorted(r.value for r in spark.read.text(os.path.join(out, "epoch=*")).collect())
     assert again == payloads
+
+
+# ---------------------------------------------------------------------------
+# compaction lifecycle
+# ---------------------------------------------------------------------------
+from pg_bifrost_spark.sinks.compaction import (  # noqa: E402
+    compact_epochs,
+    read_ndjson,
+    vacuum_epochs,
+)
+
+
+def _payloads(spark, base):
+    return sorted(r.value for r in read_ndjson(spark, base).collect())
+
+
+def test_compaction_preserves_exactly_once_at_every_stage(spark, tmp_path):
+    base = str(tmp_path / "out")
+    for e in range(4):
+        b = spark.createDataFrame([(f"p{e}a",), (f"p{e}b",)], "json string")
+        exactly_once_ndjson(b, e, base)
+    expect = sorted(f"p{e}{s}" for e in range(4) for s in "ab")
+    assert _payloads(spark, base) == expect
+
+    # compact: same view, epochs absorbed into gen=0
+    assert compact_epochs(spark, base) == 4
+    assert _payloads(spark, base) == expect
+    # crash-window: manifest committed, epochs not yet vacuumed — the
+    # reader must NOT double-count the absorbed epochs (checked above);
+    # vacuum then removes them and the view is unchanged
+    assert vacuum_epochs(base) == 4
+    assert _payloads(spark, base) == expect
+    # idempotence: nothing left to compact or vacuum
+    assert compact_epochs(spark, base) == 0
+    assert vacuum_epochs(base) == 0
+
+    # new epochs after compaction join the view; a second generation
+    # absorbs only them
+    exactly_once_ndjson(
+        spark.createDataFrame([("p4a",)], "json string"), 4, base
+    )
+    assert _payloads(spark, base) == expect + ["p4a"]
+    exactly_once_ndjson(
+        spark.createDataFrame([("p5a",)], "json string"), 5, base
+    )
+    assert compact_epochs(spark, base) == 2
+    assert _payloads(spark, base) == expect + ["p4a", "p5a"]
+
+
+def test_partial_generation_without_manifest_is_invisible(spark, tmp_path):
+    base = str(tmp_path / "out")
+    for e in range(2):
+        exactly_once_ndjson(
+            spark.createDataFrame([(f"e{e}",)], "json string"), e, base
+        )
+    # simulate a compaction crash AFTER data files, BEFORE manifest
+    gen = os.path.join(base, "compacted", "gen=0")
+    os.makedirs(gen)
+    with open(os.path.join(gen, "part-dead.txt"), "w") as f:
+        f.write("e0\ne1\n")
+    # reader ignores the manifest-less gen — no duplicates
+    assert _payloads(spark, base) == ["e0", "e1"]
+    # the retry overwrites the carcass and commits
+    assert compact_epochs(spark, base) == 2
+    assert _payloads(spark, base) == ["e0", "e1"]
