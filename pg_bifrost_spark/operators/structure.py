@@ -262,12 +262,15 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 TAG_RE = "<[^>]+>"  # Java-regex ∩ RE2 common subset (no lookaround)
 
 
-def plant_html(docs: DataFrame) -> DataFrame:
+def plant_html(docs: DataFrame, title: F.Column | None = None) -> DataFrame:
+    """``title`` defaults to the doc_id; the refinery capstone passes
+    ``doc_id % PLANT_OFFSET`` so a mutated clone and its original keep
+    the SAME title and stay normalization-equal after stripping."""
     return docs.withColumn(
         "text",
         F.concat(
             F.lit("<html><head><title>doc "),
-            F.col("doc_id").cast("string"),
+            (title if title is not None else F.col("doc_id")).cast("string"),
             F.lit("</title></head><body><p>"),
             F.regexp_replace("text", " data ", " <b>data</b> "),
             F.lit("</p><br/></body></html>"),
@@ -314,3 +317,207 @@ def html_strip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.regexp_replace("text", TAG_RE, " "), " +", " ")
         ).alias("stripped"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# refinery capstone: the full structural-cleaning chain, end to end
+# --------------------------------------------------------------------------
+# Every stage's planted trigger is composed into ONE corpus (mutated
+# normalization clones → duplicated lines → boilerplate paragraphs →
+# HTML wrapper), then the chain undoes them in the order a web-corpus
+# refinery runs: strip markup → intra-doc line dedup → cross-doc hot
+# line/paragraph removal → normalized exact dedup → quality floor.
+# The per-source report is hash-checked against the identical DuckDB
+# chain — the end-to-end proof that the stages COMPOSE, not just that
+# each passes alone.
+REFINERY_MIN_TOKENS = 20
+_RP = 10_000_000  # clone id offset (dedup.PLANT_OFFSET)
+_RM = 101  # clone mod (dedup.PLANT_MOD)
+
+
+@register(
+    "refinery_pipeline",
+    oracle=f"""
+    WITH docs_m AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_RP} AS doc_id, source,
+             '  ' || upper(replace(text, ' ', '  ')) || ' ' AS text
+      FROM documents WHERE doc_id % {_RM} = 0
+    ),
+    d1 AS (
+      SELECT doc_id, source, text
+             || CASE WHEN doc_id % {DUPLINE_MOD} = 0
+                     THEN chr(10) || text ELSE '' END
+             || CASE WHEN doc_id % {SIGNOFF_MOD} = 0
+                     THEN chr(10) || '{SIGNOFF}' || chr(10) || '{SIGNOFF}'
+                     ELSE '' END AS text
+      FROM docs_m
+    ),
+    d2 AS (
+      SELECT doc_id, source, text
+             || CASE WHEN doc_id % {LEGAL_MOD} = 0
+                     THEN chr(10) || '{PARA_LEGAL}' ELSE '' END
+             || CASE WHEN doc_id % {PROMO_MOD} = 0
+                     THEN chr(10) || '{PARA_PROMO}' ELSE '' END AS text
+      FROM d1
+    ),
+    d3 AS (
+      SELECT doc_id, source,
+             '<html><head><title>doc ' || (doc_id % {_RP})::VARCHAR
+             || '</title></head><body><p>'
+             || regexp_replace(text, ' data ', ' <b>data</b> ', 'g')
+             || '</p><br/></body></html>' AS text
+      FROM d2
+    ),
+    stripped AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(regexp_replace(text, '{TAG_RE}', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS text
+      FROM d3
+    ),
+    lines AS (
+      SELECT doc_id, source,
+             trim(unnest(string_split(text, chr(10)))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM stripped
+    ),
+    l1 AS (
+      SELECT doc_id, source, line, pos,
+             row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+      FROM lines
+    ),
+    kept AS (SELECT doc_id, source, line, pos FROM l1 WHERE rn = 1),
+    hot AS (
+      SELECT line FROM kept GROUP BY line
+      HAVING count(DISTINCT doc_id) >= {PARA_DF_CUTOFF}
+    ),
+    kept2 AS (
+      SELECT * FROM kept WHERE line NOT IN (SELECT line FROM hot)
+    ),
+    rebuilt AS (
+      SELECT doc_id, source,
+             string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM kept2 GROUP BY doc_id, source
+    ),
+    norm AS (
+      SELECT doc_id, source, text,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+      FROM rebuilt
+    ),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h),
+    final AS (
+      SELECT n.doc_id, n.source, n.text,
+             len(string_split_regex(n.text, '\\s+')) AS n_toks
+      FROM norm n JOIN keepers k USING (doc_id)
+      WHERE len(string_split_regex(n.text, '\\s+')) >= {REFINERY_MIN_TOKENS}
+    ),
+    inputs AS (SELECT source, count(*) AS docs_in FROM docs_m GROUP BY source)
+    SELECT i.source,
+           CAST(i.docs_in AS BIGINT) AS docs_in,
+           CAST(coalesce(f.docs_out, 0) AS BIGINT) AS docs_out,
+           CAST(coalesce(f.chars_out, 0) AS BIGINT) AS chars_out,
+           CAST(coalesce(f.tokens_out, 0) AS BIGINT) AS tokens_out
+    FROM inputs i LEFT JOIN (
+      SELECT source, count(*) AS docs_out, sum(len(text)) AS chars_out,
+             sum(n_toks) AS tokens_out
+      FROM final GROUP BY source
+    ) f USING (source)
+    ORDER BY i.source
+    """,
+)
+def refinery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole structural-refinery chain as ONE composed plan —
+    markup strip, intra-doc line dedup, cross-doc boilerplate removal,
+    normalized exact dedup, token-count quality floor — reported per
+    source and hash-checked end-to-end against the identical DuckDB
+    chain.
+
+    Composition is where pipelines break (a stage that reorders or
+    re-spaces text silently changes the next stage's keys), so this
+    capstone is the regression net over all of structure.py +
+    dedup_normalized. Plan shape: everything through line-reassembly
+    is the paragraph_dedup shape (explode → count shuffle → anti join
+    → one groupBy); the dedup stage is one digest groupBy; the report
+    is an O(sources) aggregate. Nothing corpus-proportional is
+    collected or broadcast."""
+    from .dedup import PLANT_MOD, PLANT_OFFSET  # clone arithmetic shared
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    clones = docs.filter(F.col("doc_id") % PLANT_MOD == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        "source",
+        F.concat(
+            F.lit("  "), F.upper(F.regexp_replace("text", " ", "  ")), F.lit(" ")
+        ).alias("text"),
+    )
+    planted = plant_html(
+        plant_paragraphs(plant_dup_lines(docs.unionByName(clones))),
+        title=F.col("doc_id") % PLANT_OFFSET,
+    )
+    stripped = planted.select(
+        "doc_id",
+        "source",
+        F.trim(
+            F.regexp_replace(F.regexp_replace("text", TAG_RE, " "), " +", " ")
+        ).alias("text"),
+    )
+    lines = stripped.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", "\n")).alias("pos", "raw_line"),
+    ).select("doc_id", "source", "pos", F.trim("raw_line").alias("line"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "line").orderBy("pos")
+    kept = (
+        lines.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    hot = (
+        kept.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= PARA_DF_CUTOFF)
+        .select("line")
+    )
+    kept2 = kept.join(hot, "line", "left_anti")
+    rebuilt = kept2.groupBy("doc_id", "source").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    norm = rebuilt.withColumn(
+        "h", F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    )
+    keepers = norm.groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    final = (
+        norm.join(keepers, "doc_id")
+        .withColumn("n_toks", F.size(F.split("text", r"\s+")))
+        .filter(F.col("n_toks") >= REFINERY_MIN_TOKENS)
+    )
+    inputs = (
+        plant_html(plant_paragraphs(plant_dup_lines(docs.unionByName(clones))))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("docs_in"))
+    )
+    outs = final.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("docs_out"),
+        F.sum(F.length("text")).cast("bigint").alias("chars_out"),
+        F.sum("n_toks").cast("bigint").alias("tokens_out"),
+    )
+    return (
+        inputs.join(outs, "source", "left_outer")
+        .select(
+            "source",
+            "docs_in",
+            F.coalesce("docs_out", F.lit(0)).cast("bigint").alias("docs_out"),
+            F.coalesce("chars_out", F.lit(0)).cast("bigint").alias("chars_out"),
+            F.coalesce("tokens_out", F.lit(0)).cast("bigint").alias("tokens_out"),
+        )
+        .orderBy("source")
+    )
