@@ -214,6 +214,7 @@ GATE_PRIORITY: list[str] = [
     "paragraph_dedup",
     "doc_line_dedup",
     "html_strip_text",
+    "refinery_pipeline",
     "pii_scan_documents",
     "quality_unigram_logprob",
     # corpus-wide passes (r3 additions — first gate rotation)
@@ -252,10 +253,10 @@ GATE_PRIORITY: list[str] = [
     # knn_per_label_centroid — all still oracle-backed and
     # pytest-rehearsed every round. Union of r1-r5 gate rows covers
     # every oracle-backed operator (all ELEVEN r5 additions hold gate
-    # slots this round; q1 stays as the TPC-H representative,
+    # slots this round; q1_pricing_summary (4 straight greens) yields
+    # its slot to the refinery_pipeline capstone —
     # tumbling_window_stats and scalar_function_suite anchor the
     # streaming-stats and scalar-suite evidence rows).
-    "q1_pricing_summary",
     "tumbling_window_stats",
     "scalar_function_suite",
 ]
