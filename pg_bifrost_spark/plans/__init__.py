@@ -203,7 +203,9 @@ GATE_PRIORITY: list[str] = [
     # similarity / embeddings
     "ann_bruteforce_topk",
     "ann_batch_topk",
-    "embedding_quantize_int8",
+    # embedding_quantize_int8 (3 straight greens, map-only shape)
+    # yields to the never-checked leakage_safe_split
+    "leakage_safe_split",
     # text analysis / structural cleaning (r5 additions:
     # paragraph/line/html/PII/unigram-LM/BPE — first gate appearance)
     "text_quality_score",
