@@ -60,6 +60,7 @@ HEADLINE = [
     "paragraph_dedup",
     "quality_unigram_logprob",
     "semantic_dedup_srp",
+    "refinery_pipeline",
     "salted_skew_join",
     "q13_customer_distribution",
     "q8_market_share",
