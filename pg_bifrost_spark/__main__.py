@@ -32,6 +32,12 @@ def _sink(args):
         if not args.out:
             raise SystemExit("--out <path> required for the s3/file sink")
         return lambda df, epoch: s3_time_partitioned(df, args.out)
+    if args.sink == "file-exactly-once":
+        from .sinks.writers import exactly_once_ndjson
+
+        if not args.out:
+            raise SystemExit("--out <path> required for the exactly-once file sink")
+        return lambda df, epoch: exactly_once_ndjson(df, epoch, args.out)
     if args.sink == "kinesis":
         from .sinks.writers import kinesis_writer
 
@@ -67,7 +73,10 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     rep = sub.add_parser("replicate", help="run the CDC pipeline into a sink")
-    rep.add_argument("sink", choices=["stdout", "s3", "kinesis", "rabbitmq", "kafka"])
+    rep.add_argument(
+        "sink",
+        choices=["stdout", "s3", "file-exactly-once", "kinesis", "rabbitmq", "kafka"],
+    )
     rep.add_argument("--wal-dir", help="replay-transport WAL directory")
     rep.add_argument("--dsn", help="postgres DSN for the live transport")
     rep.add_argument("--slot", default="pg_bifrost_spark")
