@@ -48,6 +48,12 @@ def test_aqe_splits_skewed_join_partition(spark):
         # must have fired (isSkew=true on the shuffle read)
         assert "skew=true" in final or "isSkew=true" in final, final[:2000]
     finally:
+        # conf.get(k, None) returns None for a conf sitting at its
+        # DEFINED DEFAULT, so "restore only if previously set" leaks
+        # the tiny AQE thresholds into every later test (it broke the
+        # z-order layout test's file boundaries) — unset those instead
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
