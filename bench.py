@@ -190,11 +190,67 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             },
         )
         dt = round(time.perf_counter() - t0, 3)
+
+        # scale-out leg: the SAME corpus as N_SLOTS independent slots
+        # through pgcdc-multi (one executor partition per slot — the
+        # reference would need N processes for this). Files are
+        # assigned to slots round-robin; a transaction's messages stay
+        # in one file, so per-slot txn assembly is unharmed.
+        n_slots = 4
+        multi_base = tempfile.mkdtemp(prefix="bench_wal_multi_")
+        multi_ckpt = tempfile.mkdtemp(prefix="bench_ckpt_multi_")
+        try:
+            for i in range(n_slots):
+                os.makedirs(os.path.join(multi_base, f"slot_{i}"), exist_ok=True)
+            files = sorted(n for n in os.listdir(wal_dir) if n.endswith(".jsonl"))
+            for j, name in enumerate(files):
+                os.link(
+                    os.path.join(wal_dir, name),
+                    os.path.join(multi_base, f"slot_{j % n_slots}", name),
+                )
+            from pg_bifrost_spark.cdc.pipeline import run_pipeline_assembled
+            from pg_bifrost_spark.sources import pgcdc_multi
+
+            pgcdc_multi.register(spark)
+
+            def multi_sink(batch_df, epoch_id):
+                batch_df.persist()
+                try:
+                    run_pipeline_assembled(batch_df, PipelineConfig()).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                finally:
+                    batch_df.unpersist()
+
+            _clean_state(spark)
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.format("pgcdc-multi")
+                .option("wal_dir", multi_base)
+                .load()
+                .writeStream.foreachBatch(multi_sink)
+                .option("checkpointLocation", multi_ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            mdt = round(time.perf_counter() - t0, 3)
+            multi = {
+                "slots": n_slots,
+                "msgs": n_msgs,
+                "sec": mdt,
+                "msg_per_sec": round(n_msgs / mdt, 1),
+            }
+        finally:
+            shutil.rmtree(multi_base, ignore_errors=True)
+            shutil.rmtree(multi_ckpt, ignore_errors=True)
+
         return {
             "msgs": n_msgs,
             "sec": dt,
             "msg_per_sec": round(n_msgs / dt, 1),
             "micro_batches": rounds,
+            "multi": multi,
         }
     finally:
         shutil.rmtree(wal_dir, ignore_errors=True)

@@ -84,6 +84,8 @@ class PgCdcMultiStreamReader(DataSourceStreamReader):
         ] or [SlotRangePartition(self.wal_dir, self.slots[0], 0, 0, 0)]
 
     def read(self, partition: SlotRangePartition) -> Iterator[Tuple]:
+        import pyarrow as pa
+
         msgs = _slot_messages(partition.wal_dir, partition.slot)
         # re-derive the enclosing transaction at range start
         xid = tbk = None
@@ -93,13 +95,32 @@ class PgCdcMultiStreamReader(DataSourceStreamReader):
             head = line.split(" ", 2)
             if head[0] == "BEGIN" and len(head) >= 2:
                 xid, tbk = head[1], f"{head[1]}-{lsn}"
+        # one Arrow batch per slot range: the columnar hop replaces
+        # per-row tuple pickling (same upgrade as PgCdcParallelReader)
+        wal, tms, lines, xids, tbks = [], [], [], [], []
         for lsn, time_ms, line in msgs:
             if lsn <= partition.start_lsn or lsn > partition.end_lsn:
                 continue
             head = line.split(" ", 2)
             if head[0] == "BEGIN" and len(head) >= 2:
                 xid, tbk = head[1], f"{head[1]}-{lsn}"
-            yield (lsn, lsn + 8, time_ms, partition.slot_idx, line, xid, tbk)
+            wal.append(lsn)
+            tms.append(time_ms)
+            lines.append(line)
+            xids.append(xid)
+            tbks.append(tbk)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(wal, pa.int64()),
+                pa.array([w + 8 for w in wal], pa.int64()),
+                pa.array(tms, pa.int64()),
+                pa.array([partition.slot_idx] * len(wal), pa.int32()),
+                pa.array(lines, pa.string()),
+                pa.array(xids, pa.string()),
+                pa.array(tbks, pa.string()),
+            ],
+            names=[f.name for f in PGCDC_SCHEMA.fields],
+        )
 
     def commit(self, end: dict) -> None:
         """Per-slot standby-status ack, atomically for the batch."""
