@@ -102,6 +102,11 @@ def drain_cdc_query(
     single-batch queries against the same checkpoint until a run makes
     no progress (the backpressure bound still applies per batch).
     Returns the number of micro-batches executed."""
+    # a run that comes in UNDER the admission cap has by definition
+    # consumed everything the source could fetch at that moment — the
+    # empty confirm round would only re-pay query startup (~4 s
+    # measured); data appearing later is the next drain's business
+    cap = int((source_options or {}).get("max_msgs_per_batch", "10000"))
     rounds = 0
     for _ in range(max_rounds):
         q = start_cdc_query(
@@ -111,6 +116,6 @@ def drain_cdc_query(
         q.awaitTermination()
         rounds += 1
         progress = q.lastProgress
-        if not progress or progress["numInputRows"] == 0:
+        if not progress or progress["numInputRows"] < cap:
             break
     return rounds

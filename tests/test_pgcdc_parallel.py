@@ -170,3 +170,18 @@ def test_span_reader_orders_fragmented_spans(tmp_path):
     spans = [("a.jsonl", 0, 1), ("b.jsonl", 0, 1), ("a.jsonl", 1, 2), ("b.jsonl", 1, 3), ("a.jsonl", 2, 3)]
     out = _read_span_msgs(wal_dir, spans)
     assert [m[2] for m in out] == ["A0", "B1", "A2", "B3", "B5", "A4"]
+
+
+def test_read_is_deterministic_under_task_retry(tmp_path):
+    """Spark retries a failed task by calling read() again with the
+    same partition — the result must be byte-identical (read is a pure
+    function of the on-disk corpus + partition)."""
+    wal_dir = _corpus(tmp_path, interleave=True)
+    r = PgCdcParallelReader(
+        {"wal_dir": wal_dir, "max_msgs_per_batch": "1000", "msgs_per_partition": "3"}
+    )
+    end = r.latestOffset()
+    for part in r.partitions(r.initialOffset(), end):
+        first = [b.to_pydict() for b in r.read(part)]
+        again = [b.to_pydict() for b in r.read(part)]
+        assert first == again
