@@ -952,3 +952,130 @@ def ngram_containment_pairs(
         .select("doc_a", "doc_b", cont.alias("containment"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+# The production shape: a daily ingest batch must be deduped AGAINST
+# THE EXISTING CORPUS, not only within itself — the posting-list join
+# becomes new×existing instead of a self-join, so the pair space is
+# |batch|-proportional, never |corpus|². The fixture splits on doc_id
+# parity (even = existing corpus, odd = incoming batch) and PLANTS
+# fuzzy incoming near-dups: existing docs re-ingested with a syndication
+# prefix (id % INCR_MOD, offset to the odd side).
+INCR_MOD = 50
+INCR_PREFIX = "breaking update exclusive syndicated report follows"
+INCR_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, 'existing' AS side FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text, 'incoming' AS side FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + {PLANT_OFFSET} + 1 AS doc_id,
+             '{INCR_PREFIX} ' || text AS text, 'incoming' AS side
+      FROM documents WHERE doc_id % {INCR_MOD} = 0
+    ),
+    sh AS (
+      SELECT doc_id, side, unnest(list_distinct([
+               x[1] || ' ' || x[2] || ' ' || x[3]
+               FOR x IN [
+                 toks[i:i+2] FOR i IN range(1, len(toks) - 1)
+               ] IF len(x) = 3
+             ])) AS shingle
+      FROM (SELECT doc_id, side, string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM corpus)
+      WHERE len(toks) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, side, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {DF_CUTOFF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    common AS (
+      SELECT n.doc_id AS doc_new, e.doc_id AS doc_existing, count(*) AS n_common
+      FROM kept n JOIN kept e ON n.shingle = e.shingle
+      WHERE n.side = 'incoming' AND e.side = 'existing'
+      GROUP BY 1, 2
+    )
+    SELECT doc_new, doc_existing,
+           n_common::DOUBLE / (sn.n + se.n - n_common) AS jaccard
+    FROM common JOIN sizes sn ON sn.doc_id = doc_new
+                JOIN sizes se ON se.doc_id = doc_existing
+    WHERE n_common::DOUBLE / (sn.n + se.n - n_common) >= {INCR_THRESHOLD}
+    ORDER BY doc_new, doc_existing
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: fuzzy matches of the INCOMING batch
+    against the EXISTING corpus through one shared posting-list index
+    (same shingling, DF cutoff, and exact-rational Jaccard as
+    ``dedup_ngram_jaccard``) — but the join is new×existing, so the
+    candidate space scales with the BATCH, and at 100 TB the existing
+    side's index is the thing you persist between ingests (write it
+    once with ``sinks.bucketed.write_bucketed`` on the shingle key and
+    the daily join is co-located and shuffle-free on the corpus side)."""
+    docs = table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    replant = docs.filter(F.col("doc_id") % INCR_MOD == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET + 1).alias("doc_id"),
+        F.concat(F.lit(INCR_PREFIX + " "), F.col("text")).alias("text"),
+    )
+    incoming = incoming.unionByName(replant)
+    corpus = existing.withColumn("side", F.lit("existing")).unionByName(
+        incoming.withColumn("side", F.lit("incoming"))
+    )
+    base = tracked_cache(
+        with_shingles(corpus)
+        .join(corpus.select("doc_id", "side"), "doc_id")
+        .select("doc_id", "side", "hshingles")
+    )
+    posts = base.select("doc_id", "side", F.explode("hshingles").alias("shingle"))
+    hot = (
+        posts.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CUTOFF)
+        .select("shingle")
+    )
+    hot_rows = [r.shingle for r in hot.collect()]
+    if hot_rows:
+        base = base.select(
+            "doc_id",
+            "side",
+            F.array_except(
+                "hshingles", F.array(*[F.lit(s) for s in hot_rows])
+            ).alias("hshingles"),
+        )
+    sh = spread(
+        base.select(
+            "doc_id",
+            "side",
+            F.size("hshingles").alias("n"),
+            F.explode("hshingles").alias("shingle"),
+        ),
+        "shingle",
+    )
+    new = sh.filter(F.col("side") == "incoming").alias("a")
+    ex = sh.filter(F.col("side") == "existing").alias("b")
+    common = (
+        new.join(ex, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_existing"),
+            F.col("a.n").alias("nn"),
+            F.col("b.n").alias("ne"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("nn") + F.col("ne") - F.col("n_common"))
+    return (
+        common.filter(jac >= INCR_THRESHOLD)
+        .select("doc_new", "doc_existing", jac.alias("jaccard"))
+        .orderBy("doc_new", "doc_existing")
+    )

@@ -434,3 +434,146 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("k").alias("sum_k"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (sequential conversion within deadlines)
+# ---------------------------------------------------------------------------
+FUNNEL_WINDOW_HOURS = 24
+
+
+@register(
+    "events_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_buy
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS users FROM v
+      UNION ALL
+      SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+    ) ORDER BY step
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel: first view → first click within
+    {FUNNEL_WINDOW_HOURS} h of it → first purchase within
+    {FUNNEL_WINDOW_HOURS} h of that, per user; one row per step with
+    the surviving-user count (the product-analytics staple the
+    windowed suite doesn't cover — ORDER-dependent steps with
+    deadlines, not independent aggregates).
+
+    Per-step state is one min() per user (map-side combined); each
+    step joins the previous step's per-user anchor — shuffles keyed on
+    user_id reuse the same partitioning at every step, and no step's
+    output exceeds one row per user. Scale: linear scans + 3
+    user-keyed shuffles regardless of event volume."""
+    ev = table(spark, sf_dir, "events")
+    window = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+
+    def step(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("users")).select(
+            F.lit(name).alias("step"), "users"
+        )
+
+    return (
+        step(v, "1_view")
+        .unionByName(step(c, "2_click"))
+        .unionByName(step(p, "3_purchase"))
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# weekly retention cohorts
+# ---------------------------------------------------------------------------
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-seen week
+    (cohort), counted once per later week they were active — the
+    growth-analytics artifact (cohort × week_offset → active users).
+
+    Two user-keyed shuffles (first-week anchor, then the distinct
+    (user, offset) dedup) plus an O(weeks²)-row final aggregate —
+    event volume only flows through linear scans and map-side
+    combines. date_trunc('week') is Monday-based on both engines; the
+    offset is an exact integer day-diff // 7."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
