@@ -209,7 +209,7 @@ GATE_PRIORITY: list[str] = [
     # text analysis / structural cleaning (r5 additions:
     # paragraph/line/html/PII/unigram-LM/BPE — first gate appearance)
     "text_quality_score",
-    "text_fingerprint",
+    "dedup_incremental_batch",
     "text_repetition_stats",
     "quality_gopher_rules",
     "bpe_pair_merges",
@@ -231,7 +231,7 @@ GATE_PRIORITY: list[str] = [
     "corpus_mixture_report",
     "domain_cap_sample",
     "token_budget_sample",
-    "salted_skew_join",
+    "events_funnel",
     "pii_redact_customers",
     # profiling / diagnostics (r3 additions — first gate rotation)
     "join_skew_report",
@@ -241,7 +241,7 @@ GATE_PRIORITY: list[str] = [
     # parser that replaced the r4 stub — first gate appearance;
     # binary_meta rotates out after 3 straight green rounds)
     "multimodal_image_decode",
-    "multimodal_frame_sample",
+    "retention_cohorts",
     # long-proven keepers: one per distinct architectural shape.
     # Rotated OUT after >=3 straight green rounds: q2, q3, q8, q9,
     # q13, q17, q21, topk_per_group, exact_percentiles,
