@@ -785,6 +785,18 @@ def semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts cells are small and the join is the standard bucketed
     self-join that survives 100 TB.
 
+    SCALE CAVEAT (explicit): SRP_PLANES is a fixture-scale constant.
+    The cell count must grow with the corpus (planes ≈ log2(n /
+    target_cell)); with the plane count frozen, every cell eventually
+    exceeds SEM_BUCKET_CAP and the cap — correctly refusing quadratic
+    work — drops ALL of them, i.e. the operator degrades to empty
+    output rather than to a blow-up. Production corpora should use
+    ``similarity.srp_bucket_expr`` (hash-derived planes, 12-16 of
+    them) or the IVF cells (``ivf_kmeans_codebook``) as the
+    partitioner feeding this same verify tail; the SQL-expressible
+    axis-sign bucket here exists so the WHOLE chain stays
+    oracle-checkable.
+
     All JVM: sign bucket and L2 norm are map-side expressions; the
     self-join shuffles on the bucket key; the dot product is a
     codegen'd ``aggregate(zip_with(...))`` fold — no Python, no UDF.

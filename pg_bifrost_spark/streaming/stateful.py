@@ -153,3 +153,60 @@ def running_user_totals(events):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming conversion funnel (the batch twin is plans/events.py::
+# events_funnel) — per-user state machine over applyInPandasWithState
+# ---------------------------------------------------------------------------
+FUNNEL_IN_DDL = "user_id bigint, event_type string, t_us bigint"
+FUNNEL_OUT_DDL = "user_id bigint, t_view bigint, t_click bigint, t_buy bigint"
+FUNNEL_STATE_DDL = "stage int, t_view bigint, t_click bigint"
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # mirrors FUNNEL_WINDOW_HOURS
+
+
+def _funnel_fn(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """view → click(≤24 h after the view) → purchase(≤24 h after the
+    click), first-qualifying-event-wins at each step — identical
+    semantics to the batch twin when each user's events arrive in
+    event-time order across micro-batches (the CDC source preserves
+    per-key order; the test feeds chronological batches). A completed
+    user keeps stage=3 state (never re-emits) instead of evicting —
+    eviction would let later events restart the machine and
+    double-count the conversion."""
+    stage, t_view, t_click = state.get if state.exists else (0, 0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("t_us")
+    out = None
+    for _, r in rows.iterrows():
+        et, t = r["event_type"], int(r["t_us"])
+        if stage == 0 and et == "view":
+            stage, t_view = 1, t
+        elif stage == 1 and et == "click" and t_view < t <= t_view + FUNNEL_WINDOW_US:
+            stage, t_click = 2, t
+        elif stage == 2 and et == "purchase" and t_click < t <= t_click + FUNNEL_WINDOW_US:
+            stage = 3
+            out = pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "t_view": [t_view],
+                    "t_click": [t_click],
+                    "t_buy": [t],
+                }
+            )
+    state.update((stage, t_view, t_click))
+    if out is not None:
+        yield out
+
+
+def funnel_stream(events):
+    """events: streaming DF with FUNNEL_IN_DDL columns. Emits one row
+    per user at the moment they complete the funnel."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUT_DDL,
+        stateStructType=FUNNEL_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

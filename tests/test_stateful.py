@@ -128,3 +128,76 @@ def test_running_user_totals(spark, tmp_path):
     out = _run_stream(spark, d, ddl, running_user_totals, "update")
     got = {r.user_id: (r.n_events, r.total_value) for r in out}
     assert got == {1: (2, 4.0), 2: (1, 10.0)}
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel vs its batch twin
+# ---------------------------------------------------------------------------
+def test_funnel_stream_matches_batch_twin(spark, tmp_path):
+    """The streaming funnel over the real events fixture, fed as two
+    CHRONOLOGICAL micro-batches (users mid-funnel at the split must
+    complete from carried state), must produce exactly the batch
+    twin's converted-user set with identical step timestamps."""
+    from pyspark.sql import functions as F
+
+    from pg_bifrost_spark.plans import table
+    from pg_bifrost_spark.plans.events import FUNNEL_WINDOW_HOURS
+    from pg_bifrost_spark.streaming.stateful import FUNNEL_IN_DDL, funnel_stream
+
+    ev = (
+        table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("t_us"))
+        .orderBy("t_us")
+    )
+    rows = [(r.user_id, r.event_type, r.t_us) for r in ev.collect()]
+    cut = len(rows) // 2
+    d = str(tmp_path / "in")
+    import os
+
+    os.makedirs(d)
+    _write_batch(spark, d, "b0", rows[:cut], FUNNEL_IN_DDL)
+    acc: list = []
+    got = _run_stream(
+        spark, d, FUNNEL_IN_DDL, funnel_stream, "append",
+        ckpt=str(tmp_path / "ck"), acc=acc,
+    )
+    _write_batch(spark, d, "b1", rows[cut:], FUNNEL_IN_DDL)
+    got = _run_stream(
+        spark, d, FUNNEL_IN_DDL, funnel_stream, "append",
+        ckpt=str(tmp_path / "ck"), acc=acc,
+    )
+    streamed = {r.user_id: (r.t_view, r.t_click, r.t_buy) for r in got}
+
+    # batch twin, replicated step for step
+    window = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    ev_ts = table(spark, "/root/testdata/sf0.001", "events")
+    v = (
+        ev_ts.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev_ts.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + window))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    p = (
+        ev_ts.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + window))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t_buy"),
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+        )
+    )
+    batch = {
+        r.user_id: (
+            int(r.t_view.timestamp() * 1_000_000),
+            int(r.t_click.timestamp() * 1_000_000),
+            int(r.t_buy.timestamp() * 1_000_000),
+        )
+        for r in p.collect()
+    }
+    assert streamed == batch and len(streamed) > 0
