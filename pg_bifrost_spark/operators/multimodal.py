@@ -256,3 +256,123 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_frames"), F.sum("frame_bytes").alias("covered_bytes"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: canonical PCM WAV header round-trip (builder → byte parser →
+# independent-arithmetic oracle, same triangle as the image decode)
+# ---------------------------------------------------------------------------
+_WAV_HEADER_LEN = 44  # RIFF(12) + fmt chunk(24) + data header(8)
+AUDIO_SCHEMA_DDL = (
+    "doc_id bigint, n_bytes int, fmt string, sample_rate int, "
+    "channels int, bits_per_sample int, duration_ms bigint"
+)
+
+
+def _hex_le(col: F.Column, n_bytes: int) -> F.Column:
+    """Fixed-width LITTLE-endian hex of a non-negative int column
+    (WAV fields are little-endian, unlike the PNG/JPEG builders)."""
+    parts = [
+        F.lpad(F.hex((col.cast("bigint") / (1 << (8 * i))).cast("bigint") % 256), 2, "0")
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def audio_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a REAL 44-byte canonical PCM WAV header —
+    sample rate by doc_id % 3 ∈ {8000, 16000, 44100}, channels
+    1 + doc_id % 2, 16-bit — with the document text as the sample
+    data. All JVM hex assembly + one unhex."""
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(8000))
+        .when(F.col("doc_id") % 3 == 1, F.lit(16000))
+        .otherwise(F.lit(44100))
+    )
+    channels = (F.col("doc_id") % 2 + 1).cast("int")
+    bits = F.lit(16)
+    data_len = F.octet_length(F.encode("text", "utf-8"))
+    block_align = channels * (bits / 8).cast("int")
+    byte_rate = rate * block_align
+    wav_hex = F.concat(
+        F.lit("52494646"),                      # 'RIFF'
+        _hex_le(data_len + 36, 4),              # riff chunk size
+        F.lit("57415645"),                      # 'WAVE'
+        F.lit("666D7420"),                      # 'fmt '
+        _hex_le(F.lit(16), 4),                  # fmt chunk size
+        _hex_le(F.lit(1), 2),                   # PCM
+        _hex_le(channels, 2),
+        _hex_le(rate, 4),
+        _hex_le(byte_rate, 4),
+        _hex_le(block_align, 2),
+        _hex_le(bits, 2),
+        F.lit("64617461"),                      # 'data'
+        _hex_le(data_len, 4),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.unhex(wav_hex), F.encode("text", "utf-8")).alias("payload"),
+    )
+
+
+def decode_wav_headers(batches):
+    """mapInPandas kernel: parse the ACTUAL RIFF/fmt/data bytes.
+    Non-WAV payloads surface as fmt='unknown' with nulls."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {
+            k: []
+            for k in (
+                "doc_id", "n_bytes", "fmt", "sample_rate", "channels",
+                "bits_per_sample", "duration_ms",
+            )
+        }
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            fmt, rate, ch, bits, dur = "unknown", None, None, None, None
+            if len(b) >= _WAV_HEADER_LEN and b[:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt ":
+                ch = int.from_bytes(b[22:24], "little")
+                rate = int.from_bytes(b[24:28], "little")
+                byte_rate = int.from_bytes(b[28:32], "little")
+                bits = int.from_bytes(b[34:36], "little")
+                data_len = int.from_bytes(b[40:44], "little")
+                dur = data_len * 1000 // byte_rate if byte_rate else None
+                fmt = "wav"
+            out["doc_id"].append(doc_id)
+            out["n_bytes"].append(len(b))
+            out["fmt"].append(fmt)
+            out["sample_rate"].append(rate)
+            out["channels"].append(ch)
+            out["bits_per_sample"].append(bits)
+            out["duration_ms"].append(dur)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_WAV_HEADER_LEN} + octet_length(encode(text)) AS INT) AS n_bytes,
+           'wav' AS fmt,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(16 AS INT) AS bits_per_sample,
+           CAST(octet_length(encode(text)) * 1000 //
+                ((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 44100 END) * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_ms
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV header decode round-trip: canonical PCM headers
+    assembled JVM-side (little-endian hex fields), the Arrow kernel
+    parses the actual bytes back (RIFF/fmt/data walk + duration from
+    byte_rate), and the oracle states the expected metadata with
+    independent arithmetic — three implementations that must agree on
+    every row (the audio leg of the image-decode triangle)."""
+    docs = table(spark, sf_dir, "documents")
+    decoded = audio_payloads(docs).mapInPandas(
+        decode_wav_headers, schema=AUDIO_SCHEMA_DDL
+    )
+    return decoded.orderBy("doc_id")
