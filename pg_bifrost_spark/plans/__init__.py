@@ -201,8 +201,11 @@ GATE_PRIORITY: list[str] = [
     "near_dup_resolution",
     "dedup_chunk_passages",
     # similarity / embeddings
-    "ann_bruteforce_topk",
+    # ann_bruteforce_topk (3 straight greens) yields to the
+    # never-checked audio decoder; its batched sibling keeps the
+    # exact-scoring tail in the gate
     "ann_batch_topk",
+    "multimodal_audio_decode",
     # embedding_quantize_int8 (3 straight greens, map-only shape)
     # yields to the never-checked leakage_safe_split
     "leakage_safe_split",
