@@ -245,23 +245,24 @@ GATE_PRIORITY: list[str] = [
     # binary_meta rotates out after 3 straight green rounds)
     "multimodal_image_decode",
     "retention_cohorts",
-    # long-proven keepers: one per distinct architectural shape.
-    # Rotated OUT after >=3 straight green rounds: q2, q3, q8, q9,
-    # q13, q17, q21, topk_per_group, exact_percentiles,
-    # fuzzy_name_match, grouping_sets_status,
-    # window_distribution_suite, sessionize_users, asof_click_to_view,
-    # dedup_keep_latest, json_props_extract, s3_time_partition_layout,
-    # hypertable_rollup, approx_aggregates, text_lang_id,
-    # text_clean_normalize, sample_deterministic,
-    # stratified_sample_by_source, text_token_stats,
-    # boilerplate_line_stats, curation_pipeline,
-    # knn_per_label_centroid — all still oracle-backed and
-    # pytest-rehearsed every round. Union of r1-r5 gate rows covers
-    # every oracle-backed operator (all ELEVEN r5 additions hold gate
-    # slots this round; q1_pricing_summary (4 straight greens) yields
-    # its slot to the refinery_pipeline capstone —
-    # tumbling_window_stats and scalar_function_suite anchor the
-    # streaming-stats and scalar-suite evidence rows).
+    # long-proven keepers — tumbling_window_stats and
+    # scalar_function_suite anchor the streaming-stats (A6/A7) and
+    # scalar-suite (§2.9) evidence rows. Rotated OUT after >=3
+    # straight green rounds (all still oracle-backed and
+    # pytest-rehearsed every round): q1, q2, q3, q8, q9, q13, q17,
+    # q21, topk_per_group, exact_percentiles, fuzzy_name_match,
+    # grouping_sets_status, window_distribution_suite,
+    # sessionize_users, asof_click_to_view, dedup_keep_latest,
+    # json_props_extract, s3_time_partition_layout, hypertable_rollup,
+    # approx_aggregates, text_lang_id, text_clean_normalize,
+    # sample_deterministic, stratified_sample_by_source,
+    # text_token_stats, text_fingerprint, boilerplate_line_stats,
+    # curation_pipeline, knn_per_label_centroid, salted_skew_join
+    # (AQE defense separately pinned by test_aqe_skew),
+    # multimodal_binary_meta, multimodal_frame_sample,
+    # embedding_quantize_int8, ann_bruteforce_topk. All EIGHTEEN r5
+    # additions hold gate slots this round; union of r1-r5 gate rows
+    # covers every oracle-backed operator with zero never-checked.
     "tumbling_window_stats",
     "scalar_function_suite",
 ]
