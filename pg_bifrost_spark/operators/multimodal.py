@@ -376,3 +376,119 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_wav_headers, schema=AUDIO_SCHEMA_DDL
     )
     return decoded.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# video: minimal MP4 (ftyp + moov/mvhd) header round-trip — the third
+# leg of the builder → byte-parser → independent-oracle triangle
+# ---------------------------------------------------------------------------
+# ftyp box: size(4) 'ftyp' major(4) minor(4) brand(4) = 20 bytes.
+# moov box wraps one version-0 mvhd (108 bytes): moov = 8 + 108 = 116.
+_FTYP_LEN = 20
+_MOOV_LEN = 116
+_MP4_HEADER_LEN = _FTYP_LEN + _MOOV_LEN  # 136
+VIDEO_SCHEMA_DDL = (
+    "doc_id bigint, n_bytes int, fmt string, brand string, "
+    "timescale int, duration_ticks int, duration_ms bigint"
+)
+
+
+def video_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): REAL minimal MP4 boxes — ftyp('isom') +
+    moov/mvhd with timescale by doc_id % 2 ∈ {600, 1000} and duration
+    ticks = n_chars * 25 — followed by the text as opaque mdat-style
+    body. All JVM hex assembly (big-endian — ISO BMFF), one unhex."""
+    timescale = F.when(F.col("doc_id") % 2 == 0, F.lit(600)).otherwise(F.lit(1000))
+    duration = (F.col("n_chars") * 25).cast("bigint")
+    mvhd_hex = F.concat(
+        F.lit("0000006C6D766864"),  # size=108, 'mvhd'
+        F.lit("00000000"),          # version/flags
+        F.lit("0000000000000000"),  # ctime, mtime
+        _hex_be(timescale, 4),
+        _hex_be(duration, 4),
+        F.lit("00010000"),          # rate 1.0
+        F.lit("0100"),              # volume 1.0
+        F.lit("00" * 10),           # reserved
+        F.lit("00" * 36),           # matrix
+        F.lit("00" * 24),           # predefined
+        F.lit("00000002"),          # next track id
+    )
+    mp4_hex = F.concat(
+        F.lit("000000146674797069736F6D0000020069736F6D"),  # ftyp isom
+        F.lit("000000746D6F6F76"),  # moov size=116, 'moov'
+        mvhd_hex,
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.unhex(mp4_hex), F.encode("text", "utf-8")).alias("payload"),
+    )
+
+
+def decode_mp4_headers(batches):
+    """mapInPandas kernel: walk the ACTUAL box bytes (ftyp brand, then
+    moov→mvhd timescale/duration). Non-MP4 payloads → fmt='unknown'."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {
+            k: []
+            for k in (
+                "doc_id", "n_bytes", "fmt", "brand", "timescale",
+                "duration_ticks", "duration_ms",
+            )
+        }
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            fmt, brand, ts, dur, dur_ms = "unknown", None, None, None, None
+            if len(b) >= _FTYP_LEN and b[4:8] == b"ftyp":
+                brand = b[8:12].decode("ascii", "replace")
+                i = int.from_bytes(b[0:4], "big")  # past ftyp
+                while i + 8 <= len(b):
+                    size = int.from_bytes(b[i : i + 4], "big")
+                    btype = b[i + 4 : i + 8]
+                    if btype == b"moov" and i + 16 <= len(b) and b[i + 12 : i + 16] == b"mvhd":
+                        j = i + 8  # the mvhd box
+                        ts = int.from_bytes(b[j + 20 : j + 24], "big")
+                        dur = int.from_bytes(b[j + 24 : j + 28], "big")
+                        dur_ms = dur * 1000 // ts if ts else None
+                        fmt = "mp4"
+                        break
+                    if size < 8:
+                        break
+                    i += size
+            out["doc_id"].append(doc_id)
+            out["n_bytes"].append(len(b))
+            out["fmt"].append(fmt)
+            out["brand"].append(brand)
+            out["timescale"].append(ts)
+            out["duration_ticks"].append(dur)
+            out["duration_ms"].append(dur_ms)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_video_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_MP4_HEADER_LEN} + octet_length(encode(text)) AS INT) AS n_bytes,
+           'mp4' AS fmt,
+           'isom' AS brand,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END AS INT) AS timescale,
+           CAST(n_chars * 25 AS INT) AS duration_ticks,
+           CAST(n_chars * 25 * 1000 //
+                (CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END) AS BIGINT) AS duration_ms
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 header decode round-trip (the video leg, completing
+    the image/audio/video triangle): minimal ISO-BMFF boxes assembled
+    JVM-side, the Arrow kernel walks the actual box bytes (ftyp brand,
+    moov→mvhd timescale/duration), and the oracle states the expected
+    metadata with independent arithmetic. Frame extraction itself
+    stays with ``multimodal_frame_sample`` — a real pipeline slots
+    ffmpeg/PyAV into that kernel with this exact batch shape."""
+    docs = table(spark, sf_dir, "documents")
+    decoded = video_payloads(docs).mapInPandas(
+        decode_mp4_headers, schema=VIDEO_SCHEMA_DDL
+    )
+    return decoded.orderBy("doc_id")
