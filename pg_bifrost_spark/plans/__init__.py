@@ -196,7 +196,11 @@ GATE_PRIORITY: list[str] = [
     "dedup_containment",
     "dedup_embedding_cosine",
     "semantic_dedup_srp",
-    "dedup_cluster_components",
+    # dedup_cluster_components (3 straight greens) yields to the
+    # never-checked video decoder; dedup_jaccard_clusters and
+    # near_dup_resolution keep the checkpointed label-prop kernel
+    # in the gate
+    "multimodal_video_decode",
     "dedup_jaccard_clusters",
     "near_dup_resolution",
     "dedup_chunk_passages",
