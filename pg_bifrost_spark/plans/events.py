@@ -577,3 +577,78 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution
+# ---------------------------------------------------------------------------
+ATTRIB_WINDOW_HOURS = 24
+
+
+@register(
+    "purchase_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+      FROM events
+    )
+    SELECT coalesce(CASE WHEN ts <= touch_ts + INTERVAL {ATTRIB_WINDOW_HOURS} HOUR
+                         THEN touch END, 'unattributed') AS channel,
+           CAST(count(*) AS BIGINT) AS purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS buyers
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding non-purchase event within
+    {ATTRIB_WINDOW_HOURS} h (else 'unattributed') — the marketing-
+    analytics sibling of the funnel, exercising the
+    last_value-IGNORE-NULLS running-state window both engines must
+    evaluate identically (ties broken by event_id so the frame is
+    total-ordered).
+
+    One user-partitioned window (the per-user sort is the only
+    shuffle; event volume never concentrates beyond a user's own
+    history) and an O(channels)-state final aggregate."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    non_purchase_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(non_purchase, ignorenulls=True).over(w).alias("touch"),
+        F.last(non_purchase_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    window = F.expr(f"INTERVAL {ATTRIB_WINDOW_HOURS} HOURS")
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(F.col("ts") <= F.col("touch_ts") + window, F.col("touch")),
+                F.lit("unattributed"),
+            ).alias("channel"),
+            "user_id",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("purchases"),
+            F.countDistinct("user_id").cast("bigint").alias("buyers"),
+        )
+        .orderBy("channel")
+    )
