@@ -191,8 +191,12 @@ GATE_PRIORITY: list[str] = [
     # the gate must see these find duplicates, not match empty sets)
     "dedup_exact_documents",
     "dedup_normalized",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard (3 straight greens) yields to the
+    # never-checked purchase_attribution; the hotset variant keeps
+    # the posting-list path (same operator, planted-boilerplate
+    # cutoff actually firing) in the gate
     "dedup_ngram_jaccard_hotset",
+    "purchase_attribution",
     "dedup_containment",
     "dedup_embedding_cosine",
     "semantic_dedup_srp",
