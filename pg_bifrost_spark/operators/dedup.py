@@ -205,6 +205,66 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # worst-case pair fan-out at DF_CUTOFF² per shingle at any scale.
 DF_CUTOFF = 64
 
+# Above this many hot shingles the map-side literal subtraction would
+# bloat the plan/codegen (tens of thousands of F.lit nodes rebuilt on
+# every ingest) — switch to a distributed broadcast anti-join instead.
+HOT_LITERAL_MAX = 10_000
+
+
+def subtract_hot_shingles(
+    base: DataFrame,
+    df_cutoff: int = DF_CUTOFF,
+    literal_max: int = HOT_LITERAL_MAX,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Drop shingles with document frequency > ``df_cutoff`` from the
+    per-doc shingle arrays — the shared kept-set step of every
+    posting-list dedup variant (Jaccard, containment, incremental).
+
+    Three-way branch, identical output semantics:
+
+      * no hot shingles (the clean-fixture case): ``base`` unchanged —
+        the plan is byte-identical to the cutoff-less one;
+      * ≤ ``literal_max`` hot shingles: collected once and subtracted
+        MAP-SIDE with ``array_except`` (the hot set is tiny BY
+        CONSTRUCTION: df > cutoff ⇒ |hot| ≤ total_postings / cutoff);
+      * more: the subtraction stays DISTRIBUTED — broadcast left-anti
+        join on the exploded postings, then regroup. The driver never
+        holds more than ``literal_max + 1`` shingles (the branch probe
+        is a ``limit(literal_max + 1).collect()``, not a full collect).
+
+    A doc whose every shingle is hot yields an empty array in the
+    literal branch and no row in the fallback branch — equivalent for
+    all callers, which explode the array next (zero rows either way).
+
+    ``extra_cols`` are passthrough grouping columns (e.g. the
+    incremental variant's ``side``).
+    """
+    posts = base.select("doc_id", *extra_cols, F.explode("hshingles").alias("shingle"))
+    hot = (
+        posts.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cutoff)
+        .select("shingle")
+    )
+    hot_probe = hot.limit(literal_max + 1).collect()
+    if not hot_probe:
+        return base
+    if len(hot_probe) <= literal_max:
+        return base.select(
+            "doc_id",
+            *extra_cols,
+            F.array_except(
+                "hshingles", F.array(*[F.lit(r.shingle) for r in hot_probe])
+            ).alias("hshingles"),
+        )
+    # extreme-boilerplate fallback: keep the filter distributed
+    return (
+        posts.join(F.broadcast(hot), "shingle", "left_anti")
+        .groupBy("doc_id", *extra_cols)
+        .agg(F.collect_list("shingle").alias("hshingles"))
+    )
+
 
 @register(
     "dedup_ngram_jaccard",
@@ -255,43 +315,19 @@ def ngram_jaccard_pairs(
     (see DF_CUTOFF above) — the pair fan-out of any single shingle is
     then bounded by df_cutoff², independent of corpus size.
 
-    The hot set is tiny BY CONSTRUCTION (df > cutoff ⇒ |hot| ≤
-    total_postings / cutoff), so it is collected once and subtracted
-    MAP-SIDE with array_except on the cached shingle arrays — the
-    round-1 perf gate caught the naive version (cache the exploded
-    postings + anti-join + two sizes joins) at 3.3× the recorded
-    time. When the corpus is clean (|hot| = 0, the fixtures' case)
-    the plan is byte-identical to the cutoff-less one; above
-    ``literal_max`` hot shingles it falls back to a broadcast
-    anti-join on the exploded postings."""
+    The kept-set step is the shared ``subtract_hot_shingles`` (also
+    used by the containment and incremental variants): map-side
+    array_except for a small hot set — the round-1 perf gate caught
+    the naive version (cache the exploded postings + anti-join + two
+    sizes joins) at 3.3× the recorded time — byte-identical plan when
+    the corpus is clean, and a distributed broadcast anti-join above
+    ``literal_max`` hot shingles."""
     # Materialize the shingle arrays once: Catalyst's projection
     # collapse would otherwise inline the (interpreted, expensive)
     # shingling expression into every downstream use, and the
     # self-join would recompute the whole subtree twice.
     base = tracked_cache(with_shingles(docs).select("doc_id", "hshingles"))
-    posts = base.select("doc_id", F.explode("hshingles").alias("shingle"))
-    hot = (
-        posts.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > df_cutoff)
-        .select("shingle")
-    )
-    hot_rows = [r.shingle for r in hot.collect()]
-    if not hot_rows:
-        kept = base
-    elif len(hot_rows) <= literal_max:
-        kept = base.select(
-            "doc_id",
-            F.array_except(
-                "hshingles", F.array(*[F.lit(s) for s in hot_rows])
-            ).alias("hshingles"),
-        )
-    else:  # extreme-boilerplate fallback: keep the filter distributed
-        kept = (
-            posts.join(F.broadcast(hot), "shingle", "left_anti")
-            .groupBy("doc_id")
-            .agg(F.collect_list("shingle").alias("hshingles"))
-        )
+    kept = subtract_hot_shingles(base, df_cutoff, literal_max)
     sh = spread(
         kept.select(
             "doc_id", F.size("hshingles").alias("n"), F.explode("hshingles").alias("shingle")
@@ -924,23 +960,12 @@ def ngram_containment_pairs(
     threshold: float = CONTAIN_THRESHOLD,
     df_cutoff: int = DF_CUTOFF,
 ) -> DataFrame:
-    """``ngram_jaccard_pairs``'s index with the containment measure."""
+    """``ngram_jaccard_pairs``'s index with the containment measure;
+    the kept-set step (DF cutoff + hot-set subtraction with the
+    >literal_max distributed fallback) is the shared
+    ``subtract_hot_shingles``."""
     base = tracked_cache(with_shingles(docs).select("doc_id", "hshingles"))
-    posts = base.select("doc_id", F.explode("hshingles").alias("shingle"))
-    hot = (
-        posts.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > df_cutoff)
-        .select("shingle")
-    )
-    hot_rows = [r.shingle for r in hot.collect()]
-    if hot_rows:
-        base = base.select(
-            "doc_id",
-            F.array_except(
-                "hshingles", F.array(*[F.lit(s) for s in hot_rows])
-            ).alias("hshingles"),
-        )
+    base = subtract_hot_shingles(base, df_cutoff)
     sh = spread(
         base.select(
             "doc_id", F.size("hshingles").alias("n"), F.explode("hshingles").alias("shingle")
@@ -1026,8 +1051,10 @@ INCR_THRESHOLD = 0.5
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: fuzzy matches of the INCOMING batch
     against the EXISTING corpus through one shared posting-list index
-    (same shingling, DF cutoff, and exact-rational Jaccard as
-    ``dedup_ngram_jaccard``) — but the join is new×existing, so the
+    (same shingling, ``subtract_hot_shingles`` kept-set step — incl.
+    the >literal_max distributed fallback, since daily web ingests are
+    exactly the extreme-boilerplate regime — and exact-rational
+    Jaccard as ``dedup_ngram_jaccard``) — but the join is new×existing, so the
     candidate space scales with the BATCH, and at 100 TB the existing
     side's index is the thing you persist between ingests (write it
     once with ``sinks.bucketed.write_bucketed`` on the shingle key and
@@ -1040,6 +1067,19 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(INCR_PREFIX + " "), F.col("text")).alias("text"),
     )
     incoming = incoming.unionByName(replant)
+    return incremental_jaccard_pairs(existing, incoming)
+
+
+def incremental_jaccard_pairs(
+    existing: DataFrame,
+    incoming: DataFrame,
+    threshold: float = INCR_THRESHOLD,
+    df_cutoff: int = DF_CUTOFF,
+    literal_max: int = HOT_LITERAL_MAX,
+) -> DataFrame:
+    """Core of ``dedup_incremental_batch`` with the kept-set knobs
+    exposed (so the >literal_max fallback is testable on a synthetic
+    hot corpus — ``tests/test_hot_shingles.py``)."""
     corpus = existing.withColumn("side", F.lit("existing")).unionByName(
         incoming.withColumn("side", F.lit("incoming"))
     )
@@ -1048,22 +1088,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(corpus.select("doc_id", "side"), "doc_id")
         .select("doc_id", "side", "hshingles")
     )
-    posts = base.select("doc_id", "side", F.explode("hshingles").alias("shingle"))
-    hot = (
-        posts.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > DF_CUTOFF)
-        .select("shingle")
-    )
-    hot_rows = [r.shingle for r in hot.collect()]
-    if hot_rows:
-        base = base.select(
-            "doc_id",
-            "side",
-            F.array_except(
-                "hshingles", F.array(*[F.lit(s) for s in hot_rows])
-            ).alias("hshingles"),
-        )
+    base = subtract_hot_shingles(base, df_cutoff, literal_max, extra_cols=("side",))
     sh = spread(
         base.select(
             "doc_id",
@@ -1087,7 +1112,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("n_common") / (F.col("nn") + F.col("ne") - F.col("n_common"))
     return (
-        common.filter(jac >= INCR_THRESHOLD)
+        common.filter(jac >= threshold)
         .select("doc_new", "doc_existing", jac.alias("jaccard"))
         .orderBy("doc_new", "doc_existing")
     )
