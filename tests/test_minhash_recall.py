@@ -54,21 +54,22 @@ def test_bucket_cap_drops_degenerate_mass(spark):
 
 
 def test_bucket_cap_adds_no_shuffle(spark):
-    """The bucket-size window must ride the existing (band, bh)
-    exchange ``spread`` already emits — a second hashpartitioning on
-    the band keys would double the candidate-generation shuffle at
-    100 TB."""
+    """The per-bucket member-list aggregation must ride the existing
+    (band, bh) exchange ``spread`` already emits — a second
+    hashpartitioning on the band keys would double the
+    candidate-generation shuffle at 100 TB. (r5 shape was a
+    count-window + cached self-join; the groupBy/collect_list shape
+    replaced it — same exchange discipline, no window, no cache.)"""
     import pg_bifrost_spark.plans as p
 
     text = (
         p.QUERIES["dedup_minhash_lsh"](spark, SF)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "windowspecdefinition(band" in text
+    assert "collect_list" in text
     # the only (band, bh) exchange is spread's explicit repartition
-    # (REPARTITION_BY_NUM); a window-induced one would be tagged
-    # ENSURE_REQUIREMENTS. (The cached bands subtree prints once per
-    # join side, so occurrence COUNTS double — tag is the invariant.)
+    # (REPARTITION_BY_NUM); an aggregation-induced one would be tagged
+    # ENSURE_REQUIREMENTS.
     band_exchanges = [
         ln for ln in text.splitlines() if "hashpartitioning(band" in ln
     ]
