@@ -573,7 +573,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(table(spark, sf_dir, "documents"))
 
 
-def simhash_pairs(docs: DataFrame) -> DataFrame:
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): the deterministic 64-bit SimHash fingerprint —
+    exposed so tests can brute-force the exact hamming≤k pair set and
+    pin the blocking's pigeonhole completeness independently."""
     toks = spread(docs, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok")
     )
@@ -588,7 +591,7 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     votes = h.groupBy("doc_id").agg(*bit_cols)
     # bits are disjoint so integer + equals bitwise OR (incl. the sign bit)
     one = F.lit(1).cast("long")
-    fp = votes.select(
+    return votes.select(
         "doc_id",
         sum(
             [
@@ -598,6 +601,10 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("fp"),
     )
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    fp = simhash_fingerprints(docs)
     blocks = fp.select(
         "doc_id",
         "fp",

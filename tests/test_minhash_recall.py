@@ -28,6 +28,73 @@ def test_lsh_recall_vs_exact(spark):
     assert recall >= 0.95, f"LSH recall {recall:.2%}"
 
 
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_lsh_verified_subset_and_recall_sf01(spark):
+    """VERDICT r5 ask #7 — the rows-only LSH query's VERIFIED output
+    (exact Jaccard ≥ 0.5 on candidates) is deterministic even though
+    candidate generation isn't: at the driver's own correctness scale
+    it must be a subset of the oracle-checked exact pair set
+    (dedup_ngram_jaccard, same threshold) with recall ≥ the pinned
+    bound."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in plans.QUERIES["dedup_ngram_jaccard"](spark, SF01).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in plans.QUERIES["dedup_minhash_lsh"](spark, SF01).collect()
+    }
+    assert exact
+    assert lsh <= exact, sorted(lsh - exact)[:5]
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.2%} at sf0.01"
+
+
+def test_simhash_equals_bruteforce_sf01(spark):
+    """SimHash's blocking is pigeonhole-COMPLETE for hamming ≤ 3 (4
+    blocks, 3 differing bits ⇒ ≥1 identical block) and fingerprints
+    are deterministic, so the rows-only query's output is EXACTLY
+    predictable: the brute-force all-pairs hamming set, minus pairs
+    whose every shared block sits in a > BUCKET_CAP bucket (the cap
+    FIRES at sf0.01 — two boilerplate block buckets hold 118 and 80
+    members). Recomputed driver-side with independent Python-int
+    arithmetic."""
+    from collections import Counter
+
+    from pg_bifrost_spark.operators.dedup import BUCKET_CAP, simhash_fingerprints
+
+    docs = spark.read.parquet(SF01 + "/documents.parquet")
+    fps = sorted(
+        (r.doc_id, r.fp & (2**64 - 1)) for r in simhash_fingerprints(docs).collect()
+    )
+    bucket = Counter()
+    for _, fp in fps:
+        for k in range(4):
+            bucket[(k, (fp >> (16 * k)) & 0xFFFF)] += 1
+    assert any(n > BUCKET_CAP for n in bucket.values()), "cap should fire at sf0.01"
+
+    def blocks(fp):
+        return [(k, (fp >> (16 * k)) & 0xFFFF) for k in range(4)]
+
+    expected = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            a, b = fps[i], fps[j]
+            if bin(a[1] ^ b[1]).count("1") > 3:
+                continue
+            shared = set(blocks(a[1])) & set(blocks(b[1]))
+            if any(bucket[blk] <= BUCKET_CAP for blk in shared):
+                expected.add((a[0], b[0]))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in plans.QUERIES["dedup_simhash"](spark, SF01).collect()
+    }
+    assert got == expected
+    assert expected, "fixture should contain at least one hamming<=3 pair"
+
+
 def test_bucket_cap_drops_degenerate_mass(spark):
     """BUCKET_CAP (VERDICT r4 "Wrong #3"): 100 identical boilerplate
     docs collapse onto ONE signature, so every band bucket they share
