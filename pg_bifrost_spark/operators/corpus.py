@@ -15,11 +15,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans import register, table
+from ..plans import register, table, tracked_cache
 
 from .text import _tokens
 
 TOP_VOCAB = 100
+
+
+def _bounded_rank(df: DataFrame, name: str, *order: tuple[str, bool]) -> DataFrame:
+    """``row_number()`` for a relation already cut to a BOUNDED row
+    count (post-LIMIT), via a broadcast strictly-ahead self-join:
+    rank = 1 + #rows lexicographically ahead. A partition-less window
+    would compute the same thing but floods logs with ``WindowExec:
+    No Partition Defined`` — silencing those provably-bounded sites
+    keeps the warning meaningful for REAL unbounded windows (VERDICT
+    r5 #5). O(N²) comparisons on ≤ TOP_VOCAB rows; the input is
+    cached so the self-join can't recompute the upstream aggregation
+    twice. ``order``: (column, is_desc) pairs."""
+    df = tracked_cache(df)
+    ahead = F.lit(False)
+    eq = F.lit(True)
+    for c, is_desc in order:
+        yc, xc = F.col(f"y.{c}"), F.col(f"x.{c}")
+        ahead = ahead | (eq & ((yc > xc) if is_desc else (yc < xc)))
+        eq = eq & (yc == xc)
+    x, y = df.alias("x"), df.alias("y")
+    first = order[0][0]
+    return (
+        x.join(F.broadcast(y), ahead, "left")
+        .groupBy(*[F.col(f"x.{c}").alias(c) for c in df.columns])
+        .agg((F.count(F.col(f"y.{first}")) + 1).cast("int").alias(name))
+    )
 TFIDF_TOP_K = 3
 CONTAM_N = 5  # n-gram order for the contamination probe match
 # The probe set stands in for a fixed eval benchmark, so it must be
@@ -56,9 +82,10 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: the {TOP_VOCAB} most frequent tokens with
     collection frequency and document frequency (the first artifact a
     tokenizer-training / data-audit pass needs). The groupBy is
-    map-side-combined on token; the global rank window runs AFTER the
-    top-k cut, so it only ever sees {TOP_VOCAB} rows regardless of
-    corpus size."""
+    map-side-combined on token; the rank runs AFTER the top-k cut
+    (``_bounded_rank`` — a broadcast self-join over {TOP_VOCAB} rows,
+    no partition-less window), so it only ever sees {TOP_VOCAB} rows
+    regardless of corpus size."""
     docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
     vocab = (
         docs.select("doc_id", F.explode("toks").alias("token"))
@@ -67,9 +94,8 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("term_count"), "token")
         .limit(TOP_VOCAB)
     )
-    w = Window.orderBy(F.desc("term_count"), "token")
-    return vocab.select(
-        F.row_number().over(w).alias("rank"), "token", "term_count", "doc_freq"
+    return _bounded_rank(vocab, "rank", ("term_count", True), ("token", False)).select(
+        "rank", "token", "term_count", "doc_freq"
     ).orderBy("rank")
 
 
@@ -458,9 +484,10 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: pair construction is a map-side array transform (one pass
     per doc, no per-element re-evaluation — the materialized-column
     rule from ``dedup.shingles_from_tokens``); the count is ONE
-    map-side-combined shuffle on the pair; the rank window runs after
-    the LIMIT cut so it sees {BPE_TOP_MERGES} rows at any corpus
-    size."""
+    map-side-combined shuffle on the pair; the rank runs after the
+    LIMIT cut (``_bounded_rank`` broadcast self-join, no
+    partition-less window) so it sees {BPE_TOP_MERGES} rows at any
+    corpus size."""
     docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
     toks = docs.filter(F.size("toks") >= 2).select("toks")
     pair_arr = F.transform(
@@ -476,7 +503,6 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(BPE_TOP_MERGES)
     )
-    w = Window.orderBy(F.desc("pair_count"), "pair")
-    return counted.select(
-        F.row_number().over(w).alias("merge_rank"), "pair", "pair_count"
+    return _bounded_rank(counted, "merge_rank", ("pair_count", True), ("pair", False)).select(
+        "merge_rank", "pair", "pair_count"
     ).orderBy("merge_rank")

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..plans import register, table
+from ..plans import register, table, tracked_cache
 
 # token proxy used by the budget pass: whitespace word count — matches
 # string_split_regex(lower(trim(text)), '\s+') on the oracle side
@@ -147,9 +147,10 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The global running sum is decomposed scale-safely: a running sum
     per priority bucket (window partitioned by bucket — parallel), a
-    prefix sum over the per-bucket totals (a window over ~tens of
-    rows), and a broadcast join of those offsets back onto the data.
-    No single-task global window ever sees the full corpus."""
+    prefix sum over the per-bucket totals (a broadcast self-join over
+    ~tens of rows), and a broadcast join of those offsets back onto
+    the data. No global window anywhere — partition-less WindowExec
+    warnings in a bench log always mean a real scale bug."""
     docs = table(spark, sf_dir, "documents")
     ntok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     d = docs.select(
@@ -166,15 +167,20 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     in_bucket = d.withColumn("bucket_running", F.sum("n_tokens").over(wb))
-    btot = d.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
-    # higher bucket = higher priority → offset = tokens in all higher buckets
-    woff = (
-        Window.orderBy(F.desc("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    btot = tracked_cache(d.groupBy("bucket").agg(F.sum("n_tokens").alias("btok")))
+    # higher bucket = higher priority → offset = tokens in all higher
+    # buckets. The prefix sum over the ~tens-of-rows bucket totals is
+    # a broadcast strictly-greater self-join, NOT a partition-less
+    # window — same result, but no "WindowExec: No Partition Defined"
+    # noise drowning out genuine unbounded windows in bench logs
+    # (VERDICT r5 #5); btot is cached so the self-join can't recompute
+    # the bucket aggregation twice.
+    x, y = btot.alias("x"), btot.alias("y")
+    boff = (
+        x.join(F.broadcast(y), F.col("y.bucket") > F.col("x.bucket"), "left")
+        .groupBy(F.col("x.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("y.btok"), F.lit(0)).cast("bigint").alias("offset"))
     )
-    boff = btot.withColumn(
-        "offset", F.coalesce(F.sum("btok").over(woff), F.lit(0)).cast("bigint")
-    ).select("bucket", "offset")
     return (
         in_bucket.join(F.broadcast(boff), "bucket")
         .select(
