@@ -101,7 +101,18 @@ def drain_cdc_query(
     a small client buffer a single run under-drains. This loop runs
     single-batch queries against the same checkpoint until a run makes
     no progress (the backpressure bound still applies per batch).
-    Returns the number of micro-batches executed."""
+    Returns the number of micro-batches executed.
+
+    FETCH-LIMIT CONTRACT (ADVICE r5): the under-cap early exit assumes
+    the source admits exactly ``min(backlog, max_msgs_per_batch)``
+    MESSAGES per batch — true for the ``pgcdc`` replay transport
+    (``ReplayTransport.fetch``) and trivially for ``pgcdc-multi``
+    (uncapped: every batch drains the full backlog, so any batch is
+    "under cap"). A future source that admits by BYTES or FILES
+    instead of message count can return an under-cap batch while
+    backlog remains and would end this drain early — such a source
+    must either honor ``max_msgs_per_batch`` message semantics or not
+    be driven through this helper."""
     # a run that comes in UNDER the admission cap has by definition
     # consumed everything the source could fetch at that moment — the
     # empty confirm round would only re-pay query startup (~4 s

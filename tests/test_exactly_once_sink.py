@@ -140,3 +140,36 @@ def test_partial_generation_without_manifest_is_invisible(spark, tmp_path):
     # the retry overwrites the carcass and commits
     assert compact_epochs(spark, base) == 2
     assert _payloads(spark, base) == ["e0", "e1"]
+
+
+def test_crashed_partial_gen_is_deleted_and_number_reused(spark, tmp_path):
+    """ADVICE r5: gen numbering must come from committed manifests, not
+    dir count — a crashed partial gen=N is deleted at the next
+    compaction (no orphan data files leak) and its number is reused."""
+    import shutil
+
+    base = str(tmp_path / "out")
+    for e in range(2):
+        exactly_once_ndjson(
+            spark.createDataFrame([(f"e{e}",)], "json string"), e, base
+        )
+    assert compact_epochs(spark, base) == 2  # committed gen=0
+    assert vacuum_epochs(base) == 2
+    for e in (2, 3):
+        exactly_once_ndjson(
+            spark.createDataFrame([(f"e{e}",)], "json string"), e, base
+        )
+    # simulate a crash mid-compaction: data files written, no manifest
+    dead = os.path.join(base, "compacted", "gen=1")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-dead.txt"), "w") as f:
+        f.write("e2\ne3\n")
+    assert _payloads(spark, base) == ["e0", "e1", "e2", "e3"]  # partial invisible
+    # retry: the carcass is deleted, the number reused, nothing leaks
+    assert compact_epochs(spark, base) == 2
+    comp = os.path.join(base, "compacted")
+    gens = sorted(os.listdir(comp))
+    assert gens == ["gen=0", "gen=1"]
+    assert os.path.exists(os.path.join(comp, "gen=1", "_MANIFEST"))
+    assert not os.path.exists(os.path.join(comp, "gen=1", "part-dead.txt"))
+    assert _payloads(spark, base) == ["e0", "e1", "e2", "e3"]
