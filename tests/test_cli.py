@@ -87,3 +87,113 @@ def test_replicate_once_whitelist_filters(spark, tmp_path):
     )
     rows = [r.value for r in spark.read.text(os.path.join(out, "epoch=*")).collect()]
     assert len(rows) == 1 and '"table":"public.keep"' in rows[0]
+
+
+def test_replicate_once_malformed_wal_skip_ahead_and_resume(spark, tmp_path):
+    """S7 through the CLI: an error marker mid-corpus closes the open
+    txn with a synthetic COMMIT and skips the remaining WAL (an
+    explicit at-least-once gap); a LATER run with the same checkpoint
+    picks up post-recovery data exactly once."""
+    import json
+
+    wal_dir = str(tmp_path / "wal3")
+    os.makedirs(wal_dir)
+    ops = [
+        ("BEGIN", 700),
+        dml_line("public.orders", "INSERT", [("id", "integer", 1)]),
+        # error lands here: the second INSERT and txn 701 are the gap
+        dml_line("public.orders", "INSERT", [("id", "integer", 2)]),
+        ("COMMIT", 700),
+        *txn(701, dml_line("public.orders", "INSERT", [("id", "integer", 3)])),
+    ]
+    rows = ops_to_raw_lines(ops)
+    with open(os.path.join(wal_dir, "0.jsonl"), "w") as f:
+        for i, (ws, _, tm, _, line) in enumerate(rows):
+            f.write(json.dumps({"wal_start": ws, "server_time_ms": tm, "line": line}) + "\n")
+            if i == 1:
+                f.write(json.dumps({"wal_start": ws + 4, "error": "decode failure"}) + "\n")
+    out = str(tmp_path / "out3")
+    ck = str(tmp_path / "ck3")
+    argv = [
+        "replicate", "file-exactly-once",
+        "--wal-dir", wal_dir, "--checkpoint", ck, "--out", out, "--once",
+    ]
+    assert main(argv) == 0
+    got = [r.value for r in spark.read.text(os.path.join(out, "epoch=*")).collect()]
+    # only the pre-error INSERT made it; the gap is explicit, not a dup
+    assert len(got) == 1 and '"v":"1"' in got[0]
+    # post-recovery data added later flows normally through the SAME
+    # checkpoint, exactly once
+    more = txn(702, dml_line("public.orders", "INSERT", [("id", "integer", 9)]))
+    with open(os.path.join(wal_dir, "1.jsonl"), "w") as f:
+        for ws, _, tm, _, line in ops_to_raw_lines(more, start_lsn=500_000):
+            f.write(json.dumps({"wal_start": ws, "server_time_ms": tm, "line": line}) + "\n")
+    assert main(argv) == 0
+    got2 = [r.value for r in spark.read.text(os.path.join(out, "epoch=*")).collect()]
+    assert len(got2) == 2
+    assert sum('"txn":"702-' in v for v in got2) == 1
+
+
+def test_cli_kill_resume_no_duplicates_no_loss(spark, tmp_path):
+    """W5/W8 through the CLI: SIGKILL a live `python -m pg_bifrost_spark
+    replicate file-exactly-once` mid-stream, resume with --once on the
+    same checkpoint — every transaction's envelope lands EXACTLY once
+    (the epoch-manifest sink absorbs the replayed micro-batch)."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    n_txns = 40
+    wal_dir = _wal_corpus(spark, tmp_path, n_txns=n_txns)
+    out = str(tmp_path / "out4")
+    ck = str(tmp_path / "ck4")
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["SPARK_GRAFT_CPUS"] = "4"  # light second JVM
+    proc = subprocess.Popen(
+        [
+            _sys.executable, "-m", "pg_bifrost_spark",
+            "replicate", "file-exactly-once",
+            "--wal-dir", wal_dir, "--checkpoint", ck, "--out", out,
+            # 1 txn (3 msgs) per micro-batch -> many small epochs to
+            # land the kill between/inside batches
+            "--client-buffer-size", "3",
+        ],
+        env=env,
+        cwd=repo,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            done = [
+                d for d in (os.listdir(out) if os.path.isdir(out) else [])
+                if d.startswith("epoch=")
+                and os.path.exists(os.path.join(out, d, "_SUCCESS"))
+            ]
+            if len(done) >= 2:
+                break
+            if proc.poll() is not None:
+                break  # finished everything before we could kill — still valid
+            time.sleep(0.2)
+        else:
+            raise AssertionError("subprocess CLI never produced two epochs")
+    finally:
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+    # resume in-process on the same checkpoint and drain the rest
+    assert main(
+        [
+            "replicate", "file-exactly-once",
+            "--wal-dir", wal_dir, "--checkpoint", ck, "--out", out, "--once",
+        ]
+    ) == 0
+    got = [r.value for r in spark.read.text(os.path.join(out, "epoch=*")).collect()]
+    assert len(got) == n_txns, f"expected {n_txns} envelopes, got {len(got)}"
+    for t in range(n_txns):
+        hits = sum(f'"txn":"{500 + t}-' in v for v in got)
+        assert hits == 1, f"txn {500 + t} appeared {hits} times"
