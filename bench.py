@@ -47,6 +47,7 @@ HEADLINE = [
     "asof_click_to_view",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
+    "dedup_repeated_spans",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",

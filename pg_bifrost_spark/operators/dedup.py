@@ -14,6 +14,8 @@ Five families, each scale-posture-first:
                      verification step is exact Jaccard.
   * simhash        — 64-bit SimHash + block rotation for hamming ≤ k
   * embedding      — cosine near-dup pairs over the embeddings table
+  * repeated spans — ExactSubstr-style K-token span repetition stats
+                     (Lee et al. 2021) via hashed rolling spans
 
 Determinism: all hashing uses Spark built-ins (xxhash64, crc32, md5)
 with fixed seeds — replays are byte-identical.
@@ -1139,4 +1141,123 @@ def incremental_jaccard_pairs(
         common.filter(jac >= threshold)
         .select("doc_new", "doc_existing", jac.alias("jaccard"))
         .orderBy("doc_new", "doc_existing")
+    )
+
+
+# --------------------------------------------------------------------------
+# repeated-span detection (ExactSubstr-style, Lee et al. 2021)
+# --------------------------------------------------------------------------
+# "Deduplicating Training Data Makes Language Models Better" removes
+# EXACT repeated token spans rather than whole near-dup documents —
+# the boilerplate/citation/license text that whole-doc Jaccard leaves
+# behind. The suffix-array construction doesn't map to Spark; the
+# equivalent relational shape does: every K-token rolling span (WITH
+# position multiplicity — a span repeated inside one doc counts), one
+# map-side-combined count per span, join the counts back, aggregate
+# per doc. Spans are carried as xxhash64 LONGS through the shuffle
+# (the hshingles trick): the exchange moves 8-byte keys, not K-token
+# strings. The fixture plants a shared license footer on every
+# doc_id % SPAN_MOD == 0 row, mirrored byte-exactly in the oracle.
+SPAN_K = 8
+SPAN_MOD = 25
+SPAN_FOOTER = (
+    "all rights reserved unauthorized reproduction of this "
+    "document is strictly prohibited"
+)
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {SPAN_MOD} = 0
+                  THEN text || ' {SPAN_FOOTER}' ELSE text END AS text
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, unnest([
+               array_to_string(x, ' ')
+               FOR x IN [
+                 toks[i:i+{SPAN_K - 1}] FOR i IN range(1, len(toks) - {SPAN_K - 2})
+               ] IF len(x) = {SPAN_K}
+             ]) AS span
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM corpus)
+      WHERE len(toks) >= {SPAN_K}
+    ),
+    cnt AS (SELECT span, count(*) AS c FROM sp GROUP BY span)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_repeated,
+           sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS repeat_ratio
+    FROM sp JOIN cnt USING (span)
+    GROUP BY doc_id
+    HAVING n_repeated > 0
+    ORDER BY doc_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-{SPAN_K}-token-span stats over the corpus
+    (planted license-footer fixture so the gate sees real repeats)."""
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SPAN_MOD == 0,
+            F.concat(F.col("text"), F.lit(" " + SPAN_FOOTER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repeated_span_stats(planted)
+
+
+def repeated_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """(doc_id, n_spans, n_repeated, repeat_ratio) for docs containing
+    at least one K-token span that occurs ≥2 times in the corpus.
+
+    Scale shape: explode → ONE explicit exchange on the 8-byte span
+    hash (``spread``) that BOTH the count aggregation and the
+    count-back join ride (no second span shuffle) → one groupBy on
+    doc_id. Span count rows are (long, long) — a degenerate span
+    repeated 10⁶ times is ONE count row, so no key goes quadratic;
+    the doc_id aggregation is map-side combined. The ratio is an
+    exact-int division (hash-stable across engines)."""
+    toked = docs.select("doc_id", tokens_expr().alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    # materialize the span-hash array once (projection-collapse rule:
+    # inlining the transform into explode would re-evaluate per use)
+    spans = toked.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(toks) - {k - 1}), "
+            f"i -> xxhash64(concat_ws(' ', slice(toks, i, {k}))))"
+        ).alias("span_hs"),
+    )
+    # cache the exploded/partitioned spans: the count aggregation and
+    # the count-back join both consume them, and Spark does not reuse
+    # the exchange across the two (verified in the executed plan) —
+    # without the cache the tokenize+hash explode runs TWICE
+    sp = tracked_cache(
+        spread(spans.select("doc_id", F.explode("span_hs").alias("span_h")), "span_h")
+    )
+    cnt = sp.groupBy("span_h").agg(F.count("*").alias("c"))
+    marked = sp.join(cnt, "span_h")
+    rep = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            rep.alias("n_repeated"),
+        )
+        .filter(F.col("n_repeated") > 0)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_repeated",
+            (F.col("n_repeated") / F.col("n_spans")).alias("repeat_ratio"),
+        )
+        .orderBy("doc_id")
     )

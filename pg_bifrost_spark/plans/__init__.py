@@ -219,7 +219,11 @@ GATE_PRIORITY: list[str] = [
     "leakage_safe_split",
     # text analysis / structural cleaning (r5 additions:
     # paragraph/line/html/PII/unigram-LM/BPE — first gate appearance)
-    "text_quality_score",
+    # text_quality_score (4 straight greens) yields to the NEW r6
+    # repeated-span operator (ExactSubstr-style, planted license
+    # footer); quality evidence stays via quality_gopher_rules +
+    # text_repetition_stats
+    "dedup_repeated_spans",
     "dedup_incremental_batch",
     "text_repetition_stats",
     "quality_gopher_rules",
