@@ -267,13 +267,15 @@ def test_sequence_packing_partitions_by_source(spark):
 
 
 def test_vocab_rank_window_after_topk_cut(spark):
-    """vocab_top_tokens' global rank window must run AFTER the top-K
-    cut (TakeOrderedAndProject), so it only ever sees TOP_VOCAB rows —
-    a global window over the full vocabulary would serialize a
-    ~log-corpus-size table through one task."""
+    """vocab_top_tokens' rank must run AFTER the top-K cut
+    (TakeOrderedAndProject), so it only ever sees TOP_VOCAB rows — and
+    as of r6 it is a BROADCAST strictly-ahead self-join, not a
+    partition-less window (the `_bounded_rank` shape: zero `WindowExec:
+    No Partition Defined` noise, so that warning stays meaningful)."""
     text = plan_of(spark, "vocab_top_tokens")
     assert "TakeOrderedAndProject" in text
-    assert "Window" in text
+    assert "Window" not in text
+    assert "BroadcastNestedLoopJoin" in text
 
 
 def test_tfidf_window_partitions_by_doc(spark):
