@@ -506,3 +506,139 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bounded_rank(counted, "merge_rank", ("pair_count", True), ("pair", False)).select(
         "merge_rank", "pair", "pair_count"
     ).orderBy("merge_rank")
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (inverted-index scoring, the RAG/data-audit workhorse)
+# --------------------------------------------------------------------------
+# Okapi BM25 with the Lucene-style positive idf. Hash discipline: the
+# per-TERM contribution is floored to micro-units (BIGINT) BEFORE the
+# per-(query, doc) sum, so the sum is integer and order-independent
+# across engines (the quality_unigram_logprob trick); dl/avgdl is
+# rewritten as (dl * n_docs) / total_tokens so the only doubles are
+# one division and one ln over exact integers, written with identical
+# parenthesization in the Spark expression and the oracle SQL.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+# fixed query set over tokens present at every fixture SF
+BM25_QUERIES: list[tuple[str, str]] = [
+    ("q1", "hash"), ("q1", "join"),
+    ("q2", "row"), ("q2", "filter"),
+    ("q3", "scan"), ("q3", "filter"), ("q3", "hash"),
+]
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+
+
+@register(
+    "bm25_retrieval",
+    oracle=f"""
+    WITH q(qid, term) AS (VALUES {_BM25_VALUES}),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY ALL),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+    df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY token),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+             (SELECT count(*) FROM tok)::BIGINT AS total_tokens
+    ),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+             sum(floor(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * ({BM25_K1} + 1))
+               / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * ((dl * n_docs) / total_tokens)))
+               * 1000000
+             )::BIGINT)::BIGINT AS score_micro
+      FROM q JOIN tf ON tf.token = q.term
+             JOIN df ON df.token = tf.token
+             JOIN dl ON dl.doc_id = tf.doc_id
+             CROSS JOIN stats
+      GROUP BY 1, 2
+    )
+    SELECT qid,
+           row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id)
+             ::INT AS rank,
+           doc_id, score_micro
+    FROM scored
+    QUALIFY rank <= {BM25_TOP_K}
+    ORDER BY qid, rank
+    """,
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOP_K} documents per query by Okapi BM25 over the
+    corpus inverted index — the retrieval/data-audit primitive (find
+    the training documents most relevant to a probe query).
+
+    Plan shape at 100 TB: tf is ONE map-side-combined shuffle on
+    (doc_id, token); df one on token; dl rides the tf relation
+    (groupBy doc_id on its output, not a second corpus pass); corpus
+    totals are a broadcast single-row crossJoin (never collected);
+    the QUERY set is broadcast (it is tiny by definition), so the
+    corpus-sized relations join map-side against it FIRST — the
+    scoring join only ever sees rows whose token is a query term —
+    and the final top-k is a window partitioned by qid over the
+    k-bounded per-query candidates."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    tok = docs.select("doc_id", F.explode("toks").alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    df_t = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    stats = tok.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("_nd_tok"),
+        F.count("*").cast("bigint").alias("total_tokens"),
+    ).crossJoin(docs.agg(F.count("*").cast("bigint").alias("n_docs")))
+    q = spark.createDataFrame(BM25_QUERIES, "qid string, term string")
+    # df restricted to the query terms FIRST (broadcast semi-shape):
+    # the full df table is vocabulary-sized and must never shuffle
+    # against the hit set — after the cut it is ≤ |query terms| rows
+    # and broadcasts into the scoring join
+    qterms = q.select("term").distinct()
+    df_q = df_t.join(
+        F.broadcast(qterms), df_t["token"] == qterms["term"]
+    ).select("token", "df")
+    hits = (
+        tf.join(F.broadcast(q), tf["token"] == q["term"])
+        .join(F.broadcast(df_q), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1 - BM25_B)
+                + F.lit(BM25_B) * ((F.col("dl") * F.col("n_docs")) / F.col("total_tokens"))
+            )
+        )
+    )
+    scored = (
+        hits.select(
+            "qid",
+            "doc_id",
+            F.floor(term_score * F.lit(1_000_000)).cast("bigint").alias("sm"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("sm").alias("score_micro"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score_micro"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("qid", "rank", "doc_id", "score_micro")
+        .orderBy("qid", "rank")
+    )

@@ -1218,12 +1218,16 @@ def repeated_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     at least one K-token span that occurs ≥2 times in the corpus.
 
     Scale shape: explode → ONE explicit exchange on the 8-byte span
-    hash (``spread``) that BOTH the count aggregation and the
-    count-back join ride (no second span shuffle) → one groupBy on
-    doc_id. Span count rows are (long, long) — a degenerate span
-    repeated 10⁶ times is ONE count row, so no key goes quadratic;
-    the doc_id aggregation is map-side combined. The ratio is an
+    hash (``spread``) → a window count PARTITIONED BY span_h riding
+    that exchange (one local sort, spillable buffering per span
+    group; no join, no cache, no second span shuffle — the
+    groupBy-count + count-back-join alternative re-exchanges the
+    corpus-scale count relation because the cached scan's partitioning
+    is opaque to the static planner) → one map-side-combined groupBy
+    on doc_id. No key goes quadratic: a degenerate span repeated 10⁶
+    times is one window group, counted not paired. The ratio is an
     exact-int division (hash-stable across engines)."""
+    from pyspark.sql import Window
     toked = docs.select("doc_id", tokens_expr().alias("toks")).filter(
         F.size("toks") >= k
     )
@@ -1236,15 +1240,12 @@ def repeated_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
             f"i -> xxhash64(concat_ws(' ', slice(toks, i, {k}))))"
         ).alias("span_hs"),
     )
-    # cache the exploded/partitioned spans: the count aggregation and
-    # the count-back join both consume them, and Spark does not reuse
-    # the exchange across the two (verified in the executed plan) —
-    # without the cache the tokenize+hash explode runs TWICE
-    sp = tracked_cache(
-        spread(spans.select("doc_id", F.explode("span_hs").alias("span_h")), "span_h")
+    sp = spread(
+        spans.select("doc_id", F.explode("span_hs").alias("span_h")), "span_h"
     )
-    cnt = sp.groupBy("span_h").agg(F.count("*").alias("c"))
-    marked = sp.join(cnt, "span_h")
+    marked = sp.withColumn(
+        "c", F.count("*").over(Window.partitionBy("span_h"))
+    )
     rep = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("bigint")
     return (
         marked.groupBy("doc_id")

@@ -243,7 +243,10 @@ GATE_PRIORITY: list[str] = [
     # curation / mixture planning
     "corpus_snapshot_diff",
     "sequence_packing",
-    "corpus_mixture_report",
+    # corpus_mixture_report (3 straight greens) yields to the NEW r6
+    # BM25 retrieval operator; mixture evidence stays via
+    # domain_cap_sample + token_budget_sample
+    "bm25_retrieval",
     "domain_cap_sample",
     "token_budget_sample",
     "events_funnel",

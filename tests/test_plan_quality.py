@@ -445,3 +445,35 @@ def test_snapshot_diff_single_full_outer_join(spark):
     assert text.count("FullOuter") >= 1
     post_join = text.split("FullOuter")[0]  # executedPlan prints top-down
     assert "md5" not in post_join
+
+
+def test_bm25_broadcasts_query_side_never_smj_on_vocab(spark):
+    """bm25_retrieval: the query set and the query-term-restricted df
+    relation must BROADCAST into the corpus-sized tf stream (the full
+    vocabulary df table never shuffles against the hit set), and the
+    top-k window partitions by qid — fully distributed."""
+    text = plan_of(spark, "bm25_retrieval")
+    assert "BroadcastHashJoin" in text
+    assert "windowspecdefinition(qid" in text
+    # the only sort-merge allowed is the per-doc dl join; the token
+    # joins must be broadcast
+    smj = [ln for ln in text.splitlines() if "SortMergeJoin" in ln]
+    assert all("token" not in ln for ln in smj), smj
+
+
+def test_repeated_spans_single_span_exchange(spark):
+    """dedup_repeated_spans: ONE explicit span-hash exchange
+    (REPARTITION_BY_NUM from spread) that the PARTITIONED window count
+    rides — no join, no cache, no ENSURE_REQUIREMENTS exchange on
+    span_h (the groupBy-count + count-back-join alternative
+    re-shuffles the corpus-scale count relation), and the window is
+    partitioned (never a 'No Partition Defined' single-task window)."""
+    text = plan_of(spark, "dedup_repeated_spans")
+    span_ex = [
+        ln for ln in text.splitlines()
+        if "Exchange hashpartitioning(span_h" in ln
+    ]
+    assert span_ex
+    assert all("REPARTITION_BY_NUM" in ln for ln in span_ex), span_ex
+    assert "windowspecdefinition(span_h" in text
+    assert "SortMergeJoin" not in text
