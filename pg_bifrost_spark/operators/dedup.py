@@ -1262,3 +1262,127 @@ def repeated_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# The ACTION companion to dedup_repeated_spans: Lee et al. 2021 don't
+# just score repeated spans, they CUT them from the training text.
+# Semantics: a token position is removed iff it is covered by any
+# K-token span occurring ≥2 times in the corpus (interval union of
+# repeated span starts); the cleaned text is the remaining tokens
+# joined by single spaces. Integer/string output — hash-exact.
+@register(
+    "repeated_span_removal",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {SPAN_MOD} = 0
+                  THEN text || ' {SPAN_FOOTER}' ELSE text END AS text
+      FROM documents
+    ),
+    toked AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM corpus
+      WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= {SPAN_K}
+    ),
+    sp AS (
+      -- parallel unnests of equal-length lists zip row-wise in DuckDB
+      SELECT doc_id,
+             unnest(range(1, len(toks) - {SPAN_K - 2})) AS pos,
+             unnest([array_to_string(toks[i:i+{SPAN_K - 1}], ' ')
+                     FOR i IN range(1, len(toks) - {SPAN_K - 2})]) AS span
+      FROM toked
+    ),
+    rep AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+    covered AS (
+      SELECT doc_id, list(DISTINCT cp) AS cov
+      FROM (SELECT doc_id, unnest(range(pos, pos + {SPAN_K})) AS cp
+            FROM sp WHERE span IN (SELECT span FROM rep))
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks)::BIGINT AS n_tokens,
+           len(c.cov)::BIGINT AS n_removed,
+           coalesce(array_to_string(
+             [t.toks[i] FOR i IN range(1, len(t.toks) + 1)
+              IF NOT list_contains(c.cov, i)], ' '), '') AS cleaned_text
+    FROM toked t JOIN covered c USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (the action to ``dedup_repeated_spans``'
+    report): cut every corpus-repeated {SPAN_K}-token span out of the
+    text. Planted license-footer fixture (same as the stats op)."""
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SPAN_MOD == 0,
+            F.concat(F.col("text"), F.lit(" " + SPAN_FOOTER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_repeated_spans(planted)
+
+
+def remove_repeated_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, cleaned_text) for docs that had at
+    least one repeated span removed.
+
+    Scale shape: the span-occurrence stream (doc_id, pos, span_h) is
+    exploded once, ONE spread exchange on span_h, the repetition flag
+    is a PARTITIONED window count on that exchange, and the removed
+    positions flow back as ONE bounded-per-doc array (≤ doc length)
+    through a groupBy(doc_id) + join with the tokenized doc — the
+    interval-union/cut is then a map-side array expression. Nothing
+    corpus-proportional is collected or broadcast; the only rows that
+    return to the doc side are positions of REPEATED spans."""
+    from pyspark.sql import Window
+
+    toked = docs.select("doc_id", tokens_expr().alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    spans = toked.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(toks) - {k - 1}), "
+            f"i -> xxhash64(concat_ws(' ', slice(toks, i, {k}))))"
+        ).alias("span_hs"),
+    )
+    sp = spread(
+        spans.select(
+            "doc_id", F.posexplode("span_hs").alias("pos0", "span_h")
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span_h"),
+        "span_h",
+    )
+    rep_pos = (
+        sp.withColumn("c", F.count("*").over(Window.partitionBy("span_h")))
+        .filter(F.col("c") >= 2)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("rep_starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("rep_starts"),
+                lambda s: F.sequence(s, s + F.lit(k - 1)),
+            )
+        )
+    )
+    cleaned = F.expr(
+        "array_join(transform(filter(transform(toks, (t, p0) -> "
+        "struct(t AS t, p0 + 1 AS p)), "
+        "x -> NOT array_contains(cov, x.p)), x -> x.t), ' ')"
+    )
+    return (
+        toked.join(rep_pos, "doc_id")
+        .withColumn("cov", covered)
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.size("cov").cast("bigint").alias("n_removed"),
+            cleaned.alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -247,7 +247,10 @@ GATE_PRIORITY: list[str] = [
     # BM25 retrieval operator; mixture evidence stays via
     # domain_cap_sample + token_budget_sample
     "bm25_retrieval",
-    "domain_cap_sample",
+    # domain_cap_sample (3 straight greens) yields to the NEW r6
+    # span-REMOVAL action twin of dedup_repeated_spans; mixture
+    # evidence stays via token_budget_sample
+    "repeated_span_removal",
     "token_budget_sample",
     "events_funnel",
     "pii_redact_customers",
