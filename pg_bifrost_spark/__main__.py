@@ -54,15 +54,18 @@ def _sink(args):
         if not args.brokers or not args.topic:
             raise SystemExit("--brokers and --topic required for kafka")
 
+        from .sinks.kafka_config import apply_kafka_options, kafka_producer_options
+
+        producer_opts = kafka_producer_options()  # reference-tuned defaults
+
         def kafka_sink(df, epoch):
-            (
+            w = (
                 kafka_frame(df)
                 .write.format("kafka")
                 .option("kafka.bootstrap.servers", args.brokers)
                 .option("topic", args.topic)
-                .option("kafka.compression.type", "snappy")
-                .save()
             )
+            apply_kafka_options(w, producer_opts).save()
 
         return kafka_sink
     raise SystemExit(f"unknown sink {args.sink!r}")

@@ -1,0 +1,71 @@
+"""Kafka producer config translation (reference
+client_config.yaml.go:34-97 → Spark kafka.* options)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg_bifrost_spark.sinks.kafka_config import (
+    DEFAULT_FLUSH_BYTES,
+    apply_kafka_options,
+    kafka_producer_options,
+)
+
+
+def test_default_mapping_matches_reference_knobs():
+    opts = kafka_producer_options()
+    assert opts["kafka.batch.size"] == str(DEFAULT_FLUSH_BYTES)
+    assert opts["kafka.linger.ms"] == "500"  # Flush.Frequency
+    assert opts["kafka.compression.type"] == "snappy"
+    assert opts["kafka.max.request.size"] == "1000000"
+    assert opts["kafka.retry.backoff.ms"] == "500"  # Producer.Retry.Backoff
+    assert opts["kafka.retries"] == "3"
+    assert opts["kafka.request.timeout.ms"] == "10000"  # Net.*Timeout
+    assert opts["kafka.metadata.max.age.ms"] == "300000"  # RefreshFrequency 5m
+    assert "kafka.security.protocol" not in opts  # TLS off by default
+    # every key reaches the producer namespace Spark forwards verbatim
+    assert all(k.startswith("kafka.") for k in opts)
+
+
+def test_custom_knobs_flow_through():
+    opts = kafka_producer_options(
+        flush_bytes=65536, flush_frequency_ms=50, max_message_bytes=2_000_000,
+        retry_max=7,
+    )
+    assert opts["kafka.batch.size"] == "65536"
+    assert opts["kafka.linger.ms"] == "50"
+    assert opts["kafka.max.request.size"] == "2000000"
+    assert opts["kafka.retries"] == "7"
+
+
+def test_tls_requires_all_three_paths():
+    with pytest.raises(ValueError, match="tls=True requires"):
+        kafka_producer_options(tls=True, cluster_ca="/ca.pem")
+    opts = kafka_producer_options(
+        tls=True, cluster_ca="/ca.pem",
+        client_private_key="/key.pem", client_public_key="/cert.pem",
+    )
+    assert opts["kafka.security.protocol"] == "SSL"
+    assert opts["kafka.ssl.truststore.type"] == "PEM"
+    assert opts["kafka.ssl.truststore.location"] == "/ca.pem"
+
+
+def test_invalid_values_rejected():
+    with pytest.raises(ValueError, match="flush_bytes"):
+        kafka_producer_options(flush_bytes=-1)
+    with pytest.raises(ValueError, match="retry_max"):
+        kafka_producer_options(retry_max="many")  # type: ignore[arg-type]
+
+
+def test_apply_folds_onto_writer():
+    calls = []
+
+    class FakeWriter:
+        def option(self, k, v):
+            calls.append((k, v))
+            return self
+
+    w = apply_kafka_options(FakeWriter(), kafka_producer_options())
+    assert isinstance(w, FakeWriter)
+    assert ("kafka.compression.type", "snappy") in calls
+    assert len(calls) == len(kafka_producer_options())
