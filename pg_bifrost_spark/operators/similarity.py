@@ -370,3 +370,141 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the embedding-COMPRESSION scale path
+# --------------------------------------------------------------------------
+# At 100 TB of float32 embeddings the working set itself is the
+# bottleneck; PQ stores M sub-space centroid ids (here 8 bytes/vector
+# vs 256 bytes of floats, 32x) and scores with an asymmetric distance
+# table (ADC), exact-reranking only a small candidate pool. Vectors
+# are UNIT-NORMALIZED first so sub-space L2 and cosine rank
+# identically (d2 = 2 - 2*cos). Codebooks inherit kmeans_codebook's
+# float-accumulation caveat -> rows-only registration, recall pinned
+# by tests (the ivf_kmeans_codebook precedent).
+PQ_M = 8          # sub-vectors (64-dim fixture -> 8 dims each)
+PQ_SUB = 8
+PQ_K = 16         # centroids per sub-space (codes fit a nibble+)
+PQ_REFINE = 50    # ADC candidate pool exact-reranked
+
+
+def pq_codebooks(emb: DataFrame, m: int = PQ_M, sub: int = PQ_SUB, k: int = PQ_K):
+    """Per-sub-space k-means codebooks over UNIT vectors. Each
+    sub-space reuses ``mixture.kmeans_codebook`` (deterministic init,
+    fixed iterations) on the sliced column; M tiny trainings, each a
+    handful of map-side-combined groupBys."""
+    from .mixture import kmeans_codebook
+
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("v"), lambda x: x / F.col("nrm")
+        ).alias("embedding"),
+    )
+    books = []
+    for i in range(m):
+        s = unit.select(
+            "vec_id", F.slice("embedding", i * sub + 1, sub).alias("embedding")
+        )
+        cents, _ = kmeans_codebook(s, k=k, iters=3)
+        books.append(cents)
+    return books
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """codes[m] = 1-based id of the nearest sub-space centroid —
+    map-side literal fold, zero shuffle between scan and codes."""
+    unit = emb.withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+
+    def _dist_col(cb: F.Column, slice_name: str) -> F.Column:
+        # NOTE: a one-arg lambda — PySpark treats a two-arg HOF lambda
+        # as (element, index), so the index column would shadow any
+        # default-arg binding
+        return F.transform(
+            cb,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(slice_name), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    cols = {}
+    for i, book in enumerate(books):
+        cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        # materialize the slice once: interpreted HOFs re-evaluate a
+        # captured expression per element (the shingles lesson)
+        cols[f"_s{i}"] = F.slice("u", i * PQ_SUB + 1, PQ_SUB)
+        cols[f"_d{i}"] = _dist_col(cb, f"_s{i}")
+    out = unit
+    for name, col in cols.items():
+        out = out.withColumn(name, col)
+    codes = F.array(
+        *[
+            F.array_position(F.col(f"_d{i}"), F.array_min(F.col(f"_d{i}"))).cast("int")
+            for i in range(len(books))
+        ]
+    )
+    return out.withColumn("codes", codes).drop(
+        "u", *[c for c in cols if c.startswith("_")]
+    )
+
+
+@register("ann_pq_adc", oracle=None)  # float-order-dependent codebooks → rows-only
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + asymmetric-distance ANN: encode the corpus to {PQ_M}
+    centroid ids, score against the query's per-sub-space distance
+    TABLE (a literal lookup — the corpus floats are never touched
+    during scanning), exact-rerank the top {PQ_REFINE} ADC candidates
+    by true cosine, return the top {TOP_K}.
+
+    Scale posture: the scan reads (vec_id, codes) — 8 bytes of code
+    per vector instead of 256 of floats (the 32× memory story); ADC is
+    a map-side sum of M table lookups (zero shuffle, zero join); only
+    the REFINE pool's float vectors are fetched for reranking. The
+    codebooks/tables are M×K×{PQ_SUB} floats — broadcast-literal sized
+    by construction. Recall vs exact top-k pinned in
+    ``tests/test_pq_recall.py``."""
+    emb = _prepared(spark, sf_dir)
+    books = pq_codebooks(emb)
+    coded = pq_encode(emb, books)
+    # query-side distance tables, computed driver-side from the single
+    # query vector (M×K floats)
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
+    qu = [x / qrow["nrm"] for x in qrow["v"]]
+    tables = []
+    for i, book in enumerate(books):
+        qs = qu[i * PQ_SUB : (i + 1) * PQ_SUB]
+        tables.append(
+            [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book]
+        )
+    tab_lit = F.array(
+        *[F.array(*[F.lit(float(d)) for d in t]) for t in tables]
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            tab_lit,
+            lambda code, tab: F.element_at(tab, code),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        coded.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("adc_d2", adc)
+        .orderBy("adc_d2", "vec_id")
+        .limit(PQ_REFINE)
+        .select("vec_id", "v", "nrm")
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    scored = cosine_to_query(pool, q)
+    return (
+        scored.select("vec_id", F.round("cosine_raw", 4).alias("cosine"), "cosine_raw")
+        .orderBy(F.desc("cosine_raw"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "cosine")
+    )
