@@ -515,9 +515,13 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-TERM contribution is floored to micro-units (BIGINT) BEFORE the
 # per-(query, doc) sum, so the sum is integer and order-independent
 # across engines (the quality_unigram_logprob trick); dl/avgdl is
-# rewritten as (dl * n_docs) / total_tokens so the only doubles are
-# one division and one ln over exact integers, written with identical
-# parenthesization in the Spark expression and the oracle SQL.
+# rewritten as (dl * n_docs) / total_tokens so every operand is an
+# exact integer or an explicit DOUBLE, written with identical
+# parenthesization in the Spark expression and the oracle SQL — the
+# oracle CASTs every fractional literal to DOUBLE because DuckDB
+# otherwise evaluates them in exact DECIMAL (verified: 3::BIGINT *
+# (1.2 + 1) differs from double 3.0*2.2 by one ulp, which would flip
+# floor() at integer boundaries).
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 5
@@ -548,9 +552,10 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
     scored AS (
       SELECT q.qid, tf.doc_id,
              sum(floor(
-               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-               * (tf * ({BM25_K1} + 1))
-               / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * ((dl * n_docs) / total_tokens)))
+               ln(1 + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+               * (tf * CAST({BM25_K1 + 1} AS DOUBLE))
+               / (tf + CAST({BM25_K1} AS DOUBLE) * (CAST({1 - BM25_B} AS DOUBLE)
+                    + CAST({BM25_B} AS DOUBLE) * ((dl * n_docs) / total_tokens)))
                * 1000000
              )::BIGINT)::BIGINT AS score_micro
       FROM q JOIN tf ON tf.token = q.term
@@ -590,8 +595,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("df")
     )
     stats = tok.agg(
-        F.countDistinct("doc_id").cast("bigint").alias("_nd_tok"),
-        F.count("*").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("total_tokens")
     ).crossJoin(docs.agg(F.count("*").cast("bigint").alias("n_docs")))
     q = spark.createDataFrame(BM25_QUERIES, "qid string, term string")
     # df restricted to the query terms FIRST (broadcast semi-shape):
@@ -633,8 +637,6 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "doc_id")
         .agg(F.sum("sm").alias("score_micro"))
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("qid").orderBy(F.desc("score_micro"), "doc_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

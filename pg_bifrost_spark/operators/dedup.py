@@ -1166,6 +1166,22 @@ SPAN_FOOTER = (
 )
 
 
+def plant_span_footer(docs: DataFrame) -> DataFrame:
+    """Append SPAN_FOOTER to every doc_id % SPAN_MOD == 0 row — the
+    ONE definition both span gate ops (and, byte-exactly, both their
+    oracles) share; a drifted copy would desynchronize the twins
+    silently."""
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % SPAN_MOD == 0,
+            F.concat(F.col("text"), F.lit(" " + SPAN_FOOTER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
 @register(
     "dedup_repeated_spans",
     oracle=f"""
@@ -1200,17 +1216,9 @@ SPAN_FOOTER = (
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeated-{SPAN_K}-token-span stats over the corpus
     (planted license-footer fixture so the gate sees real repeats)."""
-    docs = table(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % SPAN_MOD == 0,
-            F.concat(F.col("text"), F.lit(" " + SPAN_FOOTER)),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+    return repeated_span_stats(
+        plant_span_footer(table(spark, sf_dir, "documents"))
     )
-    return repeated_span_stats(planted)
 
 
 def repeated_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
@@ -1313,17 +1321,9 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span REMOVAL (the action to ``dedup_repeated_spans``'
     report): cut every corpus-repeated {SPAN_K}-token span out of the
     text. Planted license-footer fixture (same as the stats op)."""
-    docs = table(spark, sf_dir, "documents")
-    planted = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % SPAN_MOD == 0,
-            F.concat(F.col("text"), F.lit(" " + SPAN_FOOTER)),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+    return remove_repeated_spans(
+        plant_span_footer(table(spark, sf_dir, "documents"))
     )
-    return remove_repeated_spans(planted)
 
 
 def remove_repeated_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:

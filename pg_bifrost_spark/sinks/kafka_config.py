@@ -80,14 +80,27 @@ def kafka_producer_options(
                 "tls=True requires cluster_ca, client_private_key, and "
                 "client_public_key paths (client_config.yaml.go:configureTLS)"
             )
+        # The Java client takes the client key/cert as PEM CONTENTS
+        # (ssl.keystore.key / ssl.keystore.certificate.chain) when
+        # keystore.type=PEM with no location; there is no per-file
+        # key-path option like librdkafka's ssl.key.location. The
+        # reference's API is file paths, so read them here (they are
+        # certificate-sized).
+        try:
+            with open(client_private_key) as f:
+                key_pem = f.read()
+            with open(client_public_key) as f:
+                chain_pem = f.read()
+        except OSError as exc:
+            raise ValueError(f"tls=True: cannot read PEM file: {exc}") from exc
         opts.update(
             {
                 "kafka.security.protocol": "SSL",
                 "kafka.ssl.truststore.type": "PEM",
                 "kafka.ssl.truststore.location": cluster_ca,
                 "kafka.ssl.keystore.type": "PEM",
-                "kafka.ssl.keystore.location": client_public_key,
-                "kafka.ssl.key.location": client_private_key,
+                "kafka.ssl.keystore.key": key_pem,
+                "kafka.ssl.keystore.certificate.chain": chain_pem,
             }
         )
     return opts

@@ -142,18 +142,29 @@ def test_back_scan_walks_to_earlier_file_for_begin(tmp_path):
     assert all(x == "77" for x in batch.column(5).to_pylist())
 
 
-def test_readonly_corpus_still_works(tmp_path):
-    """Sidecar persistence is best-effort: a read-only slot dir falls
-    back to the in-process cache without failing."""
+def test_readonly_corpus_still_works(tmp_path, monkeypatch):
+    """Sidecar persistence is best-effort: when the sidecar write
+    fails (read-only corpus), offset planning falls back to the
+    in-process cache without failing. The failure is INJECTED (chmod
+    0o555 is a no-op under root's CAP_DAC_OVERRIDE, so a permissions
+    -based version of this test is vacuous in CI)."""
     base = str(tmp_path / "wal")
     _corpus(base)
-    for root, _, _ in os.walk(base):
-        os.chmod(root, 0o555)
-    try:
-        r = PgCdcMultiStreamReader({"wal_dir": base})
-        off = r.latestOffset()
-        assert off["slot_a"] > 0
-        assert r.latestOffset() == off
-    finally:
-        for root, _, _ in os.walk(base):
-            os.chmod(root, 0o755)
+    real = builtins.open
+
+    def deny_idx_writes(file, mode="r", *a, **kw):
+        if str(file).endswith(".idx.tmp") and "w" in mode:
+            raise OSError(30, "Read-only file system", str(file))
+        return real(file, mode, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", deny_idx_writes)
+    r = PgCdcMultiStreamReader({"wal_dir": base})
+    off = r.latestOffset()
+    assert off["slot_a"] > 0
+    # no sidecars could be persisted…
+    assert not [
+        p for slot in ("slot_a", "slot_b")
+        for p in os.listdir(os.path.join(base, slot)) if p.endswith(".idx")
+    ]
+    # …but the warm reader still plans repeat offsets from memory
+    assert r.latestOffset() == off
