@@ -644,3 +644,78 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "doc_id", "score_micro")
         .orderBy("qid", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge APPLICATION (tokenizer encode — the pair-count twin's
+# other half: a trained tokenizer's merge table is a static artifact
+# applied at corpus scale on every ingest)
+# --------------------------------------------------------------------------
+# Pure-Catalyst encode: each merge rank is ONE aggregate fold over the
+# token array (left-to-right, non-overlapping — "a a a" with merge
+# (a,a) gives [a+a, a], and a merged symbol can participate in LATER
+# ranks), so the whole encode is a map-side expression chain with no
+# Python in the hot path and no shuffle at all before the final stats.
+# Rows-only registration: the iterative fold is not expressible in
+# one static SQL oracle (string replace() has different non-overlap
+# semantics — verified on the a-b-a-b chain), so exactness is pinned
+# by tests/test_bpe_apply.py against an independent naive scanner.
+BPE_APPLY_MERGES: list[tuple[str, str]] = [
+    # (order,order) must OUTRANK (order,fast), else the rank-chained
+    # entry below can never fire ("order order fast" would be eaten
+    # left-to-right by the lower-rank (order,fast) first)
+    ("order", "order"), ("order", "fast"), ("part", "filter"),
+    ("table", "hash"), ("filter", "hash"), ("window", "join"),
+    ("merge", "group"), ("order+order", "fast"),  # rank-chained merge
+]
+
+
+def merged_symbol(a: str, b: str) -> str:
+    return f"{a}+{b}"
+
+
+def _merge_fold(col: F.Column, a: str, b: str) -> F.Column:
+    m = merged_symbol(a, b)
+    return F.aggregate(
+        col,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (t == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_encode(docs: DataFrame, merges=None) -> DataFrame:
+    """Apply the merge table in rank order; returns doc_id,
+    n_tokens_before, n_tokens_after, encoded (space-joined)."""
+    merges = BPE_APPLY_MERGES if merges is None else merges
+    out = docs.withColumn("toks", _tokens())
+    col = F.col("toks")
+    for a, b in merges:
+        col = _merge_fold(col, a, b)
+    # materialize the folded array ONCE (projection-collapse rule:
+    # three consumers below would otherwise each evaluate the chain)
+    out = out.withColumn("enc", col)
+    return out.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens_before"),
+        F.size("enc").cast("bigint").alias("n_tokens_after"),
+        F.array_join("enc", " ").alias("encoded"),
+    )
+
+
+@register("bpe_apply_merges", oracle=None)  # iterative fold — pinned by test_bpe_apply
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document with the static 8-entry merge table —
+    only docs the encode actually changed are returned (non-vacuous
+    at every fixture SF; the table's pairs come from the fixtures'
+    own top bigrams and include one rank-chained merge)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        bpe_encode(docs)
+        .filter(F.col("n_tokens_after") < F.col("n_tokens_before"))
+        .orderBy("doc_id")
+    )
