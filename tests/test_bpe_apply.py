@@ -62,3 +62,20 @@ def test_rank_chained_merge_and_overlap_semantics(spark):
     # the rank-chained case merges all three tokens into one symbol
     assert got[3] == merged_symbol(merged_symbol("order", "order"), "fast")
     assert got[4] == " ".join([merged_symbol("part", "filter")] * 2)
+
+
+def test_randomized_corpus_matches_naive(spark):
+    """200 seeded random docs over the merge alphabet — adversarial
+    adjacency patterns (runs, alternations, chains) in one batch."""
+    import random
+
+    rng = random.Random(0xB9E)
+    alphabet = ["order", "fast", "part", "filter", "table", "hash", "x"]
+    rows = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(1, 30))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.encoded for r in bpe_encode(docs).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == " ".join(naive_encode(text)), (doc_id, text)
