@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_repeated_spans",
+    "repeated_span_removal",
+    "bm25_retrieval",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
