@@ -176,3 +176,105 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding drift report (snapshot-vs-snapshot distribution shift)
+# --------------------------------------------------------------------------
+# The train/serve data-quality check: per label, how far did the
+# embedding distribution move between two corpus snapshots? The
+# fixture plants snapshot B as A with a deterministic per-component
+# offset on every vec_id % DRIFT_MOD == 0 vector of ONE label, so the
+# drifted label must dominate the report and every other label must
+# read ~0. Hash discipline: components are quantized to integer
+# micro-units map-side and summed as BIGINT (order-independent), and
+# the per-dimension centroid uses floor(sum/n) — floor division is
+# floor in BOTH engines (Spark F.floor(a/b), DuckDB floor(a/b)), so
+# the L1 shift is an exact integer.
+DRIFT_MOD = 3
+DRIFT_LABEL = 1
+DRIFT_OFFSET = 0.25  # exactly representable in binary — quantizes cleanly
+EMB_Q = 1_000_000
+
+
+@register(
+    "embedding_drift_report",
+    oracle=f"""
+    WITH a AS (
+      SELECT label,
+             unnest(range(1, len(e) + 1)) AS pos,
+             floor(unnest(e) * {EMB_Q})::BIGINT AS xq
+      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    b AS (
+      SELECT label,
+             unnest(range(1, len(e) + 1)) AS pos,
+             floor((unnest(e) + CASE WHEN vec_id % {DRIFT_MOD} = 0 AND label = {DRIFT_LABEL}
+                                     THEN CAST({DRIFT_OFFSET} AS DOUBLE) ELSE 0 END)
+                   * {EMB_Q})::BIGINT AS xq
+      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    ca AS (SELECT label, pos, floor(sum(xq) / (count(*) * 1.0))::BIGINT AS c,
+                  count(*)::BIGINT AS n FROM a GROUP BY 1, 2),
+    cb AS (SELECT label, pos, floor(sum(xq) / (count(*) * 1.0))::BIGINT AS c
+           FROM b GROUP BY 1, 2)
+    SELECT ca.label,
+           ca.n AS n_vectors,
+           sum(abs(ca.c - cb.c))::BIGINT AS l1_shift_micro
+    FROM ca JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos
+    GROUP BY 1, 2 ORDER BY ca.label
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L1 centroid shift (integer micro-units) between the
+    embeddings snapshot and a planted-drift twin."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    drifted = base.withColumn(
+        "e",
+        F.when(
+            (F.col("vec_id") % DRIFT_MOD == 0) & (F.col("label") == DRIFT_LABEL),
+            F.transform("e", lambda x: x + F.lit(float(DRIFT_OFFSET))),
+        ).otherwise(F.col("e")),
+    )
+    return drift_report(base, drifted)
+
+
+def drift_report(snap_a: DataFrame, snap_b: DataFrame) -> DataFrame:
+    """(label, n_vectors, l1_shift_micro) between two embedding
+    snapshots with columns (vec_id, label, e: array<double>).
+
+    Scale shape: each side is ONE map-side-combined groupBy on
+    (label, pos) over quantized BIGINT sums — integer, so the sums
+    are accumulation-order-independent and the result hash-stable;
+    the join of the two centroid tables is labels×dims rows (tiny),
+    and nothing is collected."""
+
+    def centroids(df: DataFrame) -> DataFrame:
+        q = df.select(
+            "label",
+            F.posexplode("e").alias("pos0", "x"),
+        ).select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("x") * EMB_Q).cast("bigint").alias("xq"),
+        )
+        return q.groupBy("label", "pos").agg(
+            F.floor(F.sum("xq") / F.count("*")).cast("bigint").alias("c"),
+            F.count("*").alias("n"),
+        )
+    ca, cb = centroids(snap_a), centroids(snap_b)
+    return (
+        ca.alias("a")
+        .join(cb.alias("b"), ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            (F.max(F.col("a.n"))).cast("bigint").alias("n_vectors"),
+            F.sum(F.abs(F.col("a.c") - F.col("b.c"))).cast("bigint").alias("l1_shift_micro"),
+        )
+        .orderBy("label")
+    )

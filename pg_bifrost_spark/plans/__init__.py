@@ -198,7 +198,10 @@ GATE_PRIORITY: list[str] = [
     "dedup_ngram_jaccard_hotset",
     "purchase_attribution",
     "dedup_containment",
-    "dedup_embedding_cosine",
+    # dedup_embedding_cosine (4 straight greens) yields to the NEW r6
+    # embedding_drift_report; the embedding family keeps
+    # semantic_dedup_srp + ann_batch_topk + leakage_safe_split in gate
+    "embedding_drift_report",
     "semantic_dedup_srp",
     # dedup_cluster_components (3 straight greens) yields to the
     # never-checked video decoder; dedup_jaccard_clusters and
