@@ -686,3 +686,156 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "naive",
     )
     return aware.unionByName(naive).orderBy("method")
+
+
+# --------------------------------------------------------------------------
+# training-set build capstone: quality → exact dedup → decontaminate
+# → split → account, as ONE Catalyst plan
+# --------------------------------------------------------------------------
+# The selection twin of refinery_pipeline (which CLEANS text, this
+# SELECTS documents): Gopher quality gate (map-only) → exact dedup
+# keeping the min doc_id per digest (one shuffle on the digest) →
+# drop the benchmark probe docs and anything sharing a 5-gram with
+# them (broadcast of the bounded probe gram set) → deterministic
+# train/val split → per-split doc/token accounting. Every stage
+# reuses the EXACT predicates of its standalone operator (same
+# constants), and the whole chain is hash-checked against one
+# composed oracle — integration, not just unit, correctness.
+
+
+
+from .corpus import CONTAM_N as _CN, PROBE_CAP as _PC, PROBE_MOD as _PM, _GRAM_SQL
+from .text import (
+    EN_STOPWORDS as _SW,
+    GOPHER_MAX_WLEN as _MAXL,
+    GOPHER_MAX_WORDS as _MAXW,
+    GOPHER_MIN_ALPHA_FRAC as _MINA,
+    GOPHER_MIN_STOPWORDS as _MINS,
+    GOPHER_MIN_WLEN as _MINL,
+    GOPHER_MIN_WORDS as _MINW,
+)
+
+_TRAINING_SET_SQL = f"""
+    WITH {PLANTED_DOCS_SQL},
+    feat AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             length(replace(text, ' ', ''))::DOUBLE AS nsc
+      FROM documents_planted
+    ),
+    quality AS (
+      SELECT * FROM feat
+      WHERE (len(toks) BETWEEN {_MINW} AND {_MAXW})
+        AND (nsc / greatest(len(toks), 1) BETWEEN {_MINL} AND {_MAXL})
+        AND (len(list_distinct(list_filter(toks,
+               w -> list_contains({_SW!r}, w)))) >= {_MINS})
+        AND (len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+               / greatest(len(toks), 1) >= {_MINA})
+    ),
+    dedup AS (
+      SELECT * FROM quality
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+    ),
+    probe_grams AS (
+      SELECT DISTINCT unnest(list_distinct({_GRAM_SQL})) AS g
+      FROM feat WHERE doc_id % {_PM} = 0 AND doc_id < {_PC}
+    ),
+    contaminated AS (
+      SELECT DISTINCT d.doc_id
+      FROM (SELECT doc_id, unnest(list_distinct({_GRAM_SQL})) AS g FROM dedup) d
+      JOIN probe_grams p ON d.g = p.g
+    ),
+    clean AS (
+      SELECT * FROM dedup
+      WHERE NOT (doc_id % {_PM} = 0 AND doc_id < {_PC})
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT CASE WHEN doc_id % 10 = 0 THEN 'val' ELSE 'train' END AS split,
+           count(*)::BIGINT AS n_docs,
+           sum(len(toks))::BIGINT AS n_tokens
+    FROM clean GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "training_set_build",
+    oracle=_TRAINING_SET_SQL,
+)
+def training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split (train/val) document and token counts of the fully
+    curated corpus — planted clones prove the dedup stage, the probe
+    set proves decontamination."""
+    from .corpus import CONTAM_N, PROBE_CAP, PROBE_MOD
+    from .text import (
+        EN_STOPWORDS,
+        GOPHER_MAX_WLEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WLEN,
+        GOPHER_MIN_WORDS,
+        _tokens,
+    )
+
+    docs = plant_duplicates(table(spark, sf_dir, "documents"), "doc_id")
+    feat = docs.withColumn("toks", _tokens())
+    n_words = F.size("toks")
+    mean_wlen = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ) / F.greatest(n_words, F.lit(1))
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wlen.between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
+        & (
+            F.size(F.array_distinct(F.filter("toks", lambda w: w.isin(EN_STOPWORDS))))
+            >= GOPHER_MIN_STOPWORDS
+        )
+        & (
+            F.size(F.filter("toks", lambda w: w.rlike("[a-z]")))
+            / F.greatest(n_words, F.lit(1))
+            >= GOPHER_MIN_ALPHA_FRAC
+        )
+    )
+    quality = feat.filter(keep)
+    # exact dedup: keep the min doc_id of each digest group (one
+    # shuffle on the 128-bit digest; same digest as dedup_exact)
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    w_keep = quality.withColumn("dg", digest)
+    keepers = w_keep.groupBy("dg").agg(F.min("doc_id").alias("doc_id"))
+    deduped = w_keep.join(keepers, ["dg", "doc_id"]).drop("dg")
+    # decontamination: probe docs out; anything sharing a probe 5-gram out
+    is_probe = (F.col("doc_id") % PROBE_MOD == 0) & (F.col("doc_id") < PROBE_CAP)
+    gram_arr = F.when(
+        F.size("toks") >= CONTAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (CONTAM_N - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("toks"), i + k) for k in range(CONTAM_N)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    probe_grams = (
+        feat.filter(is_probe)
+        .select(F.explode(gram_arr).alias("g"))
+        .distinct()
+    )
+    grams = deduped.select("doc_id", F.explode(gram_arr).alias("g"))
+    contaminated = (
+        grams.join(F.broadcast(probe_grams), "g").select("doc_id").distinct()
+    )
+    clean = (
+        deduped.filter(~is_probe)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    split = F.when(F.col("doc_id") % 10 == 0, F.lit("val")).otherwise(F.lit("train"))
+    return (
+        clean.select(split.alias("split"), F.size("toks").alias("nt"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )

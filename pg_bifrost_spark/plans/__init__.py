@@ -189,7 +189,11 @@ GATE_PRIORITY: list[str] = [
     "cdc_apply_snapshot",
     # LLM-data-pipeline: dedup family (planted-duplicate fixtures —
     # the gate must see these find duplicates, not match empty sets)
-    "dedup_exact_documents",
+    # dedup_exact_documents (4 straight greens) yields to the NEW r6
+    # training_set_build capstone, whose dedup stage runs the same
+    # digest semantics inside the gate; dedup_normalized stays as the
+    # planted-duplicate anchor
+    "training_set_build",
     "dedup_normalized",
     # dedup_ngram_jaccard (3 straight greens) yields to the
     # never-checked purchase_attribution; the hotset variant keeps
