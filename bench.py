@@ -58,6 +58,8 @@ HEADLINE = [
     "text_quality_score",
     "hypertable_rollup",
     "curation_pipeline",
+    "training_set_build",
+    "embedding_drift_report",
     "token_budget_sample",
     "dedup_chunk_passages",
     "paragraph_dedup",
