@@ -140,6 +140,26 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def contam_gram_arr(toks_col: str = "toks") -> F.Column:
+    """Distinct CONTAM_N-grams of a materialized token array — THE
+    single gram definition shared by ``contamination_ngram`` and the
+    ``training_set_build`` capstone (the oracles mirror it via
+    ``_GRAM_SQL``)."""
+    return F.when(
+        F.size(toks_col) >= CONTAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks_col) - (CONTAM_N - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col(toks_col), i + k) for k in range(CONTAM_N)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 _GRAM_SQL = (
     f"list_transform(range(1, len(toks) - {CONTAM_N - 2}), i -> "
     + " || ' ' || ".join(f"toks[i+{k}]" for k in range(CONTAM_N))
@@ -178,22 +198,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives a 100-TB training set vs a fixed benchmark (pinned by
     test_contamination_probe_join_broadcasts)."""
     docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.when(
-                    F.size("toks") >= CONTAM_N,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("toks") - (CONTAM_N - 1)),
-                        lambda i: F.concat_ws(
-                            " ", *[F.element_at(F.col("toks"), i + k) for k in range(CONTAM_N)]
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            )
-        ).alias("g"),
-    )
+    grams = docs.select("doc_id", F.explode(contam_gram_arr()).alias("g"))
     is_probe = (F.col("doc_id") % PROBE_MOD == 0) & (F.col("doc_id") < PROBE_CAP)
     probes = grams.filter(is_probe).select(F.col("doc_id").alias("probe_id"), "g")
     return (

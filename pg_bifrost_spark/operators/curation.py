@@ -704,15 +704,17 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-from .corpus import CONTAM_N as _CN, PROBE_CAP as _PC, PROBE_MOD as _PM, _GRAM_SQL
+from .corpus import _GRAM_SQL, PROBE_CAP, PROBE_MOD, contam_gram_arr
 from .text import (
-    EN_STOPWORDS as _SW,
-    GOPHER_MAX_WLEN as _MAXL,
-    GOPHER_MAX_WORDS as _MAXW,
-    GOPHER_MIN_ALPHA_FRAC as _MINA,
-    GOPHER_MIN_STOPWORDS as _MINS,
-    GOPHER_MIN_WLEN as _MINL,
-    GOPHER_MIN_WORDS as _MINW,
+    EN_STOPWORDS,
+    GOPHER_MAX_WLEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_FRAC,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_WLEN,
+    GOPHER_MIN_WORDS,
+    _tokens,
+    gopher_keep_parts,
 )
 
 _TRAINING_SET_SQL = f"""
@@ -725,12 +727,12 @@ _TRAINING_SET_SQL = f"""
     ),
     quality AS (
       SELECT * FROM feat
-      WHERE (len(toks) BETWEEN {_MINW} AND {_MAXW})
-        AND (nsc / greatest(len(toks), 1) BETWEEN {_MINL} AND {_MAXL})
+      WHERE (len(toks) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+        AND (nsc / greatest(len(toks), 1) BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN})
         AND (len(list_distinct(list_filter(toks,
-               w -> list_contains({_SW!r}, w)))) >= {_MINS})
+               w -> list_contains({EN_STOPWORDS!r}, w)))) >= {GOPHER_MIN_STOPWORDS})
         AND (len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::DOUBLE
-               / greatest(len(toks), 1) >= {_MINA})
+               / greatest(len(toks), 1) >= {GOPHER_MIN_ALPHA_FRAC})
     ),
     dedup AS (
       SELECT * FROM quality
@@ -738,7 +740,7 @@ _TRAINING_SET_SQL = f"""
     ),
     probe_grams AS (
       SELECT DISTINCT unnest(list_distinct({_GRAM_SQL})) AS g
-      FROM feat WHERE doc_id % {_PM} = 0 AND doc_id < {_PC}
+      FROM feat WHERE doc_id % {PROBE_MOD} = 0 AND doc_id < {PROBE_CAP}
     ),
     contaminated AS (
       SELECT DISTINCT d.doc_id
@@ -747,7 +749,7 @@ _TRAINING_SET_SQL = f"""
     ),
     clean AS (
       SELECT * FROM dedup
-      WHERE NOT (doc_id % {_PM} = 0 AND doc_id < {_PC})
+      WHERE NOT (doc_id % {PROBE_MOD} = 0 AND doc_id < {PROBE_CAP})
         AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     )
     SELECT CASE WHEN doc_id % 10 = 0 THEN 'val' ELSE 'train' END AS split,
@@ -765,63 +767,32 @@ def training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-split (train/val) document and token counts of the fully
     curated corpus — planted clones prove the dedup stage, the probe
     set proves decontamination."""
-    from .corpus import CONTAM_N, PROBE_CAP, PROBE_MOD
-    from .text import (
-        EN_STOPWORDS,
-        GOPHER_MAX_WLEN,
-        GOPHER_MAX_WORDS,
-        GOPHER_MIN_ALPHA_FRAC,
-        GOPHER_MIN_STOPWORDS,
-        GOPHER_MIN_WLEN,
-        GOPHER_MIN_WORDS,
-        _tokens,
-    )
+    from pyspark.sql import Window
 
     docs = plant_duplicates(table(spark, sf_dir, "documents"), "doc_id")
     feat = docs.withColumn("toks", _tokens())
-    n_words = F.size("toks")
-    mean_wlen = F.length(
-        F.replace(F.col("text"), F.lit(" "), F.lit(""))
-    ) / F.greatest(n_words, F.lit(1))
-    keep = (
-        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & mean_wlen.between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
-        & (
-            F.size(F.array_distinct(F.filter("toks", lambda w: w.isin(EN_STOPWORDS))))
-            >= GOPHER_MIN_STOPWORDS
-        )
-        & (
-            F.size(F.filter("toks", lambda w: w.rlike("[a-z]")))
-            / F.greatest(n_words, F.lit(1))
-            >= GOPHER_MIN_ALPHA_FRAC
-        )
-    )
-    quality = feat.filter(keep)
-    # exact dedup: keep the min doc_id of each digest group (one
-    # shuffle on the 128-bit digest; same digest as dedup_exact)
+    # quality gate: THE SAME predicate parts quality_gopher_rules uses
+    _, _, ok_words, ok_wlen, ok_stop, ok_alpha = gopher_keep_parts()
+    quality = feat.filter(ok_words & ok_wlen & ok_stop & ok_alpha)
+    # exact dedup: keep the min doc_id per digest group — a window min
+    # riding ONE digest exchange (a groupBy+join-back shape shuffles
+    # the full-payload rows twice; mirrors the oracle's QUALIFY)
     digest = F.md5(F.lower(F.trim(F.col("text"))))
-    w_keep = quality.withColumn("dg", digest)
-    keepers = w_keep.groupBy("dg").agg(F.min("doc_id").alias("doc_id"))
-    deduped = w_keep.join(keepers, ["dg", "doc_id"]).drop("dg")
-    # decontamination: probe docs out; anything sharing a probe 5-gram out
+    deduped = (
+        quality.withColumn("dg", digest)
+        .withColumn("_min_id", F.min("doc_id").over(Window.partitionBy("dg")))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("dg", "_min_id")
+    )
+    # decontamination: probe docs out; anything sharing a probe 5-gram
+    # out — THE SAME gram construction contamination_ngram uses
     is_probe = (F.col("doc_id") % PROBE_MOD == 0) & (F.col("doc_id") < PROBE_CAP)
-    gram_arr = F.when(
-        F.size("toks") >= CONTAM_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (CONTAM_N - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(F.col("toks"), i + k) for k in range(CONTAM_N)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     probe_grams = (
         feat.filter(is_probe)
-        .select(F.explode(gram_arr).alias("g"))
+        .select(F.explode(contam_gram_arr()).alias("g"))
         .distinct()
     )
-    grams = deduped.select("doc_id", F.explode(gram_arr).alias("g"))
+    grams = deduped.select("doc_id", F.explode(contam_gram_arr()).alias("g"))
     contaminated = (
         grams.join(F.broadcast(probe_grams), "g").select("doc_id").distinct()
     )

@@ -259,6 +259,30 @@ GOPHER_MIN_STOPWORDS = 2
 GOPHER_MIN_ALPHA_FRAC = 0.8
 
 
+def gopher_keep_parts(text_col: str = "text", toks_col: str = "toks"):
+    """The Gopher rule predicates over a doc with materialized tokens
+    — THE single definition both ``quality_gopher_rules`` and the
+    ``training_set_build`` capstone (and their oracles, byte-mirrored)
+    compose from. Returns (n_words, mean_wlen, ok_words, ok_wlen,
+    ok_stop, ok_alpha) columns."""
+    n_words = F.size(toks_col)
+    mean_wlen = F.length(
+        F.replace(F.col(text_col), F.lit(" "), F.lit(""))
+    ) / F.greatest(n_words, F.lit(1))
+    ok_words = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_wlen = mean_wlen.between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
+    ok_stop = (
+        F.size(F.array_distinct(F.filter(toks_col, lambda w: w.isin(EN_STOPWORDS))))
+        >= GOPHER_MIN_STOPWORDS
+    )
+    ok_alpha = (
+        F.size(F.filter(toks_col, lambda w: w.rlike("[a-z]")))
+        / F.greatest(n_words, F.lit(1))
+        >= GOPHER_MIN_ALPHA_FRAC
+    )
+    return n_words, mean_wlen, ok_words, ok_wlen, ok_stop, ok_alpha
+
+
 @register(
     "quality_gopher_rules",
     oracle=f"""
@@ -296,20 +320,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (codegen, no shuffle beyond the scan) — at 100 TB this
     is a map-only pass suitable as the first filter stage."""
     docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
-    n_words = F.size("toks")
-    mean_wlen = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.greatest(
-        n_words, F.lit(1)
-    )
-    ok_words = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-    ok_wlen = mean_wlen.between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
-    ok_stop = (
-        F.size(F.array_distinct(F.filter("toks", lambda w: w.isin(EN_STOPWORDS))))
-        >= GOPHER_MIN_STOPWORDS
-    )
-    ok_alpha = (
-        F.size(F.filter("toks", lambda w: w.rlike("[a-z]"))) / F.greatest(n_words, F.lit(1))
-        >= GOPHER_MIN_ALPHA_FRAC
-    )
+    n_words, mean_wlen, ok_words, ok_wlen, ok_stop, ok_alpha = gopher_keep_parts()
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),

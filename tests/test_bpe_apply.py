@@ -18,8 +18,15 @@ plans.load_all()
 SF = "/root/testdata/sf0.001"
 
 
+def _tokens_py(text: str) -> list[str]:
+    """Mirror _tokens() exactly: Spark trim() strips SPACES only (not
+    tabs/newlines, unlike str.strip()), then split on \\s+ — a leading
+    tab yields a leading empty token on both sides."""
+    return re.split(r"\s+", text.strip(" ").lower())
+
+
 def naive_encode(text: str) -> list[str]:
-    toks = re.split(r"\s+", text.strip().lower())
+    toks = _tokens_py(text)
     for a, b in BPE_APPLY_MERGES:
         m = merged_symbol(a, b)
         out: list[str] = []
@@ -40,7 +47,7 @@ def test_encode_matches_naive_scanner(spark):
     }
     changed = 0
     for row in docs.select("doc_id", "text").collect():
-        toks = re.split(r"\s+", row.text.strip().lower())
+        toks = _tokens_py(row.text)
         enc = naive_encode(row.text)
         assert got[row.doc_id] == (len(toks), len(enc), " ".join(enc)), row.doc_id
         if len(enc) < len(toks):
@@ -79,3 +86,14 @@ def test_randomized_corpus_matches_naive(spark):
     got = {r.doc_id: r.encoded for r in bpe_encode(docs).collect()}
     for doc_id, text in rows:
         assert got[doc_id] == " ".join(naive_encode(text)), (doc_id, text)
+
+
+def test_tokenizer_twin_handles_nonspace_whitespace(spark):
+    """Pin the _tokens()/_tokens_py equivalence on the edge str.strip()
+    would hide: leading tab/newline whitespace survives Spark trim()."""
+    rows = [(1, "\torder fast"), (2, "order fast\n"), (3, "  order fast  ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens_before, r.encoded) for r in bpe_encode(docs).collect()}
+    for doc_id, text in rows:
+        enc = naive_encode(text)
+        assert got[doc_id] == (len(_tokens_py(text)), " ".join(enc)), (doc_id, got[doc_id])
