@@ -477,3 +477,16 @@ def test_repeated_spans_single_span_exchange(spark):
     assert all("REPARTITION_BY_NUM" in ln for ln in span_ex), span_ex
     assert "windowspecdefinition(span_h" in text
     assert "SortMergeJoin" not in text
+
+
+def test_training_set_build_plan_shape(spark):
+    """The capstone's scale posture: the probe gram set joins as a
+    BROADCAST (bounded by construction — never a shuffle of the corpus
+    gram stream), the dedup window partitions by the digest (never
+    partition-less), and the contaminated-doc set leaves via
+    LeftAnti."""
+    text = plan_of(spark, "training_set_build")
+    assert "BroadcastHashJoin" in text
+    assert "windowspecdefinition(dg" in text
+    assert "No Partition Defined" not in text
+    assert "LeftAnti" in text
