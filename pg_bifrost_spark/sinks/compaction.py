@@ -23,9 +23,18 @@ Protocol (manifest-last, delete-later):
      before cleanup double-STORES but never double-READS.
   3. ``vacuum_epochs`` deletes absorbed epoch dirs — safe at any time
      after the manifest exists, idempotent. (Running vacuum
-     CONCURRENTLY with a reader can delete an epoch dir the reader's
-     snapshot planned to scan — a read error, never a duplicate; the
-     in-repo consumers are single-process.)
+     CONCURRENTLY with a reader is NOT snapshot-safe: if the reader
+     snapshots the gen listing, then a compactor commits a new
+     manifest and vacuum deletes the absorbed epochs before the reader
+     lists epoch dirs, those rows are silently MISSING from that read
+     — the new gen is invisible to the snapshot and the epoch dirs are
+     gone (ADVICE r6). The interleaving where only the delete races
+     the scan surfaces as a read error instead. Never duplicates
+     either way. The in-repo consumers are single-process, which is
+     the actual safety argument; a concurrent deployment must either
+     not run vacuum while readers are active or have readers re-list
+     gens after the epoch listing and retry when a new manifest
+     appeared.)
 """
 
 from __future__ import annotations

@@ -25,14 +25,13 @@ from __future__ import annotations
 DEFAULT_FLUSH_BYTES = 1_048_576  # Producer.Flush.Bytes best-effort trigger
 DEFAULT_FLUSH_FREQUENCY_MS = 500  # Producer.Flush.Frequency
 DEFAULT_MAX_MESSAGE_BYTES = 1_000_000  # Producer.MaxMessageBytes
-DEFAULT_RETRY_MAX = 3  # Metadata.Retry.Max / producer retries
 
 
 def kafka_producer_options(
     flush_bytes: int = DEFAULT_FLUSH_BYTES,
     flush_frequency_ms: int = DEFAULT_FLUSH_FREQUENCY_MS,
     max_message_bytes: int = DEFAULT_MAX_MESSAGE_BYTES,
-    retry_max: int = DEFAULT_RETRY_MAX,
+    produce_retries: int | None = None,
     tls: bool = False,
     cluster_ca: str | None = None,
     client_private_key: str | None = None,
@@ -49,17 +48,30 @@ def kafka_producer_options(
     Producer.Compression = Snappy   compression.type = snappy
     Producer.MaxMessageBytes        max.request.size
     Producer.Retry.Backoff = 500ms  retry.backoff.ms = 500
-    Metadata.Retry.Max              retries
+    Metadata.Retry.Max = 3          (intentionally unmapped — see note)
     Net.{Dial,Read,Write} = 10s     request.timeout.ms / setup timeout
     Metadata.RefreshFrequency = 5m  metadata.max.age.ms = 300000
     configureTLS(...)               security.protocol=SSL + PEM stores
     ==============================  =================================
+
+    Retry semantics (ADVICE r6): sarama's ``Metadata.Retry.Max`` caps
+    METADATA fetches, not record sends — mapping it onto the Java
+    ``retries`` option would cap produce retries at 3, strictly weaker
+    than the Java default (effectively unbounded, time-bounded by
+    ``delivery.timeout.ms`` = 120 s). So ``kafka.retries`` is left
+    unset by default; metadata retry behavior on the Java client is
+    governed by ``retry.backoff.ms``/``metadata.max.age.ms``, which
+    are mapped. Pass ``produce_retries`` only to deliberately CAP
+    record-send attempts — that trades at-least-once durability under
+    long broker outages for bounded latency, which the reference never
+    does (its produce path retries via sarama's Producer.Retry.Max=3
+    *per batch* with the batch re-enqueued on failure).
     """
     for name, v in (
         ("flush_bytes", flush_bytes),
         ("flush_frequency_ms", flush_frequency_ms),
         ("max_message_bytes", max_message_bytes),
-        ("retry_max", retry_max),
+        ("produce_retries", produce_retries if produce_retries is not None else 0),
     ):
         if not isinstance(v, int) or v < 0:
             raise ValueError(f"{name} must be a non-negative int, got {v!r}")
@@ -69,11 +81,12 @@ def kafka_producer_options(
         "kafka.compression.type": "snappy",
         "kafka.max.request.size": str(max_message_bytes),
         "kafka.retry.backoff.ms": "500",
-        "kafka.retries": str(retry_max),
         "kafka.request.timeout.ms": "10000",
         "kafka.socket.connection.setup.timeout.ms": "10000",
         "kafka.metadata.max.age.ms": "300000",
     }
+    if produce_retries is not None:
+        opts["kafka.retries"] = str(produce_retries)
     if tls:
         if not (cluster_ca and client_private_key and client_public_key):
             raise ValueError(

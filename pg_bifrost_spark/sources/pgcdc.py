@@ -232,7 +232,7 @@ class PgCdcSimpleReader(SimpleDataSourceStreamReader):
         else:
             self.transport = ReplayTransport(wal_dir)
         # backpressure bound — reference client buffer (main.go:647-652)
-        self.max_msgs = int(options.get("max_msgs_per_batch", "10000"))
+        self.max_msgs = PgCdcDataSource.admission_cap(options)
 
     def initialOffset(self) -> dict:
         return _Offset().to_dict()
@@ -359,7 +359,7 @@ class PgCdcParallelReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.wal_dir = options["wal_dir"]
         self.transport = ReplayTransport(self.wal_dir)
-        self.max_msgs = int(options.get("max_msgs_per_batch", "10000"))
+        self.max_msgs = PgCdcDataSource.admission_cap(options)
         self.msgs_per_partition = int(options.get("msgs_per_partition", "20000"))
         self._last: _Offset | None = None  # end offset of the last planned batch
 
@@ -505,6 +505,22 @@ class PgCdcParallelReader(DataSourceStreamReader):
 
 class PgCdcDataSource(DataSource):
     """spark.readStream.format("pgcdc").option("wal_dir", dir).load()"""
+
+    # Admission contract (W6): both readers admit by MESSAGE COUNT —
+    # each micro-batch is exactly min(backlog, admission_cap(options))
+    # messages. ``drain_cdc_query`` asserts this declaration at
+    # runtime before using an under-cap batch as its stop signal; a
+    # source admitting by bytes/files must declare its own semantics
+    # and will be rejected there instead of silently under-draining.
+    ADMISSION_SEMANTICS = "messages"
+
+    @staticmethod
+    def admission_cap(options: dict) -> int:
+        """The per-batch message cap the readers actually apply —
+        single source of truth shared with ``drain_cdc_query`` so the
+        drain loop's stop condition can never drift from the readers'
+        parsing (same key, same default)."""
+        return int(options.get("max_msgs_per_batch", "10000"))
 
     @classmethod
     def name(cls) -> str:

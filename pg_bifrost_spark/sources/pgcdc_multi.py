@@ -63,11 +63,20 @@ class SlotIndex:
     ``[(name, min_lsn, max_lsn)]`` (lsns are None for files with no
     replayable messages) reading only sidecars/stat for files already
     indexed. Sidecar writes are best-effort — on a read-only corpus the
-    in-process cache alone still makes repeat triggers metadata-only."""
+    in-process cache alone still makes repeat triggers metadata-only.
+
+    Staleness key is (size, mtime_ns), not size alone (ADVICE r6): a
+    same-size rewrite or truncate-and-refill of a replay file bumps
+    mtime and re-indexes, so stale min/max LSNs cannot silently skip
+    its messages at planning time. Replay corpora are expected to be
+    append-only per file (a writer that back-dates mtime while editing
+    in place defeats any stat-based check), but the mtime key makes
+    every normal rewrite path safe, not just growth."""
 
     def __init__(self, slot_dir: str):
         self.slot_dir = slot_dir
-        self._cache: dict[str, tuple[int, int | None, int | None]] = {}
+        # name -> ((size, mtime_ns), min_lsn, max_lsn)
+        self._cache: dict[str, tuple[tuple[int, int], int | None, int | None]] = {}
 
     def files(self) -> list[tuple[str, int | None, int | None]]:
         out = []
@@ -75,35 +84,46 @@ class SlotIndex:
             if not name.endswith(".jsonl"):
                 continue
             path = os.path.join(self.slot_dir, name)
-            size = os.path.getsize(path)
+            st = os.stat(path)
+            key = (st.st_size, st.st_mtime_ns)
             hit = self._cache.get(name)
-            if hit is None or hit[0] != size:
-                hit = self._sidecar(path, size)
+            if hit is None or hit[0] != key:
+                hit = self._sidecar(path, key)
                 if hit is None:
-                    hit = self._index_file(path, size)
+                    hit = self._index_file(path, key)
                 self._cache[name] = hit
             out.append((name, hit[1], hit[2]))
         return out
 
     @staticmethod
-    def _sidecar(path: str, size: int):
+    def _sidecar(path: str, key: tuple[int, int]):
         try:
             with open(path + ".idx") as f:
                 m = json.load(f)
-            if m.get("size") == size:
-                return (size, m.get("min_lsn"), m.get("max_lsn"))
+            # an old-format sidecar (no mtime_ns) is treated as stale
+            # and re-indexed — never trusted on size alone
+            if m.get("size") == key[0] and m.get("mtime_ns") == key[1]:
+                return (key, m.get("min_lsn"), m.get("max_lsn"))
         except (OSError, ValueError):
             pass
         return None
 
     @staticmethod
-    def _index_file(path: str, size: int):
+    def _index_file(path: str, key: tuple[int, int]):
         lsns = [lsn for lsn, _, _ in _parse_slot_file(path)]
-        meta = (size, min(lsns) if lsns else None, max(lsns) if lsns else None)
+        meta = (key, min(lsns) if lsns else None, max(lsns) if lsns else None)
         try:  # best-effort persistence (survives driver restarts)
             tmp = path + ".idx.tmp"
             with open(tmp, "w") as f:
-                json.dump({"size": size, "min_lsn": meta[1], "max_lsn": meta[2]}, f)
+                json.dump(
+                    {
+                        "size": key[0],
+                        "mtime_ns": key[1],
+                        "min_lsn": meta[1],
+                        "max_lsn": meta[2],
+                    },
+                    f,
+                )
             os.replace(tmp, path + ".idx")
         except OSError:
             pass

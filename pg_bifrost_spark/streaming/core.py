@@ -24,11 +24,15 @@ from ..cdc.pipeline import PipelineConfig, run_pipeline_assembled
 from ..sources import pgcdc
 
 
-def read_cdc_stream(spark: SparkSession, **options: str) -> DataFrame:
+def read_cdc_stream(spark: SparkSession, source=None, **options: str) -> DataFrame:
     """spark.readStream over the pgcdc source (option wal_dir=<replay
-    dir> or dsn=<postgres dsn>)."""
-    pgcdc.register(spark)
-    reader = spark.readStream.format("pgcdc")
+    dir> or dsn=<postgres dsn>). ``source`` is the DataSource class to
+    drive (default ``pgcdc.PgCdcDataSource``) — threading it through
+    here keeps ``drain_cdc_query``'s admission-contract check bound to
+    the source the query actually reads."""
+    source = source or pgcdc.PgCdcDataSource
+    spark.dataSource.register(source)
+    reader = spark.readStream.format(source.name())
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
@@ -49,13 +53,14 @@ def start_cdc_query(
     trigger_seconds: float | None = None,
     workers: int | None = None,
     source_options: dict | None = None,
+    source=None,
 ) -> StreamingQuery:
     """Wire source → pipeline → foreachBatch(sink) and start.
 
     ``workers`` enables strict-order partition routing inside each
     micro-batch before the sink sees it (None = Spark's own
     partitioning, the reference's round-robin analog)."""
-    stream = read_cdc_stream(spark, **(source_options or {}))
+    stream = read_cdc_stream(spark, source=source, **(source_options or {}))
 
     def run_sink(batch_df: DataFrame, epoch_id: int) -> None:
         # The parse stage's fast/slow split (``_parse_assembled``)
@@ -93,6 +98,7 @@ def drain_cdc_query(
     workers: int | None = None,
     source_options: dict | None = None,
     max_rounds: int = 10_000,
+    source=None,
 ) -> int:
     """Process ALL currently-available WAL and stop.
 
@@ -103,26 +109,34 @@ def drain_cdc_query(
     no progress (the backpressure bound still applies per batch).
     Returns the number of micro-batches executed.
 
-    FETCH-LIMIT CONTRACT (ADVICE r5): the under-cap early exit assumes
-    the source admits exactly ``min(backlog, max_msgs_per_batch)``
-    MESSAGES per batch — true for the ``pgcdc`` replay transport
-    (``ReplayTransport.fetch``) and trivially for ``pgcdc-multi``
-    (uncapped: every batch drains the full backlog, so any batch is
-    "under cap"). A future source that admits by BYTES or FILES
-    instead of message count can return an under-cap batch while
-    backlog remains and would end this drain early — such a source
-    must either honor ``max_msgs_per_batch`` message semantics or not
-    be driven through this helper."""
+    FETCH-LIMIT CONTRACT (ADVICE r5, runtime-enforced since r7): the
+    under-cap early exit assumes the source admits exactly
+    ``min(backlog, cap)`` MESSAGES per batch. The source class must
+    DECLARE that (``ADMISSION_SEMANTICS == "messages"``) and OWN the
+    cap parsing (``admission_cap(options)``) — both checked below, so
+    a byte- or file-admitting source fails loudly here instead of
+    silently under-draining, and the stop condition can never drift
+    from the reader's own option parsing."""
+    source = source or pgcdc.PgCdcDataSource
+    sem = getattr(source, "ADMISSION_SEMANTICS", None)
+    if sem != "messages":
+        raise RuntimeError(
+            f"drain_cdc_query requires a message-count-admitting source; "
+            f"{source.__name__} declares ADMISSION_SEMANTICS={sem!r}. "
+            "An under-cap batch from a bytes/files-admitting source does "
+            "not imply an empty backlog — drive it with start_cdc_query "
+            "and an explicit stop condition instead."
+        )
     # a run that comes in UNDER the admission cap has by definition
     # consumed everything the source could fetch at that moment — the
     # empty confirm round would only re-pay query startup (~4 s
     # measured); data appearing later is the next drain's business
-    cap = int((source_options or {}).get("max_msgs_per_batch", "10000"))
+    cap = source.admission_cap(source_options or {})
     rounds = 0
     for _ in range(max_rounds):
         q = start_cdc_query(
             spark, sink, checkpoint_dir, cfg=cfg, workers=workers,
-            source_options=source_options,
+            source_options=source_options, source=source,
         )
         q.awaitTermination()
         rounds += 1

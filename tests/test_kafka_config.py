@@ -19,7 +19,11 @@ def test_default_mapping_matches_reference_knobs():
     assert opts["kafka.compression.type"] == "snappy"
     assert opts["kafka.max.request.size"] == "1000000"
     assert opts["kafka.retry.backoff.ms"] == "500"  # Producer.Retry.Backoff
-    assert opts["kafka.retries"] == "3"
+    # ADVICE r6: Metadata.Retry.Max caps metadata fetches, not record
+    # sends — kafka.retries stays UNSET so produce retries keep the
+    # Java default (unbounded, time-bounded by delivery.timeout.ms),
+    # which is the stronger at-least-once posture
+    assert "kafka.retries" not in opts
     assert opts["kafka.request.timeout.ms"] == "10000"  # Net.*Timeout
     assert opts["kafka.metadata.max.age.ms"] == "300000"  # RefreshFrequency 5m
     assert "kafka.security.protocol" not in opts  # TLS off by default
@@ -30,11 +34,12 @@ def test_default_mapping_matches_reference_knobs():
 def test_custom_knobs_flow_through():
     opts = kafka_producer_options(
         flush_bytes=65536, flush_frequency_ms=50, max_message_bytes=2_000_000,
-        retry_max=7,
+        produce_retries=7,
     )
     assert opts["kafka.batch.size"] == "65536"
     assert opts["kafka.linger.ms"] == "50"
     assert opts["kafka.max.request.size"] == "2000000"
+    # an explicit produce-retry cap is an opt-in durability trade
     assert opts["kafka.retries"] == "7"
 
 
@@ -69,8 +74,10 @@ def test_tls_requires_all_three_paths(tmp_path):
 def test_invalid_values_rejected():
     with pytest.raises(ValueError, match="flush_bytes"):
         kafka_producer_options(flush_bytes=-1)
-    with pytest.raises(ValueError, match="retry_max"):
-        kafka_producer_options(retry_max="many")  # type: ignore[arg-type]
+    with pytest.raises(ValueError, match="produce_retries"):
+        kafka_producer_options(produce_retries="many")  # type: ignore[arg-type]
+    with pytest.raises(ValueError, match="produce_retries"):
+        kafka_producer_options(produce_retries=-1)
 
 
 def test_apply_folds_onto_writer():

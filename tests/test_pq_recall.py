@@ -22,10 +22,12 @@ def _recall(spark, sf):
 
 
 def test_pq_recall_floor(spark):
-    # measured 0.70 / 0.80; floors leave headroom for the documented
-    # float-accumulation nondeterminism of the codebooks
-    assert _recall(spark, SF) >= 0.6
-    assert _recall(spark, SF01) >= 0.7
+    # measured 0.70 / 0.80; floors tightened r7 (VERDICT r6 ask #9)
+    # from 0.6/0.7 to 0.65/0.75 and taken as the MIN over 5 repeated
+    # builds, so the float-accumulation nondeterminism of the codebook
+    # training is sampled rather than given a one-shot pass.
+    assert min(_recall(spark, SF) for _ in range(5)) >= 0.65
+    assert min(_recall(spark, SF01) for _ in range(5)) >= 0.75
 
 
 def test_pq_codes_shape_and_range(spark):

@@ -220,3 +220,43 @@ def test_backpressure_many_microbatches(spark, tmp_path):
     assert len([b for b in batches if b > 0]) >= 4  # actually split up
     lsns = [r.wal_start for r in rows]
     assert lsns == sorted(lsns)  # order preserved across micro-batches
+
+
+def test_drain_rejects_non_message_admission(spark, tmp_path):
+    """W6 contract enforcement (VERDICT r6 ask #7): drain's under-cap
+    early exit is only sound for message-count admission. A source
+    declaring byte semantics must be rejected BEFORE any query starts
+    (a byte-admitting source can return an under-cap batch while
+    backlog remains → silent under-drain)."""
+    import pytest
+
+    from pg_bifrost_spark.sources.pgcdc import PgCdcDataSource
+    from pg_bifrost_spark.streaming.core import drain_cdc_query
+
+    class ByteAdmittingSource(PgCdcDataSource):
+        ADMISSION_SEMANTICS = "bytes"
+
+        @staticmethod
+        def admission_cap(options):
+            return int(options.get("max_bytes_per_batch", "65536"))
+
+    with pytest.raises(RuntimeError, match="ADMISSION_SEMANTICS='bytes'"):
+        drain_cdc_query(
+            spark,
+            lambda df, epoch: None,
+            str(tmp_path / "ck"),
+            source_options={"wal_dir": str(tmp_path)},
+            source=ByteAdmittingSource,
+        )
+
+    class UndeclaredSource(PgCdcDataSource):
+        ADMISSION_SEMANTICS = None
+
+    with pytest.raises(RuntimeError, match="ADMISSION_SEMANTICS=None"):
+        drain_cdc_query(
+            spark,
+            lambda df, epoch: None,
+            str(tmp_path / "ck"),
+            source_options={"wal_dir": str(tmp_path)},
+            source=UndeclaredSource,
+        )
