@@ -78,6 +78,33 @@ HEADLINE = [
 # measurement discipline.
 N_EXECS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_EXECS", "3")))
 
+# ---------------------------------------------------------------------------
+# sf1 scale-rehearsal leg (VERDICT r6 ask #1): the 8 most expensive
+# queries timed at sf0.1 AND at a deterministic 10× scale-up
+# (tools/gen_sf.py — per-replica token/embedding perturbation keeps
+# dedup/ANN candidate generation LINEAR, the workload a real 10×
+# corpus has). Reported as per-query {sf0.1, sf1, ratio}; ratio ≈ 10
+# is linear scaling. semantic_dedup_srp_scaled stands in for the
+# fixture-constant semantic_dedup_srp, whose frozen 3-plane bucket is
+# DOCUMENTED to go quadratic off-fixture (measured 33× at sf1) — the
+# scaled variant is the production posture (planes sized to n).
+SCALE_QUERIES = [
+    "cdc_lineitem_roundtrip",
+    "dedup_ngram_jaccard",
+    "dedup_repeated_spans",
+    "repeated_span_removal",
+    "dedup_minhash_lsh",
+    "semantic_dedup_srp_scaled",
+    "refinery_pipeline",
+    "training_set_build",
+]
+SCALE_REPLICAS = 10
+# best-of-2 per (query, sf): one exec fewer than the sweep's
+# median-of-3 — the leg exists to expose superlinear growth, for which
+# min-time at each scale is the robust statistic (GC/host hiccups only
+# ever ADD time)
+SCALE_EXECS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_EXECS", "2")))
+
 # streaming replay: every Nth order of the bench-SF lineitem becomes a
 # BEGIN/INSERT/COMMIT WAL transaction on disk (sf0.1 → ~200 k rows ≈
 # 600 k messages, 12× the reference itest corpus). Bounded so the
@@ -357,6 +384,38 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def bench_scale(spark, sf_dir: str) -> dict:
+    """Time SCALE_QUERIES at the bench SF and at the 10× scale-up;
+    report best-of-SCALE_EXECS and the sf1/sf0.1 ratio per query.
+    The sf1 fixture is generated (deterministically, ~4 s) under /tmp
+    if missing — never committed, never written inside the repo."""
+    from tools.gen_sf import ensure_sf1
+
+    sf1_dir = ensure_sf1(src=sf_dir, replicas=SCALE_REPLICAS)
+    # warm every scale query once at sf0.001 (the sweep already warmed
+    # the HEADLINE members; semantic_dedup_srp_scaled is scale-leg-only)
+    for name in SCALE_QUERIES:
+        plans.QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    out: dict[str, dict] = {}
+    for name in SCALE_QUERIES:
+        lo = min(_run_once(spark, name, sf_dir) for _ in range(SCALE_EXECS))
+        hi = min(_run_once(spark, name, sf1_dir) for _ in range(SCALE_EXECS))
+        out[name] = {
+            "sf_base_sec": lo,
+            "sf1_sec": hi,
+            "ratio": round(hi / max(lo, 1e-9), 2),
+        }
+        print(f"# scale {name}: {lo:.3f}s -> {hi:.3f}s "
+              f"(x{out[name]['ratio']})", file=sys.stderr)
+    return {
+        "data_scale": SCALE_REPLICAS,
+        "sf1_dir": sf1_dir,
+        "queries": out,
+    }
+
+
 def _clean_state(spark) -> None:
     """Release every cached block before a measurement: the tracked
     operator caches (one query's worth may survive its run — they are
@@ -434,6 +493,8 @@ def main() -> None:
     streaming = bench_streaming(spark, sf_dir)
     print(f"# streaming replay: {streaming}", file=sys.stderr)
 
+    scale = bench_scale(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -447,6 +508,7 @@ def main() -> None:
                 "standalone": standalone,
                 "roundtrip_divergence": divergence,
                 "streaming": streaming,
+                "scale": scale,
             }
         )
     )

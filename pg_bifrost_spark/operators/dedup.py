@@ -869,10 +869,21 @@ def semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    return _semantic_verify_tail(
+        emb.withColumn("bucket", _srp_bucket(F.col("v")))
+    )
+
+
+def _semantic_verify_tail(emb: DataFrame, cap: int = SEM_BUCKET_CAP) -> DataFrame:
+    """The SemDeDup verify stage shared by every coarse partitioner:
+    ``emb`` is (vec_id, v DOUBLE[], bucket); output is the in-bucket
+    near-dup pairs at SEM_COSINE_THRESHOLD. Plan shape: norm is a
+    map-side fold, ONE exchange on bucket, cap rides it as a window,
+    then the bucketed self-join."""
     emb = emb.select(
         "vec_id",
         "v",
-        _srp_bucket(F.col("v")).alias("bucket"),
+        "bucket",
         F.sqrt(
             F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("nrm"),
@@ -880,7 +891,7 @@ def semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the bucketed+capped relation: the self-join references it
     # twice, and without the cache each alias branch re-scans and
     # re-caps the full corpus (2× scan at any scale)
-    emb = tracked_cache(_cap_buckets(spread(emb, "bucket"), "bucket", cap=SEM_BUCKET_CAP))
+    emb = tracked_cache(_cap_buckets(spread(emb, "bucket"), "bucket", cap=cap))
     a, c = emb.alias("a"), emb.alias("c")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("c.v"), lambda x, y: x * y),
@@ -903,6 +914,51 @@ def semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= SEM_COSINE_THRESHOLD)
         .select("bucket", "keep_id", "drop_id", F.round("cos_raw", 4).alias("cosine"))
         .orderBy("keep_id", "drop_id")
+    )
+
+
+# Cell-sizing target for the production-posture variant below: planes
+# grow with the corpus so expected cell occupancy stays ~SRP_TARGET_CELL
+# and in-cell pair work stays ~n × SRP_TARGET_CELL (linear), never n².
+SRP_TARGET_CELL = 256
+
+
+def srp_planes_for(n: int) -> int:
+    """planes = max(SRP_PLANES, ceil(log2(n / SRP_TARGET_CELL))): cell
+    count tracks the corpus so expected occupancy stays ~SRP_TARGET_CELL
+    (2 020 → 3, 20 200 → 7, 10⁹ → 22)."""
+    import math
+
+    return max(SRP_PLANES, math.ceil(math.log2(max(n / SRP_TARGET_CELL, 2.0))))
+
+
+@register("semantic_dedup_srp_scaled", oracle=None)  # hash-derived planes → rows-only
+def semantic_dedup_srp_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``semantic_dedup_srp``'s documented SCALE CAVEAT, closed: the
+    fixture op freezes SRP_PLANES=3 (8 cells, oracle-expressible sign
+    tests), so cell occupancy — and the in-cell quadratic verify —
+    grows linearly with the corpus (measured on the 10× sf1 rehearsal
+    fixture: 2.2 s → 74 s, a 33× blow-up). This variant is the
+    production posture the docstring prescribes: hash-derived planes
+    (``similarity.srp_bucket_expr``) with the plane count chosen from
+    the corpus size, planes = max(3, ceil(log2(n / SRP_TARGET_CELL))),
+    so expected occupancy is ~constant and total pair work is ~linear.
+    The count that sizes the planes is one cheap driver-side job
+    (parquet row-count metadata) — the same adaptive-planning move AQE
+    makes from shuffle statistics. Identical verify tail, identical
+    output contract; rows-only because xxhash-derived planes aren't
+    DuckDB-expressible (recall pinned vs the exact-cosine oracle set
+    in test_srp_scaled.py)."""
+    from .similarity import srp_bucket_expr
+
+    emb = plant_duplicates(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planes = srp_planes_for(emb.count())
+    dim = len(emb.select("v").first()[0])
+    return _semantic_verify_tail(
+        emb.withColumn("bucket", srp_bucket_expr(F.col("v"), dim, planes))
     )
 
 

@@ -78,19 +78,21 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 12  # 4096 buckets
 
 
-def srp_bucket_expr(v: F.Column, dim: int) -> F.Column:
+def srp_bucket_expr(v: F.Column, dim: int, planes: int = N_PLANES) -> F.Column:
     """Signed-random-projection bucket id. Plane p's component for
     coordinate d is a deterministic pseudo-random ±1 derived from
     xxhash64(p, d) — reproducible on any cluster with no side data,
     and entirely inside codegen (no UDF, no broadcast of plane
-    matrices)."""
+    matrices). ``planes`` is the bit count (2^planes cells); callers
+    sizing cells to the corpus (the SemDeDup scale posture) pass
+    planes ≈ log2(n / target_cell)."""
     plane_sign = lambda p: F.transform(  # noqa: E731
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: F.when(F.xxhash64(F.lit(p), d) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
     )
     bits = [
         F.when(F.aggregate(F.zip_with(v, plane_sign(p), lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        for p in range(N_PLANES)
+        for p in range(planes)
     ]
     return sum(bits, F.lit(0)).alias("bucket")
 

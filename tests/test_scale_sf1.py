@@ -1,0 +1,71 @@
+"""Scale-rehearsal gate (VERDICT r6 ask #1): the dedup/ANN family must
+grow ≲ linearly on a real 10× corpus, measured, not asserted from plan
+shape. The fixture is the deterministic tools/gen_sf.py scale-up of
+sf0.1 (per-replica token/embedding perturbation → candidate generation
+grows linearly, the workload a real 10× corpus has; naive duplication
+would manufacture O(N²) duplicate clusters instead).
+
+Bound: sf1_time ≤ 13 × sf0.1_time — 1.3× linear headroom over the 10×
+data jump, best-of-2 at each scale so one GC/host hiccup can't fail
+the gate. A quadratic operator blows this bound immediately: the
+fixture-constant semantic_dedup_srp measured 33× on this exact fixture
+(its documented off-fixture caveat — the adaptive-plane
+semantic_dedup_srp_scaled is what a production corpus runs and what
+this gate times)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+import pg_bifrost_spark.plans as plans
+from tools.gen_sf import ensure_sf1
+
+plans.load_all()
+
+SF_BASE = "/root/testdata/sf0.1"
+DATA_SCALE = 10
+MAX_RATIO = 13.0  # ~1.3x linear over the 10x data jump
+
+FAMILY = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "semantic_dedup_srp_scaled",
+    "dedup_repeated_spans",
+    "ann_bruteforce_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def sf1_dir():
+    return ensure_sf1(src=SF_BASE, replicas=DATA_SCALE)
+
+
+def _best_of(spark, name: str, sf_dir: str, n: int = 2) -> float:
+    best = float("inf")
+    for _ in range(n):
+        plans.release_caches()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@pytest.mark.parametrize("name", FAMILY)
+def test_family_scales_linearly(spark, sf1_dir, name):
+    # warm-up at tiny scale absorbs codegen/first-scan one-time costs
+    plans.QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    base = _best_of(spark, name, SF_BASE)
+    scaled = _best_of(spark, name, sf1_dir)
+    ratio = scaled / max(base, 1e-9)
+    assert ratio <= MAX_RATIO, (
+        f"{name}: {base:.2f}s at sf0.1 -> {scaled:.2f}s at sf1 "
+        f"(x{ratio:.1f} > {MAX_RATIO} for {DATA_SCALE}x data) — "
+        "superlinear growth; check candidate generation / bucket sizing"
+    )
