@@ -391,26 +391,64 @@ PQ_K = 16         # centroids per sub-space (codes fit a nibble+)
 PQ_REFINE = 50    # ADC candidate pool exact-reranked
 
 
-def pq_codebooks(emb: DataFrame, m: int = PQ_M, sub: int = PQ_SUB, k: int = PQ_K):
-    """Per-sub-space k-means codebooks over UNIT vectors. Each
-    sub-space reuses ``mixture.kmeans_codebook`` (deterministic init,
-    fixed iterations) on the sliced column; M tiny trainings, each a
-    handful of map-side-combined groupBys."""
-    from .mixture import kmeans_codebook
-
+def pq_codebooks(
+    emb: DataFrame, m: int = PQ_M, sub: int = PQ_SUB, k: int = PQ_K, iters: int = 3
+):
+    """Per-sub-space k-means codebooks over UNIT vectors, trained for
+    ALL M sub-spaces IN LOCKSTEP: the corpus explodes once into a
+    (sub_space, sub_vector) relation, each Lloyd iteration is ONE
+    map-side assignment + ONE (m, cell)-grouped partial-agg, and only
+    the M×K×sub centroid matrix crosses to the driver per iteration.
+    The previous shape — M independent ``kmeans_codebook`` trainings —
+    ran ~5 sequential driver round-trips per sub-space (40 jobs);
+    measured 16.5 s at sf0.01 on job latency alone vs ~4 jobs total
+    here. Same deterministic init (the k lowest vec_ids, sliced), same
+    per-cell mean updates, same float-accumulation caveat
+    (``mixture.kmeans_codebook``'s docstring) → rows-only registration,
+    recall pinned tolerance-based."""
     unit = emb.select(
         "vec_id",
-        F.transform(
-            F.col("v"), lambda x: x / F.col("nrm")
-        ).alias("embedding"),
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
     )
-    books = []
-    for i in range(m):
-        s = unit.select(
-            "vec_id", F.slice("embedding", i * sub + 1, sub).alias("embedding")
+    slices = F.array(*[F.slice("u", i * sub + 1, sub) for i in range(m)])
+    sp = unit.select(F.posexplode(slices).alias("m", "e"))
+    init_rows = unit.orderBy("vec_id").limit(k).collect()
+    books = [
+        [[float(x) for x in r["u"][i * sub : (i + 1) * sub]] for r in init_rows]
+        for i in range(m)
+    ]
+    for _ in range(iters):
+        all_lit = F.array(
+            *[
+                F.array(*[F.array(*[F.lit(x) for x in c]) for c in bk])
+                for bk in books
+            ]
         )
-        cents, _ = kmeans_codebook(s, k=k, iters=3)
-        books.append(cents)
+        # materialize the per-row codebook lookup once — an interpreted
+        # HOF re-evaluates a captured expression per element (the
+        # shingles lesson), and this one is indexed per row by m
+        with_cb = sp.withColumn("cb", F.element_at(all_lit, F.col("m") + 1))
+        dists = F.transform(
+            F.col("cb"),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("e"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        assigned = with_cb.select(
+            "m",
+            F.array_position(dists, F.array_min(dists)).alias("cell"),
+            "e",
+        )
+        per = assigned.groupBy("m", "cell").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(sub)],
+        )
+        for r in per.collect():
+            books[int(r["m"])][int(r["cell"]) - 1] = [
+                float(r[f"s{i}"]) / r["n"] for i in range(sub)
+            ]
     return books
 
 
