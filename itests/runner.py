@@ -1,0 +1,217 @@
+"""Integration-test runner — the Spark analog of the reference's
+``itests/itests_runner.sh`` + ``common.bash`` verify stage
+(``common.bash:150-196``: golden diff with volatile fields stripped,
+``confirmed_flush_lsn`` >= the newest LSN in the output, ledger-empty).
+
+Two layers, deliberately separated:
+
+  * PURE VERIFY CORE (``verify_golden`` / ``check_lsn`` /
+    ``check_ledger`` / ``verify``): no docker, no subprocess — unit
+    tested in-sandbox against the committed golden fixture by
+    ``tests/test_itest_runner.py`` (the pipeline replays
+    ``tests/base/test_basic/wal/`` — the deterministic replay twin of
+    ``input.sql`` — through the exactly-once file sink and this code
+    verifies the result, so the verify stage itself is exercised
+    end-to-end on every pytest run).
+  * ORCHESTRATION (``main``): docker compose up, psql the test's
+    ``input.sql`` into postgres, wait for the engine's ``--once``
+    drain, export /output, then run the same verify core. Executed at
+    deploy (no docker in this sandbox); compose + this file are
+    lint-checked by the test module.
+
+Ledger-empty, Spark-native: the reference dumps its in-memory
+transaction ledger and requires no pending entries. Our progress
+ledger IS the streaming checkpoint plus the epoch-commit markers, so
+"empty" means (a) every started micro-batch committed
+(max offsets id == max commits id) and (b) no epoch directory is
+missing its ``_SUCCESS`` marker.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+
+# same fields the reference strips before diffing
+# (common.bash: jq 'del(.lsn, .time, .time_ms, .txn)')
+VOLATILE = ("lsn", "time", "time_ms", "txn")
+
+
+def normalize(line: str) -> str | None:
+    """One output/golden NDJSON line → canonical comparable form
+    (volatile fields stripped, keys sorted); None for blank lines."""
+    line = line.strip()
+    if not line:
+        return None
+    d = json.loads(line)
+    for k in VOLATILE:
+        d.pop(k, None)
+    return json.dumps(d, separators=(",", ":"), sort_keys=True)
+
+
+def verify_golden(
+    golden_lines: list[str], output_lines: list[str], sort: bool = False
+) -> list[str]:
+    """Diff normalized output against golden; returns mismatch
+    descriptions (empty = pass). ``sort`` mirrors the reference's SORT
+    mode for sinks without per-partition ordering."""
+    gold = [normalize(x) for x in golden_lines]
+    gold = [x for x in gold if x is not None]
+    out = [normalize(x) for x in output_lines]
+    out = [x for x in out if x is not None]
+    if sort:
+        gold, out = sorted(gold), sorted(out)
+    problems = []
+    if len(gold) != len(out):
+        problems.append(f"row count: golden {len(gold)} vs output {len(out)}")
+    for i, (g, o) in enumerate(zip(gold, out)):
+        if g != o:
+            problems.append(f"line {i}: golden {g} vs output {o}")
+            if len(problems) >= 20:  # reference shows first 20 diff lines
+                break
+    return problems
+
+
+def check_lsn(confirmed_flush_lsn: str, output_lsns: list[str]) -> bool:
+    """The slot's confirmed_flush_lsn must be >= the newest LSN that
+    reached the sink — the source really acked what was delivered
+    (W1/X12; common.bash:_check_lsn). LSNs are pg 'X/Y' hex strings."""
+
+    def as_int(lsn: str) -> int:
+        hi, lo = lsn.split("/")
+        return (int(hi, 16) << 32) | int(lo, 16)
+
+    if not output_lsns:
+        return True
+    return as_int(confirmed_flush_lsn) >= max(as_int(x) for x in output_lsns)
+
+
+def check_ledger(checkpoint_dir: str, out_dir: str) -> list[str]:
+    """Spark-native ledger-empty (see module docstring); returns
+    problem descriptions (empty = ledger clean)."""
+    problems = []
+
+    def max_batch(sub: str) -> int:
+        ids = [
+            int(os.path.basename(p))
+            for p in glob.glob(os.path.join(checkpoint_dir, sub, "*"))
+            if os.path.basename(p).isdigit()
+        ]
+        return max(ids, default=-1)
+
+    started, committed = max_batch("offsets"), max_batch("commits")
+    if started != committed:
+        problems.append(
+            f"in-flight micro-batch: offsets at {started}, commits at {committed}"
+        )
+    for epoch_dir in glob.glob(os.path.join(out_dir, "epoch=*")):
+        if not os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
+            problems.append(f"uncommitted epoch dir: {epoch_dir}")
+    return problems
+
+
+def verify(
+    test_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    confirmed_flush_lsn: str | None = None,
+    sort: bool = False,
+) -> list[str]:
+    """Full verify stage over an exported output tree. Output lines are
+    gathered from every epoch=*/part-* (exactly-once sink layout) or
+    flat part-*/NDJSON files, grouped by .table, and diffed against
+    each golden/<table>.golden."""
+    paths = sorted(
+        glob.glob(os.path.join(out_dir, "epoch=*", "part-*"))
+        or glob.glob(os.path.join(out_dir, "**", "*.json*"), recursive=True)
+        or glob.glob(os.path.join(out_dir, "part-*"))
+    )
+    by_table: dict[str, list[str]] = {}
+    lsns: list[str] = []
+    for p in paths:
+        with open(p) as f:
+            for ln in f:
+                if not ln.strip():
+                    continue
+                d = json.loads(ln)
+                by_table.setdefault(d["table"].split(".")[-1], []).append(ln)
+                if "lsn" in d:
+                    lsns.append(d["lsn"])
+    problems = []
+    for gpath in sorted(glob.glob(os.path.join(test_dir, "golden", "*.golden"))):
+        tbl = os.path.basename(gpath)[: -len(".golden")]
+        with open(gpath) as f:
+            gold = f.readlines()
+        problems += [
+            f"[{tbl}] {p}"
+            for p in verify_golden(gold, by_table.get(tbl, []), sort=sort)
+        ]
+    if confirmed_flush_lsn is not None and not check_lsn(confirmed_flush_lsn, lsns):
+        problems.append(
+            f"slot confirmed_flush_lsn {confirmed_flush_lsn} behind newest "
+            "output LSN — source not acked (W1)"
+        )
+    problems += check_ledger(checkpoint_dir, out_dir)
+    return problems
+
+
+# ---------------------------------------------------------------------------
+# orchestration (deploy-time: needs docker compose + psql in PATH)
+# ---------------------------------------------------------------------------
+
+
+def _sh(cmd: list[str], **kw) -> str:
+    return subprocess.run(
+        cmd, check=True, capture_output=True, text=True, **kw
+    ).stdout
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="itests/runner.py")
+    ap.add_argument("--test", default="base/test_basic")
+    ap.add_argument("--sink", default="file-exactly-once")
+    ap.add_argument("--sort", action="store_true")
+    ap.add_argument("--keep", action="store_true", help="leave containers up")
+    args = ap.parse_args(argv)
+    here = os.path.dirname(os.path.abspath(__file__))
+    test_dir = os.path.join(here, "tests", args.test)
+    env = dict(os.environ, TEST_NAME=args.test, SINK=args.sink)
+    compose = ["docker", "compose", "-f", os.path.join(here, "docker-compose.yml")]
+    try:
+        _sh(compose + ["up", "-d", "postgres"], env=env)
+        # replay the test input through psql (the reference pollers do
+        # this from the postgres container's /input mount)
+        _sh(
+            compose
+            + ["exec", "-T", "postgres", "psql", "-U", "postgres", "-d",
+               "itest", "-f", "/input/input.sql"],
+            env=env,
+        )
+        _sh(compose + ["up", "--exit-code-from", "engine", "engine"], env=env)
+        # export volumes and the slot status
+        out_dir = os.path.join(test_dir, "output")
+        ck_dir = os.path.join(test_dir, "checkpoint")
+        _sh(["docker", "cp", "pgb-engine:/output", out_dir])
+        _sh(["docker", "cp", "pgb-engine:/checkpoint", ck_dir])
+        flush = _sh(
+            compose
+            + ["exec", "-T", "postgres", "psql", "-U", "postgres", "-tA", "-c",
+               "select confirmed_flush_lsn from pg_replication_slots"],
+            env=env,
+        ).strip()
+        problems = verify(test_dir, out_dir, ck_dir, flush or None, sort=args.sort)
+        for p in problems:
+            print(f"FAIL: {p}", file=sys.stderr)
+        print("PASS" if not problems else f"{len(problems)} problem(s)")
+        return 1 if problems else 0
+    finally:
+        if not args.keep:
+            subprocess.run(compose + ["down", "-v"], env=env, check=False)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,117 @@
+"""Fake-transport smoke of the integration harness's VERIFY stage
+(VERDICT r6 ask #3): the committed WAL fixture — the deterministic
+replay twin of ``itests/tests/base/test_basic/input.sql`` — runs
+through the real pipeline + exactly-once file sink, and
+``itests/runner.verify`` must pass it against the committed goldens
+(and fail it when the output is tampered with). The orchestration
+layer (docker compose) executes at deploy; here it is lint-checked."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import shutil
+import sys
+
+import pytest
+
+ITESTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "itests")
+TEST_DIR = os.path.join(ITESTS, "tests", "base", "test_basic")
+
+spec = importlib.util.spec_from_file_location("itest_runner", os.path.join(ITESTS, "runner.py"))
+runner = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(runner)
+
+
+@pytest.fixture(scope="module")
+def drained(spark, tmp_path_factory):
+    """Replay the committed WAL through pipeline + exactly-once sink."""
+    from pg_bifrost_spark.cdc.pipeline import PipelineConfig
+    from pg_bifrost_spark.sinks.writers import exactly_once_ndjson
+    from pg_bifrost_spark.streaming.core import drain_cdc_query
+
+    base = tmp_path_factory.mktemp("itest_smoke")
+    out_dir, ck_dir = str(base / "output"), str(base / "ck")
+    drain_cdc_query(
+        spark,
+        lambda df, epoch: exactly_once_ndjson(df, epoch, out_dir),
+        ck_dir,
+        cfg=PipelineConfig(),
+        source_options={"wal_dir": os.path.join(TEST_DIR, "wal")},
+    )
+    return out_dir, ck_dir
+
+
+def test_verify_stage_passes_on_real_pipeline_output(drained):
+    out_dir, ck_dir = drained
+    problems = runner.verify(TEST_DIR, out_dir, ck_dir)
+    assert problems == [], problems
+
+
+def test_verify_stage_catches_tampering(drained, tmp_path):
+    out_dir, ck_dir = drained
+    bad = tmp_path / "bad_out"
+    shutil.copytree(out_dir, bad)
+    part = next(
+        p
+        for p in sorted((bad / d / f) for d in os.listdir(bad) for f in os.listdir(bad / d))
+        if p.name.startswith("part-") and not p.name.endswith(".crc")
+    )
+    lines = [ln for ln in part.read_text().splitlines() if ln.strip()]
+    d = json.loads(lines[0])
+    d["operation"] = "TAMPERED"
+    part.write_text("\n".join([json.dumps(d)] + lines[1:]) + "\n")
+    problems = runner.verify(TEST_DIR, str(bad), ck_dir)
+    assert any("TAMPERED" in p or "row count" in p for p in problems), problems
+
+
+def test_verify_stage_catches_missing_rows(drained, tmp_path):
+    out_dir, ck_dir = drained
+    bad = tmp_path / "empty_out"
+    bad.mkdir()
+    problems = runner.verify(TEST_DIR, str(bad), ck_dir)
+    assert any("row count" in p for p in problems)
+
+
+def test_lsn_check_semantics():
+    assert runner.check_lsn("0/2000", ["0/1000", "0/1FF8"])
+    assert not runner.check_lsn("0/1000", ["0/1FF8"])
+    assert runner.check_lsn("A/0", ["9/FFFFFFF8"])  # hi word compares first
+    assert runner.check_lsn("0/0", [])  # no output → trivially acked
+
+
+def test_ledger_check_catches_inflight_batch_and_partial_epoch(tmp_path):
+    ck = tmp_path / "ck"
+    (ck / "offsets").mkdir(parents=True)
+    (ck / "commits").mkdir(parents=True)
+    out = tmp_path / "out"
+    (out / "epoch=0").mkdir(parents=True)
+    (out / "epoch=0" / "_SUCCESS").touch()
+    (ck / "offsets" / "0").touch()
+    (ck / "commits" / "0").touch()
+    assert runner.check_ledger(str(ck), str(out)) == []
+    # in-flight batch: offset 1 written, commit 1 missing
+    (ck / "offsets" / "1").touch()
+    assert any("in-flight" in p for p in runner.check_ledger(str(ck), str(out)))
+    (ck / "commits" / "1").touch()
+    # crashed partial epoch: data dir without _SUCCESS
+    (out / "epoch=1").mkdir()
+    assert any("uncommitted epoch" in p for p in runner.check_ledger(str(ck), str(out)))
+
+
+def test_harness_files_lint():
+    """Compose parses as YAML; runner compiles; init script is sh."""
+    import py_compile
+
+    py_compile.compile(os.path.join(ITESTS, "runner.py"), doraise=True)
+    try:
+        import yaml
+    except ImportError:
+        pytest.skip("pyyaml not available")
+    with open(os.path.join(ITESTS, "docker-compose.yml")) as f:
+        cfg = yaml.safe_load(f)
+    assert {"postgres", "engine", "localstack", "poller"} <= set(cfg["services"])
+    assert "wal_level=logical" in " ".join(
+        cfg["services"]["postgres"]["command"].split()
+    )
