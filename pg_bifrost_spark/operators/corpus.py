@@ -724,3 +724,238 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens_after") < F.col("n_tokens_before"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# bigram LM quality scoring (r7) — the next rung above the unigram LM
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_bigram_logprob",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 2
+    ),
+    bg AS (
+      -- parallel unnests of equal-length slices zip row-wise
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-1]) AS w1,
+             unnest(toks[2:len(toks)])   AS w2
+      FROM toked
+    ),
+    cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    hd  AS (SELECT w1, sum(c) AS h FROM cnt GROUP BY w1),
+    lp AS (
+      SELECT c.w1, c.w2,
+             CAST(floor(ln(c.c / h.h) * {LOGPROB_SCALE}) AS BIGINT) AS micro_nats
+      FROM cnt c JOIN hd h USING (w1)
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(l.micro_nats) AS BIGINT) AS sum_micro_nats,
+           round(sum(l.micro_nats) / (count(*) * {LOGPROB_SCALE}.0), 6) AS avg_nats
+    FROM bg b JOIN lp l USING (w1, w2)
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: mean log p(w2|w1) per document under
+    the corpus's own MLE bigram model — one rung above
+    ``quality_unigram_logprob`` on the KenLM ladder (context-sensitive:
+    shuffled-word salad scores far lower than fluent text even when
+    the unigram mix is identical).
+
+    Hash stability: per-BIGRAM integer quantization
+    (floor(ln(c/h)·1e6) as BIGINT) before any per-document sum — the
+    same order-free-BIGINT-sum trick as the unigram op; ln() runs on
+    bit-identical exact-int ratios on both engines.
+
+    Plan: bigrams are a map-side transform+explode; the LM fit is two
+    map-side-combined groupBys (bigram count, then head count —
+    bigram-table-sized, never corpus-row-sized); scoring is one
+    shuffle join back on (w1, w2); final groupBy(doc_id). Nothing is
+    collected or broadcast; Zipf-head skew is absorbed by partial
+    aggregation exactly as in the unigram op."""
+    toked = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    hd = cnt.groupBy("w1").agg(F.sum("c").alias("h"))
+    lp = cnt.join(hd, "w1").select(
+        "w1",
+        "w2",
+        F.floor(F.log(F.col("c") / F.col("h")) * LOGPROB_SCALE)
+        .cast("bigint")
+        .alias("micro_nats"),
+    )
+    return (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("micro_nats").cast("bigint").alias("sum_micro_nats"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_micro_nats",
+            F.round(
+                F.col("sum_micro_nats") / (F.col("n_bigrams") * float(LOGPROB_SCALE)),
+                6,
+            ).alias("avg_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# per-document token entropy (r7) — repetition/diversity quality signal
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM cnt GROUP BY doc_id)
+    SELECT t.doc_id, t.n AS n_tokens, t.n_types AS n_types,
+           CAST(sum(CAST(floor(ln(c.c / t.n) * {LOGPROB_SCALE}) AS BIGINT) * c.c)
+                AS BIGINT) AS sum_micro_nats,
+           round(-sum(CAST(floor(ln(c.c / t.n) * {LOGPROB_SCALE}) AS BIGINT) * c.c)
+                 / (t.n * {LOGPROB_SCALE}.0), 6) AS entropy_nats
+    FROM cnt c JOIN tot t USING (doc_id)
+    GROUP BY t.doc_id, t.n, t.n_types ORDER BY t.doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats) —
+    the information-density twin of the repeated-ngram ratios in
+    ``text_repetition_stats``: boilerplate and template spam sit at
+    low entropy for their length, fluent prose near the Zipf ceiling.
+
+    Hash stability: the per-type log term is integer-quantized
+    (floor(ln(c/n)·1e6), on a bit-identical exact-int ratio) and
+    multiplied by the exact integer count BEFORE the BIGINT sum —
+    order-free on both engines; entropy surfaces once as a rounded
+    ratio of exact integers.
+
+    Plan: one map-side-combined groupBy(doc_id, token), one
+    groupBy(doc_id) for totals, one join keyed on doc_id (type-table
+    sized), one final groupBy. Everything stays distributed; per-doc
+    group sizes are bounded by document length."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens()).alias("token"))
+    )
+    cnt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    micro = F.floor(F.log(F.col("c") / F.col("n")) * LOGPROB_SCALE).cast(
+        "bigint"
+    ) * F.col("c")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_types")
+        .agg(F.sum(micro).cast("bigint").alias("sum_micro_nats"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "n_types",
+            "sum_micro_nats",
+            F.round(
+                -F.col("sum_micro_nats") / (F.col("n") * float(LOGPROB_SCALE)), 6
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# tokenizer vocabulary coverage (r7) — OOV-rate report against the
+# corpus's own top-K vocabulary
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS c FROM tok GROUP BY token
+      ) ORDER BY c DESC, token LIMIT {TOP_VOCAB}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+             AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-{TOP_VOCAB} vocabulary — the coverage report a tokenizer/vocab
+    decision is made from (how much of each document a fixed vocab can
+    even see). Deterministic vocab cut: (count DESC, token ASC).
+
+    Plan: the vocab is LIMIT-bounded by construction and BROADCAST to
+    the token stream (a {TOP_VOCAB}-row build side at any corpus
+    size); the OOV flag is a map-side left-join null test; one final
+    groupBy(doc_id). The oov_rate is an exact-int division — no float
+    aggregation anywhere."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens()).alias("token"))
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(TOP_VOCAB)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov") / F.col("n_tokens").cast("double")).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -810,3 +810,74 @@ def training_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# per-source duplicate-rate report (r7) — curation diagnostics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "near_dup_rate_by_source",
+    oracle=f"""
+    WITH {PLANTED_DOCS_SQL},
+    norm AS (
+      SELECT doc_id, source,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
+      FROM documents_planted
+    ),
+    marked AS (
+      SELECT source, count(*) OVER (PARTITION BY norm_text) AS c
+      FROM norm
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+             AS dup_rate
+    FROM marked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate contamination per source — the diagnostic a curation
+    pass uses to decide WHICH feeds to down-weight or re-crawl (a
+    source-level rollup of the normalized exact-dedup signal, planted
+    fixture so the gate sees real duplicates in every source bucket).
+
+    Plan: normalization is map-side; the duplicate flag is a window
+    count over the normalized text riding one exchange on that
+    high-cardinality key (same shape as the span ops — a degenerate
+    boilerplate text is one counted group, never a pair explosion);
+    the rollup is one map-side-combined groupBy over the tiny source
+    dimension. dup_rate is an exact-int division."""
+    from pyspark.sql import Window
+
+    docs = plant_duplicates(table(spark, sf_dir, "documents"), "doc_id")
+    norm = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").alias(
+            "norm_text"
+        ),
+    )
+    marked = spread(norm, "norm_text").withColumn(
+        "c", F.count("*").over(Window.partitionBy("norm_text"))
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            (F.col("n_dup_docs") / F.col("n_docs").cast("double")).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

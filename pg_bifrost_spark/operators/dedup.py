@@ -1485,3 +1485,121 @@ def remove_repeated_spans(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup (r7) — crawl-style duplicate URL variants
+# --------------------------------------------------------------------------
+# Synthesized URL fixture, mirrored byte-exactly in the oracle: every
+# doc gets a stable URL derived from (source, doc_id); docs with
+# doc_id % URL_MESSY_MOD == URL_MESSY_REM instead carry a "messy"
+# variant of doc (doc_id - URL_MESSY_REM)'s URL — scheme upper-cased,
+# http://, www., a utm_ tracking query, a fragment, and a trailing
+# slash — so canonicalization must collapse exactly those pairs.
+URL_MESSY_MOD = 10
+URL_MESSY_REM = 3
+
+
+def synth_url_expr() -> F.Column:
+    """URL synth is a pure function of doc_id (host = site<doc_id%20>)
+    so the messy variant can name its TARGET's host without depending
+    on any other column — the messy row for doc 13 must collide with
+    doc 10's clean URL after canonicalization, which requires building
+    doc 10's host from doc 13's row."""
+    host = lambda d: F.concat(F.lit("site"), (d % 20).cast("string"))  # noqa: E731
+    base = F.concat(
+        F.lit("https://"), host(F.col("doc_id")), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    target = F.col("doc_id") - URL_MESSY_REM
+    messy = F.concat(
+        F.lit("HTTP://WWW."), F.upper(host(target)), F.lit(".EXAMPLE.COM/docs/"),
+        target.cast("string"),
+        F.lit("/?utm_source=feed#frag"),
+    )
+    return F.when(
+        F.col("doc_id") % URL_MESSY_MOD == URL_MESSY_REM, messy
+    ).otherwise(base)
+
+
+def canonical_url_expr(url: F.Column) -> F.Column:
+    """Crawl-dedup URL canonicalization: lowercase, http→https, strip
+    www., drop the fragment, drop a trailing utm_* tracking query,
+    strip the trailing slash. Pure regexp chain — map-side, identical
+    RE2/Java semantics for these patterns."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^http://", "https://")
+    u = F.regexp_replace(u, r"^https://www\.", "https://")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"\?utm_[^#]*$", "")
+    return F.regexp_replace(u, r"/$", "")
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {URL_MESSY_MOD} = {URL_MESSY_REM}
+                  THEN 'HTTP://WWW.' || upper('site' || ((doc_id - {URL_MESSY_REM}) % 20))
+                       || '.EXAMPLE.COM/docs/'
+                       || (doc_id - {URL_MESSY_REM}) || '/?utm_source=feed#frag'
+                  ELSE 'https://site' || (doc_id % 20) || '.example.com/docs/' || doc_id
+             END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '^http://', 'https://'),
+                     '^https://www\\.', 'https://'),
+                   '#.*$', ''),
+                 '\\?utm_[^#]*$', ''),
+               '/$', '') AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+    FROM canon
+    GROUP BY canonical_url
+    HAVING count(*) >= 2
+    ORDER BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup, the cheapest crawl-dedup pass (before any
+    content hashing): canonicalize every document's URL and group the
+    collisions, keeping the lowest doc_id. The planted messy variants
+    (see ``synth_url_expr``) make the gate prove the canonicalizer
+    actually collapses scheme/www/tracking/fragment/slash noise.
+
+    Plan: canonicalization is a map-side regexp chain; ONE
+    map-side-combined groupBy on the canonical URL (high-cardinality
+    key — no skew beyond genuinely-duplicated URLs, which are exactly
+    the rows we want in one group); per-group doc lists are bounded by
+    the true duplicate multiplicity."""
+    urls = table(spark, sf_dir, "documents").select(
+        "doc_id", synth_url_expr().alias("url")
+    )
+    canon = urls.select("doc_id", canonical_url_expr(F.col("url")).alias("canonical_url"))
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_urls") >= 2)
+        .orderBy("canonical_url")
+    )

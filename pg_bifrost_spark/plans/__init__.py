@@ -180,13 +180,21 @@ def events_ts_to_timestamp(df: DataFrame) -> DataFrame:
 #     TPC-H/events set. Everything else keeps its oracle and runs in
 #     pytest rehearsal, but yields its gate slot.
 GATE_PRIORITY: list[str] = [
-    # CDC end-to-end capstones (reference itest parity)
+    # CDC flagship (reference itest parity). r7 rotation: the five
+    # narrower cdc rows (cdc_events_roundtrip, cdc_whitelist_filter,
+    # cdc_envelope_counts, cdc_to_analytics, cdc_apply_snapshot) hit
+    # SIX straight greens and yield their slots to the five NEW r7
+    # oracle-backed operators (quality_bigram_logprob,
+    # text_token_entropy, tokenizer_vocab_coverage,
+    # dedup_url_canonical, near_dup_rate_by_source); all five cdc rows
+    # stay oracle-backed and pytest-rehearsed every round, and the
+    # whole CDC path still executes inside the flagship + the itests
+    # verify-stage smoke.
     "cdc_lineitem_roundtrip",
-    "cdc_events_roundtrip",
-    "cdc_whitelist_filter",
-    "cdc_envelope_counts",
-    "cdc_to_analytics",
-    "cdc_apply_snapshot",
+    # NEW r7: crawl-style URL canonicalization dedup (planted messy
+    # variants) + per-source duplicate-rate rollup
+    "dedup_url_canonical",
+    "near_dup_rate_by_source",
     # LLM-data-pipeline: dedup family (planted-duplicate fixtures —
     # the gate must see these find duplicates, not match empty sets)
     # dedup_exact_documents (4 straight greens) yields to the NEW r6
@@ -241,6 +249,11 @@ GATE_PRIORITY: list[str] = [
     "refinery_pipeline",
     "pii_scan_documents",
     "quality_unigram_logprob",
+    # NEW r7: the bigram rung of the LM-quality ladder, per-doc token
+    # entropy, and the top-K vocabulary OOV-coverage report
+    "quality_bigram_logprob",
+    "text_token_entropy",
+    "tokenizer_vocab_coverage",
     # corpus-wide passes (r3 additions — first gate rotation)
     "vocab_top_tokens",
     "tfidf_top_terms",
