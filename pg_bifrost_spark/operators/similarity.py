@@ -548,3 +548,84 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "cosine")
     )
+
+
+@register("ann_ivf_pq", oracle=None)  # float-order-dependent codebooks → rows-only
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production FAISS index shape, composed from the
+    two halves this module already proves separately: the IVF coarse
+    quantizer prunes the corpus to the query's nprobe=2 nearest cells
+    (``ann_ivf_probe``'s partition-pruning analog), and WITHIN the
+    probed cells scoring runs on 8-byte PQ codes against the query's
+    literal ADC tables (``ann_pq_adc``'s 32× memory story) — floats
+    are touched only for the exact rerank of the top {PQ_REFINE}
+    candidates.
+
+    Scale posture: at 100 TB the persisted index relation is
+    (vec_id, cell, codes) — cell is the partition key (a probe reads
+    nprobe/ncells of the data off disk), codes are 8 bytes/vector, and
+    the scan is map-side ADC (zero shuffle, zero join besides the
+    broadcast probe-cell set). Driver traffic is the k×d centroid
+    matrix + M×K codebooks — bounded by construction. Rows-only (both
+    trainings inherit float-accumulation nondeterminism); recall
+    pinned vs the exact top-k in ``tests/test_ivf_pq_recall.py``."""
+    emb = _prepared(spark, sf_dir)
+    # coarse quantizer + assignment (one pass, map-side argmax)
+    codebook = sorted(
+        _centroids(emb)
+        .withColumnRenamed("label", "cell_label")
+        .withColumn("cn", _norm(F.col("centroid")))
+        .collect(),
+        key=lambda r: r.cell_label,
+    )
+    assigned = ivf_assign(emb.drop("label"), codebook).select(
+        "vec_id", "v", "nrm", "cell", "cell_sims"
+    )
+    # PQ codes over the SAME corpus (unit-normalized sub-spaces)
+    books = pq_codebooks(emb)
+    coded = pq_encode(assigned, books).select("vec_id", "cell", "cell_sims", "codes", "v", "nrm")
+    # query: nprobe nearest cells + per-sub-space ADC tables (driver
+    # side, M×K floats — same literal-table pattern as ann_pq_adc)
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
+    qu = [x / qrow["nrm"] for x in qrow["v"]]
+    tables = []
+    for i, book in enumerate(books):
+        qs = qu[i * PQ_SUB : (i + 1) * PQ_SUB]
+        tables.append([sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book])
+    tab_lit = F.array(*[F.array(*[F.lit(float(d)) for d in t]) for t in tables])
+    q = coded.filter(F.col("vec_id") == QUERY_VEC_ID)
+    labels = F.array(*[F.lit(r.cell_label) for r in codebook])
+    probe = F.transform(
+        F.slice(
+            F.array_sort(
+                F.zip_with(
+                    F.col("cell_sims"), labels,
+                    lambda s, lb: F.struct((-s).alias("negsim"), lb.alias("lb")),
+                )
+            ),
+            1, 2,
+        ),
+        lambda e: e["lb"],
+    )
+    q_cells = F.broadcast(q.select(probe.alias("qcells")))
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), tab_lit, lambda code, tab: F.element_at(tab, code)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        coded.drop("cell_sims")
+        .join(q_cells, F.array_contains(F.col("qcells"), F.col("cell")))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("adc_d2", adc)
+        .orderBy("adc_d2", "vec_id")
+        .limit(PQ_REFINE)
+        .select("vec_id", "v", "nrm")
+    )
+    scored = cosine_to_query(pool, emb.filter(F.col("vec_id") == QUERY_VEC_ID))
+    return (
+        scored.select("vec_id", F.round("cosine_raw", 4).alias("cosine"), "cosine_raw")
+        .orderBy(F.desc("cosine_raw"), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "cosine")
+    )
