@@ -44,6 +44,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 import duckdb
 
@@ -100,7 +101,7 @@ def generate(src: str, dst: str, replicas: int) -> None:
                     os.path.exists(os.path.join(dst, f"{t}.parquet"))
                     for t in list(SHIFT_COLS) + FIXED
                 ):
-                    print(f"# {dst} up to date, skipping generation")
+                    print(f"# {dst} up to date, skipping generation", file=sys.stderr)
                     return
         except (OSError, ValueError):
             pass
@@ -119,7 +120,7 @@ def generate(src: str, dst: str, replicas: int) -> None:
         )
         con.sql(f"COPY ({union}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
-        print(f"# {t}: {n} rows")
+        print(f"# {t}: {n} rows", file=sys.stderr)
     with open(manifest_path, "w") as f:
         json.dump(manifest, f)
 
