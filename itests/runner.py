@@ -142,14 +142,24 @@ def verify(
                 if "lsn" in d:
                     lsns.append(d["lsn"])
     problems = []
+    golden_tables = set()
     for gpath in sorted(glob.glob(os.path.join(test_dir, "golden", "*.golden"))):
         tbl = os.path.basename(gpath)[: -len(".golden")]
+        golden_tables.add(tbl)
         with open(gpath) as f:
             gold = f.readlines()
         problems += [
             f"[{tbl}] {p}"
             for p in verify_golden(gold, by_table.get(tbl, []), sort=sort)
         ]
+    # tables in the output with NO golden are leaks, not omissions —
+    # this is what makes the blacklist test mean anything (a filtered
+    # table reaching the sink must fail even though no golden names it)
+    for tbl in sorted(set(by_table) - golden_tables):
+        problems.append(
+            f"[{tbl}] unexpected table in output ({len(by_table[tbl])} rows, "
+            "no golden)"
+        )
     if confirmed_flush_lsn is not None and not check_lsn(confirmed_flush_lsn, lsns):
         problems.append(
             f"slot confirmed_flush_lsn {confirmed_flush_lsn} behind newest "
@@ -170,6 +180,17 @@ def _sh(cmd: list[str], **kw) -> str:
     ).stdout
 
 
+def test_config(test_dir: str) -> dict:
+    """Optional per-test ``config.json`` (the analog of the reference's
+    per-test envfile.env): {"pipeline": {...PipelineConfig kwargs},
+    "cli_flags": [...extra replicate flags], "sort": bool}."""
+    path = os.path.join(test_dir, "config.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="itests/runner.py")
     ap.add_argument("--test", default="base/test_basic")
@@ -179,7 +200,13 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     here = os.path.dirname(os.path.abspath(__file__))
     test_dir = os.path.join(here, "tests", args.test)
-    env = dict(os.environ, TEST_NAME=args.test, SINK=args.sink)
+    cfg = test_config(test_dir)
+    env = dict(
+        os.environ,
+        TEST_NAME=args.test,
+        SINK=args.sink,
+        EXTRA_FLAGS=" ".join(cfg.get("cli_flags", [])),
+    )
     compose = ["docker", "compose", "-f", os.path.join(here, "docker-compose.yml")]
     try:
         _sh(compose + ["up", "-d", "postgres"], env=env)
@@ -203,7 +230,10 @@ def main(argv: list[str] | None = None) -> int:
                "select confirmed_flush_lsn from pg_replication_slots"],
             env=env,
         ).strip()
-        problems = verify(test_dir, out_dir, ck_dir, flush or None, sort=args.sort)
+        problems = verify(
+            test_dir, out_dir, ck_dir, flush or None,
+            sort=args.sort or bool(cfg.get("sort")),
+        )
         for p in problems:
             print(f"FAIL: {p}", file=sys.stderr)
         print("PASS" if not problems else f"{len(problems)} problem(s)")

@@ -24,23 +24,64 @@ runner = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(runner)
 
 
-@pytest.fixture(scope="module")
-def drained(spark, tmp_path_factory):
-    """Replay the committed WAL through pipeline + exactly-once sink."""
+ALL_TESTS = sorted(
+    d
+    for d in os.listdir(os.path.join(ITESTS, "tests", "base"))
+    if os.path.isdir(os.path.join(ITESTS, "tests", "base", d))
+)
+
+
+def _drain(spark, test_dir, base):
+    """Replay the committed WAL through pipeline + exactly-once sink,
+    honoring the test's config.json pipeline kwargs (the in-sandbox
+    twin of the deploy runner's EXTRA_FLAGS)."""
     from pg_bifrost_spark.cdc.pipeline import PipelineConfig
     from pg_bifrost_spark.sinks.writers import exactly_once_ndjson
     from pg_bifrost_spark.streaming.core import drain_cdc_query
 
-    base = tmp_path_factory.mktemp("itest_smoke")
     out_dir, ck_dir = str(base / "output"), str(base / "ck")
+    cfg = runner.test_config(test_dir).get("pipeline", {})
     drain_cdc_query(
         spark,
         lambda df, epoch: exactly_once_ndjson(df, epoch, out_dir),
         ck_dir,
-        cfg=PipelineConfig(),
-        source_options={"wal_dir": os.path.join(TEST_DIR, "wal")},
+        cfg=PipelineConfig(**cfg),
+        source_options={"wal_dir": os.path.join(test_dir, "wal")},
     )
     return out_dir, ck_dir
+
+
+@pytest.fixture(scope="module")
+def drained(spark, tmp_path_factory):
+    return _drain(spark, TEST_DIR, tmp_path_factory.mktemp("itest_smoke"))
+
+
+@pytest.mark.parametrize("name", ALL_TESTS)
+def test_every_committed_itest_passes_verify(spark, tmp_path, name):
+    """Each committed harness test (basic CRUD, blacklist, TOAST,
+    300-row single transaction) replays through the real pipeline with
+    its own config and must clear the full verify stage. The blacklist
+    case is additionally meaningful through the unexpected-table check
+    (a leaked audit_log row fails even though no golden names it)."""
+    test_dir = os.path.join(ITESTS, "tests", "base", name)
+    out_dir, ck_dir = _drain(spark, test_dir, tmp_path)
+    problems = runner.verify(test_dir, out_dir, ck_dir)
+    assert problems == [], problems
+
+
+def test_blacklist_leak_is_caught(spark, tmp_path):
+    """Re-run the blacklist test WITHOUT the blacklist: the audit_log
+    rows reach the sink and verify must fail on the unexpected table —
+    proving the check isn't vacuous."""
+    import shutil
+
+    test_dir = os.path.join(ITESTS, "tests", "base", "test_blacklist")
+    stripped = tmp_path / "stripped"
+    shutil.copytree(test_dir, stripped)
+    (stripped / "config.json").unlink()
+    out_dir, ck_dir = _drain(spark, str(stripped), tmp_path)
+    problems = runner.verify(str(stripped), out_dir, ck_dir)
+    assert any("unexpected table" in p and "audit_log" in p for p in problems), problems
 
 
 def test_verify_stage_passes_on_real_pipeline_output(drained):
