@@ -504,3 +504,42 @@ def test_bounded_rank_single_broadcast_nlj(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         n = plan.count("BroadcastNestedLoopJoin")
         assert n <= 1, f"{q}: {n} BroadcastNestedLoopJoins in executed plan"
+
+
+def test_r7_text_operators_plan_shapes(spark):
+    """r7 additions hold the plan shapes their docstrings claim.
+    Only scale-invariant properties are pinned (AQE may flip a small
+    sort-merge join to broadcast at fixture scale, so join-strategy
+    counts are not asserted where the build side is corpus-derived)."""
+    # dedup_url_canonical: map-side regexp chain + ONE exchange, no
+    # joins, and the scan reads ONLY doc_id (url synth + canonical are
+    # pure doc_id functions — text/lang/source all pruned)
+    df = plans.QUERIES["dedup_url_canonical"](spark, SF)
+    t = df._jdf.queryExecution().executedPlan().toString()
+    assert t.count("Exchange hashpartitioning") == 1
+    assert "Join" not in t
+    assert "ReadSchema: struct<doc_id:bigint>" in t
+
+    # near_dup_rate_by_source: window count rides the norm_text
+    # exchange; one more exchange for the tiny source rollup; no joins
+    df = plans.QUERIES["near_dup_rate_by_source"](spark, SF)
+    t = df._jdf.queryExecution().executedPlan().toString()
+    assert t.count("Exchange hashpartitioning") == 2
+    assert "Join" not in t
+    assert "windowspecdefinition(norm_text" in t
+
+    # tokenizer_vocab_coverage: the vocab side is LIMIT-bounded and
+    # BROADCAST — the token stream must never shuffle for the join
+    df = plans.QUERIES["tokenizer_vocab_coverage"](spark, SF)
+    t = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in t and "SortMergeJoin" not in t
+    assert "GlobalLimit" in t or "TakeOrderedAndProject" in t
+
+    # quality_bigram_logprob / text_token_entropy: column pruning
+    # reaches the scan (only doc_id + text read)
+    for q in ["quality_bigram_logprob", "text_token_entropy"]:
+        df = plans.QUERIES[q](spark, SF)
+        t = formatted(df)
+        first_rs = t.split("ReadSchema:")[1].split("\n")[0]
+        assert "doc_id" in first_rs and "text" in first_rs
+        assert "lang" not in first_rs and "n_chars" not in first_rs
