@@ -312,6 +312,7 @@ def load_all() -> None:
     from . import tpch, tpch2, tpch3, tpch4, events, functions_suite, windows_suite  # noqa: F401
     from . import cdc_bridge  # noqa: F401
     from ..operators import (  # noqa: F401
+        bloom,
         cleaning,
         corpus,
         curation,
