@@ -959,3 +959,65 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: how much of each document is first-seen text?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct([
+               x[1] || ' ' || x[2] || ' ' || x[3]
+               FOR x IN [
+                 toks[i:i+2] FOR i IN range(1, len(toks) - 1)
+               ] IF len(x) = 3
+             ])) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT s.doc_id,
+           count(*)::BIGINT AS total_grams,
+           sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS novel_grams
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: of the doc's distinct word 3-grams, how
+    many appear in NO earlier document (first occurrence by doc_id —
+    ingestion order)? The curation signal behind "is this crawl batch
+    adding new text or re-crawling the same pages" and the per-doc
+    prior for dedup prioritization.
+
+    Plan: shared shingling (dedup.with_shingles — hashes shuffle as
+    8-byte longs, Jaccard-equivalence argument at dedup.py:72), then
+    first-occurrence as a window MIN over the shingle partition — the
+    same one-exchange window-min shape the exact-dedup family uses
+    (min rides the single shingle exchange; no groupBy+join
+    realignment), then one count shuffle back to doc_id. Two exchanges
+    total at any scale; both keys are hashes, so skew equals true
+    text skew (hot boilerplate shingles — cut upstream by the hotset
+    helpers when that matters).
+    """
+    from .dedup import with_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    ex = with_shingles(docs, 3).select(
+        "doc_id", F.explode("hshingles").alias("h")
+    )
+    first = ex.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("h")))
+    return (
+        first.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("novel_grams"),
+        )
+        .orderBy("doc_id")
+    )

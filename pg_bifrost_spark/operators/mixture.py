@@ -291,3 +291,119 @@ def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature (alpha) mixture resampling — the multilingual/multi-domain
+# rebalance of XLM-R / mT5: sample sources proportional to p^alpha so
+# head domains shrink and tail domains grow, without ever exceeding a
+# source's natural size (the min-p source keeps rate 1.0).
+# ---------------------------------------------------------------------------
+MIX_ALPHA = 0.3
+_MIX_RATE_BUCKETS = 10_000
+_MIX_WEIGHT_SCALE = 1_000_000
+
+
+def _mix_bucket(col: F.Column, start: int, buckets: int) -> F.Column:
+    """[0,buckets) from 8 hex digits of md5 at ``start`` (1-based).
+    Two call sites use DISJOINT digit ranges so the skew plant and the
+    acceptance draw are decorrelated."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), start, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+@register(
+    "temperature_mixture_sample",
+    oracle=f"""
+    WITH skewed AS (
+      -- planted skew: source srcK keeps (10 + (K%10)*10)% of its docs,
+      -- md5 digits 1-8 (the fixture's sources are uniform; the oracle
+      -- mirrors the plant byte-exactly)
+      SELECT doc_id, source FROM documents
+      WHERE (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100)
+            < 10 + (CAST(substr(source, 4) AS INT) % 10) * 10
+    ),
+    counts AS (SELECT source, count(*) AS n_docs FROM skewed GROUP BY 1),
+    tot AS (SELECT sum(n_docs) AS n FROM counts),
+    feat AS (
+      SELECT source, n_docs,
+             pow(n_docs::DOUBLE / n, CAST({MIX_ALPHA} AS DOUBLE)) AS q_un,
+             pow(n_docs::DOUBLE / n, CAST({MIX_ALPHA} AS DOUBLE) - 1.0) AS r_un
+      FROM counts, tot
+    ),
+    thr AS (
+      SELECT source, n_docs,
+             CAST(round({_MIX_WEIGHT_SCALE} * q_un / (SELECT max(q_un) FROM feat)) AS BIGINT)
+               AS weight_micro,
+             CAST(round({_MIX_RATE_BUCKETS} * r_un / (SELECT max(r_un) FROM feat)) AS BIGINT)
+               AS thr
+      FROM feat
+    ),
+    s AS (
+      SELECT d.source, count(*) AS n_sampled
+      FROM skewed d JOIN thr USING (source)
+      WHERE (CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 9, 8)) AS BIGINT)
+             % {_MIX_RATE_BUCKETS}) < thr.thr
+      GROUP BY 1
+    )
+    SELECT source, n_docs, weight_micro, coalesce(n_sampled, 0) AS n_sampled
+    FROM thr LEFT JOIN s USING (source)
+    ORDER BY source
+    """,
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha=0.3 temperature resample over the planted-skew corpus.
+
+    Normalizations divide by the MAX of the per-source pow terms, never
+    a SUM — max over doubles is order-independent, so the quantized
+    outputs are stable under any aggregation order (the oracle-hash
+    float rule; pow itself crosses engines at the precedent accepted
+    for ln in quality_unigram_logprob). All scalars (total count, max
+    weights) enter the plan as broadcast single-row crossJoins — the
+    corpus is never collected; the acceptance test is a map-side
+    broadcast join of the O(sources) threshold relation. Counts are
+    exact longs; md5 acceptance draws make the sample reproducible on
+    any cluster layout.
+    """
+    docs = table(spark, sf_dir, "documents")
+    snum = F.expr("CAST(substring(source, 4) AS INT)")
+    skewed = docs.filter(
+        _mix_bucket(F.col("doc_id"), 1, 100) < 10 + (snum % 10) * 10
+    ).select("doc_id", "source")
+    counts = skewed.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    feat = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.pow(F.col("n_docs").cast("double") / F.col("n"), F.lit(MIX_ALPHA)).alias("q_un"),
+        F.pow(F.col("n_docs").cast("double") / F.col("n"), F.lit(MIX_ALPHA) - 1.0).alias("r_un"),
+    )
+    maxes = feat.agg(F.max("q_un").alias("max_q"), F.max("r_un").alias("max_r"))
+    thr = feat.crossJoin(F.broadcast(maxes)).select(
+        "source",
+        "n_docs",
+        F.round(F.lit(_MIX_WEIGHT_SCALE) * F.col("q_un") / F.col("max_q"))
+        .cast("long")
+        .alias("weight_micro"),
+        F.round(F.lit(_MIX_RATE_BUCKETS) * F.col("r_un") / F.col("max_r"))
+        .cast("long")
+        .alias("thr"),
+    )
+    sampled = (
+        skewed.join(F.broadcast(thr.select("source", "thr")), "source")
+        .filter(_mix_bucket(F.col("doc_id"), 9, _MIX_RATE_BUCKETS) < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        thr.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "weight_micro",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )

@@ -331,3 +331,113 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_alpha.alias("ok_alpha_words"),
         (ok_words & ok_wlen & ok_stop & ok_alpha).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4-style cleaning rules (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+# The OTHER canonical public cleaning recipe next to Gopher: C4 keeps
+# lines that end in terminal punctuation AND have >= 5 words, and
+# drops whole pages containing '{' (code), 'lorem ipsum' (placeholder
+# boilerplate), or fewer than 3 sentences after line filtering. The
+# documents fixture is single-line word soup, so the gate query plants
+# line structure by doc_id MODs (mirrored byte-exactly in the oracle,
+# same move as structure.py's paragraph/line fixtures): every doc gets
+# a terminal '.', %3 docs two extra good sentences, %4 a short
+# punct-less nav line, %5 a '{' code line, %7 a lorem-ipsum line.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+_C4_GOOD_A = "this page has plenty of well formed sentences."
+_C4_GOOD_B = "each of them ends with terminal punctuation today."
+_C4_NAV = "menu home about"
+_C4_CODE = "function main() { return 1; }"
+_C4_LOREM = "Lorem ipsum dolor sit amet consectetur adipiscing elit."
+
+
+def c4_line_keep(line: F.Column) -> F.Column:
+    """C4 line rule: terminal punctuation AND >= 5 words."""
+    return line.rlike("[.!?]$") & (
+        F.size(F.split(F.trim(line), r"\s+")) >= C4_MIN_LINE_WORDS
+    )
+
+
+def c4_doc_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc C4 report: line counts before/after the line rule,
+    sentence count over kept lines, and the page-level keep flag.
+    Map-only — every column is a higher-order function over the
+    split-lines array, no explode, no shuffle; at 100 TB this runs
+    inside the scan stage like the Gopher battery."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, c4_line_keep)
+    n_sentences = F.regexp_count(F.array_join(kept, "\n"), F.lit(r"[.!?]"))
+    keep_doc = (
+        (n_sentences >= C4_MIN_SENTENCES)
+        & ~F.col(text_col).contains("{")
+        & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("lines_total"),
+        F.size(kept).alias("lines_kept"),
+        n_sentences.alias("n_sentences"),
+        keep_doc.alias("keep"),
+    )
+
+
+@register(
+    "quality_c4_rules",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || '.'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || '{_C4_GOOD_A}' || chr(10) || '{_C4_GOOD_B}'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_C4_NAV}' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_C4_CODE}' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '{_C4_LOREM}' ELSE '' END
+               AS text
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(l, '[.!?]$')
+                              AND len(string_split_regex(trim(l), '\\s+'))
+                                    >= {C4_MIN_LINE_WORDS}) AS kept,
+             contains(text, '{{') AS has_brace,
+             contains(lower(text), 'lorem ipsum') AS has_lorem
+      FROM planted
+    )
+    SELECT doc_id,
+           len(lines)::BIGINT AS lines_total,
+           len(kept)::BIGINT AS lines_kept,
+           len(regexp_extract_all(coalesce(list_aggregate(kept, 'string_agg', chr(10)), ''),
+                                  '[.!?]'))::INT AS n_sentences,
+           (len(regexp_extract_all(coalesce(list_aggregate(kept, 'string_agg', chr(10)), ''),
+                                   '[.!?]')) >= {C4_MIN_SENTENCES}
+            AND NOT has_brace AND NOT has_lorem) AS keep
+    FROM feat ORDER BY doc_id
+    """,
+)
+def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning over the planted-line fixture: the gate proves the
+    line rule (nav line dropped, good sentences kept), the sentence
+    floor (only %3 docs reach 3 sentences), and both page-level
+    killers ('{{' at %5, lorem-ipsum at %7) against the oracle's
+    independent SQL evaluation."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("."),
+            F.when(did % 3 == 0, F.lit("\n" + _C4_GOOD_A + "\n" + _C4_GOOD_B)).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit("\n" + _C4_NAV)).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit("\n" + _C4_CODE)).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit("\n" + _C4_LOREM)).otherwise(F.lit("")),
+        ),
+    )
+    return c4_doc_report(planted).orderBy("doc_id")
