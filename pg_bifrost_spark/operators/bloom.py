@@ -117,18 +117,23 @@ def incremental_exact_new(
     """Rows of ``batch`` whose ``key`` does NOT appear in ``history``
     — exact, with the bloom only routing work:
 
-      1. bloom-miss rows are DEFINITELY new (no false negatives) —
-         classified map-side, never joined;
-      2. bloom-hit survivors (true dups + fpp·batch) confirm against
-         one map-side scan of history via a broadcast semi-join on the
-         survivor keys, then the confirmed dup keys anti-join the
-         survivors.
+      1. survivor keys = bloom-hit rows (true dups + fpp·batch false
+         positives) — the only batch keys that can possibly be dups,
+         because a bloom miss proves absence;
+      2. confirmed = history ⋉ broadcast(survivor keys) — one map-side
+         scan of history, no shuffle of the big side;
+      3. result = batch ⋉̸ broadcast(confirmed): a row with a
+         confirmed key is a dup by definition; a row whose key is not
+         confirmed is either a bloom miss (provably new) or a false
+         positive (history scan proved it absent). The hit flag never
+         needs re-evaluating in the final pass.
 
-    History is scanned twice (build + confirm) per call; at scale both
+    Cost: batch scanned twice (probe pass, final anti pass — both
+    map-only), history twice (build + confirm); at scale both
     artifacts persist between ingests — the bloom relation as a tiny
     parquet, history digests bucketed by key (sinks.bucketed) so the
-    confirm is co-located — making the per-ingest cost one map-only
-    pass over the batch. The broadcast of survivor/confirmed keys
+    confirm is co-located — making the per-ingest cost the two
+    map-only batch passes. The broadcast of survivor/confirmed keys
     assumes dup rate + fpp bounded (tune fpp down if survivors grow);
     cross-batch self-dups are out of scope (dedup_exact covers those).
 
@@ -141,14 +146,11 @@ def incremental_exact_new(
     m, k = params
     bloom = tracked_cache(bloom_build(history.select(key), key, m, k))
     probed = bloom_probe(batch, key, bloom, m, k)
-    definite_new = probed.filter(~F.col("bloom_hit")).drop("bloom_hit")
-    survivors = probed.filter(F.col("bloom_hit")).drop("bloom_hit")
-    surv_keys = survivors.select(key).distinct()
+    surv_keys = probed.filter(F.col("bloom_hit")).select(key).distinct()
     confirmed = (
         history.join(F.broadcast(surv_keys), key, "left_semi").select(key).distinct()
     )
-    fp_new = survivors.join(F.broadcast(confirmed), key, "left_anti")
-    return definite_new.unionByName(fp_new)
+    return batch.join(F.broadcast(confirmed), key, "left_anti")
 
 
 # --------------------------------------------------------------------------

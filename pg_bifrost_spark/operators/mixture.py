@@ -372,7 +372,9 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed = docs.filter(
         _mix_bucket(F.col("doc_id"), 1, 100) < 10 + (snum % 10) * 10
     ).select("doc_id", "source")
-    counts = skewed.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # counts is O(sources) but feeds four consumers (tot, feat, maxes
+    # twice via feat); cached so the corpus is scanned ONCE for stats.
+    counts = tracked_cache(skewed.groupBy("source").agg(F.count("*").alias("n_docs")))
     tot = counts.agg(F.sum("n_docs").alias("n"))
     feat = counts.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -381,7 +383,10 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.col("n_docs").cast("double") / F.col("n"), F.lit(MIX_ALPHA) - 1.0).alias("r_un"),
     )
     maxes = feat.agg(F.max("q_un").alias("max_q"), F.max("r_un").alias("max_r"))
-    thr = feat.crossJoin(F.broadcast(maxes)).select(
+    # thr is O(sources) rows but its lineage scans the corpus; cached so
+    # the three consumers (acceptance join, final output, weights) cost
+    # ONE counts pass, not three.
+    thr = tracked_cache(feat.crossJoin(F.broadcast(maxes)).select(
         "source",
         "n_docs",
         F.round(F.lit(_MIX_WEIGHT_SCALE) * F.col("q_un") / F.col("max_q"))
@@ -390,7 +395,7 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(_MIX_RATE_BUCKETS) * F.col("r_un") / F.col("max_r"))
         .cast("long")
         .alias("thr"),
-    )
+    ))
     sampled = (
         skewed.join(F.broadcast(thr.select("source", "thr")), "source")
         .filter(_mix_bucket(F.col("doc_id"), 9, _MIX_RATE_BUCKETS) < F.col("thr"))
@@ -398,7 +403,7 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"))
     )
     return (
-        thr.join(sampled, "source", "left")
+        thr.join(F.broadcast(sampled), "source", "left")
         .select(
             "source",
             "n_docs",

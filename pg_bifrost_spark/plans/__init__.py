@@ -222,7 +222,10 @@ GATE_PRIORITY: list[str] = [
     "multimodal_video_decode",
     "dedup_jaccard_clusters",
     "near_dup_resolution",
-    "dedup_chunk_passages",
+    # dedup_chunk_passages (3 straight greens) yields to the NEW r7
+    # bloom-prefiltered exact incremental dedup; chunking evidence
+    # stays via document_chunking
+    "dedup_bloom_prefilter",
     # similarity / embeddings
     # ann_bruteforce_topk (3 straight greens) yields to the
     # never-checked audio decoder; its batched sibling keeps the
@@ -242,6 +245,10 @@ GATE_PRIORITY: list[str] = [
     "dedup_incremental_batch",
     "text_repetition_stats",
     "quality_gopher_rules",
+    # NEW r7: the C4 cleaning recipe next to Gopher (planted line
+    # structure; pii_redact_customers at 3 straight greens yields its
+    # slot — PII evidence stays via pii_scan_documents)
+    "quality_c4_rules",
     "bpe_pair_merges",
     "paragraph_dedup",
     "doc_line_dedup",
@@ -255,7 +262,10 @@ GATE_PRIORITY: list[str] = [
     "text_token_entropy",
     "tokenizer_vocab_coverage",
     # corpus-wide passes (r3 additions — first gate rotation)
-    "vocab_top_tokens",
+    # vocab_top_tokens (3 straight greens) yields to the NEW r7
+    # first-occurrence n-gram novelty pass; vocab evidence stays via
+    # tokenizer_vocab_coverage + tfidf_top_terms
+    "ngram_novelty",
     "tfidf_top_terms",
     "contamination_ngram",
     "document_chunking",
@@ -273,9 +283,11 @@ GATE_PRIORITY: list[str] = [
     "repeated_span_removal",
     "token_budget_sample",
     "events_funnel",
-    "pii_redact_customers",
     # profiling / diagnostics (r3 additions — first gate rotation)
-    "join_skew_report",
+    # join_skew_report (3 straight greens) yields to the NEW r7
+    # alpha-temperature mixture resample; skew evidence stays pinned
+    # by test_aqe_skew + salted_skew_join's recorded greens
+    "temperature_mixture_sample",
     "corpus_length_histogram",
     "events_anomaly_zscore",
     # multimodal plumbing (image_decode: the real PNG/JPEG header

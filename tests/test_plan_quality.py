@@ -543,3 +543,52 @@ def test_r7_text_operators_plan_shapes(spark):
         first_rs = t.split("ReadSchema:")[1].split("\n")[0]
         assert "doc_id" in first_rs and "text" in first_rs
         assert "lang" not in first_rs and "n_chars" not in first_rs
+
+
+def test_c4_rules_map_only(spark):
+    """C4 cleaning is higher-order functions over the lines array —
+    no explode, no hash shuffle; the only exchange is the output sort."""
+    text = plan_of(spark, "quality_c4_rules")
+    assert "Exchange hashpartitioning" not in text
+    assert "Generate" not in text
+
+
+def test_ngram_novelty_window_rides_shingle_exchange(spark):
+    """First-occurrence is a window MIN on the single shingle-hash
+    exchange (no groupBy+join realignment): exactly 3 hash exchanges —
+    the documented spread() repartition, the shingle window, the
+    per-doc count — and the window is partitioned (never WindowExec
+    'No Partition Defined')."""
+    text = plan_of(spark, "ngram_novelty")
+    assert text.count("Exchange hashpartitioning") == 3, text
+    assert "Window" in text and "SortMergeJoin" not in text
+
+
+def test_temperature_mixture_broadcast_only(spark):
+    """The O(sources) threshold relation reaches the corpus via
+    broadcast joins only; stats relations are cached so the corpus is
+    scanned once for counts and once for the acceptance pass."""
+    text = plan_of(spark, "temperature_mixture_sample")
+    assert "SortMergeJoin" not in text
+    assert "BroadcastHashJoin" in text
+    assert "InMemoryTableScan" in text
+
+
+def test_bloom_prefilter_no_batch_shuffle(spark):
+    """The registered bloom route: batch-side classification is
+    broadcast probes + a broadcast anti-join — the only hash exchanges
+    in the tree are the bloom build's groupBy(bucket) (inside the
+    cached relation) and the tiny survivor/confirmed distincts on
+    content_hash; history and batch themselves never co-shuffle
+    (no SortMergeJoin anywhere)."""
+    text = plan_of(spark, "dedup_bloom_prefilter")
+    assert "SortMergeJoin" not in text
+    assert "InMemoryTableScan" in text  # bloom built once, cached
+    import re
+
+    keys = {
+        re.search(r"Exchange hashpartitioning\((\w+)#", ln).group(1)
+        for ln in text.splitlines()
+        if "Exchange hashpartitioning" in ln
+    }
+    assert keys <= {"bucket", "content_hash"}, keys
