@@ -77,6 +77,13 @@ HEADLINE = [
     "multimodal_audio_decode",
     "multimodal_video_decode",
     "ann_pq_adc",
+    # r7 late additions: bloom-prefiltered exact incremental dedup,
+    # C4 cleaning, first-occurrence n-gram novelty, alpha-temperature
+    # mixture resample
+    "dedup_bloom_prefilter",
+    "quality_c4_rules",
+    "ngram_novelty",
+    "temperature_mixture_sample",
     "cdc_lineitem_roundtrip",
 ]
 
@@ -104,6 +111,8 @@ SCALE_QUERIES = [
     "semantic_dedup_srp_scaled",
     "refinery_pipeline",
     "training_set_build",
+    # r7 late addition: first-occurrence novelty (shingle window-min)
+    "ngram_novelty",
 ]
 SCALE_REPLICAS = 10
 # best-of-2 per (query, sf): one exec fewer than the sweep's

@@ -34,6 +34,11 @@ FAMILY = [
     "semantic_dedup_srp_scaled",
     "dedup_repeated_spans",
     "ann_bruteforce_topk",
+    # r7 late additions: the shingle-window novelty pass and the bloom
+    # route (measured 1.2x at 10x when added — both ride single
+    # exchanges / broadcast probes)
+    "ngram_novelty",
+    "dedup_bloom_prefilter",
 ]
 
 
