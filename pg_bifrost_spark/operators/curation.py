@@ -881,3 +881,119 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank quality prior — link authority as a curation signal
+# ---------------------------------------------------------------------------
+# Web-corpus recipes weight documents by link authority (the OPT/
+# RefinedWeb lineage keeps high-PageRank hosts preferentially). The
+# fixture has no link table, so the gate derives a deterministic
+# IRREGULAR graph from doc ids — d -> (2d+1) mod N always,
+# -> (3d+2) mod N unless d%3=0, -> (5d+3) mod N when d%5=0 — so
+# out-degree varies 1..3 and in-degree is skewed (a uniform-degree
+# graph converges to a near-constant rank vector and proves nothing);
+# mirrored byte-exactly in the oracle.
+#
+# ALL arithmetic is BIGINT micro-units with floor division — integer
+# sums are exact and order-independent, so there is NO float-
+# aggregation hash risk (the oracle rule that forbids rounding double
+# aggregates); the price is <=1 micro-unit of quantization per edge
+# per iteration, irrelevant for a ranking prior.
+PAGERANK_ITERS = 5
+_PR_ONE = 1_000_000  # rank unit
+_PR_JUMP = 150_000   # (1 - damping) * _PR_ONE
+
+
+def pagerank_micro(nodes: DataFrame, edges: DataFrame, iters: int = PAGERANK_ITERS,
+                   outdeg: DataFrame | None = None) -> DataFrame:
+    """(node) + (src, dst) multigraph -> (node, rank_micro) after
+    ``iters`` damped power iterations, all in exact integer math:
+    contribution = rank DIV outdeg, next = 150000 + (85 * sum) DIV 100.
+
+    Plan: per iteration one join (edges x ranks on src) + one groupBy
+    (dst) + one left join back to the node set — the standard
+    large-graph shape (same as connected_components, which this rides
+    next to): O(iters) rounds, never a driver-side adjacency. Edges
+    and the out-degree relation are cached once; the rank relation is
+    O(nodes) per round. At 100 TB-scale graphs the edge relation would
+    be bucketed by src so every round's join is co-located.
+    """
+    from ..plans import tracked_cache
+
+    if outdeg is None:
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = tracked_cache(
+        edges.join(outdeg, "src").select("src", "dst", "outdeg")
+    )
+    ranks = nodes.select(F.col("node"), F.lit(_PR_ONE).cast("long").alias("r"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("r DIV outdeg").alias("c"))
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["dst"], "left")
+            .select(
+                F.col("node"),
+                (F.lit(_PR_JUMP) + F.expr("(85 * coalesce(s, 0)) DIV 100")).alias("r"),
+            )
+        )
+    return ranks
+
+
+def _pr_oracle() -> str:
+    it = """
+    r{i} AS (
+      SELECT node, CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes LEFT JOIN (
+        SELECT dst, sum(r // outdeg) AS s
+        FROM edges JOIN r{j} ON src = node GROUP BY dst
+      ) ON node = dst
+    )"""
+    parts = [
+        """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    raw_edges AS (
+      SELECT doc_id AS src, (doc_id * 2 + 1) % nn.n AS dst FROM documents, nn
+      UNION ALL
+      SELECT doc_id AS src, (doc_id * 3 + 2) % nn.n AS dst
+      FROM documents, nn WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id AS src, (doc_id * 5 + 3) % nn.n AS dst
+      FROM documents, nn WHERE doc_id % 5 = 0
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM raw_edges GROUP BY src),
+    edges AS (SELECT src, dst, outdeg FROM raw_edges JOIN deg USING (src)),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        parts.append(it.format(i=i, j=i - 1))
+    return ",".join(parts) + f"""
+    SELECT node AS doc_id, r AS rank_micro FROM r{PAGERANK_ITERS} ORDER BY doc_id
+    """
+
+
+@register("pagerank_quality_prior", oracle=_pr_oracle())
+def pagerank_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration integer PageRank over the derived irregular doc
+    graph; the oracle unrolls the same five iterations as CTEs.
+    Coinciding formula targets are kept as multi-edges in both
+    engines; out-degree is counted from the raw edge list."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(n))
+    d = F.col("doc_id")
+    always = base.select(d.alias("src"), ((d * 2 + 1) % F.col("n")).alias("dst"))
+    two = base.filter(d % 3 != 0).select(
+        d.alias("src"), ((d * 3 + 2) % F.col("n")).alias("dst")
+    )
+    three = base.filter(d % 5 == 0).select(
+        d.alias("src"), ((d * 5 + 3) % F.col("n")).alias("dst")
+    )
+    edges = always.unionByName(two).unionByName(three)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    ranks = pagerank_micro(nodes, edges, PAGERANK_ITERS)
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_micro")).orderBy("doc_id")
