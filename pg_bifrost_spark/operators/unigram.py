@@ -1,0 +1,228 @@
+"""SentencePiece-style unigram-LM tokenizer: Viterbi segmentation of
+the raw character stream under a piece vocabulary with log-probability
+scores, plus one hard-EM (Viterbi-EM) refit step — the OTHER major
+tokenizer family next to BPE (``corpus.bpe_pair_merges`` /
+``bpe_apply_merges`` cover the merge family in pure Catalyst).
+
+Why a Python kernel here and not Catalyst: Viterbi is a per-document
+DP whose inner loop indexes best[i-len] for len up to MAX_PIECE —
+an interpreted higher-order-function encoding re-evaluates the
+accumulator expression per element (the measured O(len²) hazard
+documented at dedup.shingles_from_tokens), so this is exactly the
+"genuinely can't express" case: an Arrow-batched mapInPandas kernel
+with a BROADCAST piece table (a few hundred entries), embarrassingly
+parallel per partition, integer-only scores.
+
+Determinism: piece log-probs are BIGINT micro-nats (floor(1e6·ln p) —
+the integer-quantization rule the oracle-backed ops use), the DP adds
+integers only, and ties break on the LONGEST matching piece; replays
+are byte-identical on any partitioning.
+
+Scale posture: the piece table is O(vocab) and driver-bounded by
+construction (top-K LIMIT + alphabet); the corpus is never collected
+and each task needs only the broadcast dict — the same shape at 100 TB
+with 1000 executors. Training (the EM refit) aggregates piece counts
+with one groupBy over the segmented output.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import register, table
+
+UNI_TOP_WORDS = 200   # word pieces: top-K by corpus frequency
+UNI_MAX_PIECE = 12    # longest piece considered by the DP
+UNI_LP_SCALE = 1_000_000
+UNI_UNK_LP = -20_000_000  # ln(~2e-9) in micro-nats: unknown single char
+
+
+def unigram_piece_table(docs: DataFrame, top_words: int = UNI_TOP_WORDS) -> DataFrame:
+    """(piece, cnt, lp_micro): top-K whitespace words plus every
+    single character (the closed fallback alphabet — guarantees any
+    text segments). Probabilities over the combined piece multiset;
+    lp_micro = floor(1e6 · ln(cnt/total)) as BIGINT."""
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("piece"))
+        .filter((F.length("piece") > 0) & (F.length("piece") <= UNI_MAX_PIECE))
+        .groupBy("piece")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(top_words)
+    )
+    chars = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), "")).alias("piece"))
+        .filter(F.length("piece") == 1)
+        .groupBy("piece")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # a word that IS a single char would collide with its alphabet row:
+    # keep the max count (they estimate the same event)
+    pieces = (
+        words.unionByName(chars)
+        .groupBy("piece")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    tot = pieces.agg(F.sum("cnt").alias("tot"))
+    return pieces.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        F.floor(
+            F.lit(UNI_LP_SCALE)
+            * (F.log(F.col("cnt").cast("double")) - F.log(F.col("tot").cast("double")))
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+
+
+def viterbi_segment(text: str, vocab: dict[str, int], max_len: int = UNI_MAX_PIECE,
+                    unk_lp: int = UNI_UNK_LP) -> tuple[list[str], int]:
+    """(pieces, total_lp_micro) for one document. best[i] = best score
+    of s[:i]; candidates scanned longest-first with strict > so the
+    LONGEST piece wins score ties. Unknown single chars take the UNK
+    penalty (the alphabet fallback makes this rare)."""
+    s = text.lower()
+    n = len(s)
+    best = [0] + [None] * n
+    back: list[tuple[int, str] | None] = [None] * (n + 1)
+    for i in range(1, n + 1):
+        b, bb = None, None
+        for ln in range(min(max_len, i), 0, -1):
+            prev = best[i - ln]
+            if prev is None:
+                continue
+            piece = s[i - ln : i]
+            lp = vocab.get(piece)
+            if lp is None:
+                if ln > 1:
+                    continue
+                lp = unk_lp
+            cand = prev + lp
+            if b is None or cand > b:
+                b, bb = cand, (i - ln, piece)
+        best[i] = b
+        back[i] = bb
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        j, piece = back[i]
+        pieces.append(piece)
+        i = j
+    pieces.reverse()
+    return pieces, best[n] if n else 0
+
+
+def _collect_vocab(pieces: DataFrame) -> dict[str, int]:
+    """Driver-side piece dict — bounded by construction (top-K LIMIT +
+    single-char alphabet), the same bounded-collect contract as the
+    ANN codebooks (similarity.py)."""
+    return {r["piece"]: r["lp_micro"] for r in pieces.collect()}
+
+
+def unigram_tokenize(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
+    """(doc_id, n_pieces, n_word_pieces, n_char_pieces, total_lp_micro)
+    via the Arrow-batched Viterbi kernel; ``vocab`` is broadcast."""
+    sc = docs.sparkSession.sparkContext
+    bv = sc.broadcast(vocab)
+
+    def kernel(batches):
+        import pandas as pd
+
+        v = bv.value
+        for pdf in batches:
+            ids, np_, nw, nc, lp = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pieces, total = viterbi_segment(text, v)
+                ids.append(doc_id)
+                np_.append(len(pieces))
+                nw.append(sum(1 for p in pieces if len(p) > 1))
+                nc.append(sum(1 for p in pieces if len(p) == 1))
+                lp.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pieces": np_,
+                    "n_word_pieces": nw,
+                    "n_char_pieces": nc,
+                    "total_lp_micro": lp,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema="doc_id bigint, n_pieces bigint, n_word_pieces bigint, "
+        "n_char_pieces bigint, total_lp_micro bigint",
+    )
+
+
+def unigram_em_refit(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
+    """One hard-EM (Viterbi-EM) step: re-segment under the current
+    piece table, count piece usage (E), renormalize to new micro-nat
+    log-probs (M). Returns (piece, cnt, lp_micro) for the pieces that
+    survived (cnt > 0) — iterating this to a fixed point IS unigram
+    tokenizer training (SentencePiece prunes low-mass pieces between
+    steps; callers can filter on lp_micro)."""
+    sc = docs.sparkSession.sparkContext
+    bv = sc.broadcast(vocab)
+
+    def kernel(batches):
+        import pandas as pd
+
+        v = bv.value
+        for pdf in batches:
+            out: dict[str, int] = {}
+            for text in pdf["text"]:
+                for p in viterbi_segment(text, v)[0]:
+                    out[p] = out.get(p, 0) + 1
+            yield pd.DataFrame(
+                {"piece": list(out), "cnt": list(out.values())}
+            )
+
+    counts = (
+        docs.select("text")
+        .mapInPandas(kernel, schema="piece string, cnt bigint")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    tot = counts.agg(F.sum("cnt").alias("tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        F.floor(
+            F.lit(UNI_LP_SCALE)
+            * (F.log(F.col("cnt").cast("double")) - F.log(F.col("tot").cast("double")))
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+
+
+@register("unigram_lm_tokenize")  # rows-only: per-doc Viterbi DP is not SQL
+def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment every document under the corpus-trained piece table.
+    Correctness pin: tests/test_unigram.py re-derives segmentations
+    with an INDEPENDENT forward-DP implementation and requires exact
+    piece-sequence equality, plus invariants (piece concatenation
+    reproduces the text; scores are sums of table entries)."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = _collect_vocab(unigram_piece_table(docs))
+    return unigram_tokenize(docs, vocab).orderBy("doc_id")
+
+
+@register("unigram_em_step")  # rows-only: depends on the Viterbi kernel
+def unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Viterbi-EM refit over the documents corpus: top 50 surviving
+    pieces by re-estimated mass (count desc, piece asc — deterministic).
+    Pin: piece counts must equal the tokenize query's own segmentation
+    counts (tests/test_unigram.py)."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = _collect_vocab(unigram_piece_table(docs))
+    return (
+        unigram_em_refit(docs, vocab)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(50)
+    )

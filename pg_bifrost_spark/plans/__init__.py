@@ -337,6 +337,7 @@ def load_all() -> None:
         similarity,
         structure,
         text,
+        unigram,
     )
 
     missing = [n for n in GATE_PRIORITY if n not in QUERIES]
