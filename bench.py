@@ -84,6 +84,8 @@ HEADLINE = [
     "quality_c4_rules",
     "ngram_novelty",
     "temperature_mixture_sample",
+    "pagerank_quality_prior",
+    "unigram_lm_tokenize",
     "cdc_lineitem_roundtrip",
 ]
 

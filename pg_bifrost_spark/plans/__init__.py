@@ -289,7 +289,10 @@ GATE_PRIORITY: list[str] = [
     # by test_aqe_skew + salted_skew_join's recorded greens
     "temperature_mixture_sample",
     "corpus_length_histogram",
-    "events_anomaly_zscore",
+    # events_anomaly_zscore (3 straight greens) yields to the NEW r7
+    # integer-PageRank quality prior (unrolled-CTE oracle); anomaly
+    # evidence stays via the windows/events suite rows
+    "pagerank_quality_prior",
     # multimodal plumbing (image_decode: the real PNG/JPEG header
     # parser that replaced the r4 stub — first gate appearance;
     # binary_meta rotates out after 3 straight green rounds)
