@@ -86,6 +86,7 @@ HEADLINE = [
     "temperature_mixture_sample",
     "pagerank_quality_prior",
     "unigram_lm_tokenize",
+    "doc_language_mixture",
     "cdc_lineitem_roundtrip",
 ]
 

@@ -441,3 +441,128 @@ def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return c4_doc_report(planted).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# per-paragraph language mixture (multilingual-document detection)
+# ---------------------------------------------------------------------------
+# Corpus curation needs to know not just a doc's dominant language but
+# whether it MIXES languages (multilingual pages get routed to their
+# own pipeline or dropped). Same stopword-vote classifier as
+# text_lang_id, applied per PARAGRAPH; the fixture plants a German
+# paragraph on %2 docs (a SECOND on %4, so dominance flips off 'en'
+# there) and a French one on %3 docs,
+# mirrored byte-exactly in the oracle.
+_DE_PARA = "der hund und die katze das ist von zu den ein haus mit garten"
+_FR_PARA = "le chat et la maison est un jardin une les arbres des fleurs pour toi"
+
+
+def _para_lang(p: F.Column) -> F.Column:
+    """Stopword-vote language of one paragraph (en/de/fr), same
+    tie-break order as text_lang_id."""
+    def hits(words: list[str]) -> F.Column:
+        return F.size(
+            F.filter(F.split(F.lower(F.trim(p)), r"\s+"), lambda w: w.isin(words))
+        )
+
+    en, de, fr = hits(EN_STOPWORDS), hits(DE_STOPWORDS), hits(FR_STOPWORDS)
+    return (
+        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr")
+    )
+
+
+def _para_lang_sql() -> str:
+    def hits(words: list[str]) -> str:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return (
+            "len(list_filter(string_split_regex(lower(trim(p)), '\\s+'),"
+            f" w -> list_contains([{lst}], w)))"
+        )
+
+    return f"""CASE
+             WHEN {hits(EN_STOPWORDS)} >= {hits(DE_STOPWORDS)}
+              AND {hits(EN_STOPWORDS)} >= {hits(FR_STOPWORDS)} THEN 'en'
+             WHEN {hits(DE_STOPWORDS)} >= {hits(FR_STOPWORDS)} THEN 'de'
+             ELSE 'fr'
+           END"""
+
+
+@register(
+    "doc_language_mixture",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '{_DE_PARA}' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_DE_PARA}' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_FR_PARA}' ELSE '' END
+               AS text
+      FROM documents
+    ),
+    langs AS (
+      SELECT doc_id,
+             list_transform(string_split(text, chr(10)), p -> {_para_lang_sql()})
+               AS ls
+      FROM planted
+    )
+    SELECT doc_id,
+           len(ls)::BIGINT AS n_paras,
+           len(list_filter(ls, l -> l = 'en'))::BIGINT AS n_en,
+           len(list_filter(ls, l -> l = 'de'))::BIGINT AS n_de,
+           len(list_filter(ls, l -> l = 'fr'))::BIGINT AS n_fr,
+           CASE
+             WHEN len(list_filter(ls, l -> l = 'en')) >= len(list_filter(ls, l -> l = 'de'))
+              AND len(list_filter(ls, l -> l = 'en')) >= len(list_filter(ls, l -> l = 'fr'))
+              THEN 'en'
+             WHEN len(list_filter(ls, l -> l = 'de')) >= len(list_filter(ls, l -> l = 'fr'))
+              THEN 'de'
+             ELSE 'fr'
+           END AS dominant_lang,
+           (len(list_distinct(ls)) > 1) AS is_multilingual
+    FROM langs ORDER BY doc_id
+    """,
+)
+def doc_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level language histogram per document. Map-only:
+    paragraph classification is a higher-order transform over the
+    split array (the langs array is MATERIALIZED in a first projection
+    so the four downstream aggregates don't re-run the classifier —
+    the shingles_from_tokens re-evaluation hazard), no explode, no
+    shuffle beyond the output sort."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 2 == 0, F.lit("\n" + _DE_PARA)).otherwise(F.lit("")),
+            F.when(did % 4 == 0, F.lit("\n" + _DE_PARA)).otherwise(F.lit("")),
+            F.when(did % 3 == 0, F.lit("\n" + _FR_PARA)).otherwise(F.lit("")),
+        ),
+    )
+    langs = planted.select(
+        "doc_id", F.transform(F.split("text", "\n"), _para_lang).alias("ls")
+    )
+    n = lambda lang: F.size(F.filter("ls", lambda l: l == lang))  # noqa: E731
+    counted = langs.select(
+        "doc_id",
+        F.size("ls").alias("n_paras"),
+        n("en").alias("n_en"),
+        n("de").alias("n_de"),
+        n("fr").alias("n_fr"),
+    )
+    return counted.select(
+        "*",
+        F.when(
+            (F.col("n_en") >= F.col("n_de")) & (F.col("n_en") >= F.col("n_fr")), "en"
+        )
+        .when(F.col("n_de") >= F.col("n_fr"), "de")
+        .otherwise("fr")
+        .alias("dominant_lang"),
+        (
+            (F.col("n_en") > 0).cast("int")
+            + (F.col("n_de") > 0).cast("int")
+            + (F.col("n_fr") > 0).cast("int")
+            > 1
+        ).alias("is_multilingual"),
+    ).orderBy("doc_id")

@@ -266,7 +266,10 @@ GATE_PRIORITY: list[str] = [
     # first-occurrence n-gram novelty pass; vocab evidence stays via
     # tokenizer_vocab_coverage + tfidf_top_terms
     "ngram_novelty",
-    "tfidf_top_terms",
+    # tfidf_top_terms (3 straight greens) yields to the NEW r7
+    # per-paragraph language-mixture classifier; term-ranking evidence
+    # stays via rare_token_score + tokenizer_vocab_coverage
+    "doc_language_mixture",
     "contamination_ngram",
     "document_chunking",
     "rare_token_score",

@@ -592,3 +592,11 @@ def test_bloom_prefilter_no_batch_shuffle(spark):
         if "Exchange hashpartitioning" in ln
     }
     assert keys <= {"bucket", "content_hash"}, keys
+
+
+def test_language_mixture_map_only(spark):
+    """Paragraph classification is a materialized higher-order
+    transform — no explode, no hash shuffle, sort-only output."""
+    text = plan_of(spark, "doc_language_mixture")
+    assert "Exchange hashpartitioning" not in text
+    assert "Generate" not in text
