@@ -87,6 +87,7 @@ HEADLINE = [
     "pagerank_quality_prior",
     "unigram_lm_tokenize",
     "doc_language_mixture",
+    "ccnet_perplexity_buckets",
     "cdc_lineitem_roundtrip",
 ]
 

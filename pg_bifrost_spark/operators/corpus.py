@@ -386,6 +386,30 @@ def dedup_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOGPROB_SCALE = 1_000_000
 
 
+def doc_unigram_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, sum_micro_nats) under the corpus-fit unigram
+    LM — THE shared scoring pass ``quality_unigram_logprob`` reports
+    and ``ccnet_perplexity_buckets`` buckets on. Plan shape documented
+    on the registered query."""
+    tok = docs.select("doc_id", F.explode("toks").alias("token"))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(F.log(F.col("c") / F.col("n")) * LOGPROB_SCALE)
+        .cast("bigint")
+        .alias("micro_nats"),
+    )
+    return (
+        tok.join(lp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("micro_nats").cast("bigint").alias("sum_micro_nats"),
+        )
+    )
+
+
 @register(
     "quality_unigram_logprob",
     oracle=f"""
@@ -424,22 +448,8 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) — no skew hot-spot beyond natural Zipf heads, which
     map-side partial aggregation absorbs."""
     docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
-    tok = docs.select("doc_id", F.explode("toks").alias("token"))
-    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
-    tot = cnt.agg(F.sum("c").alias("n"))
-    lp = cnt.crossJoin(F.broadcast(tot)).select(
-        "token",
-        F.floor(F.log(F.col("c") / F.col("n")) * LOGPROB_SCALE)
-        .cast("bigint")
-        .alias("micro_nats"),
-    )
     return (
-        tok.join(lp, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum("micro_nats").cast("bigint").alias("sum_micro_nats"),
-        )
+        doc_unigram_scores(docs)
         .select(
             "doc_id",
             "n_tokens",
@@ -1020,4 +1030,94 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias("novel_grams"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+# CCNet routes documents into head/middle/tail quality tiers by LM
+# perplexity; heads feed training, tails get dropped or down-weighted.
+# True tercile edges need a global quantile — a partition-less total
+# order that does not scale (and whose interpolation differs across
+# engines). The edges here are CORPUS-MEAN-RELATIVE instead: head =
+# better than the corpus mean, tail = more than CCNET_SPREAD_MICRO
+# nats below it — assigned map-side off one broadcast scalar, fully
+# scalable, and integer-exact: the comparisons cross-multiply
+# (sum·C_tok vs C_sum·n) so no division — truncating vs flooring
+# integer division on NEGATIVE sums is an engine mismatch — ever
+# happens. (Cross-products need ~|sum|·C_tok < 2^63: fine through
+# petabyte-scale token counts with micro-nat doc sums; beyond that,
+# divide both sides by a common 1e6 first.)
+CCNET_SPREAD_MICRO = 100_000  # tail edge: 0.1 nats below corpus mean
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT sum(c) AS n FROM cnt),
+    lp AS (
+      SELECT token, CAST(floor(ln(c / n) * {LOGPROB_SCALE}) AS BIGINT) AS micro_nats
+      FROM cnt CROSS JOIN tot
+    ),
+    scores AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(l.micro_nats) AS BIGINT) AS s
+      FROM tok t JOIN lp l USING (token) GROUP BY t.doc_id
+    ),
+    c AS (SELECT sum(s) AS c_sum, sum(n_tokens) AS c_tok FROM scores),
+    b AS (
+      SELECT CASE
+               WHEN s * c_tok > c_sum * n_tokens THEN 'head'
+               WHEN s * c_tok < c_sum * n_tokens
+                                - {CCNET_SPREAD_MICRO} * n_tokens * c_tok THEN 'tail'
+               ELSE 'middle'
+             END AS bucket,
+             n_tokens
+      FROM scores, c
+    )
+    SELECT bucket, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           CAST((sum(n_tokens) * 1000) // (SELECT c_tok FROM c) AS BIGINT)
+             AS token_share_permille
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail token-mass report under the corpus-fit unigram
+    LM (shared ``doc_unigram_scores`` pass). One extra aggregate and a
+    broadcast scalar on top of the scoring plan; bucket assignment is
+    a map-side integer comparison."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    scores = tracked_cache(doc_unigram_scores(docs))
+    corpus = scores.agg(
+        F.sum("sum_micro_nats").alias("c_sum"), F.sum("n_tokens").alias("c_tok")
+    )
+    j = scores.crossJoin(F.broadcast(corpus))
+    lhs = F.col("sum_micro_nats") * F.col("c_tok")
+    rhs = F.col("c_sum") * F.col("n_tokens")
+    bucket = (
+        F.when(lhs > rhs, "head")
+        .when(lhs < rhs - F.lit(CCNET_SPREAD_MICRO) * F.col("n_tokens") * F.col("c_tok"), "tail")
+        .otherwise("middle")
+    )
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(corpus.select("c_tok")))
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_tokens * 1000) DIV c_tok").alias("token_share_permille"),
+        )
+        .orderBy("bucket")
     )

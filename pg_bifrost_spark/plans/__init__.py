@@ -275,7 +275,10 @@ GATE_PRIORITY: list[str] = [
     "rare_token_score",
     # curation / mixture planning
     "corpus_snapshot_diff",
-    "sequence_packing",
+    # sequence_packing (3 straight greens) yields to the NEW r7
+    # CCNet perplexity-bucket report; packing evidence stays pinned in
+    # pytest and its r4-r6 gate greens
+    "ccnet_perplexity_buckets",
     # corpus_mixture_report (3 straight greens) yields to the NEW r6
     # BM25 retrieval operator; mixture evidence stays via
     # domain_cap_sample + token_budget_sample
