@@ -90,9 +90,9 @@ def bloom_probe(
     no shuffle of the probed side at any scale."""
     out = df
     conds = []
+    positions = _positions(col, m, k)
     for i in range(k):
-        pos = _positions(col, m, k)[i]
-        out = out.withColumn(f"_bp{i}", pos)
+        out = out.withColumn(f"_bp{i}", positions[i])
         side = bloom.select(
             F.col("bucket").alias(f"_bb{i}"), F.col("bits").alias(f"_bw{i}")
         )
@@ -203,4 +203,10 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain anti-join the oracle computes. Production callers keep the
     3% default."""
     history, batch = _fixture(spark, sf_dir)
-    return incremental_exact_new(history, batch, "content_hash", fpp=0.3).orderBy("doc_id")
+    # USING-column anti-join hoists the key; restore the oracle's
+    # (doc_id, content_hash) column order
+    return (
+        incremental_exact_new(history, batch, "content_hash", fpp=0.3)
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )

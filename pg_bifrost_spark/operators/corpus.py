@@ -1111,8 +1111,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            # c_tok is constant per row (broadcast scalar) — carrying it
+            # through the agg avoids a second corpus-stats evaluation
+            F.first("c_tok").alias("c_tok"),
         )
-        .crossJoin(F.broadcast(corpus.select("c_tok")))
         .select(
             "bucket",
             "n_docs",

@@ -24,10 +24,15 @@ from .dedup import DF_CUTOFF, PLANTED_DOCS_SQL, ngram_jaccard_pairs, plant_dupli
 _SAMPLE_BUCKETS = 100
 
 
-def md5_bucket(key: F.Column) -> F.Column:
-    """Stable [0,100) bucket from the first 8 hex digits of md5(key)."""
-    return F.pmod(F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
-                  F.lit(_SAMPLE_BUCKETS))
+def md5_bucket(key: F.Column, start: int = 1, buckets: int = _SAMPLE_BUCKETS) -> F.Column:
+    """Stable [0,buckets) bucket from 8 hex digits of md5(key) taken at
+    1-based offset ``start`` — THE oracle-mirrored sampling primitive
+    (callers that need two independent draws use disjoint digit
+    ranges, e.g. mixture.temperature_mixture_sample)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), start, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
 
 
 @register(

@@ -305,13 +305,12 @@ _MIX_WEIGHT_SCALE = 1_000_000
 
 
 def _mix_bucket(col: F.Column, start: int, buckets: int) -> F.Column:
-    """[0,buckets) from 8 hex digits of md5 at ``start`` (1-based).
-    Two call sites use DISJOINT digit ranges so the skew plant and the
-    acceptance draw are decorrelated."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(col.cast("string")), start, 8), 16, 10).cast("long"),
-        F.lit(buckets),
-    )
+    """curation.md5_bucket at an explicit digit offset — the skew
+    plant (digits 1-8) and the acceptance draw (digits 9-16) use
+    DISJOINT ranges so they are decorrelated."""
+    from .curation import md5_bucket
+
+    return md5_bucket(col, start=start, buckets=buckets)
 
 
 @register(

@@ -457,13 +457,14 @@ _DE_PARA = "der hund und die katze das ist von zu den ein haus mit garten"
 _FR_PARA = "le chat et la maison est un jardin une les arbres des fleurs pour toi"
 
 
-def _para_lang(p: F.Column) -> F.Column:
-    """Stopword-vote language of one paragraph (en/de/fr), same
-    tie-break order as text_lang_id."""
+def _para_lang(ptoks: F.Column) -> F.Column:
+    """Stopword-vote language of one paragraph's MATERIALIZED token
+    array (en/de/fr), same tie-break order as text_lang_id. Takes
+    tokens, not raw text: tokenizing inside the vote would re-split
+    the paragraph once per language (the shingles_from_tokens
+    re-evaluation hazard)."""
     def hits(words: list[str]) -> F.Column:
-        return F.size(
-            F.filter(F.split(F.lower(F.trim(p)), r"\s+"), lambda w: w.isin(words))
-        )
+        return F.size(F.filter(ptoks, lambda w: w.isin(words)))
 
     en, de, fr = hits(EN_STOPWORDS), hits(DE_STOPWORDS), hits(FR_STOPWORDS)
     return (
@@ -540,9 +541,13 @@ def doc_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(did % 3 == 0, F.lit("\n" + _FR_PARA)).otherwise(F.lit("")),
         ),
     )
-    langs = planted.select(
-        "doc_id", F.transform(F.split("text", "\n"), _para_lang).alias("ls")
+    ptoks = planted.select(
+        "doc_id",
+        F.transform(
+            F.split("text", "\n"), lambda p: F.split(F.lower(F.trim(p)), r"\s+")
+        ).alias("pt"),
     )
+    langs = ptoks.select("doc_id", F.transform("pt", _para_lang).alias("ls"))
     n = lambda lang: F.size(F.filter("ls", lambda l: l == lang))  # noqa: E731
     counted = langs.select(
         "doc_id",
