@@ -152,7 +152,12 @@ def unigram_tokenize(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    # documents is a single parquet split — without an explicit spread
+    # the whole corpus lands in ONE kernel task (measured 7.6 s vs sub-
+    # second; same trap with_shingles documents)
+    from .dedup import spread
+
+    return spread(docs.select("doc_id", "text"), "doc_id").mapInPandas(
         kernel,
         schema="doc_id bigint, n_pieces bigint, n_word_pieces bigint, "
         "n_char_pieces bigint, total_lp_micro bigint",
@@ -182,8 +187,11 @@ def unigram_em_refit(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
                 {"piece": list(out), "cnt": list(out.values())}
             )
 
+    from .dedup import spread
+
     counts = (
-        docs.select("text")
+        spread(docs.select("doc_id", "text"), "doc_id")
+        .select("text")
         .mapInPandas(kernel, schema="piece string, cnt bigint")
         .groupBy("piece")
         .agg(F.sum("cnt").alias("cnt"))

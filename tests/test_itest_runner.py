@@ -34,20 +34,46 @@ ALL_TESTS = sorted(
 def _drain(spark, test_dir, base):
     """Replay the committed WAL through pipeline + exactly-once sink,
     honoring the test's config.json pipeline kwargs (the in-sandbox
-    twin of the deploy runner's EXTRA_FLAGS)."""
+    twin of the deploy runner's EXTRA_FLAGS).
+
+    ``replay.late_wal`` (test_repl_error): files in that directory
+    model WAL that arrives AFTER the first drain — at deploy the
+    input.sql pg_sleep produces the same timing against the live
+    transport. The replay twin needs it explicit because error-marker
+    skip-ahead jumps past everything currently available (the pinned
+    S7 semantics, tests/test_error_recovery.py): a second drain from
+    the same checkpoint then delivers the late data."""
+    import shutil
+
     from pg_bifrost_spark.cdc.pipeline import PipelineConfig
     from pg_bifrost_spark.sinks.writers import exactly_once_ndjson
     from pg_bifrost_spark.streaming.core import drain_cdc_query
 
     out_dir, ck_dir = str(base / "output"), str(base / "ck")
-    cfg = runner.test_config(test_dir).get("pipeline", {})
-    drain_cdc_query(
-        spark,
-        lambda df, epoch: exactly_once_ndjson(df, epoch, out_dir),
-        ck_dir,
-        cfg=PipelineConfig(**cfg),
-        source_options={"wal_dir": os.path.join(test_dir, "wal")},
-    )
+    conf = runner.test_config(test_dir)
+    cfg = conf.get("pipeline", {})
+    late = conf.get("replay", {}).get("late_wal")
+    wal_src = os.path.join(test_dir, "wal")
+    if late:
+        wal_dir = str(base / "wal")
+        shutil.copytree(wal_src, wal_dir)
+    else:
+        wal_dir = wal_src
+
+    def drain():
+        drain_cdc_query(
+            spark,
+            lambda df, epoch: exactly_once_ndjson(df, epoch, out_dir),
+            ck_dir,
+            cfg=PipelineConfig(**cfg),
+            source_options={"wal_dir": wal_dir},
+        )
+
+    drain()
+    if late:
+        for f in sorted(os.listdir(os.path.join(test_dir, late))):
+            shutil.copy(os.path.join(test_dir, late, f), os.path.join(wal_dir, f))
+        drain()
     return out_dir, ck_dir
 
 
