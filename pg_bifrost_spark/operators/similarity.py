@@ -629,3 +629,114 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA projection (embedding dimensionality reduction)
+# ---------------------------------------------------------------------------
+# The standard pre-pass before ANN indexing / clustering at scale:
+# project d=64 embeddings onto the top-k principal components. The
+# covariance is assembled DISTRIBUTED — each partition emits one
+# (d×d partial Gram, partial sum, count) via an Arrow-batched kernel,
+# a d²-sized relation (64² doubles ≈ 32 KB per partition) — then the
+# driver combines the FEW partials, eigendecomposes the d×d matrix
+# (O(d³), microseconds), and broadcasts the k×d projection back for a
+# map-side transform. Nothing corpus-proportional ever reaches the
+# driver; the same shape at 100 TB with 1000 executors is one shuffle-
+# free pass + a d²-per-task reduce.
+PCA_K = 8
+
+
+def _partial_moments_kernel(batches):
+    """Per-batch (n, sum_d, flattened Gram X^T X) — combined
+    associatively downstream, so partition order cannot change the
+    result beyond float addition order WITHIN a partition (fixed by
+    the deterministic replay layout)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        if len(X) == 0:
+            continue
+        yield pd.DataFrame(
+            {
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "g": [(X.T @ X).ravel().tolist()],
+            }
+        )
+
+
+def pca_components(emb: DataFrame, k: int = PCA_K):
+    """(mean, components[k×d], explained_var[k]) from the distributed
+    moment pass. Driver work is O(partitions·d² + d³) — bounded by
+    construction, the same contract as the ANN codebook collects.
+    Component sign is canonicalized (largest-|loading| coordinate
+    positive) so replays are byte-stable."""
+    import numpy as np
+
+    parts = emb.select("embedding").mapInPandas(
+        _partial_moments_kernel, schema="n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for p in parts:
+        s += np.asarray(p["s"])
+        g += np.asarray(p["g"]).reshape(d, d)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # k×d
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, w[order]
+
+
+def pca_project(emb: DataFrame, mean, comps) -> DataFrame:
+    """vec_id + k-dim projection, map-side (broadcast mean/components
+    inside the Arrow kernel closure)."""
+    import numpy as np
+
+    mean_l = np.asarray(mean, dtype=np.float64)
+    comps_l = np.asarray(comps, dtype=np.float64)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if len(X) == 0:
+                continue
+            P = (X - mean_l) @ comps_l.T
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "proj": list(map(list, P))})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, proj array<double>"
+    )
+
+
+@register("embedding_pca_project")  # rows-only: eigendecomposition is not SQL
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PCA_K} PCA projection of the embeddings table, coordinates
+    quantized to integer milli-units for replay-stable output. Pinned
+    by tests/test_pca.py: exact match vs numpy's full-matrix PCA on
+    the collected fixture, orthonormal components, monotone explained
+    variance, and reconstruction error that shrinks as k grows."""
+    from .dedup import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    mean, comps, _ = pca_components(emb, PCA_K)
+    proj = pca_project(emb, mean, comps)
+    return proj.select(
+        "vec_id",
+        F.transform("proj", lambda x: F.floor(x * 1000).cast("long")).alias(
+            "proj_milli"
+        ),
+    ).orderBy("vec_id")
