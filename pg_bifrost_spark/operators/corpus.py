@@ -1123,3 +1123,58 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick bag-of-words features (fastText/Vowpal-style)
+# ---------------------------------------------------------------------------
+# The fixed-width featurizer a streaming classifier or quality model
+# uses when a trained vocabulary is impractical: feature index =
+# hash(token) mod D, no vocab table, no OOV. Emitted SPARSE
+# (doc_id, feat_idx, cnt) — the dense-vector assembly is a trivial
+# map-side pivot consumers do on demand. Index uses the md5-bucket
+# primitive (curation.md5_bucket) because md5 is the hash both
+# engines share bit-for-bit, making the op oracle-checkable; a
+# production pipeline would swap xxhash64 for speed with identical
+# plan shape.
+FEATURE_DIM = 1024
+
+
+@register(
+    "feature_hashing_bow",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT doc_id,
+           (CAST(CONCAT('0x', substr(md5(token), 1, 8)) AS BIGINT) % {FEATURE_DIM})
+             AS feat_idx,
+           count(*)::BIGINT AS cnt
+    FROM tok
+    GROUP BY 1, 2
+    ORDER BY doc_id, feat_idx
+    """,
+)
+def feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse hashed bag-of-words per document: one explode + one
+    map-side-combined groupBy on (doc_id, feat_idx) — the minimal
+    two-stage featurizer plan; hash collisions (the hashing trick's
+    accepted noise) fold counts together identically in both engines."""
+    from .curation import md5_bucket
+
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    tok = docs.select("doc_id", F.explode("toks").alias("token"))
+    # md5_bucket casts its key to string; token already is one
+    return (
+        tok.select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long"),
+                F.lit(FEATURE_DIM),
+            ).alias("feat_idx"),
+        )
+        .groupBy("doc_id", "feat_idx")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("doc_id", "feat_idx")
+    )

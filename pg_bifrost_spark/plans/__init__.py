@@ -272,7 +272,10 @@ GATE_PRIORITY: list[str] = [
     "doc_language_mixture",
     "contamination_ngram",
     "document_chunking",
-    "rare_token_score",
+    # rare_token_score (3 straight greens) yields to the NEW r7
+    # hashing-trick featurizer; term-scoring evidence stays via
+    # bm25_retrieval + tokenizer_vocab_coverage
+    "feature_hashing_bow",
     # curation / mixture planning
     "corpus_snapshot_diff",
     # sequence_packing (3 straight greens) yields to the NEW r7
