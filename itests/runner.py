@@ -130,6 +130,10 @@ def verify(
         or glob.glob(os.path.join(out_dir, "**", "*.json*"), recursive=True)
         or glob.glob(os.path.join(out_dir, "part-*"))
     )
+    # shard-mode (kinesis/kafka partitioning tests): goldens named
+    # shard-N.golden group output by the record's routed shard (the
+    # per-shard view the reference's pollers diff) instead of by table
+    shard_mode = bool(glob.glob(os.path.join(test_dir, "golden", "shard-*.golden")))
     by_table: dict[str, list[str]] = {}
     lsns: list[str] = []
     for p in paths:
@@ -138,7 +142,8 @@ def verify(
                 if not ln.strip():
                     continue
                 d = json.loads(ln)
-                by_table.setdefault(d["table"].split(".")[-1], []).append(ln)
+                key = f"shard-{d['shard']}" if shard_mode else d["table"].split(".")[-1]
+                by_table.setdefault(key, []).append(ln)
                 if "lsn" in d:
                     lsns.append(d["lsn"])
     problems = []

@@ -261,3 +261,17 @@ def gzip_ndjson_bytes(records: Sequence[str]) -> bytes:
             gz.write(r.encode())
             gz.write(b"\n")
     return buf.getvalue()
+
+
+def kinesis_shard_expr(key: "Column", n_shards: int) -> "Column":
+    """Which shard Kinesis routes a record to: MD5(partition_key)
+    placed on the 2^128 hash ring split into ``n_shards`` equal ranges
+    (the service's documented ExplicitHashKey behavior — what the
+    reference's itest POLLER observes per shard). Computed from the
+    32-bit MD5 prefix: exact whenever n_shards divides 2^32 (any
+    power-of-two shard count), and the same arithmetic DuckDB/pollers
+    can reproduce. Used by the itest harness to verify
+    PARTITION_METHOD routing against per-shard goldens without a live
+    stream."""
+    v = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return F.shiftright(v * n_shards, 32).cast("int")

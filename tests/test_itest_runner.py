@@ -25,9 +25,11 @@ spec.loader.exec_module(runner)
 
 
 ALL_TESTS = sorted(
-    d
-    for d in os.listdir(os.path.join(ITESTS, "tests", "base"))
-    if os.path.isdir(os.path.join(ITESTS, "tests", "base", d))
+    f"{family}/{d}"
+    for family in ("base", "kinesis")
+    if os.path.isdir(os.path.join(ITESTS, "tests", family))
+    for d in os.listdir(os.path.join(ITESTS, "tests", family))
+    if os.path.isdir(os.path.join(ITESTS, "tests", family, d))
 )
 
 
@@ -49,10 +51,15 @@ def _drain(spark, test_dir, base):
     from pg_bifrost_spark.sinks.writers import exactly_once_ndjson
     from pg_bifrost_spark.streaming.core import drain_cdc_query
 
+    from pyspark.sql import functions as F
+
+    from pg_bifrost_spark.sinks.writers import kinesis_shard_expr
+
     out_dir, ck_dir = str(base / "output"), str(base / "ck")
     conf = runner.test_config(test_dir)
     cfg = conf.get("pipeline", {})
     late = conf.get("replay", {}).get("late_wal")
+    shards = conf.get("kinesis_shards")
     wal_src = os.path.join(test_dir, "wal")
     if late:
         wal_dir = str(base / "wal")
@@ -60,10 +67,29 @@ def _drain(spark, test_dir, base):
     else:
         wal_dir = wal_src
 
+    def sink(df, epoch):
+        if shards:
+            # the per-shard view the reference's kinesis pollers diff:
+            # splice the hash-ring shard into each payload
+            routed = kinesis_shard_expr(F.col("partition_key"), shards)
+            df = df.withColumn(
+                "json",
+                F.when(
+                    F.col("json").isNotNull(),
+                    F.concat(
+                        F.lit('{"shard":'),
+                        routed.cast("string"),
+                        F.lit(","),
+                        F.expr("substring(json, 2)"),
+                    ),
+                ),
+            )
+        return exactly_once_ndjson(df, epoch, out_dir)
+
     def drain():
         drain_cdc_query(
             spark,
-            lambda df, epoch: exactly_once_ndjson(df, epoch, out_dir),
+            sink,
             ck_dir,
             cfg=PipelineConfig(**cfg),
             source_options={"wal_dir": wal_dir},
@@ -89,7 +115,7 @@ def test_every_committed_itest_passes_verify(spark, tmp_path, name):
     its own config and must clear the full verify stage. The blacklist
     case is additionally meaningful through the unexpected-table check
     (a leaked audit_log row fails even though no golden names it)."""
-    test_dir = os.path.join(ITESTS, "tests", "base", name)
+    test_dir = os.path.join(ITESTS, "tests", name)
     out_dir, ck_dir = _drain(spark, test_dir, tmp_path)
     problems = runner.verify(test_dir, out_dir, ck_dir)
     assert problems == [], problems
@@ -182,3 +208,21 @@ def test_harness_files_lint():
     assert "wal_level=logical" in " ".join(
         cfg["services"]["postgres"]["command"].split()
     )
+
+
+def test_misrouted_partitioning_is_caught(spark, tmp_path):
+    """Re-run the kinesis partitioning test with PARTITION_METHOD=none:
+    every record routes by the same empty key to ONE shard, and the
+    per-shard golden diff must fail — the routing check isn't vacuous."""
+    import shutil
+
+    test_dir = os.path.join(ITESTS, "tests", "kinesis", "test_table_partitioning")
+    broken = tmp_path / "broken"
+    shutil.copytree(test_dir, broken)
+    cfgp = broken / "config.json"
+    cfg = json.loads(cfgp.read_text())
+    cfg["pipeline"]["partition_method"] = "none"
+    cfgp.write_text(json.dumps(cfg))
+    out_dir, ck_dir = _drain(spark, str(broken), tmp_path)
+    problems = runner.verify(str(broken), out_dir, ck_dir)
+    assert problems != []
