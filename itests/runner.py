@@ -134,6 +134,7 @@ def verify(
     # shard-N.golden group output by the record's routed shard (the
     # per-shard view the reference's pollers diff) instead of by table
     shard_mode = bool(glob.glob(os.path.join(test_dir, "golden", "shard-*.golden")))
+    problems_pre = False  # records missing the shard stamp in shard mode
     by_table: dict[str, list[str]] = {}
     lsns: list[str] = []
     for p in paths:
@@ -142,11 +143,21 @@ def verify(
                 if not ln.strip():
                     continue
                 d = json.loads(ln)
+                if shard_mode and "shard" not in d:
+                    problems_pre = True
+                    continue
                 key = f"shard-{d['shard']}" if shard_mode else d["table"].split(".")[-1]
                 by_table.setdefault(key, []).append(ln)
                 if "lsn" in d:
                     lsns.append(d["lsn"])
     problems = []
+    if problems_pre:
+        problems.append(
+            "shard-mode verify: output records missing the 'shard' field — "
+            "the exporter/poller must stamp each record with its stream "
+            "shard (the pytest twin's _drain does; a deploy poller reads "
+            "per-shard and stamps on export)"
+        )
     golden_tables = set()
     for gpath in sorted(glob.glob(os.path.join(test_dir, "golden", "*.golden"))):
         tbl = os.path.basename(gpath)[: -len(".golden")]

@@ -1165,14 +1165,10 @@ def feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
     tok = docs.select("doc_id", F.explode("toks").alias("token"))
-    # md5_bucket casts its key to string; token already is one
     return (
         tok.select(
             "doc_id",
-            F.pmod(
-                F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long"),
-                F.lit(FEATURE_DIM),
-            ).alias("feat_idx"),
+            md5_bucket(F.col("token"), buckets=FEATURE_DIM).alias("feat_idx"),
         )
         .groupBy("doc_id", "feat_idx")
         .agg(F.count("*").alias("cnt"))

@@ -679,6 +679,8 @@ def pca_components(emb: DataFrame, k: int = PCA_K):
     parts = emb.select("embedding").mapInPandas(
         _partial_moments_kernel, schema="n long, s array<double>, g array<double>"
     ).collect()
+    if not parts:
+        raise ValueError("pca_components: empty embedding input")
     n = sum(p["n"] for p in parts)
     d = len(parts[0]["s"])
     s = np.zeros(d)

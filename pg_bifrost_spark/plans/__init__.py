@@ -268,7 +268,8 @@ GATE_PRIORITY: list[str] = [
     "ngram_novelty",
     # tfidf_top_terms (3 straight greens) yields to the NEW r7
     # per-paragraph language-mixture classifier; term-ranking evidence
-    # stays via rare_token_score + tokenizer_vocab_coverage
+    # stays via tokenizer_vocab_coverage + bm25_retrieval
+    # (rare_token_score also rotated out this round, see below)
     "doc_language_mixture",
     "contamination_ngram",
     "document_chunking",

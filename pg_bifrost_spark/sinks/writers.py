@@ -273,5 +273,9 @@ def kinesis_shard_expr(key: "Column", n_shards: int) -> "Column":
     can reproduce. Used by the itest harness to verify
     PARTITION_METHOD routing against per-shard goldens without a live
     stream."""
-    v = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    # the real transport substitutes '0' for empty keys (PartitionKey
+    # must be non-empty — see the kinesis writer above); the routing
+    # model must hash the SAME bytes the service sees
+    eff = F.when(F.coalesce(key, F.lit("")) == "", F.lit("0")).otherwise(key)
+    v = F.conv(F.substring(F.md5(eff), 1, 8), 16, 10).cast("long")
     return F.shiftright(v * n_shards, 32).cast("int")

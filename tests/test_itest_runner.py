@@ -68,6 +68,13 @@ def _drain(spark, test_dir, base):
         wal_dir = wal_src
 
     def sink(df, epoch):
+        # deliver in WAL order: slow-grammar lines (TRUNCATE) parse on
+        # the mapInPandas branch and the fast∪slow union concatenates
+        # partitions, which would reorder a txn's rows relative to the
+        # WAL — a consumer applying the stream in delivered order must
+        # see TRUNCATE 911 BEFORE INSERT 912. The reference's sinks
+        # deliver in stream order; the twin restores it per batch.
+        df = df.orderBy("wal_start")
         if shards:
             # the per-shard view the reference's kinesis pollers diff:
             # splice the hash-ring shard into each payload

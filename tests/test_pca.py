@@ -60,13 +60,14 @@ def test_projection_and_reconstruction(spark, sf_dir):
     want = (X - mean) @ comps.T
     got = np.asarray([proj[i] for i in ids])
     assert np.allclose(got, want, atol=1e-9)
-    # reconstruction error shrinks as k grows
-    def recon_err(k):
-        _, c, _ = pca_components(emb, k)
+    # reconstruction error shrinks as k grows — the top-2 components
+    # are exactly the first 2 rows of the k=8 result (same cov, same
+    # eigh), so one distributed pass covers both
+    def recon_err(c):
         P = (X - mean) @ c.T
         return float(((X - mean - P @ c) ** 2).sum())
 
-    e2, e8 = recon_err(2), recon_err(8)
+    e2, e8 = recon_err(comps[:2]), recon_err(comps)
     total = float(((X - mean) ** 2).sum())
     assert e8 < e2 < total
 
