@@ -93,13 +93,19 @@ def _drain(spark, test_dir, base):
             )
         return exactly_once_ndjson(df, epoch, out_dir)
 
+    # per-test reader options (test_small_queue: CLIENT_BUFFER_SIZE
+    # parity — a tiny max_msgs_per_batch forces many micro-batches
+    # through the same checkpoint, exercising the drain loop + the
+    # exactly-once epoch layout at itest level)
+    src_opts = {"wal_dir": wal_dir, **conf.get("source_options", {})}
+
     def drain():
         drain_cdc_query(
             spark,
             sink,
             ck_dir,
             cfg=PipelineConfig(**cfg),
-            source_options={"wal_dir": wal_dir},
+            source_options=src_opts,
         )
 
     drain()
