@@ -600,3 +600,27 @@ def test_language_mixture_map_only(spark):
     text = plan_of(spark, "doc_language_mixture")
     assert "Exchange hashpartitioning" not in text
     assert "Generate" not in text
+
+
+def test_pca_moment_pass_is_shuffle_free(spark):
+    """The PCA covariance assembly is one Arrow kernel pass — partials
+    reduce driver-side (O(partitions·d²)), never through an exchange."""
+    from pg_bifrost_spark.operators.similarity import _partial_moments_kernel
+    from pg_bifrost_spark.operators.dedup import spread
+
+    emb = spread(plans.table(spark, SF, "embeddings"), "vec_id")
+    parts = emb.select("embedding").mapInPandas(
+        _partial_moments_kernel, schema="n long, s array<double>, g array<double>"
+    )
+    text = parts._jdf.queryExecution().executedPlan().toString()
+    assert text.count("Exchange hashpartitioning") == 1  # the spread only
+    assert "MapInPandas" in text or "mapInPandas" in text.lower()
+
+
+def test_unigram_tokenize_single_python_stage_after_spread(spark):
+    """The Viterbi kernel runs once per partition AFTER the documented
+    spread repartition — one Python stage, no per-row UDFs."""
+    text = plan_of(spark, "unigram_lm_tokenize")
+    assert text.lower().count("mapinpandas") == 1
+    assert "BatchEvalPython" not in text  # never a row-at-a-time UDF
+    assert "REPARTITION_BY_NUM" in text  # the spread that fixed the 7.6s
