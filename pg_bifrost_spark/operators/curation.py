@@ -10,7 +10,7 @@ joins), not a driver-side union-find.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import register, table, tracked_cache
@@ -1002,3 +1002,48 @@ def pagerank_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("node"))
     ranks = pagerank_micro(nodes, edges, PAGERANK_ITERS)
     return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_micro")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-group reservoir (exactly k docs per source)
+# ---------------------------------------------------------------------------
+# The OTHER balanced-sampling primitive next to rate-based
+# stratified_sample_by_source: exactly-k-per-group selection via
+# smallest-md5 order — a deterministic reservoir (uniform over each
+# group, reproducible on any cluster layout, no RNG state). Ranking
+# partitions by source, so the window is fully distributed — this is
+# the scalable "give me 10k examples per domain" query.
+RESERVOIR_K = 5
+
+
+@register(
+    "reservoir_per_group_sample",
+    oracle=f"""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= {RESERVOIR_K}
+    ORDER BY source, doc_id
+    """,
+)
+def reservoir_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly {RESERVOIR_K} docs per source, chosen by ascending md5
+    prefix (ties by doc_id) — the deterministic reservoir. One
+    partitioned window (never partition-less), one exchange on
+    source; at 100 TB group skew is absorbed because rank state per
+    task is O(1) and the exchange carries only (source, doc_id,
+    8-char hash)."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )

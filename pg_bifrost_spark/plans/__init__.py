@@ -243,7 +243,10 @@ GATE_PRIORITY: list[str] = [
     # text_repetition_stats
     "dedup_repeated_spans",
     "dedup_incremental_batch",
-    "text_repetition_stats",
+    # text_repetition_stats (3 straight greens) yields to the NEW r7
+    # exactly-k-per-group deterministic reservoir; repetition evidence
+    # stays via quality_gopher_rules + quality_c4_rules + text_token_entropy
+    "reservoir_per_group_sample",
     "quality_gopher_rules",
     # NEW r7: the C4 cleaning recipe next to Gopher (planted line
     # structure; pii_redact_customers at 3 straight greens yields its
