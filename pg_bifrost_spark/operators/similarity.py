@@ -742,3 +742,44 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "proj_milli"
         ),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# radius (range) search — the other half of the ANN API
+# ---------------------------------------------------------------------------
+# Top-k answers "the best k matches"; radius search answers "EVERYTHING
+# at least this similar" — the retrieval mode dedup candidate
+# generation and near-duplicate audits actually want (result size is
+# data-dependent, not fixed). Same single-scan broadcast-query plan as
+# ann_bruteforce_topk, but the cut is a map-side predicate, so there
+# is NO global ordering stage at all — at 100 TB this is one scan +
+# one write, the cheapest possible exact retrieval shape.
+RADIUS = 0.25
+
+
+@register(
+    "ann_radius_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                       CAST(qv AS DOUBLE[])), 4) AS cosine
+    FROM embeddings, q
+    WHERE vec_id != {QUERY_VEC_ID}
+      AND list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+            >= {RADIUS}
+    ORDER BY vec_id
+    """,
+)
+def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vectors with cosine ≥ {RADIUS} to the query vector — exact,
+    map-only after the broadcast. (Fixture cosines cluster ~1e-3 apart
+    near the threshold while cross-engine float drift is ~1e-15, the
+    same margin argument the 4dp-rounded cosine outputs rest on.)"""
+    emb = _prepared(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    scored = cosine_to_query(emb.filter(F.col("vec_id") != QUERY_VEC_ID), q)
+    return (
+        scored.filter(F.col("cosine_raw") >= RADIUS)
+        .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
+        .orderBy("vec_id")
+    )

@@ -275,7 +275,10 @@ GATE_PRIORITY: list[str] = [
     # (rare_token_score also rotated out this round, see below)
     "doc_language_mixture",
     "contamination_ngram",
-    "document_chunking",
+    # document_chunking (3 straight greens) yields to the NEW r7
+    # exact cosine radius search (the range half of the ANN API);
+    # chunking evidence stays pytest-pinned with its r4-r6 greens
+    "ann_radius_search",
     # rare_token_score (3 straight greens) yields to the NEW r7
     # hashing-trick featurizer; term-scoring evidence stays via
     # bm25_retrieval + tokenizer_vocab_coverage
