@@ -85,6 +85,7 @@ HEADLINE = [
     "ngram_novelty",
     "temperature_mixture_sample",
     "pagerank_quality_prior",
+    "dsir_importance_score",
     "unigram_lm_tokenize",
     "doc_language_mixture",
     "ccnet_perplexity_buckets",

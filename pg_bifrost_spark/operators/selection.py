@@ -1,0 +1,171 @@
+"""Data-selection operators: model-free importance scoring that picks
+which raw documents resemble a small high-quality target set — the
+step between raw-corpus cleaning and mixture sampling in a
+pretraining data build.
+
+``dsir_importance_score`` implements DSIR (Data Selection via
+Importance Resampling, Xie et al. 2023): hashed n-gram bag-of-words
+features, two multinomial bucket distributions (target vs raw), and a
+per-document importance log-weight
+
+    log w(doc) = sum_f count_doc(f) * (ln p_target(f) - ln p_raw(f))
+
+All float math is quantized to integer micro-nats BEFORE any sum
+(the repo-wide oracle-hash rule): each bucket's ln() is evaluated on
+bit-identical exact-integer-ratio doubles in both engines, floored to
+a BIGINT once, and only BIGINTs are ever summed.
+
+Scale posture (100 TB): features are hash buckets — the model is a
+fixed D-row table, never vocabulary-sized. The corpus is scanned for
+(a) target bucket counts, (b) raw bucket counts, (c) per-doc scoring;
+the tokenized feature relation is tracked_cache'd so the three passes
+share one tokenization at test scale (a deployment would persist it).
+The bucket-count shuffles land on D=256 keys but map-side partial
+aggregation means post-shuffle traffic is O(D x partitions), not
+O(tokens); the lambda table is broadcast (D rows) so per-doc scoring
+is one map-side join plus a single groupBy(doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import register, table, tracked_cache
+from .curation import md5_bucket
+from .text import _tokens
+
+# Hashed feature space (unigrams + bigrams -> D buckets) and the
+# DSIR target set: a small named slice of sources standing in for the
+# "trusted high-quality corpus" (Wikipedia in the paper).
+DSIR_BUCKETS = 256
+DSIR_TARGET_SOURCES = ("src3", "src7")
+_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+LOGPROB_SCALE = 1_000_000
+
+
+def _qln(x: F.Column) -> F.Column:
+    """floor(ln(x) * 1e6) as BIGINT — the order-free quantized log."""
+    return F.floor(F.log(x) * LOGPROB_SCALE).cast("bigint")
+
+
+def _hashed_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket) — one row per unigram AND bigram
+    occurrence, hashed to DSIR_BUCKETS via the oracle-mirrored md5
+    primitive. Bigrams join adjacent tokens with a single space; docs
+    with one token contribute unigrams only (guarded: Spark's
+    sequence(1, 0) would DESCEND, not return empty)."""
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    feats_arr = F.when(F.size("toks") >= 2, F.concat(F.col("toks"), bigrams)).otherwise(
+        F.col("toks")
+    )
+    return docs.select(
+        "doc_id", "source", F.explode(feats_arr).alias("feat")
+    ).select(
+        "doc_id",
+        "source",
+        md5_bucket(F.col("feat"), buckets=DSIR_BUCKETS).alias("bucket"),
+    )
+
+
+@register(
+    "dsir_importance_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+      FROM tok
+    ),
+    fb AS (
+      SELECT doc_id, source,
+             (CAST(CONCAT('0x', substr(md5(feat), 1, 8)) AS BIGINT)
+                % {DSIR_BUCKETS}) AS bucket
+      FROM feat
+    ),
+    tcnt AS (SELECT bucket, count(*) AS t FROM fb
+             WHERE source IN ({_TGT_SQL}) GROUP BY 1),
+    rcnt AS (SELECT bucket, count(*) AS r FROM fb
+             WHERE source NOT IN ({_TGT_SQL}) GROUP BY 1),
+    tot AS (SELECT (SELECT COALESCE(sum(t), 0) FROM tcnt) AS tt,
+                   (SELECT COALESCE(sum(r), 0) FROM rcnt) AS rr),
+    spine AS (SELECT range AS bucket FROM range(0, {DSIR_BUCKETS})),
+    lam AS (
+      SELECT s.bucket,
+             CAST(floor(ln((COALESCE(t, 0) + 1) / (tt + {DSIR_BUCKETS}))
+                        * {LOGPROB_SCALE}) AS BIGINT)
+           - CAST(floor(ln((COALESCE(r, 0) + 1) / (rr + {DSIR_BUCKETS}))
+                        * {LOGPROB_SCALE}) AS BIGINT) AS lam
+      FROM spine s
+      LEFT JOIN tcnt ON s.bucket = tcnt.bucket
+      LEFT JOIN rcnt ON s.bucket = rcnt.bucket
+      CROSS JOIN tot
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(l.lam) AS BIGINT) AS dsir_micro_nats
+    FROM fb f JOIN lam l ON f.bucket = l.bucket
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weight per document (integer micro-nats):
+    how much more likely the doc's hashed n-gram bag is under the
+    target distribution than the raw distribution. Higher ⇒ more
+    target-like ⇒ kept with higher probability by the resampling step
+    (which is ``sample_deterministic``-style hash thresholding on this
+    score downstream — scoring is the distributed-compute part).
+
+    Plan: one tokenize+hash pass (cached), two D-key bucket counts
+    with map-side combine, a D-row lambda table built on a bucket
+    spine with the two totals as broadcast single-row crossJoins, then
+    broadcast(lambda) ⋈ features → one groupBy(doc_id). Nothing
+    corpus-proportional is broadcast, collected, or windowed.
+
+    +1/(N+D) Laplace smoothing keeps empty buckets finite on both
+    engines; both logs are quantized per-bucket before the BIGINT
+    per-doc sum, so accumulation order cannot move the hash."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    feats = tracked_cache(_hashed_features(docs))
+    is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+
+    tcnt = feats.filter(is_tgt).groupBy("bucket").agg(F.count("*").alias("t"))
+    rcnt = feats.filter(~is_tgt).groupBy("bucket").agg(F.count("*").alias("r"))
+    tot_t = tcnt.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tt"))
+    tot_r = rcnt.agg(F.coalesce(F.sum("r"), F.lit(0)).alias("rr"))
+
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+    lam = (
+        spine.join(tcnt, "bucket", "left")
+        .join(rcnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "bucket",
+            (
+                _qln((F.coalesce(F.col("t"), F.lit(0)) + 1) / (F.col("tt") + DSIR_BUCKETS))
+                - _qln((F.coalesce(F.col("r"), F.lit(0)) + 1) / (F.col("rr") + DSIR_BUCKETS))
+            ).alias("lam"),
+        )
+    )
+
+    return (
+        feats.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("lam").cast("bigint").alias("dsir_micro_nats"),
+        )
+        .orderBy("doc_id")
+    )

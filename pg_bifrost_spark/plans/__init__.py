@@ -247,7 +247,10 @@ GATE_PRIORITY: list[str] = [
     # exactly-k-per-group deterministic reservoir; repetition evidence
     # stays via quality_gopher_rules + quality_c4_rules + text_token_entropy
     "reservoir_per_group_sample",
-    "quality_gopher_rules",
+    # quality_gopher_rules (3 straight greens r4-r6) yields to the NEW
+    # r7 DSIR hashed-ngram importance score; Gopher evidence stays via
+    # quality_c4_rules + the capstone's reused gopher_keep_parts stage
+    "dsir_importance_score",
     # NEW r7: the C4 cleaning recipe next to Gopher (planted line
     # structure; pii_redact_customers at 3 straight greens yields its
     # slot — PII evidence stays via pii_scan_documents)
@@ -353,6 +356,7 @@ def load_all() -> None:
         mixture,
         privacy,
         profiling,
+        selection,
         similarity,
         structure,
         text,

@@ -624,3 +624,19 @@ def test_unigram_tokenize_single_python_stage_after_spread(spark):
     assert text.lower().count("mapinpandas") == 1
     assert "BatchEvalPython" not in text  # never a row-at-a-time UDF
     assert "REPARTITION_BY_NUM" in text  # the spread that fixed the 7.6s
+
+
+def test_dsir_broadcast_model_no_smj(spark):
+    """DSIR's model is a D-row lambda table: it must reach the corpus
+    via broadcast (never a sort-merge realignment), the two totals are
+    broadcast single-row crossJoins, the hashed-feature relation is
+    cached (three logical passes, one tokenization), and nothing in
+    the tree is a Python stage."""
+    text = plan_of(spark, "dsir_importance_score")
+    assert "SortMergeJoin" not in text
+    assert "BroadcastHashJoin" in text
+    assert text.count("BroadcastNestedLoopJoin") == 2  # the two totals
+    assert "InMemoryTableScan" in text  # shared hashed-feature cache
+    assert "BatchEvalPython" not in text
+    # bucket counts + final doc groupBy dominate the exchange budget
+    assert text.count("Exchange hashpartitioning") <= 5, text
