@@ -278,3 +278,169 @@ def drift_report(snap_a: DataFrame, snap_b: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# robust (median/MAD) outlier detection
+# --------------------------------------------------------------------------
+# The mean/std z-score above breaks exactly when you need it (outliers
+# inflate the std that is supposed to expose them); the robust twin
+# uses median and MAD, which tolerate up to 50% contamination.
+#
+# Exactness contract: NO floats anywhere in the decision path. Values
+# become exact integer cents via a DECIMAL(9,2) cast; medians are
+# "doubled medians" (the SUM of the two middle order statistics —
+# integer for both parities, = 2x the interpolated median), MAD is the
+# doubled median of dev = |2x - med2| (= 4x the true MAD), and the
+# outlier test  0.6745 * |x-med| / MAD > 3.5  is cross-multiplied to
+# the BIGINT inequality  1349 * dev > 3500 * mad2  (memory rule: never
+# divide across engines, cross-multiply). The doubled/quadrupled raw
+# integers are emitted alongside ONE final int->double division each
+# for readability.
+MAD_Z_NUM = 1349  # 2 * 0.6745 * 1000
+MAD_Z_DEN = 3500  # 3.5 * 1000
+
+
+def _doubled_median(vals: DataFrame, key: str, col: str) -> DataFrame:
+    """(key, med2) where med2 = x_(ceil(n/2)) + x_(floor(n/2)+1) in
+    sorted order — twice the interpolated median, always integer.
+
+    Histogram method, NOT a per-group row sort: counts per (key,
+    value) are map-side combined, the cumulative-sum window runs over
+    the DISTINCT-value relation (value-domain-sized, orders of
+    magnitude smaller than the rows), and the order statistics are
+    min-value-where-cum>=k selections. Scales to groups of any row
+    count as long as the value domain is bounded (integer cents here);
+    a continuous domain would use approx quantiles instead."""
+    from pyspark.sql import Window
+
+    cnt = vals.groupBy(key, col).agg(F.count("*").alias("c"))
+    tot = cnt.groupBy(key).agg(F.sum("c").cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.withColumn("cum", F.sum("c").over(w)).join(F.broadcast(tot), key)
+    m1 = (
+        cum.filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .groupBy(key)
+        .agg(F.min(col).alias("m1"))
+    )
+    m2 = (
+        cum.filter(F.col("cum") >= F.expr("n DIV 2 + 1"))
+        .groupBy(key)
+        .agg(F.min(col).alias("m2"))
+    )
+    return m1.join(m2, key).select(
+        key, (F.col("m1") + F.col("m2")).cast("bigint").alias("med2")
+    )
+
+
+@register(
+    "events_robust_mad_outliers",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    cnt AS (SELECT event_type, cents, count(*) AS c FROM v GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    cum AS (
+      SELECT c.event_type, c.cents, t.n,
+             sum(c.c) OVER (PARTITION BY c.event_type ORDER BY c.cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cnt c JOIN tot t USING (event_type)
+    ),
+    med AS (
+      SELECT a.event_type, CAST(a.m1 + b.m2 AS BIGINT) AS med2
+      FROM (SELECT event_type, min(cents) AS m1 FROM cum
+            WHERE cum >= (n + 1) // 2 GROUP BY 1) a
+      JOIN (SELECT event_type, min(cents) AS m2 FROM cum
+            WHERE cum >= n // 2 + 1 GROUP BY 1) b USING (event_type)
+    ),
+    dev AS (
+      SELECT v.event_type, abs(2 * v.cents - m.med2) AS d
+      FROM v JOIN med m USING (event_type)
+    ),
+    dcnt AS (SELECT event_type, d, count(*) AS c FROM dev GROUP BY 1, 2),
+    dcum AS (
+      SELECT dc.event_type, dc.d, t.n,
+             sum(dc.c) OVER (PARTITION BY dc.event_type ORDER BY dc.d
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dcnt dc JOIN tot t USING (event_type)
+    ),
+    mad AS (
+      SELECT a.event_type, CAST(a.m1 + b.m2 AS BIGINT) AS mad2
+      FROM (SELECT event_type, min(d) AS m1 FROM dcum
+            WHERE cum >= (n + 1) // 2 GROUP BY 1) a
+      JOIN (SELECT event_type, min(d) AS m2 FROM dcum
+            WHERE cum >= n // 2 + 1 GROUP BY 1) b USING (event_type)
+    )
+    SELECT v.event_type,
+           any_value(t.n) AS n,
+           any_value(m.med2) AS median_cents_x2,
+           any_value(md.mad2) AS mad_cents_x4,
+           CAST(any_value(m.med2) AS DOUBLE) / 200 AS median_value,
+           CAST(any_value(md.mad2) AS DOUBLE) / 400 AS mad_value,
+           CAST(sum(CASE WHEN md.mad2 > 0
+                          AND {MAD_Z_NUM} * abs(2 * v.cents - m.med2)
+                              > {MAD_Z_DEN} * md.mad2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM v
+    JOIN tot t USING (event_type)
+    JOIN med m USING (event_type)
+    JOIN mad md USING (event_type)
+    GROUP BY v.event_type ORDER BY v.event_type
+    """,
+)
+def events_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score (0.6745·|x−med|/MAD > 3.5, Iglewicz–Hoaglin)
+    outlier counts per event type — the detector that still works when
+    the contamination itself has inflated the variance the plain
+    z-score depends on.
+
+    Plan: value rows collapse to an exact-cents histogram (map-side
+    combined groupBy on the high-cardinality (type, cents) key), every
+    window runs over the distinct-value relation only, and the
+    per-type stats (n, med2, mad2 — |event_types| rows) come back to
+    the rows via broadcast joins; the full events relation is scanned
+    for the histogram, the deviation histogram, and the final count.
+    Nothing floats: medians are doubled order-statistic sums and the
+    cut is a cross-multiplied BIGINT inequality, so the hash cannot
+    drift on ulp differences between engines."""
+    from ..plans import tracked_cache
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = tracked_cache(
+        ev.select(
+            "event_type",
+            (F.col("value").cast("decimal(9,2)") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    med = _doubled_median(v, "event_type", "cents")
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("cents") - F.col("med2")).alias("d")
+    )
+    mad = _doubled_median(dev, "event_type", "d").withColumnRenamed("med2", "mad2")
+    tot = v.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    is_out = (F.col("mad2") > 0) & (
+        MAD_Z_NUM * F.abs(2 * F.col("cents") - F.col("med2"))
+        > MAD_Z_DEN * F.col("mad2")
+    )
+    return (
+        v.join(F.broadcast(tot), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value(F.col("n")).alias("n"),
+            F.any_value(F.col("med2")).alias("median_cents_x2"),
+            F.any_value(F.col("mad2")).alias("mad_cents_x4"),
+            (F.any_value(F.col("med2")).cast("double") / 200).alias("median_value"),
+            (F.any_value(F.col("mad2")).cast("double") / 400).alias("mad_value"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

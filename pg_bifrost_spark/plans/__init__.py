@@ -307,7 +307,11 @@ GATE_PRIORITY: list[str] = [
     # alpha-temperature mixture resample; skew evidence stays pinned
     # by test_aqe_skew + salted_skew_join's recorded greens
     "temperature_mixture_sample",
-    "corpus_length_histogram",
+    # corpus_length_histogram (3 straight greens r4-r6) yields to the
+    # NEW r7 robust median/MAD outlier detector (all-BIGINT decision
+    # path); histogram evidence stays via ccnet_perplexity_buckets +
+    # its recorded greens
+    "events_robust_mad_outliers",
     # events_anomaly_zscore (3 straight greens) yields to the NEW r7
     # integer-PageRank quality prior (unrolled-CTE oracle); anomaly
     # evidence stays via the windows/events suite rows

@@ -640,3 +640,15 @@ def test_dsir_broadcast_model_no_smj(spark):
     assert "BatchEvalPython" not in text
     # bucket counts + final doc groupBy dominate the exchange budget
     assert text.count("Exchange hashpartitioning") <= 5, text
+
+
+def test_robust_mad_histogram_windows_are_partitioned(spark):
+    """The median machinery must run over the distinct-value histogram
+    (map-side combined counts), with every window PARTITIONED by
+    event_type and all stats joins broadcast — a per-group row sort or
+    a sort-merge realignment here dies at 100 TB."""
+    text = plan_of(spark, "events_robust_mad_outliers")
+    assert "SortMergeJoin" not in text
+    assert "BroadcastHashJoin" in text
+    assert "BatchEvalPython" not in text
+    assert "InMemoryTableScan" in text  # shared exact-cents relation
