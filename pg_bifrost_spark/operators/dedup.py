@@ -1603,3 +1603,126 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_urls") >= 2)
         .orderBy("canonical_url")
     )
+
+
+# --------------------------------------------------------------------------
+# prefix-truncation duplicates
+# --------------------------------------------------------------------------
+# Crawl pipelines routinely re-capture the same page truncated at a
+# different byte budget; the truncated copy is an exact PREFIX of the
+# full one, so neither exact-hash nor shingle-Jaccard dedup reliably
+# catches it (the hash differs; Jaccard dilutes as the length ratio
+# grows). This operator finds strict prefix pairs directly.
+#
+# Blocking contract: a pair is reported only when the shared prefix is
+# at least PREFIX_MIN chars — the first PREFIX_MIN chars are then a
+# shared block key, so candidate generation is an equi-join, never a
+# corpus cross-join. (Sub-PREFIX_MIN docs are exact-dedup territory.)
+# Hot blocks (boilerplate openings) are excluded by PREFIX_BLOCK_CAP
+# before pairing — the same bounded-quadratic defense as the LSH
+# bucket size filter.
+PREFIX_MIN = 32
+PREFIX_BLOCK_CAP = 64
+TRUNC_MOD = 9
+TRUNC_OFFSET = 2_000_000
+
+# oracle-side mirror of the truncation plant: every doc_id % 9 == 0
+# document whose half-length clears PREFIX_MIN gains a clone holding
+# its first half
+PLANTED_TRUNC_SQL = f"""documents_trunc AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {TRUNC_OFFSET} AS doc_id,
+             substr(text, 1, length(text) // 2) AS text
+      FROM documents
+      WHERE doc_id % {TRUNC_MOD} = 0 AND length(text) // 2 >= {PREFIX_MIN}
+    )"""
+
+
+def plant_truncations(df: DataFrame) -> DataFrame:
+    """Union half-length prefix clones (the findable-by-construction
+    fixture twin of PLANTED_TRUNC_SQL)."""
+    clones = (
+        df.filter(
+            (F.col("doc_id") % TRUNC_MOD == 0)
+            & (F.expr("length(text) DIV 2") >= PREFIX_MIN)
+        )
+        .select(
+            (F.col("doc_id") + TRUNC_OFFSET).alias("doc_id"),
+            F.expr("substring(text, 1, length(text) DIV 2)").alias("text"),
+        )
+    )
+    return df.select("doc_id", "text").unionByName(clones)
+
+
+@register(
+    "dedup_prefix_truncation",
+    oracle=f"""
+    WITH {PLANTED_TRUNC_SQL},
+    cand AS (
+      SELECT doc_id, text, substr(text, 1, {PREFIX_MIN}) AS k
+      FROM documents_trunc WHERE length(text) >= {PREFIX_MIN}
+    ),
+    blk AS (SELECT k, count(*) AS c FROM cand GROUP BY 1),
+    ok AS (SELECT cand.doc_id, cand.text, cand.k
+           FROM cand JOIN blk USING (k) WHERE c <= {PREFIX_BLOCK_CAP})
+    SELECT a.doc_id AS prefix_doc_id,
+           b.doc_id AS super_doc_id,
+           CAST(length(a.text) AS BIGINT) AS prefix_chars
+    FROM ok a JOIN ok b
+      ON a.k = b.k
+     AND length(b.text) > length(a.text)
+     AND starts_with(b.text, a.text)
+    ORDER BY 1, 2
+    """,
+)
+def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict prefix-duplicate pairs (truncated re-crawls): doc A's
+    full text is the first length(A) chars of doc B, with at least
+    PREFIX_MIN shared chars.
+
+    Plan: one block-key derivation pass (cached — the candidate
+    relation feeds the block-size count AND both sides of the pair
+    join), a map-side-combined block count joined back on the block
+    key, then a self equi-join on the 32-char key with the
+    starts_with + strict-length predicates evaluated in-join. Both
+    pair-join sides shuffle on the same high-cardinality key; block
+    sizes are capped at PREFIX_BLOCK_CAP first, so in-block pairing is
+    bounded-quadratic exactly like the LSH bucket size filter. The
+    planted truncations (PLANTED_TRUNC_SQL twin) make the gate prove
+    pairs are FOUND, not that an empty set matches."""
+    from ..plans import tracked_cache
+
+    docs = table(spark, sf_dir, "documents")
+    planted = plant_truncations(docs)
+    cand = tracked_cache(
+        planted.filter(F.length("text") >= PREFIX_MIN).select(
+            "doc_id", "text", F.substring("text", 1, PREFIX_MIN).alias("k")
+        )
+    )
+    blk = cand.groupBy("k").agg(F.count("*").alias("c"))
+    ok = cand.join(blk.filter(F.col("c") <= PREFIX_BLOCK_CAP), "k").select(
+        "k", "doc_id", "text"
+    )
+    a = ok.select(
+        "k", F.col("doc_id").alias("prefix_doc_id"), F.col("text").alias("a_text")
+    )
+    b = ok.select(
+        "k", F.col("doc_id").alias("super_doc_id"), F.col("text").alias("b_text")
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                a.k == b.k,
+                F.length("b_text") > F.length("a_text"),
+                F.expr("startswith(b_text, a_text)"),
+            ],
+        )
+        .select(
+            "prefix_doc_id",
+            "super_doc_id",
+            F.length("a_text").cast("bigint").alias("prefix_chars"),
+        )
+        .orderBy("prefix_doc_id", "super_doc_id")
+    )

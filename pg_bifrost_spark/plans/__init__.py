@@ -277,7 +277,10 @@ GATE_PRIORITY: list[str] = [
     # stays via tokenizer_vocab_coverage + bm25_retrieval
     # (rare_token_score also rotated out this round, see below)
     "doc_language_mixture",
-    "contamination_ngram",
+    # contamination_ngram (3 straight greens r4-r6) yields to the NEW
+    # r7 strict prefix-truncation dedup (planted half-length clones);
+    # n-gram-overlap evidence stays via ngram_novelty + its greens
+    "dedup_prefix_truncation",
     # document_chunking (3 straight greens) yields to the NEW r7
     # exact cosine radius search (the range half of the ANN API);
     # chunking evidence stays pytest-pinned with its r4-r6 greens

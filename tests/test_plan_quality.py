@@ -652,3 +652,14 @@ def test_robust_mad_histogram_windows_are_partitioned(spark):
     assert "BroadcastHashJoin" in text
     assert "BatchEvalPython" not in text
     assert "InMemoryTableScan" in text  # shared exact-cents relation
+
+
+def test_prefix_truncation_equijoin_never_crossjoin(spark):
+    """Prefix pairing must be an equi-join on the 32-char block key
+    (the starts_with predicate rides the join, it never becomes a
+    cross product), with the candidate relation cached once for the
+    block count and both join sides."""
+    text = plan_of(spark, "dedup_prefix_truncation")
+    assert "CartesianProduct" not in text and "BroadcastNestedLoopJoin" not in text
+    assert "InMemoryTableScan" in text
+    assert "BatchEvalPython" not in text
