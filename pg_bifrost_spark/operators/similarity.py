@@ -783,3 +783,109 @@ def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("cosine_raw", 4).alias("cosine"))
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# hard-negative mining (contrastive-training batch construction)
+# --------------------------------------------------------------------------
+# Triplet/InfoNCE training wants, per anchor, the negatives the model
+# currently confuses MOST: highest-cosine corpus vectors with a
+# DIFFERENT label, reported with the margin against the anchor's best
+# same-label positive (margin <= 0 ⇒ an active triplet violation).
+HN_K = 5
+HN_Q_MOD = 50  # vec_id % 50 == 0 → the anchor batch (~2% of vectors)
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % {HN_Q_MOD} = 0
+    ),
+    c AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % {HN_Q_MOD} <> 0
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, c.vec_id, c.label,
+             list_cosine_similarity(c.v, q.qv) AS cos_raw
+      FROM q CROSS JOIN c
+    ),
+    pos AS (
+      SELECT qid, max(cos_raw) AS pos_raw
+      FROM scored WHERE label = qlabel GROUP BY qid
+    ),
+    neg AS (
+      SELECT qid, vec_id, label, cos_raw,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id)
+               AS rank
+      FROM scored WHERE label <> qlabel
+    )
+    SELECT n.qid, n.vec_id AS neg_id, n.label AS neg_label,
+           CAST(n.rank AS BIGINT) AS rank,
+           round(n.cos_raw, 4) AS neg_cosine,
+           round(p.pos_raw - n.cos_raw, 4) AS margin
+    FROM neg n JOIN pos p USING (qid)
+    WHERE n.rank <= {HN_K}
+    ORDER BY n.qid, n.rank
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{HN_K} cross-label nearest neighbors per anchor with the
+    triplet margin against the anchor's best same-label positive —
+    the distributed mining pass a contrastive fine-tune runs between
+    epochs.
+
+    Plan shape is the ann_batch_topk serving shape: the anchor batch
+    is broadcast (request-sized by construction), the corpus streams
+    map-side through ONE scoring pass that feeds BOTH the positive max
+    (a qid-grouped agg) and the negative top-k window (partitioned on
+    qid, k-bounded sort state); the positive table (one row per
+    anchor) re-joins by broadcast. The corpus is never shuffled. At
+    production scale the IVF/LSH pruners feed this same tail — mining
+    only needs CANDIDATE negatives, so pruned recall trades off
+    exactly like serving recall."""
+    from ..plans import tracked_cache
+
+    emb = _prepared(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % HN_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = emb.filter(F.col("vec_id") % HN_Q_MOD != 0)
+    scored = tracked_cache(
+        c.crossJoin(F.broadcast(q)).select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    pos = scored.filter(F.col("label") == F.col("qlabel")).groupBy("qid").agg(
+        F.max("cos_raw").alias("pos_raw")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), "vec_id")
+    neg = (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+    )
+    return (
+        neg.join(F.broadcast(pos), "qid")
+        .select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("cos_raw", 4).alias("neg_cosine"),
+            F.round(F.col("pos_raw") - F.col("cos_raw"), 4).alias("margin"),
+        )
+        .orderBy("qid", "rank")
+    )

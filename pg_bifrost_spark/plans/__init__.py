@@ -303,7 +303,10 @@ GATE_PRIORITY: list[str] = [
     # span-REMOVAL action twin of dedup_repeated_spans; mixture
     # evidence stays via token_budget_sample
     "repeated_span_removal",
-    "token_budget_sample",
+    # token_budget_sample (3 straight greens r4-r6) yields to the NEW
+    # r7 contrastive hard-negative miner; budgeted-mixture evidence
+    # stays via temperature_mixture_sample + its greens
+    "ann_hard_negatives",
     "events_funnel",
     # profiling / diagnostics (r3 additions — first gate rotation)
     # join_skew_report (3 straight greens) yields to the NEW r7

@@ -663,3 +663,15 @@ def test_prefix_truncation_equijoin_never_crossjoin(spark):
     assert "CartesianProduct" not in text and "BroadcastNestedLoopJoin" not in text
     assert "InMemoryTableScan" in text
     assert "BatchEvalPython" not in text
+
+
+def test_hard_negatives_corpus_never_shuffled(spark):
+    """One broadcast scoring pass feeds both the positive max and the
+    negative top-k window: the corpus reaches the plan via broadcast
+    joins only (anchor batch + per-anchor positive table), the window
+    partitions on qid, and the scored relation is cached once."""
+    text = plan_of(spark, "ann_hard_negatives")
+    assert "SortMergeJoin" not in text
+    assert "BroadcastNestedLoopJoin" in text  # anchor-batch crossJoin
+    assert "InMemoryTableScan" in text
+    assert "BatchEvalPython" not in text
