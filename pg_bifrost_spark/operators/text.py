@@ -571,3 +571,120 @@ def doc_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 1
         ).alias("is_multilingual"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# code-vs-prose detection
+# --------------------------------------------------------------------------
+# Pretraining mixtures track code share explicitly (and code wants
+# different cleaning than prose), so the pipeline needs a cheap
+# in-scan classifier: symbol density + keyword tokens + semicolon
+# line endings. The decision path is ALL-INTEGER (cross-multiplied
+# thresholds), so the oracle hash cannot drift.
+#
+# The natural fixture corpus is prose-only — a constant-false output
+# would gate-pass vacuously (memory rule: check VARIETY, not just
+# rows) — so every doc_id % CODE_MOD == 0 document is REPLACED by a
+# deterministic two-line pseudo-function parameterized by doc_id,
+# mirrored byte-exactly in the oracle via chr(10) concatenation.
+CODE_MOD = 13
+CODE_KEYWORDS = ("def", "return", "import", "class", "function", "const", "var")
+_KW_SQL = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
+CODE_SYMBOL_RE = "[(){};=<>*]"
+CODE_SYM_PERMILLE = 30  # symbols/chars >= 3.0%
+CODE_MIN_KEYWORDS = 2
+
+PLANTED_CODE_SQL = f"""documents_code AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {CODE_MOD} = 0 THEN
+               'def f_' || doc_id || '(x):' || chr(10) ||
+               '    y = x * ' || doc_id || ';' || chr(10) ||
+               '    return y;'
+             ELSE text END AS text,
+             source
+      FROM documents
+    )"""
+
+
+def plant_code_docs(df: DataFrame) -> DataFrame:
+    """Byte-exact twin of PLANTED_CODE_SQL."""
+    snippet = F.concat(
+        F.lit("def f_"),
+        F.col("doc_id").cast("string"),
+        F.lit("(x):\n    y = x * "),
+        F.col("doc_id").cast("string"),
+        F.lit(";\n    return y;"),
+    )
+    return df.withColumn(
+        "text",
+        F.when(F.col("doc_id") % CODE_MOD == 0, snippet).otherwise(F.col("text")),
+    )
+
+
+@register(
+    "quality_code_detect",
+    oracle=f"""
+    WITH {PLANTED_CODE_SQL},
+    feat AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text)
+                  - length(regexp_replace(text, '{CODE_SYMBOL_RE}', '', 'g'))
+                  AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> list_contains([{_KW_SQL}], t))) AS BIGINT) AS n_keywords,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(string_split(text, chr(10)),
+                                  l -> ends_with(l, ';'))) AS BIGINT) AS semi_lines
+      FROM documents_code
+    )
+    SELECT doc_id, n_chars, n_symbols, n_keywords, n_lines, semi_lines,
+           CAST((n_symbols * 1000) // greatest(n_chars, 1) AS BIGINT) AS sym_permille,
+           (n_keywords >= {CODE_MIN_KEYWORDS}
+            AND n_symbols * 1000 >= {CODE_SYM_PERMILLE} * n_chars) AS is_code
+    FROM feat ORDER BY doc_id
+    """,
+)
+def quality_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document code-vs-prose heuristic: structural symbol density
+    ({CODE_SYMBOL_RE}), programming-keyword token count, and
+    semicolon-terminated line count, combined into an all-integer
+    decision (cross-multiplied permille threshold AND a keyword
+    floor).
+
+    Plan: one map-only projection — regexp strip, token filter, and
+    line split are all JVM higher-order functions inside one
+    whole-stage-codegen span; zero shuffles before the output sort.
+    At 100 TB this runs at scan speed and is exactly the shape you
+    fold into the refinery's first pass."""
+    docs = plant_code_docs(table(spark, sf_dir, "documents"))
+    kw = F.array(*[F.lit(k) for k in CODE_KEYWORDS])
+    feat = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", CODE_SYMBOL_RE, ""))
+        ).cast("bigint").alias("n_symbols"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: F.array_contains(kw, t),
+            )
+        ).cast("bigint").alias("n_keywords"),
+        F.size(F.split(F.col("text"), "\n", -1)).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), "\n", -1), lambda l: l.endswith(";")
+            )
+        ).cast("bigint").alias("semi_lines"),
+    )
+    return feat.select(
+        "*",
+        F.expr("(n_symbols * 1000) DIV greatest(n_chars, 1)").cast("bigint").alias("sym_permille"),
+        (
+            (F.col("n_keywords") >= CODE_MIN_KEYWORDS)
+            & (F.col("n_symbols") * 1000 >= CODE_SYM_PERMILLE * F.col("n_chars"))
+        ).alias("is_code"),
+    ).orderBy("doc_id")

@@ -345,7 +345,11 @@ GATE_PRIORITY: list[str] = [
     # embedding_quantize_int8, ann_bruteforce_topk. All EIGHTEEN r5
     # additions hold gate slots this round; union of r1-r5 gate rows
     # covers every oracle-backed operator with zero never-checked.
-    "tumbling_window_stats",
+    # tumbling_window_stats (SIX straight greens r1-r6) yields to the
+    # NEW r7 code-vs-prose detector (planted pseudo-code docs); the
+    # windowed-stats path stays pinned by the streaming pytest suite
+    # and its six recorded gate greens
+    "quality_code_detect",
     "scalar_function_suite",
 ]
 

@@ -675,3 +675,13 @@ def test_hard_negatives_corpus_never_shuffled(spark):
     assert "BroadcastNestedLoopJoin" in text  # anchor-batch crossJoin
     assert "InMemoryTableScan" in text
     assert "BatchEvalPython" not in text
+
+
+def test_code_detect_map_only(spark):
+    """The classifier is one JVM-side projection (the HOF lambdas keep
+    it out of codegen but firmly in-JVM): zero hash exchanges before
+    the output sort, no joins, no Python."""
+    text = plan_of(spark, "quality_code_detect")
+    assert text.count("Exchange hashpartitioning") == 0, text
+    assert "Join" not in text
+    assert "BatchEvalPython" not in text
