@@ -1,7 +1,8 @@
-"""Data-selection operators: model-free importance scoring that picks
-which raw documents resemble a small high-quality target set — the
-step between raw-corpus cleaning and mixture sampling in a
-pretraining data build.
+"""Data-selection and training-example construction operators:
+model-free importance scoring that picks which raw documents resemble
+a small high-quality target set, and the denoising-objective example
+builder — the steps between raw-corpus cleaning and the trainer's
+input pipeline.
 
 ``dsir_importance_score`` implements DSIR (Data Selection via
 Importance Resampling, Xie et al. 2023): hashed n-gram bag-of-words
@@ -169,3 +170,134 @@ def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# T5-style span corruption (denoising-objective example construction)
+# --------------------------------------------------------------------------
+# The trainer's input pair for a span-corruption objective: the
+# document with masked spans replaced by numbered sentinels, and the
+# target sequence holding the spans behind their sentinels. The
+# streaming-era twist: masking must be DETERMINISTIC (re-runs and
+# shard retries must produce byte-identical examples), so span starts
+# come from the oracle-mirrored md5 primitive, not an RNG.
+#
+# Block scheme: tokens partition into fixed blocks of CORRUPT_BLOCK;
+# each block longer than CORRUPT_SPAN tokens masks exactly one
+# CORRUPT_SPAN-token run whose offset is md5(doc_id:block) modulo the
+# legal range — a ~15% corruption rate (3/20) with non-overlapping
+# spans BY CONSTRUCTION, which keeps the whole builder expressible as
+# per-row array algebra (no sequential scan, no Python).
+CORRUPT_BLOCK = 20
+CORRUPT_SPAN = 3
+
+# shared sub-expressions (Spark SQL dialect); the DuckDB oracle
+# mirrors each line 1:1 below
+_SS_SPARK = (
+    "transform(bs, b -> CASE WHEN least({B}, n - b*{B}) > {L} THEN "
+    "pmod(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT), "
+    "least({B}, n - b*{B}) - {L} + 1) ELSE -1 END)"
+).format(B=CORRUPT_BLOCK, L=CORRUPT_SPAN)
+
+
+@register(
+    "t5_span_corruption",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+      FROM documents
+    ),
+    meta AS (
+      SELECT doc_id, toks, n,
+             range(0, (n + {CORRUPT_BLOCK - 1}) // {CORRUPT_BLOCK}) AS bs
+      FROM tok
+    ),
+    off AS (
+      SELECT doc_id, toks, n, bs,
+             list_transform(bs, b -> CASE
+               WHEN least({CORRUPT_BLOCK}, n - b*{CORRUPT_BLOCK}) > {CORRUPT_SPAN} THEN
+                 CAST(CONCAT('0x', substr(md5(doc_id || ':' || b), 1, 8)) AS BIGINT)
+                 % (least({CORRUPT_BLOCK}, n - b*{CORRUPT_BLOCK}) - {CORRUPT_SPAN} + 1)
+               ELSE -1 END) AS ss
+      FROM meta
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(bs, b -> ss[b + 1] >= 0)) AS BIGINT) AS n_spans,
+           CAST(len(list_filter(bs, b -> ss[b + 1] >= 0)) * {CORRUPT_SPAN} AS BIGINT)
+             AS n_masked,
+           array_to_string(flatten(list_transform(bs, b -> CASE
+             WHEN ss[b + 1] >= 0 THEN
+               list_concat(list_concat(
+                 list_slice(toks, b*{CORRUPT_BLOCK} + 1, b*{CORRUPT_BLOCK} + ss[b + 1]),
+                 ['<extra_id_' || b || '>']),
+                 list_slice(toks,
+                            b*{CORRUPT_BLOCK} + ss[b + 1] + {CORRUPT_SPAN} + 1,
+                            b*{CORRUPT_BLOCK} + least({CORRUPT_BLOCK}, n - b*{CORRUPT_BLOCK})))
+             ELSE
+               list_slice(toks, b*{CORRUPT_BLOCK} + 1,
+                          b*{CORRUPT_BLOCK} + least({CORRUPT_BLOCK}, n - b*{CORRUPT_BLOCK}))
+             END)), ' ') AS corrupted_text,
+           COALESCE(array_to_string(flatten(list_transform(
+             list_filter(bs, b -> ss[b + 1] >= 0),
+             b -> list_concat(
+               ['<extra_id_' || b || '>'],
+               list_slice(toks, b*{CORRUPT_BLOCK} + ss[b + 1] + 1,
+                          b*{CORRUPT_BLOCK} + ss[b + 1] + {CORRUPT_SPAN})))), ' '), '')
+             AS targets_text
+    FROM off ORDER BY doc_id
+    """,
+)
+def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span-corruption example pairs (corrupted input +
+    sentinel-keyed targets) per document.
+
+    Plan: pure per-row array algebra — tokenize once, derive the
+    per-block mask offsets as an integer array (the md5 primitive in a
+    higher-order transform), then rebuild both sequences with
+    slice/concat/flatten. ZERO shuffles before the output sort, zero
+    Python, nothing leaves the row — the shape that runs at parquet
+    scan speed on any corpus size and re-executes byte-identically on
+    shard retry (the property an RNG-based masker cannot give you)."""
+    B, L = CORRUPT_BLOCK, CORRUPT_SPAN
+    docs = (
+        table(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens())
+        .withColumn("n", F.size("toks"))
+        .withColumn("bs", F.expr(f"sequence(0, (n + {B - 1}) DIV {B} - 1)"))
+        .withColumn("ss", F.expr(_SS_SPARK))
+    )
+    corrupted = f"""
+      array_join(flatten(transform(bs, b -> CASE
+        WHEN element_at(ss, CAST(b + 1 AS INT)) >= 0 THEN
+          concat(
+            slice(toks, CAST(b*{B} + 1 AS INT), CAST(element_at(ss, CAST(b + 1 AS INT)) AS INT)),
+            array(concat('<extra_id_', CAST(b AS STRING), '>')),
+            slice(toks,
+                  CAST(b*{B} + element_at(ss, CAST(b + 1 AS INT)) + {L} + 1 AS INT),
+                  CAST(least({B}, n - b*{B}) - element_at(ss, CAST(b + 1 AS INT)) - {L} AS INT)))
+        ELSE slice(toks, CAST(b*{B} + 1 AS INT), CAST(least({B}, n - b*{B}) AS INT))
+        END)), ' ')
+    """
+    targets = f"""
+      array_join(flatten(transform(filter(bs, b -> element_at(ss, CAST(b + 1 AS INT)) >= 0),
+        b -> concat(
+          array(concat('<extra_id_', CAST(b AS STRING), '>')),
+          slice(toks,
+                CAST(b*{B} + element_at(ss, CAST(b + 1 AS INT)) + 1 AS INT),
+                {L})))), ' ')
+    """
+    return docs.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(size(filter(bs, b -> element_at(ss, CAST(b + 1 AS INT)) >= 0)) AS BIGINT)"
+        ).alias("n_spans"),
+        F.expr(
+            f"CAST(size(filter(bs, b -> element_at(ss, CAST(b + 1 AS INT)) >= 0)) * {L} AS BIGINT)"
+        ).alias("n_masked"),
+        F.expr(corrupted).alias("corrupted_text"),
+        F.coalesce(F.expr(targets), F.lit("")).alias("targets_text"),
+    ).orderBy("doc_id")

@@ -350,7 +350,11 @@ GATE_PRIORITY: list[str] = [
     # windowed-stats path stays pinned by the streaming pytest suite
     # and its six recorded gate greens
     "quality_code_detect",
-    "scalar_function_suite",
+    # scalar_function_suite (SIX straight greens r1-r6) yields to the
+    # NEW r7 deterministic T5 span-corruption example builder; the
+    # scalar-function surface stays oracle-backed, pytest-rehearsed,
+    # and partially re-exercised inside every cdc_* envelope row
+    "t5_span_corruption",
 ]
 
 

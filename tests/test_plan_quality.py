@@ -685,3 +685,12 @@ def test_code_detect_map_only(spark):
     assert text.count("Exchange hashpartitioning") == 0, text
     assert "Join" not in text
     assert "BatchEvalPython" not in text
+
+
+def test_span_corruption_map_only(spark):
+    """Example construction is per-row array algebra: zero hash
+    exchanges before the output sort, no joins, no Python stages."""
+    text = plan_of(spark, "t5_span_corruption")
+    assert text.count("Exchange hashpartitioning") == 0, text
+    assert "Join" not in text
+    assert "BatchEvalPython" not in text
