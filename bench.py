@@ -89,6 +89,14 @@ HEADLINE = [
     "unigram_lm_tokenize",
     "doc_language_mixture",
     "ccnet_perplexity_buckets",
+    # r7 late additions (second batch): prefix self-join, contrastive
+    # mining, denoising example construction, histogram-median robust
+    # stats, and the code/prose map pass
+    "dedup_prefix_truncation",
+    "ann_hard_negatives",
+    "t5_span_corruption",
+    "events_robust_mad_outliers",
+    "quality_code_detect",
     "cdc_lineitem_roundtrip",
 ]
 
@@ -118,6 +126,11 @@ SCALE_QUERIES = [
     "training_set_build",
     # r7 late addition: first-occurrence novelty (shingle window-min)
     "ngram_novelty",
+    # r7 second batch: the block-keyed prefix self-join (the shape
+    # with quadratic RISK — the block cap is the defense under test)
+    # and DSIR (three corpus passes + D-key aggregations)
+    "dedup_prefix_truncation",
+    "dsir_importance_score",
 ]
 SCALE_REPLICAS = 10
 # best-of-2 per (query, sf): one exec fewer than the sweep's

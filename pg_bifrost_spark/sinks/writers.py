@@ -279,3 +279,31 @@ def kinesis_shard_expr(key: "Column", n_shards: int) -> "Column":
     eff = F.when(F.coalesce(key, F.lit("")) == "", F.lit("0")).otherwise(key)
     v = F.conv(F.substring(F.md5(eff), 1, 8), 16, 10).cast("long")
     return F.shiftright(v * n_shards, 32).cast("int")
+
+
+def kafka_partition_expr(key: "Column", n_partitions: int) -> "Column":
+    """Which partition Kafka's DEFAULT (sarama/Java hash) partitioner
+    assigns a keyed record to — sarama's hashPartitioner bit-exactly
+    (``kafka/batch/batch.go`` keys + sarama FNV-1a 32): h = FNV-1a
+    over the key bytes, partition = abs(int32(h) % n). Pure Catalyst
+    (an aggregate fold over the key's chars — exact for the ASCII
+    keys every key method here produces: txn ids, table names,
+    time-based keys), so the itest harness can verify
+    KAFKA_PARTITION_METHOD routing against per-partition goldens
+    without a broker, exactly like ``kinesis_shard_expr`` does for
+    the kinesis hash ring. Sarama nil-key (random) routing is out of
+    scope — callers model keyed methods only."""
+    eff = F.coalesce(key.cast("string"), F.lit(""))
+    h = F.aggregate(
+        F.sequence(F.lit(1), F.length(eff)),
+        F.lit(2166136261).cast("long"),
+        lambda acc, i: (
+            (acc.bitwiseXOR(F.ascii(F.substring(eff, i, F.lit(1)))) * 16777619)
+            % 4294967296
+        ),
+    )
+    # empty key: sequence(1,0) would DESCEND (repo-wide guard); the
+    # FNV offset basis is the hash of zero bytes
+    h = F.when(F.length(eff) == 0, F.lit(2166136261).cast("long")).otherwise(h)
+    signed32 = F.when(h >= 2147483648, h - 4294967296).otherwise(h)
+    return F.abs(signed32 % n_partitions).cast("int")

@@ -26,7 +26,7 @@ spec.loader.exec_module(runner)
 
 ALL_TESTS = sorted(
     f"{family}/{d}"
-    for family in ("base", "kinesis")
+    for family in ("base", "kafka", "kinesis")
     if os.path.isdir(os.path.join(ITESTS, "tests", family))
     for d in os.listdir(os.path.join(ITESTS, "tests", family))
     if os.path.isdir(os.path.join(ITESTS, "tests", family, d))
@@ -60,6 +60,9 @@ def _drain(spark, test_dir, base):
     cfg = conf.get("pipeline", {})
     late = conf.get("replay", {}).get("late_wal")
     shards = conf.get("kinesis_shards")
+    kafka_parts = conf.get("kafka_partitions")
+    kafka_key_method = conf.get("kafka_key_method", "transaction")
+    kafka_max_bytes = conf.get("kafka_max_message_bytes")
     wal_src = os.path.join(test_dir, "wal")
     if late:
         wal_dir = str(base / "wal")
@@ -75,6 +78,41 @@ def _drain(spark, test_dir, base):
         # see TRUNCATE 911 BEFORE INSERT 912. The reference's sinks
         # deliver in stream order; the twin restores it per batch.
         df = df.orderBy("wal_start")
+        if kafka_max_bytes:
+            # kafka/test_big_record semantics (batch.go Add): records
+            # whose serialized payload exceeds MaxMessageBytes are
+            # DROPPED but still advance the progress ledger — control
+            # rows (json null) pass through untouched. The committed
+            # fixture scales the reference's 1 MiB payloads to 8 KiB
+            # against a 4 KiB cap: same drop pattern, tiny fixture.
+            df = df.filter(
+                F.col("json").isNull() | (F.length("json") <= kafka_max_bytes)
+            )
+        if kafka_parts:
+            # kafka/test_txn_partition: stamp sarama's hash-partitioner
+            # assignment (bit-exact FNV-1a model) so the per-partition
+            # goldens verify KAFKA_PARTITION_METHOD routing — all rows
+            # of one txn must land on one partition
+            from pg_bifrost_spark.sinks.writers import (
+                kafka_key_expr,
+                kafka_partition_expr,
+            )
+
+            routed = kafka_partition_expr(
+                kafka_key_expr(kafka_key_method), kafka_parts
+            )
+            df = df.withColumn(
+                "json",
+                F.when(
+                    F.col("json").isNotNull(),
+                    F.concat(
+                        F.lit('{"shard":'),
+                        routed.cast("string"),
+                        F.lit(","),
+                        F.expr("substring(json, 2)"),
+                    ),
+                ),
+            )
         if shards:
             # the per-shard view the reference's kinesis pollers diff:
             # splice the hash-ring shard into each payload
@@ -239,3 +277,49 @@ def test_misrouted_partitioning_is_caught(spark, tmp_path):
     out_dir, ck_dir = _drain(spark, str(broken), tmp_path)
     problems = runner.verify(str(broken), out_dir, ck_dir)
     assert problems != []
+
+
+def test_kafka_txn_misrouting_is_caught(spark, tmp_path):
+    """Re-run the kafka txn-partition test with the time-based-key
+    method: the composite key hashes txns to different partitions than
+    the transaction-constant goldens expect, and the per-partition
+    golden diff must fail — the kafka routing check isn't vacuous."""
+    import shutil
+
+    test_dir = os.path.join(ITESTS, "tests", "kafka", "test_txn_partition")
+    broken = tmp_path / "broken"
+    shutil.copytree(test_dir, broken)
+    cfgp = broken / "config.json"
+    cfg = json.loads(cfgp.read_text())
+    cfg["kafka_key_method"] = "time-based-key"
+    cfgp.write_text(json.dumps(cfg))
+    out_dir, ck_dir = _drain(spark, str(broken), tmp_path)
+    problems = runner.verify(str(broken), out_dir, ck_dir)
+    assert problems != [], "time-based-key routing matched txn-constant goldens"
+
+
+def test_kafka_partition_expr_matches_sarama_fnv1a(spark):
+    """The Catalyst partition model must be BIT-EXACT sarama: FNV-1a 32
+    over the key bytes, then abs(int32(h) % n) with Go's truncated
+    modulo — pinned against an independent pure-Python implementation
+    over txn-id, table-name, composite, empty, and long keys."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pg_bifrost_spark.sinks.writers import kafka_partition_expr
+
+    def sarama(key: str, n: int) -> int:
+        h = 2166136261
+        for x in key.encode():
+            h = ((h ^ x) * 16777619) & 0xFFFFFFFF
+        s = h - 2**32 if h >= 2**31 else h
+        return abs(int(math.fmod(s, n)))
+
+    keys = ["", "0", "950", "951", "12345", "public.customers",
+            "950-1712345678", "abcXYZ", "a" * 50]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    for n in (1, 2, 3, 8):
+        got = [r.p for r in df.select(
+            kafka_partition_expr(F.col("k"), n).alias("p")).collect()]
+        assert got == [sarama(k, n) for k in keys], f"n={n}"

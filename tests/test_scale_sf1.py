@@ -39,6 +39,12 @@ FAMILY = [
     # exchanges / broadcast probes)
     "ngram_novelty",
     "dedup_bloom_prefilter",
+    # r7 second batch: the block-keyed prefix self-join (quadratic
+    # risk bounded by PREFIX_BLOCK_CAP — per-replica token suffixes
+    # keep block populations sf0.1-sized) and DSIR's three-pass
+    # broadcast-model scoring
+    "dedup_prefix_truncation",
+    "dsir_importance_score",
 ]
 
 
