@@ -323,3 +323,26 @@ def test_kafka_partition_expr_matches_sarama_fnv1a(spark):
         got = [r.p for r in df.select(
             kafka_partition_expr(F.col("k"), n).alias("p")).collect()]
         assert got == [sarama(k, n) for k in keys], f"n={n}"
+
+
+def test_strict_order_violation_is_caught(spark, tmp_path):
+    """Swap two adjacent records inside one shard's output: the
+    non-sort golden diff must fail — per-shard STRICT order (the
+    reference's strict_order_shared invariant) is really checked."""
+    test_dir = os.path.join(ITESTS, "tests", "kinesis", "test_strict_order_shared")
+    out_dir, ck_dir = _drain(spark, test_dir, tmp_path)
+    assert runner.verify(test_dir, out_dir, ck_dir) == []
+    # find a part file with >= 2 records and swap the first two
+    for root, _, files in os.walk(out_dir):
+        for fn in sorted(files):
+            if not fn.startswith("part-") or fn.endswith(".crc"):
+                continue
+            p = os.path.join(root, fn)
+            lines = [l for l in open(p).read().splitlines() if l.strip()]
+            if len(lines) >= 2:
+                with open(p, "w") as f:
+                    f.write("\n".join([lines[1], lines[0]] + lines[2:]) + "\n")
+                problems = runner.verify(test_dir, out_dir, ck_dir)
+                assert problems != [], "reordered shard output passed verify"
+                return
+    pytest.fail("no multi-record part file found")
