@@ -33,6 +33,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -125,10 +126,20 @@ def verify(
     gathered from every epoch=*/part-* (exactly-once sink layout) or
     flat part-*/NDJSON files, grouped by .table, and diffed against
     each golden/<table>.golden."""
+    def _epoch_order(p: str) -> tuple:
+        """Numeric epoch ordering: a lexicographic sort would place
+        epoch=10 before epoch=2, scrambling WAL order in the
+        concatenated golden diff once a run exceeds 10 micro-batches
+        (test_small_queue sits at 9 — two config notches from the
+        cliff)."""
+        m = re.search(r"epoch=(\d+)", p)
+        return (int(m.group(1)) if m else -1, p)
+
     paths = sorted(
         glob.glob(os.path.join(out_dir, "epoch=*", "part-*"))
         or glob.glob(os.path.join(out_dir, "**", "*.json*"), recursive=True)
-        or glob.glob(os.path.join(out_dir, "part-*"))
+        or glob.glob(os.path.join(out_dir, "part-*")),
+        key=_epoch_order,
     )
     # shard-mode (kinesis/kafka partitioning tests): goldens named
     # shard-N.golden group output by the record's routed shard (the

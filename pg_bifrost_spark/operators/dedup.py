@@ -1623,10 +1623,10 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket size filter.
 PREFIX_MIN = 32
 PREFIX_BLOCK_CAP = 64
-TRUNC_MOD = 9
+TRUNC_MOD = 10  # divides gen_sf.STRIDE=10^8, so sf1 replicas reproduce the plant
 TRUNC_OFFSET = 2_000_000
 
-# oracle-side mirror of the truncation plant: every doc_id % 9 == 0
+# oracle-side mirror of the truncation plant: every doc_id % 10 == 0
 # document whose half-length clears PREFIX_MIN gains a clone holding
 # its first half
 PLANTED_TRUNC_SQL = f"""documents_trunc AS (
@@ -1691,8 +1691,6 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-quadratic exactly like the LSH bucket size filter. The
     planted truncations (PLANTED_TRUNC_SQL twin) make the gate prove
     pairs are FOUND, not that an empty set matches."""
-    from ..plans import tracked_cache
-
     docs = table(spark, sf_dir, "documents")
     planted = plant_truncations(docs)
     cand = tracked_cache(

@@ -311,8 +311,15 @@ def _doubled_median(vals: DataFrame, key: str, col: str) -> DataFrame:
     magnitude smaller than the rows), and the order statistics are
     min-value-where-cum>=k selections. Scales to groups of any row
     count as long as the value domain is bounded (integer cents here);
-    a continuous domain would use approx quantiles instead."""
+    a continuous domain would use approx quantiles instead.
+
+    The cumulative relation feeds BOTH order-statistic selections, so
+    it is tracked_cache'd — without that, each consumer re-executes
+    the histogram groupBy over the full input (the 'tiny stats
+    relations must be cached' rule)."""
     from pyspark.sql import Window
+
+    from ..plans import tracked_cache
 
     cnt = vals.groupBy(key, col).agg(F.count("*").alias("c"))
     tot = cnt.groupBy(key).agg(F.sum("c").cast("bigint").alias("n"))
@@ -321,7 +328,9 @@ def _doubled_median(vals: DataFrame, key: str, col: str) -> DataFrame:
         .orderBy(col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = cnt.withColumn("cum", F.sum("c").over(w)).join(F.broadcast(tot), key)
+    cum = tracked_cache(
+        cnt.withColumn("cum", F.sum("c").over(w)).join(F.broadcast(tot), key)
+    )
     m1 = (
         cum.filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
         .groupBy(key)
@@ -332,7 +341,10 @@ def _doubled_median(vals: DataFrame, key: str, col: str) -> DataFrame:
         .groupBy(key)
         .agg(F.min(col).alias("m2"))
     )
-    return m1.join(m2, key).select(
+    # per-key relations (one row per group) — broadcast explicitly:
+    # the cache above hides size stats from the planner, which would
+    # otherwise realign both sides with a sort-merge join
+    return m1.join(F.broadcast(m2), key).select(
         key, (F.col("m1") + F.col("m2")).cast("bigint").alias("med2")
     )
 
@@ -419,12 +431,16 @@ def events_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value").cast("decimal(9,2)") * 100).cast("bigint").alias("cents"),
         )
     )
-    med = _doubled_median(v, "event_type", "cents")
+    med = tracked_cache(_doubled_median(v, "event_type", "cents"))
     dev = v.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(2 * F.col("cents") - F.col("med2")).alias("d")
     )
-    mad = _doubled_median(dev, "event_type", "d").withColumnRenamed("med2", "mad2")
-    tot = v.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    mad = tracked_cache(
+        _doubled_median(dev, "event_type", "d").withColumnRenamed("med2", "mad2")
+    )
+    tot = tracked_cache(
+        v.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    )
     is_out = (F.col("mad2") > 0) & (
         MAD_Z_NUM * F.abs(2 * F.col("cents") - F.col("med2"))
         > MAD_Z_DEN * F.col("mad2")

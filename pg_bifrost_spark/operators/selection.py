@@ -141,8 +141,16 @@ def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tracked_cache(_hashed_features(docs))
     is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
 
-    tcnt = feats.filter(is_tgt).groupBy("bucket").agg(F.count("*").alias("t"))
-    rcnt = feats.filter(~is_tgt).groupBy("bucket").agg(F.count("*").alias("r"))
+    # Each bucket-count relation feeds BOTH its total and the lambda
+    # spine join; uncached, the full-feature aggregation would execute
+    # twice per side (4 passes where 2 suffice), so both are cached —
+    # ≤DSIR_BUCKETS rows each.
+    tcnt = tracked_cache(
+        feats.filter(is_tgt).groupBy("bucket").agg(F.count("*").alias("t"))
+    )
+    rcnt = tracked_cache(
+        feats.filter(~is_tgt).groupBy("bucket").agg(F.count("*").alias("r"))
+    )
     tot_t = tcnt.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tt"))
     tot_r = rcnt.agg(F.coalesce(F.sum("r"), F.lit(0)).alias("rr"))
 
@@ -190,14 +198,20 @@ def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-row array algebra (no sequential scan, no Python).
 CORRUPT_BLOCK = 20
 CORRUPT_SPAN = 3
+# T5's sentinel vocabulary is <extra_id_0>..<extra_id_99> — corruption
+# stops at block 100 so no emitted sentinel can fall outside it.
+# Block-index numbering IS sequential numbering here: every non-final
+# block has exactly CORRUPT_BLOCK (> CORRUPT_SPAN) tokens, so every
+# block before b is masked and b equals the masked-span rank.
+SENTINEL_LIMIT = 100
 
 # shared sub-expressions (Spark SQL dialect); the DuckDB oracle
 # mirrors each line 1:1 below
 _SS_SPARK = (
-    "transform(bs, b -> CASE WHEN least({B}, n - b*{B}) > {L} THEN "
+    "transform(bs, b -> CASE WHEN b < {S} AND least({B}, n - b*{B}) > {L} THEN "
     "pmod(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT), "
     "least({B}, n - b*{B}) - {L} + 1) ELSE -1 END)"
-).format(B=CORRUPT_BLOCK, L=CORRUPT_SPAN)
+).format(B=CORRUPT_BLOCK, L=CORRUPT_SPAN, S=SENTINEL_LIMIT)
 
 
 @register(
@@ -217,7 +231,8 @@ _SS_SPARK = (
     off AS (
       SELECT doc_id, toks, n, bs,
              list_transform(bs, b -> CASE
-               WHEN least({CORRUPT_BLOCK}, n - b*{CORRUPT_BLOCK}) > {CORRUPT_SPAN} THEN
+               WHEN b < {SENTINEL_LIMIT}
+                AND least({CORRUPT_BLOCK}, n - b*{CORRUPT_BLOCK}) > {CORRUPT_SPAN} THEN
                  CAST(CONCAT('0x', substr(md5(doc_id || ':' || b), 1, 8)) AS BIGINT)
                  % (least({CORRUPT_BLOCK}, n - b*{CORRUPT_BLOCK}) - {CORRUPT_SPAN} + 1)
                ELSE -1 END) AS ss

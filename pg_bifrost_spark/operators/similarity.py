@@ -838,14 +838,20 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed mining pass a contrastive fine-tune runs between
     epochs.
 
-    Plan shape is the ann_batch_topk serving shape: the anchor batch
-    is broadcast (request-sized by construction), the corpus streams
-    map-side through ONE scoring pass that feeds BOTH the positive max
-    (a qid-grouped agg) and the negative top-k window (partitioned on
-    qid, k-bounded sort state); the positive table (one row per
-    anchor) re-joins by broadcast. The corpus is never shuffled. At
-    production scale the IVF/LSH pruners feed this same tail — mining
-    only needs CANDIDATE negatives, so pruned recall trades off
+    Plan shape is the ann_batch_topk serving shape, hardened for the
+    mining batch: the anchor batch is broadcast (request-sized by
+    construction) and the corpus streams map-side through ONE scoring
+    pass whose top-{HN_K} window partitions on (qid, is_pos) — so
+    Spark's Partial WindowGroupLimit bounds EACH map partition's
+    output at {HN_K} rows per anchor per class BEFORE the exchange
+    (plan-gated), and only that reduced relation (≤ 2·{HN_K}·|anchors|
+    rows total) is ever cached or shuffled. The positive max and the
+    final negative rank both derive from the reduced relation: the
+    same-label top-{HN_K} contains the per-anchor max, the cross-label
+    top-{HN_K} IS the negative set (a second, reduced-sized window
+    re-ranks it). The corpus itself is never shuffled or materialized.
+    At production scale the IVF/LSH pruners feed this same tail —
+    mining only needs CANDIDATE negatives, so pruned recall trades off
     exactly like serving recall."""
     from ..plans import tracked_cache
 
@@ -857,23 +863,25 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
     )
     c = emb.filter(F.col("vec_id") % HN_Q_MOD != 0)
-    scored = tracked_cache(
-        c.crossJoin(F.broadcast(q)).select(
-            "qid",
-            "qlabel",
-            "vec_id",
-            "label",
-            (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias(
-                "cos_raw"
-            ),
-        )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        "label",
+        (F.col("label") == F.col("qlabel")).alias("is_pos"),
+        (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias(
+            "cos_raw"
+        ),
     )
-    pos = scored.filter(F.col("label") == F.col("qlabel")).groupBy("qid").agg(
+    w0 = Window.partitionBy("qid", "is_pos").orderBy(F.desc("cos_raw"), "vec_id")
+    reduced = tracked_cache(
+        scored.withColumn("r0", F.row_number().over(w0)).filter(F.col("r0") <= HN_K)
+    )
+    pos = reduced.filter(F.col("is_pos")).groupBy("qid").agg(
         F.max("cos_raw").alias("pos_raw")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), "vec_id")
     neg = (
-        scored.filter(F.col("label") != F.col("qlabel"))
+        reduced.filter(~F.col("is_pos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= HN_K)
     )

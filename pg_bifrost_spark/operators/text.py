@@ -587,7 +587,7 @@ def doc_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows) — so every doc_id % CODE_MOD == 0 document is REPLACED by a
 # deterministic two-line pseudo-function parameterized by doc_id,
 # mirrored byte-exactly in the oracle via chr(10) concatenation.
-CODE_MOD = 13
+CODE_MOD = 16  # divides gen_sf.STRIDE=10^8, so sf1 replicas reproduce the plant
 CODE_KEYWORDS = ("def", "return", "import", "class", "function", "const", "var")
 _KW_SQL = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
 CODE_SYMBOL_RE = "[(){};=<>*]"

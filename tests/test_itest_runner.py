@@ -33,6 +33,27 @@ ALL_TESTS = sorted(
 )
 
 
+def _stamp_shard(df, routed):
+    """Splice the routed shard/partition number into each JSON payload
+    (control rows with null json pass through) — the single source of
+    truth for the '{"shard":N,...}' verify format shared by the kafka
+    and kinesis drain paths."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "json",
+        F.when(
+            F.col("json").isNotNull(),
+            F.concat(
+                F.lit('{"shard":'),
+                routed.cast("string"),
+                F.lit(","),
+                F.expr("substring(json, 2)"),
+            ),
+        ),
+    )
+
+
 def _drain(spark, test_dir, base):
     """Replay the committed WAL through pipeline + exactly-once sink,
     honoring the test's config.json pipeline kwargs (the in-sandbox
@@ -98,37 +119,13 @@ def _drain(spark, test_dir, base):
                 kafka_partition_expr,
             )
 
-            routed = kafka_partition_expr(
-                kafka_key_expr(kafka_key_method), kafka_parts
-            )
-            df = df.withColumn(
-                "json",
-                F.when(
-                    F.col("json").isNotNull(),
-                    F.concat(
-                        F.lit('{"shard":'),
-                        routed.cast("string"),
-                        F.lit(","),
-                        F.expr("substring(json, 2)"),
-                    ),
-                ),
+            df = _stamp_shard(
+                df, kafka_partition_expr(kafka_key_expr(kafka_key_method), kafka_parts)
             )
         if shards:
             # the per-shard view the reference's kinesis pollers diff:
             # splice the hash-ring shard into each payload
-            routed = kinesis_shard_expr(F.col("partition_key"), shards)
-            df = df.withColumn(
-                "json",
-                F.when(
-                    F.col("json").isNotNull(),
-                    F.concat(
-                        F.lit('{"shard":'),
-                        routed.cast("string"),
-                        F.lit(","),
-                        F.expr("substring(json, 2)"),
-                    ),
-                ),
-            )
+            df = _stamp_shard(df, kinesis_shard_expr(F.col("partition_key"), shards))
         return exactly_once_ndjson(df, epoch, out_dir)
 
     # per-test reader options (test_small_queue: CLIENT_BUFFER_SIZE
@@ -216,6 +213,27 @@ def test_verify_stage_catches_missing_rows(drained, tmp_path):
     bad.mkdir()
     problems = runner.verify(TEST_DIR, str(bad), ck_dir)
     assert any("row count" in p for p in problems)
+
+
+def test_verify_orders_epochs_numerically(tmp_path):
+    """12 epochs: a lexicographic dir sort would read epoch=10/11
+    before epoch=2, scrambling WAL order in the golden diff. The
+    golden lists rows in true epoch order; verify must pass clean."""
+    td = tmp_path / "t"
+    (td / "golden").mkdir(parents=True)
+    out = tmp_path / "out"
+    gold = []
+    for ep in range(12):
+        d = out / f"epoch={ep}"
+        d.mkdir(parents=True)
+        (d / "_SUCCESS").touch()
+        ln = json.dumps({"table": "public.t", "id": ep}) + "\n"
+        (d / "part-00000").write_text(ln)
+        gold.append(ln)
+    (td / "golden" / "t.golden").write_text("".join(gold))
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    assert runner.verify(str(td), str(out), str(ck)) == []
 
 
 def test_lsn_check_semantics():

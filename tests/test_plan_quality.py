@@ -667,14 +667,26 @@ def test_prefix_truncation_equijoin_never_crossjoin(spark):
 
 def test_hard_negatives_corpus_never_shuffled(spark):
     """One broadcast scoring pass feeds both the positive max and the
-    negative top-k window: the corpus reaches the plan via broadcast
-    joins only (anchor batch + per-anchor positive table), the window
-    partitions on qid, and the scored relation is cached once."""
+    negative top-k: the corpus reaches the plan via broadcast joins
+    only (anchor batch + per-anchor positive table), the (qid,is_pos)
+    window's Partial WindowGroupLimit bounds each map partition at k
+    rows per anchor per class BEFORE the exchange, and only the
+    REDUCED relation (2k rows per anchor) is cached — the
+    corpus × anchors scored relation is never materialized."""
     text = plan_of(spark, "ann_hard_negatives")
     assert "SortMergeJoin" not in text
     assert "BroadcastNestedLoopJoin" in text  # anchor-batch crossJoin
     assert "InMemoryTableScan" in text
     assert "BatchEvalPython" not in text
+    # the map-side k-bound must exist and sit BELOW the first hash
+    # exchange (its subtree prints after the Exchange line's children
+    # in formatted output, so check the detail blocks directly)
+    assert "row_number(), 5, Partial" in text
+    # the cached relation is the reduced one: its cached plan subtree
+    # contains the window machinery, so no InMemoryRelation may appear
+    # BELOW the Partial limit (the corpus side streams uncached)
+    below_partial = text.split("row_number(), 5, Partial")[-1]
+    assert "InMemoryRelation" not in below_partial.split("WindowGroupLimit")[0]
 
 
 def test_code_detect_map_only(spark):
