@@ -1174,3 +1174,184 @@ def feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("doc_id", "feat_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus diversity (distinct-n rate per source)
+# --------------------------------------------------------------------------
+# The standard corpus-health metric a data-mixing pass reads before
+# raising a source's weight: how many of a source's trigram slots are
+# UNIQUE trigrams. Templated/boilerplate-heavy sources score low and
+# get down-weighted regardless of their per-document quality scores
+# (which can't see cross-document repetition).
+DIVERSITY_N = 3
+
+_TRIGRAM_SQL = (
+    f"list_transform(range(1, len(toks) - {DIVERSITY_N - 2}), i -> "
+    + " || ' ' || ".join(f"toks[i+{k}]" for k in range(DIVERSITY_N))
+    + ")"
+)
+
+
+def trigram_arr(toks_col: str = "toks") -> F.Column:
+    """ALL contiguous {DIVERSITY_N}-gram occurrences (NOT distinct —
+    the diversity denominator is total slots) of a materialized token
+    array; empty below {DIVERSITY_N} tokens."""
+    return F.when(
+        F.size(toks_col) >= DIVERSITY_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - (DIVERSITY_N - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.col(toks_col), i + k) for k in range(DIVERSITY_N)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "corpus_distinct_ngram_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT source, unnest({_TRIGRAM_SQL}) AS g FROM tok
+    ),
+    per_gram AS (
+      SELECT source, g, count(*) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS distinct_grams,
+           CAST(sum(c) AS BIGINT) AS total_grams,
+           CAST(count(*) * 1000000 // greatest(sum(c), 1) AS BIGINT)
+             AS distinct_per_million
+    FROM per_gram GROUP BY source ORDER BY source
+    """,
+)
+def corpus_distinct_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-{DIVERSITY_N} diversity per source: unique trigrams /
+    total trigram slots, in integer parts-per-million (positive BIGINT
+    division truncates identically in both engines).
+
+    Plan: tokenize → per-row trigram array → explode → ONE exchange on
+    the high-cardinality (source, gram) key with map-side combine →
+    a |sources|-sized second aggregation. Nothing is windowed,
+    collected, or broadcast; the big shuffle carries one row per
+    DISTINCT (source, gram) out of each map partition, which is the
+    floor for an exact distinct count. (An approx_count_distinct
+    sketch would drop that exchange entirely — the documented trade
+    for a 100-TB run where ±2% on a mixing weight is immaterial.)"""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    grams = docs.select("source", F.explode(trigram_arr()).alias("g"))
+    per_gram = grams.groupBy("source", "g").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("distinct_grams"),
+            F.sum("c").cast("bigint").alias("total_grams"),
+            F.expr("CAST(count(*) * 1000000 DIV greatest(sum(c), 1) AS BIGINT)").alias(
+                "distinct_per_million"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency slope per source
+# --------------------------------------------------------------------------
+# Natural text follows Zipf's law (log-freq vs log-rank slope near
+# -1); machine-generated/templated text flattens or steepens the
+# curve. The slope over the top ZIPF_R token ranks is a cheap
+# distribution-level quality signal no per-document score captures.
+ZIPF_R = 100
+
+# least-squares slope over (x, y) = (quantized ln rank, quantized ln
+# count): every ln() is floored to integer MICRO-nats first (the
+# repo-wide quantize-before-sum rule), the four moment sums are exact
+# BIGINTs (|x| ≤ 4.7e6, |y| ≤ ~3e7 → n·Σxy ≤ ~1e18 fits), and the
+# final slope is ONE double division of two bit-identical BIGINTs —
+# IEEE-exact in both engines, so the hash cannot drift.
+
+
+@register(
+    "zipf_rank_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    cnt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS r
+      FROM cnt
+    ),
+    q AS (
+      SELECT source,
+             CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE r <= {ZIPF_R}
+    ),
+    m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+      FROM q GROUP BY source
+    )
+    SELECT source, n AS n_ranks,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             AS zipf_slope
+    FROM m WHERE n >= 3 ORDER BY source
+    """,
+)
+def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope per source: least-squares fit of quantized ln(count)
+    against quantized ln(rank) over the top {ZIPF_R} token ranks.
+
+    Plan: one map-side-combined groupBy on (source, token), a
+    rank window per source whose row_number ≤ {ZIPF_R} filter becomes
+    a Partial WindowGroupLimit (each map partition forwards at most
+    {ZIPF_R} rows per source), then a |sources|-row moment aggregation.
+    The corpus shuffles once, on the (source, token) count key."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens())
+        .select("source", F.explode("toks").alias("t"))
+    )
+    cnt = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "t")
+    q = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ZIPF_R)
+        .select(
+            "source",
+            F.floor(F.log(F.col("r").cast("double")) * 1000000)
+            .cast("bigint")
+            .alias("x"),
+            F.floor(F.log(F.col("c").cast("double")) * 1000000)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    m = q.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return (
+        m.filter(F.col("n") >= 3)
+        .select(
+            "source",
+            F.col("n").alias("n_ranks"),
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            ).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )

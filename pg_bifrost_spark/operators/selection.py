@@ -29,7 +29,7 @@ is one map-side join plus a single groupBy(doc_id).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import register, table, tracked_cache
@@ -316,3 +316,109 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(corrupted).alias("corrupted_text"),
         F.coalesce(F.expr(targets), F.lit("")).alias("targets_text"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# preference-pair construction (contrastive fine-tune data)
+# --------------------------------------------------------------------------
+# A DPO/RLHF-style trainer consumes (chosen, rejected) document pairs
+# with a quality margin. Built model-free here: within each source,
+# the top-PREF_K documents by an integer lexical-diversity score pair
+# off rank-for-rank against the bottom-PREF_K (1st best vs 1st worst),
+# the widest-margin matching that doesn't reuse documents. Pairs with
+# a non-positive margin (score ties across the middle) are dropped —
+# a tie teaches the reward model nothing.
+#
+# Score = unique-token ratio in integer parts-per-million: positive
+# BIGINT division truncates identically in both engines, so the
+# decision path is float-free end to end.
+PREF_K = 5
+
+
+@register(
+    "preference_pair_build",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+                  * 1000000
+                  // greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
+               AS BIGINT) AS score
+      FROM documents
+    ),
+    best AS (
+      SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+               AS r
+      FROM scored
+    ),
+    worst AS (
+      SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source ORDER BY score ASC, doc_id)
+               AS r
+      FROM scored
+    )
+    SELECT b.source, CAST(b.r AS BIGINT) AS pair_rank,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.score AS chosen_score, w.score AS rejected_score,
+           b.score - w.score AS margin
+    FROM best b JOIN worst w ON b.source = w.source AND b.r = w.r
+    WHERE b.r <= {PREF_K} AND w.r <= {PREF_K}
+      AND b.doc_id <> w.doc_id AND b.score > w.score
+    ORDER BY b.source, pair_rank
+    """,
+)
+def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chosen, rejected) preference pairs per source: rank-for-rank
+    top-{PREF_K} vs bottom-{PREF_K} by integer lexical-diversity
+    score, strict-positive margin.
+
+    Plan: ONE narrow scoring projection (doc_id, source, score — no
+    text) cached, two rank windows over it whose row_number ≤
+    {PREF_K} filters become Partial WindowGroupLimits (each map
+    partition forwards ≤ {PREF_K} rows per source per window), then a
+    broadcast-sized equi-join of two {PREF_K}·|sources|-row relations.
+    The corpus is scanned once; nothing text-sized survives the first
+    projection."""
+    from ..plans import tracked_cache
+
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    scored = tracked_cache(
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "CAST(size(array_distinct(toks)) * 1000000"
+                " DIV greatest(size(toks), 1) AS BIGINT)"
+            ).alias("score"),
+        )
+    )
+    wb = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    ww = Window.partitionBy("source").orderBy(F.asc("score"), "doc_id")
+    best = (
+        scored.withColumn("r", F.row_number().over(wb)).filter(F.col("r") <= PREF_K)
+    )
+    worst = (
+        scored.withColumn("r", F.row_number().over(ww)).filter(F.col("r") <= PREF_K)
+    )
+    return (
+        best.alias("b")
+        .join(
+            F.broadcast(worst.alias("w")),
+            (F.col("b.source") == F.col("w.source")) & (F.col("b.r") == F.col("w.r")),
+        )
+        .filter(
+            (F.col("b.doc_id") != F.col("w.doc_id"))
+            & (F.col("b.score") > F.col("w.score"))
+        )
+        .select(
+            F.col("b.source").alias("source"),
+            F.col("b.r").cast("bigint").alias("pair_rank"),
+            F.col("b.doc_id").alias("chosen_id"),
+            F.col("w.doc_id").alias("rejected_id"),
+            F.col("b.score").alias("chosen_score"),
+            F.col("w.score").alias("rejected_score"),
+            (F.col("b.score") - F.col("w.score")).alias("margin"),
+        )
+        .orderBy("source", "pair_rank")
+    )

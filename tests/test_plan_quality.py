@@ -706,3 +706,41 @@ def test_span_corruption_map_only(spark):
     assert text.count("Exchange hashpartitioning") == 0, text
     assert "Join" not in text
     assert "BatchEvalPython" not in text
+
+
+def test_distinct_ngram_rate_two_exchanges_no_python(spark):
+    """Diversity report: explode → ONE (source, gram) exchange with
+    map-side combine → a |sources|-row second aggregation. No windows,
+    no joins, no Python, nothing collected."""
+    text = plan_of(spark, "corpus_distinct_ngram_rate")
+    assert text.count("Exchange hashpartitioning") == 2, text
+    assert "Join" not in text
+    assert "BatchEvalPython" not in text and "Window" not in text
+    assert "partial_count" in text or "HashAggregate" in text
+
+
+def test_zipf_slope_rank_limit_is_partial(spark):
+    """The top-R rank filter must become a Partial WindowGroupLimit:
+    each map partition forwards at most R rows per source across the
+    wire — without it the full (source, token) count relation shuffles
+    into the per-source sort."""
+    text = plan_of(spark, "zipf_rank_slope")
+    assert f"row_number(), 100, Partial" in text
+    assert "BatchEvalPython" not in text
+    assert "SortMergeJoin" not in text and "CartesianProduct" not in text
+
+
+def test_preference_pairs_reduced_before_join(spark):
+    """Both rank windows carry Partial WindowGroupLimits (k-bounded
+    map output), the pair join is broadcast, and nothing text-sized
+    survives the first projection (the cached scoring relation holds
+    doc_id/source/score only)."""
+    text = plan_of(spark, "preference_pair_build")
+    assert text.count("row_number(), 5, Partial") == 2
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+    assert "BatchEvalPython" not in text
+    assert "InMemoryTableScan" in text
+    # the cache is the narrow projection: no `text` column in its output
+    cached_cols = text.split("InMemoryTableScan")[1].split("\n")[0]
+    assert "text" not in cached_cols
