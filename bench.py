@@ -97,6 +97,10 @@ HEADLINE = [
     "t5_span_corruption",
     "events_robust_mad_outliers",
     "quality_code_detect",
+    # r7 third batch: corpus diversity, Zipf slope, preference pairs
+    "corpus_distinct_ngram_rate",
+    "zipf_rank_slope",
+    "preference_pair_build",
     "cdc_lineitem_roundtrip",
 ]
 
@@ -131,6 +135,10 @@ SCALE_QUERIES = [
     # and DSIR (three corpus passes + D-key aggregations)
     "dedup_prefix_truncation",
     "dsir_importance_score",
+    # r7 third batch: the exact-distinct trigram count — the largest
+    # single shuffle key-space of any registered op ((source, gram)),
+    # so its growth exponent is worth measuring directly
+    "corpus_distinct_ngram_rate",
 ]
 SCALE_REPLICAS = 10
 # best-of-2 per (query, sf): one exec fewer than the sweep's

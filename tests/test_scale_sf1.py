@@ -45,6 +45,10 @@ FAMILY = [
     # broadcast-model scoring
     "dedup_prefix_truncation",
     "dsir_importance_score",
+    # r7 third batch: exact distinct trigrams per source — the widest
+    # shuffle key-space in the registry; per-replica token suffixes
+    # grow the gram domain linearly, so the exchange must too
+    "corpus_distinct_ngram_rate",
 ]
 
 
