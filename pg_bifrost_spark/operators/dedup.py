@@ -99,7 +99,7 @@ def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 # exactly in the oracles, so both engines must find the SAME non-empty
 # duplicate set. The raw operators over arbitrary DataFrames remain
 # available un-planted (exact_dup_groups, ngram_jaccard_pairs, ...).
-PLANT_MOD = 101
+PLANT_MOD = 100  # divides gen_sf.STRIDE=10^8, so sf1 replicas reproduce the plant
 PLANT_OFFSET = 10_000_000
 
 

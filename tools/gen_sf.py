@@ -8,11 +8,15 @@ different workload:
 
   * replica 0 is the original rows byte-for-byte; replicas 1..N-1
     shift every key column by ``i * STRIDE``.
-  * STRIDE = 100_000_000 = 2⁸·5⁸·…, divisible by every planted-fixture
-    modulus the operators use (SPAN_MOD=25, the %10/%20/%50 planting
-    patterns), so each replica reproduces the original plant pattern
-    exactly (same duplicate clusters, same footer docs — N independent
-    copies of the sf0.1 workload).
+  * STRIDE = 100_000_000 = 2⁸·5⁸, divisible by every planted-fixture
+    modulus in the SCALE-GATED family (PLANT_MOD=100, SPAN_MOD=25,
+    TRUNC_MOD=10, CODE_MOD=16, the %10/%20/%50 patterns), so each
+    replica reproduces those plant patterns exactly (same duplicate
+    clusters, same footer docs — N independent copies of the sf0.1
+    workload). Non-scale-gated plants with coprime moduli (7, 9, 11,
+    13, 17…) keep their DENSITY per replica (~1/m of rows) but shift
+    which ids carry them — linear workload either way, just not
+    byte-identical clusters.
   * document TEXT in replica i>0 gets a per-token ``_r<i>`` suffix:
     each replica is its own shingle/span/vocab universe, so dedup
     candidate generation grows LINEARLY with N. Naive row duplication
