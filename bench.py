@@ -97,10 +97,12 @@ HEADLINE = [
     "t5_span_corruption",
     "events_robust_mad_outliers",
     "quality_code_detect",
-    # r7 third batch: corpus diversity, Zipf slope, preference pairs
+    # r7 third batch: corpus diversity, Zipf slope, preference pairs,
+    # and the composed per-source data-card capstone
     "corpus_distinct_ngram_rate",
     "zipf_rank_slope",
     "preference_pair_build",
+    "corpus_health_report",
     "cdc_lineitem_roundtrip",
 ]
 

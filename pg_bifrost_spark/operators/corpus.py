@@ -1277,50 +1277,14 @@ ZIPF_R = 100
 # IEEE-exact in both engines, so the hash cannot drift.
 
 
-@register(
-    "zipf_rank_slope",
-    oracle=f"""
-    WITH tok AS (
-      SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
-      FROM documents
-    ),
-    cnt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
-    ranked AS (
-      SELECT source, c,
-             row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS r
-      FROM cnt
-    ),
-    q AS (
-      SELECT source,
-             CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
-             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
-      FROM ranked WHERE r <= {ZIPF_R}
-    ),
-    m AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n,
-             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
-      FROM q GROUP BY source
-    )
-    SELECT source, n AS n_ranks,
-           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
-             AS zipf_slope
-    FROM m WHERE n >= 3 ORDER BY source
-    """,
-)
-def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf slope per source: least-squares fit of quantized ln(count)
-    against quantized ln(rank) over the top {ZIPF_R} token ranks.
-
-    Plan: one map-side-combined groupBy on (source, token), a
-    rank window per source whose row_number ≤ {ZIPF_R} filter becomes
-    a Partial WindowGroupLimit (each map partition forwards at most
-    {ZIPF_R} rows per source), then a |sources|-row moment aggregation.
-    The corpus shuffles once, on the (source, token) count key."""
-    tok = (
-        table(spark, sf_dir, "documents")
-        .withColumn("toks", _tokens())
-        .select("source", F.explode("toks").alias("t"))
-    )
+def zipf_slope_by_source(tok: DataFrame) -> DataFrame:
+    """(source, n_ranks, zipf_slope) from an exploded (source, t)
+    token relation — THE single slope definition shared by
+    ``zipf_rank_slope`` and the ``corpus_health_report`` capstone
+    (oracles mirror it via ``_ZIPF_SQL``). Quantize-before-sum: each
+    ln() floors to BIGINT micro-nats once, the four moment sums are
+    exact, and the slope is ONE double division of two bit-identical
+    BIGINTs."""
     cnt = tok.groupBy("source", "t").agg(F.count("*").alias("c"))
     w = Window.partitionBy("source").orderBy(F.desc("c"), "t")
     q = (
@@ -1343,15 +1307,241 @@ def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    return m.filter(F.col("n") >= 3).select(
+        "source",
+        F.col("n").alias("n_ranks"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("zipf_slope"),
+    )
+
+
+def _zipf_sql(tok_cte: str) -> str:
+    """DuckDB twin of ``zipf_slope_by_source`` as a CTE chain ending in
+    ``zslope(source, n_ranks, zipf_slope)``, parameterized by the name
+    of a (source, t) exploded-token CTE."""
+    return f"""zcnt AS (SELECT source, t, count(*) AS c FROM {tok_cte} GROUP BY 1, 2),
+    zranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS r
+      FROM zcnt
+    ),
+    zq AS (
+      SELECT source,
+             CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM zranked WHERE r <= {ZIPF_R}
+    ),
+    zm AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+      FROM zq GROUP BY source
+    ),
+    zslope AS (
+      SELECT source, n AS n_ranks,
+             CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+               AS zipf_slope
+      FROM zm WHERE n >= 3
+    )"""
+
+
+@register(
+    "zipf_rank_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    {_zipf_sql('tok')}
+    SELECT source, n_ranks, zipf_slope FROM zslope ORDER BY source
+    """,
+)
+def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope per source: least-squares fit of quantized ln(count)
+    against quantized ln(rank) over the top {ZIPF_R} token ranks.
+
+    Plan: one map-side-combined groupBy on (source, token), a
+    rank window per source whose row_number ≤ {ZIPF_R} filter becomes
+    a Partial WindowGroupLimit (each map partition forwards at most
+    {ZIPF_R} rows per source), then a |sources|-row moment aggregation.
+    The corpus shuffles once, on the (source, token) count key."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens())
+        .select("source", F.explode("toks").alias("t"))
+    )
+    return zipf_slope_by_source(tok).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# corpus health report (capstone: one wide per-source panel)
+# --------------------------------------------------------------------------
+# The pre-training "data card" panel a mixing pass reads per source:
+# volume (docs, tokens), within-doc lexical diversity, cross-doc
+# exact-duplicate rate, cross-doc distinct-n diversity, and the Zipf
+# rank-frequency slope — five signals that each catch a failure mode
+# the others can't (a source can ace per-doc quality while being 40%
+# copies; ace dup-rate while being boilerplate-templated; ace both
+# while its token distribution says "log spam"). Composed and
+# hash-checked as ONE plan against ONE composed DuckDB oracle, the
+# training_set_build precedent. Exact duplicates are planted
+# clones (REPORT_DUP_MOD below), so the dup column is proven non-zero
+# by construction, at five distinct per-source rates.
+
+
+from .dedup import PLANT_OFFSET as _PLANT_OFFSET  # noqa: E402  (no cycle: dedup imports plans only)
+
+# report-specific clone plant: 16 divides gen_sf.STRIDE=10^8 AND is
+# coprime-spread against the fixture's source = src{doc_id % 20}
+# assignment (ids ≡ 0 mod 16 cycle through sources 0,16,12,8,4), so
+# the dup column fires with DIFFERENT rates in five sources instead of
+# the single-source constant the shared PLANT_MOD=100 plant would give
+# (100 ≡ 0 mod 20 → every clone lands in src0).
+REPORT_DUP_MOD = 16
+
+_ZIPF_REPORT = _zipf_sql("tok")
+
+
+@register(
+    "corpus_health_report",
+    oracle=f"""
+    WITH docs_m AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_PLANT_OFFSET} AS doc_id, source, text
+      FROM documents WHERE doc_id % {REPORT_DUP_MOD} = 0
+    ),
+    base AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest
+      FROM docs_m
+    ),
+    per_doc AS (
+      SELECT source, digest,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(toks)) * 1000000
+                  // greatest(len(toks), 1) AS BIGINT) AS score
+      FROM base
+    ),
+    stats AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(CAST(sum(score) AS BIGINT) // count(*) AS BIGINT)
+               AS mean_lexical_ppm
+      FROM per_doc GROUP BY source
+    ),
+    dup AS (
+      SELECT source, CAST(COALESCE(sum(c), 0) AS BIGINT) AS dup_docs
+      FROM (SELECT source, digest, count(*) AS c
+            FROM per_doc GROUP BY 1, 2) g
+      WHERE c > 1 GROUP BY source
+    ),
+    grams AS (
+      SELECT source, unnest({_TRIGRAM_SQL}) AS g FROM base
+    ),
+    per_gram AS (SELECT source, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    div AS (
+      SELECT source,
+             CAST(count(*) * 1000000 // greatest(sum(c), 1) AS BIGINT)
+               AS distinct_trigram_ppm
+      FROM per_gram GROUP BY source
+    ),
+    tok AS (SELECT source, unnest(toks) AS t FROM base),
+    {_ZIPF_REPORT}
+    SELECT s.source, s.n_docs, s.total_tokens, s.mean_lexical_ppm,
+           CAST(COALESCE(d.dup_docs, 0) * 1000000 // s.n_docs AS BIGINT)
+             AS dup_doc_ppm,
+           v.distinct_trigram_ppm,
+           z.zipf_slope
+    FROM stats s
+    LEFT JOIN dup d USING (source)
+    JOIN div v USING (source)
+    JOIN zslope z USING (source)
+    ORDER BY s.source
+    """,
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data-card panel: volume, mean within-doc
+    lexical diversity (integer ppm), exact-duplicate document rate
+    (normalized-digest groups of size > 1, integer ppm), distinct-
+    trigram diversity (ppm), and the Zipf rank-frequency slope.
+
+    Plan: THREE corpus scans, each reduced map-side before its
+    exchange — (1) per-doc digest/score projection feeding both the
+    per-source stats and the (source, digest) dup count, (2) the
+    trigram explode feeding the (source, gram) distinct count, (3) the
+    token explode feeding the Zipf machinery (whose top-R window rides
+    a Partial WindowGroupLimit). The five per-source relations
+    (|sources| rows each) then join broadcast-small. A deployment
+    persists the tokenized projection to collapse the scans; nothing
+    here is windowed unbounded, collected, or broadcast beyond
+    |sources| rows."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs_m = docs.unionByName(
+        docs.filter(F.col("doc_id") % REPORT_DUP_MOD == 0).withColumn(
+            "doc_id", F.col("doc_id") + _PLANT_OFFSET
+        )
+    )
+    base = docs_m.select(
+        "doc_id",
+        "source",
+        _tokens().alias("toks"),
+        F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")).alias(
+            "digest"
+        ),
+    )
+    # narrow per-doc projection (no text) feeding BOTH the stats and
+    # the dup count — cached so the digest/score scan runs once
+    per_doc = tracked_cache(base.select(
+        "source",
+        "digest",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.expr(
+            "CAST(size(array_distinct(toks)) * 1000000"
+            " DIV greatest(size(toks), 1) AS BIGINT)"
+        ).alias("score"),
+    ))
+    stats = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.expr("CAST(sum(score) DIV count(*) AS BIGINT)").alias("mean_lexical_ppm"),
+    )
+    dup = (
+        per_doc.groupBy("source", "digest")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy("source")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("dup_docs"))
+    )
+    grams = base.select("source", F.explode(trigram_arr()).alias("g"))
+    div = (
+        grams.groupBy("source", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.expr(
+                "CAST(count(*) * 1000000 DIV greatest(sum(c), 1) AS BIGINT)"
+            ).alias("distinct_trigram_ppm")
+        )
+    )
+    tok = base.select("source", F.explode("toks").alias("t"))
+    z = zipf_slope_by_source(tok)
     return (
-        m.filter(F.col("n") >= 3)
+        stats.join(F.broadcast(dup), "source", "left")
+        .join(F.broadcast(div), "source")
+        .join(F.broadcast(z.select("source", "zipf_slope")), "source")
         .select(
             "source",
-            F.col("n").alias("n_ranks"),
-            (
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-            ).alias("zipf_slope"),
+            "n_docs",
+            "total_tokens",
+            "mean_lexical_ppm",
+            F.expr(
+                "CAST(coalesce(dup_docs, 0) * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("dup_doc_ppm"),
+            "distinct_trigram_ppm",
+            "zipf_slope",
         )
         .orderBy("source")
     )

@@ -744,3 +744,20 @@ def test_preference_pairs_reduced_before_join(spark):
     # the cache is the narrow projection: no `text` column in its output
     cached_cols = text.split("InMemoryTableScan")[1].split("\n")[0]
     assert "text" not in cached_cols
+
+
+def test_health_report_three_reduced_scans(spark):
+    """The capstone's three corpus scans must each reduce map-side:
+    the Zipf top-R filter rides a Partial WindowGroupLimit, every
+    aggregation is partial+final around its exchange, the per-source
+    panel joins are broadcast, and nothing runs in Python."""
+    text = plan_of(spark, "corpus_health_report")
+    assert "row_number(), 100, Partial" in text
+    assert "BatchEvalPython" not in text
+    assert "SortMergeJoin" not in text and "CartesianProduct" not in text
+    assert text.count("BroadcastHashJoin") >= 3
+    # the narrow per-doc projection is cached and read by BOTH the
+    # stats and the dup branches (FileScan lines inside the printed
+    # InMemoryRelation subtrees don't execute — the executing scans
+    # are the cache fill + grams + tokens, three corpus passes)
+    assert text.count("InMemoryTableScan") == 2
