@@ -14,7 +14,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import register, table, tracked_cache
-from .dedup import DF_CUTOFF, PLANTED_DOCS_SQL, ngram_jaccard_pairs, plant_duplicates, spread
+from .dedup import (
+    DF_CUTOFF,
+    PLANT_MOD,
+    PLANT_OFFSET,
+    PLANTED_DOCS_SQL,
+    ngram_jaccard_pairs,
+    plant_duplicates,
+    spread,
+)
 
 # ---------------------------------------------------------------------------
 # Deterministic hash sampling (reproducible train/eval splits)
@@ -636,7 +644,7 @@ VAL_HEX_PREFIX = "0"  # md5 first hex digit '0' → ~1/16 of groups → val
     SELECT method, CAST(n_train AS BIGINT) AS n_train,
            CAST(n_val AS BIGINT) AS n_val, leaked_groups
     FROM leak ORDER BY method
-    """.format(plant_offset=10_000_000, plant_mod=101),
+    """.format(plant_offset=PLANT_OFFSET, plant_mod=PLANT_MOD),
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val split audit: the dup-group-aware assignment (split

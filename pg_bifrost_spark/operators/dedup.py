@@ -99,7 +99,10 @@ def with_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 # exactly in the oracles, so both engines must find the SAME non-empty
 # duplicate set. The raw operators over arbitrary DataFrames remain
 # available un-planted (exact_dup_groups, ngram_jaccard_pairs, ...).
-PLANT_MOD = 100  # divides gen_sf.STRIDE=10^8, so sf1 replicas reproduce the plant
+PLANT_MOD = 64  # divides gen_sf.STRIDE=10^8 (exact plant pattern per sf1 replica)
+# AND spreads clones over five sources (64 mod 20 cycles 0,4,8,12,16)
+# — a modulus ≡ 0 (mod 20) would confine every clone to src0 and turn
+# the per-source dup-rate gate rows into vacuous 0==0 checks
 PLANT_OFFSET = 10_000_000
 
 

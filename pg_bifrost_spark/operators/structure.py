@@ -332,7 +332,7 @@ def html_strip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each passes alone.
 REFINERY_MIN_TOKENS = 20
 _RP = 10_000_000  # clone id offset (dedup.PLANT_OFFSET)
-_RM = 100  # clone mod (dedup.PLANT_MOD)
+_RM = 64  # clone mod (dedup.PLANT_MOD)
 
 
 @register(

@@ -208,7 +208,12 @@ GATE_PRIORITY: list[str] = [
     # the posting-list path (same operator, planted-boilerplate
     # cutoff actually firing) in the gate
     "dedup_ngram_jaccard_hotset",
-    "purchase_attribution",
+    # r7-late coverage-first swap: purchase_attribution (green r5+r6,
+    # events-table op untouched by the PLANT_MOD=64 fixture change)
+    # yields its slot to the never-checked corpus_health_report
+    # capstone — every plant-affected dedup row stays in the gate to
+    # prove the new fixture vintage
+    "corpus_health_report",
     "dedup_containment",
     # dedup_embedding_cosine (4 straight greens) yields to the NEW r6
     # embedding_drift_report; the embedding family keeps
@@ -231,7 +236,10 @@ GATE_PRIORITY: list[str] = [
     # never-checked audio decoder; its batched sibling keeps the
     # exact-scoring tail in the gate
     "ann_batch_topk",
-    "multimodal_audio_decode",
+    # r7-late coverage-first swap: multimodal_audio_decode (green
+    # r5+r6, plant-independent) yields to the never-checked
+    # corpus_distinct_ngram_rate
+    "corpus_distinct_ngram_rate",
     # embedding_quantize_int8 (3 straight greens, map-only shape)
     # yields to the never-checked leakage_safe_split
     "leakage_safe_split",
@@ -307,7 +315,9 @@ GATE_PRIORITY: list[str] = [
     # r7 contrastive hard-negative miner; budgeted-mixture evidence
     # stays via temperature_mixture_sample + its greens
     "ann_hard_negatives",
-    "events_funnel",
+    # r7-late coverage-first swap: events_funnel (green r5+r6,
+    # plant-independent) yields to the never-checked zipf_rank_slope
+    "zipf_rank_slope",
     # profiling / diagnostics (r3 additions — first gate rotation)
     # join_skew_report (3 straight greens) yields to the NEW r7
     # alpha-temperature mixture resample; skew evidence stays pinned
@@ -326,7 +336,10 @@ GATE_PRIORITY: list[str] = [
     # parser that replaced the r4 stub — first gate appearance;
     # binary_meta rotates out after 3 straight green rounds)
     "multimodal_image_decode",
-    "retention_cohorts",
+    # r7-late coverage-first swap: retention_cohorts (green r5+r6,
+    # plant-independent) yields to the never-checked
+    # preference_pair_build
+    "preference_pair_build",
     # long-proven keepers — tumbling_window_stats and
     # scalar_function_suite anchor the streaming-stats (A6/A7) and
     # scalar-suite (§2.9) evidence rows. Rotated OUT after >=3

@@ -9,7 +9,7 @@ different workload:
   * replica 0 is the original rows byte-for-byte; replicas 1..N-1
     shift every key column by ``i * STRIDE``.
   * STRIDE = 100_000_000 = 2⁸·5⁸, divisible by every planted-fixture
-    modulus in the SCALE-GATED family (PLANT_MOD=100, SPAN_MOD=25,
+    modulus in the SCALE-GATED family (PLANT_MOD=64, SPAN_MOD=25,
     TRUNC_MOD=10, CODE_MOD=16, the %10/%20/%50 patterns), so each
     replica reproduces those plant patterns exactly (same duplicate
     clusters, same footer docs — N independent copies of the sf0.1
