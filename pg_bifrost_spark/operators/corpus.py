@@ -142,29 +142,41 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def contam_gram_arr(toks_col: str = "toks") -> F.Column:
-    """Distinct CONTAM_N-grams of a materialized token array — THE
-    single gram definition shared by ``contamination_ngram`` and the
-    ``training_set_build`` capstone (the oracles mirror it via
-    ``_GRAM_SQL``)."""
-    return F.when(
-        F.size(toks_col) >= CONTAM_N,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks_col) - (CONTAM_N - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(F.col(toks_col), i + k) for k in range(CONTAM_N)]
-                ),
-            )
+def gram_arr(n: int, toks_col: str = "toks", distinct: bool = False) -> F.Column:
+    """ALL contiguous n-gram occurrences of a materialized token array
+    (optionally deduplicated) — THE single gram builder behind the
+    contamination probe (n={CONTAM_N}, distinct), the diversity report
+    (n=3, occurrences), and the training_set_build capstone; the
+    oracles mirror it via ``_gram_sql``. Empty below n tokens."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks_col) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col(toks_col), i + k) for k in range(n)]
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    )
+    if distinct:
+        arr = F.array_distinct(arr)
+    return F.when(F.size(toks_col) >= n, arr).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
-_GRAM_SQL = (
-    f"list_transform(range(1, len(toks) - {CONTAM_N - 2}), i -> "
-    + " || ' ' || ".join(f"toks[i+{k}]" for k in range(CONTAM_N))
-    + ")"
-)
+def _gram_sql(n: int) -> str:
+    """DuckDB twin of ``gram_arr(n)`` over a ``toks`` list column
+    (callers wrap in list_distinct for the distinct variant)."""
+    return (
+        f"list_transform(range(1, len(toks) - {n - 2}), i -> "
+        + " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+        + ")"
+    )
+
+
+def contam_gram_arr(toks_col: str = "toks") -> F.Column:
+    """Distinct CONTAM_N-grams (contamination_ngram + capstone)."""
+    return gram_arr(CONTAM_N, toks_col, distinct=True)
+
+
+_GRAM_SQL = _gram_sql(CONTAM_N)
 
 
 @register(
@@ -1186,27 +1198,13 @@ def feature_hashing_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (which can't see cross-document repetition).
 DIVERSITY_N = 3
 
-_TRIGRAM_SQL = (
-    f"list_transform(range(1, len(toks) - {DIVERSITY_N - 2}), i -> "
-    + " || ' ' || ".join(f"toks[i+{k}]" for k in range(DIVERSITY_N))
-    + ")"
-)
+_TRIGRAM_SQL = _gram_sql(DIVERSITY_N)
 
 
 def trigram_arr(toks_col: str = "toks") -> F.Column:
     """ALL contiguous {DIVERSITY_N}-gram occurrences (NOT distinct —
-    the diversity denominator is total slots) of a materialized token
-    array; empty below {DIVERSITY_N} tokens."""
-    return F.when(
-        F.size(toks_col) >= DIVERSITY_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks_col) - (DIVERSITY_N - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(F.col(toks_col), i + k) for k in range(DIVERSITY_N)],
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    the diversity denominator is total slots)."""
+    return gram_arr(DIVERSITY_N, toks_col)
 
 
 @register(
@@ -1400,6 +1398,9 @@ from .dedup import PLANT_OFFSET as _PLANT_OFFSET  # noqa: E402  (no cycle: dedup
 # (100 ≡ 0 mod 20 → every clone lands in src0).
 REPORT_DUP_MOD = 16
 
+from .text import LEX_SCORE_SQL as _LEX_SCORE_SQL  # noqa: E402
+from .text import lexical_diversity_ppm as _lex_ppm  # noqa: E402
+
 _ZIPF_REPORT = _zipf_sql("tok")
 
 
@@ -1421,8 +1422,7 @@ _ZIPF_REPORT = _zipf_sql("tok")
     per_doc AS (
       SELECT source, digest,
              CAST(len(toks) AS BIGINT) AS n_tok,
-             CAST(len(list_distinct(toks)) * 1000000
-                  // greatest(len(toks), 1) AS BIGINT) AS score
+             {_LEX_SCORE_SQL} AS score
       FROM base
     ),
     stats AS (
@@ -1498,10 +1498,7 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "digest",
         F.size("toks").cast("bigint").alias("n_tok"),
-        F.expr(
-            "CAST(size(array_distinct(toks)) * 1000000"
-            " DIV greatest(size(toks), 1) AS BIGINT)"
-        ).alias("score"),
+        _lex_ppm().alias("score"),
     ))
     stats = per_doc.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),

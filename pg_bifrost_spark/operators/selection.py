@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..plans import register, table, tracked_cache
 from .curation import md5_bucket
-from .text import _tokens
+from .text import LEX_SCORE_SQL, _tokens, lexical_diversity_ppm
 
 # Hashed feature space (unigrams + bigrams -> D buckets) and the
 # DSIR target set: a small named slice of sources standing in for the
@@ -338,13 +338,13 @@ PREF_K = 5
 @register(
     "preference_pair_build",
     oracle=f"""
-    WITH scored AS (
+    WITH tok AS (
       SELECT doc_id, source,
-             CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
-                  * 1000000
-                  // greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
-               AS BIGINT) AS score
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
       FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, {LEX_SCORE_SQL} AS score FROM tok
     ),
     best AS (
       SELECT source, doc_id, score,
@@ -380,18 +380,9 @@ def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized equi-join of two {PREF_K}·|sources|-row relations.
     The corpus is scanned once; nothing text-sized survives the first
     projection."""
-    from ..plans import tracked_cache
-
     docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
     scored = tracked_cache(
-        docs.select(
-            "doc_id",
-            "source",
-            F.expr(
-                "CAST(size(array_distinct(toks)) * 1000000"
-                " DIV greatest(size(toks), 1) AS BIGINT)"
-            ).alias("score"),
-        )
+        docs.select("doc_id", "source", lexical_diversity_ppm().alias("score"))
     )
     wb = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
     ww = Window.partitionBy("source").orderBy(F.asc("score"), "doc_id")

@@ -25,6 +25,25 @@ def _tokens(col: str = "text") -> F.Column:
     return F.split(F.lower(F.trim(F.col(col))), r"\s+")
 
 
+def lexical_diversity_ppm(toks_col: str = "toks") -> F.Column:
+    """Unique-token ratio in integer parts-per-million — the shared
+    float-free quality score behind ``preference_pair_build`` and the
+    ``corpus_health_report`` capstone (oracles mirror it via
+    ``LEX_SCORE_SQL``). Positive BIGINT division truncates identically
+    in Spark (DIV) and DuckDB (//)."""
+    return F.expr(
+        f"CAST(size(array_distinct({toks_col})) * 1000000"
+        f" DIV greatest(size({toks_col}), 1) AS BIGINT)"
+    )
+
+
+# DuckDB twin over a toks list column
+LEX_SCORE_SQL = (
+    "CAST(len(list_distinct(toks)) * 1000000"
+    " // greatest(len(toks), 1) AS BIGINT)"
+)
+
+
 @register(
     "text_token_stats",
     oracle=f"""
