@@ -103,6 +103,10 @@ HEADLINE = [
     "zipf_rank_slope",
     "preference_pair_build",
     "corpus_health_report",
+    # r7 fourth batch: canary scan, session-dialog assembly, PMI
+    "canary_extraction_scan",
+    "session_dialog_examples",
+    "pmi_top_bigrams",
     "cdc_lineitem_roundtrip",
 ]
 
@@ -141,6 +145,10 @@ SCALE_QUERIES = [
     # single shuffle key-space of any registered op ((source, gram)),
     # so its growth exponent is worth measuring directly
     "corpus_distinct_ngram_rate",
+    # r7 fourth batch: the bigram-domain count joins (each replica is
+    # its own vocab universe, so the collocation key-space must grow
+    # linearly, not quadratically)
+    "pmi_top_bigrams",
 ]
 SCALE_REPLICAS = 10
 # best-of-2 per (query, sf): one exec fewer than the sweep's

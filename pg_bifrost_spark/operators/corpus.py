@@ -1275,6 +1275,12 @@ ZIPF_R = 100
 # IEEE-exact in both engines, so the hash cannot drift.
 
 
+def _qln_micro(c: F.Column) -> F.Column:
+    """floor(ln(x) * 1e6) as BIGINT over a positive BIGINT column —
+    the repo-wide quantize-before-sum log (zipf / PMI family)."""
+    return F.floor(F.log(c.cast("double")) * 1000000).cast("bigint")
+
+
 def zipf_slope_by_source(tok: DataFrame) -> DataFrame:
     """(source, n_ranks, zipf_slope) from an exploded (source, t)
     token relation — THE single slope definition shared by
@@ -1541,4 +1547,112 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_slope",
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# top-PMI bigram collocations
+# --------------------------------------------------------------------------
+# Collocation mining (the classic distribution-level vocabulary
+# signal): pointwise mutual information of adjacent token pairs vs
+# their unigram marginals. Templated corpora surface their boilerplate
+# here long before any per-document score moves. All five log terms
+# are quantized to integer micro-nats SEPARATELY and combined as
+# BIGINTs (floor(ln a)+floor(ln b) ≠ floor(ln ab), but both engines
+# compute the identical expression — and the factored form never
+# multiplies corpus-scale counts together, so nothing can overflow at
+# any corpus size, unlike ln(c12·T²/(B·c1·c2)) whose T² blows past
+# BIGINT around T ≈ 3e9 tokens).
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+@register(
+    "pmi_top_bigrams",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(toks) AS w FROM tok
+    ),
+    ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+      FROM tok WHERE len(toks) >= 2
+    ),
+    bcnt AS (SELECT p.w1 AS w1, p.w2 AS w2,
+                    CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+    tot AS (SELECT CAST((SELECT sum(c) FROM ucnt) AS BIGINT) AS t,
+                   CAST((SELECT sum(c12) FROM bcnt) AS BIGINT) AS b)
+    SELECT w1, w2, c12,
+           CAST(floor(ln(CAST(c12 AS DOUBLE)) * 1000000) AS BIGINT)
+             + 2 * CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(floor(ln(CAST(b AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(floor(ln(CAST(u1.c AS DOUBLE)) * 1000000) AS BIGINT)
+             - CAST(floor(ln(CAST(u2.c AS DOUBLE)) * 1000000) AS BIGINT)
+             AS pmi_micro_nats
+    FROM bcnt
+    JOIN ucnt u1 ON bcnt.w1 = u1.w
+    JOIN ucnt u2 ON bcnt.w2 = u2.w
+    CROSS JOIN tot
+    WHERE c12 >= {PMI_MIN_COUNT}
+    ORDER BY pmi_micro_nats DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP_K} adjacent-token collocations by quantized PMI
+    (minimum pair count {PMI_MIN_COUNT}).
+
+    Plan: one tokenize pass feeds the unigram explode and the bigram
+    explode (two map-side-combined counts), the unigram table joins
+    the ≥{PMI_MIN_COUNT}-filtered bigram table twice on the token key
+    (co-partitioned shuffles), both totals ride broadcast single-row
+    crossJoins, and the global top-k is ORDER BY + LIMIT — Spark's
+    TakeOrderedAndProject keeps k rows per partition, never a full
+    sort. The min-count filter applies BEFORE the joins, so the joined
+    relation is collocation-sized, not bigram-domain-sized."""
+    q = _qln_micro
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    uni = docs.select(F.explode("toks").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    bi = docs.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("p")
+    )
+    bcnt = (
+        bi.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    tot = ucnt.agg(F.sum("c").cast("bigint").alias("t")).crossJoin(
+        bi.select(F.count("*").cast("bigint").alias("b"))
+    )
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bcnt.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                q(F.col("c12")) + 2 * q(F.col("t")) - q(F.col("b"))
+                - q(F.col("c1")) - q(F.col("c2"))
+            ).alias("pmi_micro_nats"),
+        )
+        .orderBy(F.desc("pmi_micro_nats"), "w1", "w2")
+        .limit(PMI_TOP_K)
     )

@@ -204,3 +204,89 @@ def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# memorization-canary scan
+# --------------------------------------------------------------------------
+# The extraction-attack hygiene check a training pipeline runs before
+# shipping a corpus: K known canary strings (secrets seeded into
+# upstream systems to detect leakage into training data) are scanned
+# for verbatim occurrence. The canary table is tiny BY DEFINITION, so
+# the scan is a broadcast contains() pass over the corpus — map-only,
+# no shuffle of the big side at any corpus size. The fixture corpus
+# contains no canaries, so the gate PLANTS them into ~1/{_CANARY_MOD}
+# of docs (two of the four canaries never planted — the zero rows
+# prove absence is reported, not just presence).
+_CANARY_MOD = 16  # divides gen_sf.STRIDE=10^8; 16 mod 20 spreads over 5 sources
+CANARIES = (
+    "canary-7f3a1c9e-credential",
+    "canary-2b8d4e01-apikey",
+    "canary-ffa0c355-never-planted",
+    "canary-91e7b2d6-also-never-planted",
+)
+_CANARY_SQL = ", ".join(f"('{c}')" for c in CANARIES)
+
+
+@register(
+    "canary_extraction_scan",
+    oracle=f"""
+    WITH docs_c AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {_CANARY_MOD} = 0 THEN
+               text || ' ' ||
+               CASE WHEN doc_id % {_CANARY_MOD * 2} = 0
+                    THEN 'canary-7f3a1c9e-credential'
+                    ELSE 'canary-2b8d4e01-apikey' END
+             ELSE text END AS text
+      FROM documents
+    ),
+    canaries(canary) AS (VALUES {_CANARY_SQL})
+    SELECT c.canary,
+           CAST(count(d.doc_id) AS BIGINT) AS n_docs_hit,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources_hit,
+           COALESCE(min(d.doc_id), -1) AS first_doc_id
+    FROM canaries c
+    LEFT JOIN docs_c d ON contains(d.text, c.canary)
+    GROUP BY c.canary ORDER BY c.canary
+    """,
+)
+def canary_extraction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-canary verbatim-occurrence report: documents hit, sources
+    hit, first document id (-1 when the canary is absent — the absent
+    rows are the point, a leak scanner that only reports hits can't
+    prove it ran).
+
+    Plan: the canary table is broadcast (K rows by definition) into a
+    contains() theta-join; the corpus streams map-side with NO
+    exchange before the K-row aggregate. Never-planted canaries pin
+    the LEFT JOIN's absence semantics in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % _CANARY_MOD == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.when(
+                    F.col("doc_id") % (_CANARY_MOD * 2) == 0, F.lit(CANARIES[0])
+                ).otherwise(F.lit(CANARIES[1])),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    canaries = spark.createDataFrame([(c,) for c in CANARIES], ["canary"])
+    return (
+        planted.join(
+            F.broadcast(canaries),
+            F.col("text").contains(F.col("canary")),
+            "right",
+        )
+        .groupBy("canary")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_docs_hit"),
+            F.countDistinct("source").cast("bigint").alias("n_sources_hit"),
+            F.coalesce(F.min("doc_id"), F.lit(-1)).alias("first_doc_id"),
+        )
+        .orderBy("canary")
+    )

@@ -413,3 +413,94 @@ def preference_pair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pair_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# session-dialog example assembly (behavioral-sequence training data)
+# --------------------------------------------------------------------------
+# Sequence models over user behavior (next-action prediction,
+# session-intent classifiers) train on ORDERED per-session action
+# strings. Assembly is the order-preserving group collect — the one
+# aggregation shape where engines silently diverge unless the order
+# key is pinned: both sides sort by (ts, event_id), exact microsecond
+# epochs (the sessionize_users lesson — second-truncated timestamps
+# split ±1 s gap ties differently per engine).
+SESSION_GAP_US = 300_000_000
+
+
+@register(
+    "session_dialog_examples",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id))
+                       > {SESSION_GAP_US} OR
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS dialog,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+             AS duration_us
+    FROM sess GROUP BY user_id, session_id
+    HAVING count(*) >= 2
+    ORDER BY user_id, session_id
+    """,
+)
+def session_dialog_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-session action strings ('view>click>purchase'),
+    turn counts, and durations — sessions of at least 2 turns (a
+    1-turn dialog teaches a sequence model nothing).
+
+    Plan: the gaps-and-islands windows partition by user_id (bounded
+    state per user, fully distributed), then ONE groupBy assembles the
+    ordered turn array via sort_array(collect_list(struct(ts,
+    event_id, event_type))) — the struct's leading fields ARE the
+    order key, so ordering happens inside the aggregation buffer, not
+    as a global sort. Nothing is collected; output is one row per
+    session."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > SESSION_GAP_US)
+    ).cast("int")
+    running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_session).over(running).cast("bigint")
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("dialog"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_us"),
+        )
+        .filter(F.col("n_turns") >= 2)
+        .orderBy("user_id", "session_id")
+    )

@@ -269,7 +269,10 @@ GATE_PRIORITY: list[str] = [
     "html_strip_text",
     "refinery_pipeline",
     "pii_scan_documents",
-    "quality_unigram_logprob",
+    # r7-late coverage-first swap: quality_unigram_logprob (green
+    # r5+r6, plant-independent; the bigram variant keeps the LM-score
+    # family in the gate) yields to the never-checked pmi_top_bigrams
+    "pmi_top_bigrams",
     # NEW r7: the bigram rung of the LM-quality ladder, per-doc token
     # entropy, and the top-K vocabulary OOV-coverage report
     "quality_bigram_logprob",
@@ -298,7 +301,10 @@ GATE_PRIORITY: list[str] = [
     # bm25_retrieval + tokenizer_vocab_coverage
     "feature_hashing_bow",
     # curation / mixture planning
-    "corpus_snapshot_diff",
+    # r7-late coverage-first swap: corpus_snapshot_diff (green r5+r6,
+    # DIFF-mod plants untouched by the PLANT_MOD change) yields to the
+    # never-checked canary_extraction_scan
+    "canary_extraction_scan",
     # sequence_packing (3 straight greens) yields to the NEW r7
     # CCNet perplexity-bucket report; packing evidence stays pinned in
     # pytest and its r4-r6 gate greens
@@ -335,7 +341,11 @@ GATE_PRIORITY: list[str] = [
     # multimodal plumbing (image_decode: the real PNG/JPEG header
     # parser that replaced the r4 stub — first gate appearance;
     # binary_meta rotates out after 3 straight green rounds)
-    "multimodal_image_decode",
+    # r7-late coverage-first swap: multimodal_image_decode (green
+    # r5+r6, plant-independent; video keeps the container-decode
+    # family in the gate) yields to the never-checked
+    # session_dialog_examples (order-preserving group collect)
+    "session_dialog_examples",
     # r7-late coverage-first swap: retention_cohorts (green r5+r6,
     # plant-independent) yields to the never-checked
     # preference_pair_build

@@ -49,6 +49,9 @@ FAMILY = [
     # shuffle key-space in the registry; per-replica token suffixes
     # grow the gram domain linearly, so the exchange must too
     "corpus_distinct_ngram_rate",
+    # bigram-domain joins: per-replica vocab universes keep the
+    # collocation key-space linear in N
+    "pmi_top_bigrams",
 ]
 
 
