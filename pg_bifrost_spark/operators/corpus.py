@@ -1296,12 +1296,8 @@ def zipf_slope_by_source(tok: DataFrame) -> DataFrame:
         .filter(F.col("r") <= ZIPF_R)
         .select(
             "source",
-            F.floor(F.log(F.col("r").cast("double")) * 1000000)
-            .cast("bigint")
-            .alias("x"),
-            F.floor(F.log(F.col("c").cast("double")) * 1000000)
-            .cast("bigint")
-            .alias("y"),
+            _qln_micro(F.col("r")).alias("x"),
+            _qln_micro(F.col("c")).alias("y"),
         )
     )
     m = q.groupBy("source").agg(
@@ -1396,12 +1392,12 @@ def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .dedup import PLANT_OFFSET as _PLANT_OFFSET  # noqa: E402  (no cycle: dedup imports plans only)
 
-# report-specific clone plant: 16 divides gen_sf.STRIDE=10^8 AND is
-# coprime-spread against the fixture's source = src{doc_id % 20}
-# assignment (ids ≡ 0 mod 16 cycle through sources 0,16,12,8,4), so
-# the dup column fires with DIFFERENT rates in five sources instead of
-# the single-source constant the shared PLANT_MOD=100 plant would give
-# (100 ≡ 0 mod 20 → every clone lands in src0).
+# report-specific clone plant: 16 divides gen_sf.STRIDE=10^8 and
+# spreads against the fixture's source = src{doc_id % 20} assignment
+# (ids ≡ 0 mod 16 cycle through sources 0,16,12,8,4). Kept separate
+# from dedup.PLANT_MOD so the report's dup panel is independent of the
+# dedup-family fixture (a PLANT_MOD retune can't silently change this
+# op's gate rows) and denser — three distinct per-source rates.
 REPORT_DUP_MOD = 16
 
 from .text import LEX_SCORE_SQL as _LEX_SCORE_SQL  # noqa: E402
@@ -1608,18 +1604,26 @@ def pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PMI_TOP_K} adjacent-token collocations by quantized PMI
     (minimum pair count {PMI_MIN_COUNT}).
 
-    Plan: one tokenize pass feeds the unigram explode and the bigram
-    explode (two map-side-combined counts), the unigram table joins
+    Plan: the unigram count is built once and cached (it feeds the
+    total and BOTH marginal joins), the bigram explode is one
+    map-side-combined count, the bigram total is a map-only per-doc
+    slot sum (no second explode), and the unigram table joins
     the ≥{PMI_MIN_COUNT}-filtered bigram table twice on the token key
     (co-partitioned shuffles), both totals ride broadcast single-row
     crossJoins, and the global top-k is ORDER BY + LIMIT — Spark's
     TakeOrderedAndProject keeps k rows per partition, never a full
     sort. The min-count filter applies BEFORE the joins, so the joined
     relation is collocation-sized, not bigram-domain-sized."""
+    from ..plans import tracked_cache
+
     q = _qln_micro
     docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
     uni = docs.select(F.explode("toks").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    # the unigram table feeds the total AND both marginal joins —
+    # uncached, each consumer re-tokenizes and re-explodes the corpus
+    ucnt = tracked_cache(
+        uni.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    )
     bi = docs.filter(F.size("toks") >= 2).select(
         F.explode(
             F.expr(
@@ -1635,8 +1639,15 @@ def pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c12"))
         .filter(F.col("c12") >= PMI_MIN_COUNT)
     )
+    # bigram total: map-only sum of per-doc slot counts — a
+    # bi.count() here would re-tokenize AND re-explode the corpus just
+    # to count rows (the hidden-rescan pattern)
     tot = ucnt.agg(F.sum("c").cast("bigint").alias("t")).crossJoin(
-        bi.select(F.count("*").cast("bigint").alias("b"))
+        docs.agg(
+            F.sum(F.expr("greatest(size(toks) - 1, 0)"))
+            .cast("bigint")
+            .alias("b")
+        )
     )
     u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))

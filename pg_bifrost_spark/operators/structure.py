@@ -331,8 +331,11 @@ def html_strip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chain — the end-to-end proof that the stages COMPOSE, not just that
 # each passes alone.
 REFINERY_MIN_TOKENS = 20
-_RP = 10_000_000  # clone id offset (dedup.PLANT_OFFSET)
-_RM = 64  # clone mod (dedup.PLANT_MOD)
+# clone arithmetic: the SAME symbols the Spark half uses — a literal
+# copy here already drifted once (the leakage_safe_split plant_mod=101
+# post-mortem: aggregate-count coincidence kept the gate green)
+from .dedup import PLANT_MOD as _RM  # noqa: E402  (dedup imports plans only)
+from .dedup import PLANT_OFFSET as _RP  # noqa: E402
 
 
 @register(

@@ -31,9 +31,12 @@ def lexical_diversity_ppm(toks_col: str = "toks") -> F.Column:
     ``corpus_health_report`` capstone (oracles mirror it via
     ``LEX_SCORE_SQL``). Positive BIGINT division truncates identically
     in Spark (DIV) and DuckDB (//)."""
+    # the multiply must run in BIGINT: size() is 32-bit and a document
+    # with >2147 distinct tokens would wrap the INT product (DuckDB's
+    # len() side is already BIGINT)
     return F.expr(
-        f"CAST(size(array_distinct({toks_col})) * 1000000"
-        f" DIV greatest(size({toks_col}), 1) AS BIGINT)"
+        f"CAST(size(array_distinct({toks_col})) AS BIGINT) * 1000000"
+        f" DIV greatest(size({toks_col}), 1)"
     )
 
 

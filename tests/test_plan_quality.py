@@ -761,3 +761,15 @@ def test_health_report_three_reduced_scans(spark):
     # InMemoryRelation subtrees don't execute — the executing scans
     # are the cache fill + grams + tokens, three corpus passes)
     assert text.count("InMemoryTableScan") == 2
+
+
+def test_pmi_unigram_table_cached_and_topk_bounded(spark):
+    """PMI: the unigram count feeds the total and both marginal joins
+    through ONE cache (no re-tokenize per consumer), the bigram total
+    is map-only (no second explode scan), and the global top-k is
+    TakeOrderedAndProject — k rows per partition, never a full sort."""
+    text = plan_of(spark, "pmi_top_bigrams")
+    assert text.count("InMemoryTableScan") == 3  # tot + u1 + u2
+    assert "TakeOrderedAndProject" in text
+    assert "SortMergeJoin" not in text and "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text

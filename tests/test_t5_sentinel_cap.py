@@ -58,3 +58,20 @@ def test_sentinels_stay_inside_t5_vocabulary(spark, long_doc_dir):
     tail_start = SENTINEL_LIMIT * CORRUPT_BLOCK
     expected_tail = [f"w{i}" for i in range(tail_start, N_TOKENS)]
     assert corrupted_tokens[-len(expected_tail) :] == expected_tail
+
+
+def test_lexical_score_survives_wide_vocabulary(spark):
+    """The shared lexical-diversity score must multiply in BIGINT: a
+    document with >2147 distinct tokens would wrap a 32-bit product
+    (size() is INT) into garbage while the DuckDB twin stays correct."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pg_bifrost_spark.operators.text import _tokens, lexical_diversity_ppm
+
+    text = " ".join(f"tok{i}" for i in range(3000))
+    df = spark.createDataFrame(pd.DataFrame({"text": [text]}))
+    row = df.withColumn("toks", _tokens()).select(
+        lexical_diversity_ppm().alias("score")
+    ).collect()[0]
+    assert row["score"] == 1_000_000  # all distinct, exact — not wrapped
