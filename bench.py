@@ -107,6 +107,8 @@ HEADLINE = [
     "canary_extraction_scan",
     "session_dialog_examples",
     "pmi_top_bigrams",
+    "lang_id_confusion",
+    "tokenizer_fertility_by_lang",
     "cdc_lineitem_roundtrip",
 ]
 

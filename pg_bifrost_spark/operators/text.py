@@ -92,18 +92,41 @@ def _stopword_hits(stopwords: list[str]) -> F.Column:
     )
 
 
-@register(
-    "text_lang_id",
-    oracle=f"""
-    SELECT doc_id,
-           CASE
+def guessed_lang() -> F.Column:
+    """Stopword-vote language guess (en/de/fr, deterministic
+    tie-break) — THE single guess definition shared by
+    ``text_lang_id`` and ``lang_id_confusion`` (oracles mirror it via
+    ``_GUESS_SQL``)."""
+    en, de, fr = (
+        _stopword_hits(EN_STOPWORDS),
+        _stopword_hits(DE_STOPWORDS),
+        _stopword_hits(FR_STOPWORDS),
+    )
+    return (
+        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr")
+    )
+
+
+def _guess_sql() -> str:
+    """DuckDB twin of ``guessed_lang`` over a documents-shaped
+    relation with a ``text`` column."""
+    return f"""CASE
              WHEN {_stopword_hits_sql(EN_STOPWORDS)} >= {_stopword_hits_sql(DE_STOPWORDS)}
               AND {_stopword_hits_sql(EN_STOPWORDS)} >= {_stopword_hits_sql(FR_STOPWORDS)}
               THEN 'en'
              WHEN {_stopword_hits_sql(DE_STOPWORDS)} >= {_stopword_hits_sql(FR_STOPWORDS)}
               THEN 'de'
              ELSE 'fr'
-           END AS guessed_lang
+           END"""
+
+
+_GUESS_SQL = _guess_sql()
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, {_GUESS_SQL} AS guessed_lang
     FROM documents ORDER BY doc_id
     """,
 )
@@ -112,17 +135,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     would use char-n-gram profiles; the plumbing (per-doc vote max) is
     identical and the tie-break is deterministic."""
     docs = table(spark, sf_dir, "documents")
-    en, de, fr = (
-        _stopword_hits(EN_STOPWORDS),
-        _stopword_hits(DE_STOPWORDS),
-        _stopword_hits(FR_STOPWORDS),
+    return docs.select("doc_id", guessed_lang().alias("guessed_lang")).orderBy(
+        "doc_id"
     )
-    return docs.select(
-        "doc_id",
-        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr").alias(
-            "guessed_lang"
-        ),
-    ).orderBy("doc_id")
 
 
 @register(
@@ -710,3 +725,140 @@ def quality_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_symbols") * 1000 >= CODE_SYM_PERMILLE * F.col("n_chars"))
         ).alias("is_code"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# language-ID agreement matrix
+# --------------------------------------------------------------------------
+# The labeled corpus carries an upstream ``lang`` field; the in-scan
+# detector produces its own guess. The confusion matrix between them
+# is the quality-control panel that decides whether the upstream
+# labels can be trusted for mixture weighting — systematic
+# (label, guess) off-diagonals localize either a mislabeled ingest
+# feed or a detector blind spot to specific cells.
+
+
+# The fixture corpus votes 'en' on every document (its synthetic text
+# carries only English stopwords), which would make the guessed column
+# CONSTANT — a vacuous matrix (the output-variety rule). The gate
+# query therefore PLANTS decisive German/French stopword runs into two
+# doc_id % {mod} slices (16 divides gen_sf.STRIDE and spreads over
+# sources), mirrored byte-exactly in the oracle: the matrix then has
+# real diagonal and off-diagonal mass in every guess column.
+_LANG_PLANT_MOD = 16
+_DE_RUN = " " + " ".join(DE_STOPWORDS * 3)
+_FR_RUN = " " + " ".join(FR_STOPWORDS * 3)
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH docs_l AS (
+      SELECT lang,
+             CASE WHEN doc_id % {_LANG_PLANT_MOD} = 1 THEN text || '{_DE_RUN}'
+                  WHEN doc_id % {_LANG_PLANT_MOD} = 2 THEN text || '{_FR_RUN}'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT lang AS labeled_lang,
+           {_GUESS_SQL} AS guessed_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM docs_l
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(labeled_lang, guessed_lang, n_docs) confusion matrix between
+    the corpus's lang labels and the stopword-vote detector, over the
+    stopword-planted corpus (see _LANG_PLANT_MOD above).
+
+    Plan: the plant and the guess are map-side projections (the shared
+    ``guessed_lang`` expression — zero joins, zero Python), then ONE
+    map-side-combined groupBy on the ≤|langs|² key space. Scales as a
+    single scan at any corpus size."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % _LANG_PLANT_MOD == 1,
+            F.concat(F.col("text"), F.lit(_DE_RUN)),
+        )
+        .when(
+            F.col("doc_id") % _LANG_PLANT_MOD == 2,
+            F.concat(F.col("text"), F.lit(_FR_RUN)),
+        )
+        .otherwise(F.col("text")),
+    )
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            guessed_lang().alias("guessed_lang"),
+        )
+        .groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("labeled_lang", "guessed_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# tokenizer fertility by language
+# --------------------------------------------------------------------------
+# Fertility (characters consumed per emitted token) is the
+# per-language cost model a token-budget planner needs: the same byte
+# budget buys different token counts per language, and a fertility
+# shift after a tokenizer change is the canonical regression signal.
+# Both tokenizations already exist in-repo: whitespace words and the
+# BPE-ish TOKEN_RE regex pass (text_token_stats) — this is their
+# per-language rollup, all-integer (chars·10⁶ DIV tokens).
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                AS BIGINT) AS total_words,
+           CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}')))
+                AS BIGINT) AS total_regex_tokens,
+           CAST(sum(length(text)) * 1000000
+                // greatest(sum(len(regexp_extract_all(text, '{TOKEN_RE}'))), 1)
+             AS BIGINT) AS chars_per_token_micro
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: characters per BPE-ish regex
+    token in integer micro units, plus the raw char/word/token
+    volumes.
+
+    Plan: map-only per-doc counts (length, word split, regex extract —
+    all JVM expressions), ONE map-side-combined groupBy on the
+    |langs|-sized key. The sums run in BIGINT end to end; the final
+    ratio is a positive integer division (truncates identically in
+    both engines)."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("chars"),
+        F.size(_tokens()).cast("bigint").alias("words"),
+        # pattern via F.lit, NOT an F.expr SQL literal — Spark SQL
+        # string parsing eats the backslash in \s, silently turning
+        # the char class into [^A-Za-z0-9s] (which matches spaces)
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+        .cast("bigint")
+        .alias("rtoks"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.sum("words").cast("bigint").alias("total_words"),
+            F.sum("rtoks").cast("bigint").alias("total_regex_tokens"),
+            F.expr(
+                "CAST(sum(chars) * 1000000 DIV greatest(sum(rtoks), 1) AS BIGINT)"
+            ).alias("chars_per_token_micro"),
+        )
+        .orderBy("lang")
+    )

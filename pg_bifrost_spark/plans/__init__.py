@@ -263,12 +263,20 @@ GATE_PRIORITY: list[str] = [
     # structure; pii_redact_customers at 3 straight greens yields its
     # slot — PII evidence stays via pii_scan_documents)
     "quality_c4_rules",
-    "bpe_pair_merges",
+    # r7-late coverage-first swap: bpe_pair_merges (green r5+r6,
+    # plant-independent; the BPE family stays pinned by the
+    # bpe_apply_merges exactness tests) yields to the never-checked
+    # tokenizer_fertility_by_lang
+    "tokenizer_fertility_by_lang",
     "paragraph_dedup",
     "doc_line_dedup",
     "html_strip_text",
     "refinery_pipeline",
-    "pii_scan_documents",
+    # r7-late coverage-first swap: pii_scan_documents (green r5+r6,
+    # own plant moduli untouched; canary_extraction_scan keeps the
+    # privacy family in the gate) yields to the never-checked
+    # lang_id_confusion
+    "lang_id_confusion",
     # r7-late coverage-first swap: quality_unigram_logprob (green
     # r5+r6, plant-independent; the bigram variant keeps the LM-score
     # family in the gate) yields to the never-checked pmi_top_bigrams
