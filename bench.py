@@ -564,6 +564,72 @@ def _run_once(spark, name: str, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _write_json_atomic(path: str, payload: dict) -> None:
+    """Persist the bench JSON next to the stdout line (VERDICT r7 ask
+    #7): the driver captures stdout through a pipe that has truncated
+    mid-object before (BENCH_r07 lost 55 of 64 query rows), so the same
+    payload is also written to a file via write-tmp-then-rename — a
+    reader never sees a half-written JSON."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# --sf10 leg (VERDICT r7 ask #5): the one-off 100× spot-check promoted
+# to a reproducible command. Times the 4 queries with the WORST 10×
+# ratios at 100× data (sf0.1 × 100 replicas ≈ sf10: 60 M lineitem
+# rows) and writes BENCH_SF10.json. Opt-in (`python bench.py --sf10`)
+# — a full sf10 roundtrip alone runs ~5-6 min, far past the per-round
+# bench budget, so it is NOT part of the default run.
+SF10_QUERIES = [
+    "corpus_distinct_ngram_rate",
+    "dsir_importance_score",
+    "cdc_lineitem_roundtrip",
+    "repeated_span_removal",
+]
+SF10_REPLICAS = 100
+
+
+def bench_sf10(out_path: str = "BENCH_SF10.json") -> None:
+    from tools.gen_sf import generate
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    plans.load_all()
+    spark = get_spark(app_name="pg_bifrost_spark_bench_sf10")
+    sf10_dir = "/tmp/spark_graft_sf10"
+    generate(src=sf_dir, dst=sf10_dir, replicas=SF10_REPLICAS)
+    for name in SF10_QUERIES:  # absorb codegen/JIT per query
+        plans.QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    queries: dict[str, dict] = {}
+    for name in SF10_QUERIES:
+        base = min(_run_once(spark, name, sf_dir) for _ in range(2))
+        # single exec at 100×: these runs are minutes each; superlinear
+        # growth shows up in the ratio regardless of one-exec noise
+        big = _run_once(spark, name, sf10_dir)
+        queries[name] = {
+            "sf_base_sec": base,
+            "sf10_sec": big,
+            "ratio": round(big / max(base, 1e-9), 2),
+        }
+        print(f"# sf10 {name}: {base:.3f}s -> {big:.3f}s "
+              f"(x{queries[name]['ratio']} at {SF10_REPLICAS}x data)", file=sys.stderr)
+    payload = {
+        "metric": "sf10_scale_ratios",
+        "data_scale": SF10_REPLICAS,
+        "sf10_dir": sf10_dir,
+        "queries": queries,
+    }
+    _write_json_atomic(out_path, payload)
+    print(json.dumps(payload))
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -626,24 +692,28 @@ def main() -> None:
     scale = bench_scale(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "runs": runs,
-                "standalone": standalone,
-                "roundtrip_divergence": divergence,
-                "streaming": streaming,
-                "scale": scale,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "runs": runs,
+        "standalone": standalone,
+        "roundtrip_divergence": divergence,
+        "streaming": streaming,
+        "scale": scale,
+    }
+    # truncation-proof twin of the stdout line (VERDICT r7 ask #7)
+    _write_json_atomic(
+        os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"), payload
     )
+    print(json.dumps(payload))
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf10" in sys.argv[1:]:
+        bench_sf10()
+    else:
+        main()

@@ -438,7 +438,8 @@ def doc_unigram_scores(docs: DataFrame) -> DataFrame:
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(l.micro_nats) AS BIGINT) AS sum_micro_nats,
-           round(sum(l.micro_nats) / (count(*) * {LOGPROB_SCALE}.0), 6) AS avg_nats
+           CAST(sum(l.micro_nats) AS BIGINT)
+             / CAST(count(*) * {LOGPROB_SCALE} AS DOUBLE) AS avg_nats
     FROM tok t JOIN lp l USING (token)
     GROUP BY t.doc_id ORDER BY t.doc_id
     """,
@@ -466,8 +467,10 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "sum_micro_nats",
-            F.round(
-                F.col("sum_micro_nats") / (F.col("n_tokens") * float(LOGPROB_SCALE)), 6
+            # raw BIGINT/BIGINT→double division (no round(): ADVICE r7)
+            (
+                F.col("sum_micro_nats")
+                / (F.col("n_tokens") * F.lit(LOGPROB_SCALE)).cast("double")
             ).alias("avg_nats"),
         )
         .orderBy("doc_id")
@@ -778,7 +781,8 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(l.micro_nats) AS BIGINT) AS sum_micro_nats,
-           round(sum(l.micro_nats) / (count(*) * {LOGPROB_SCALE}.0), 6) AS avg_nats
+           CAST(sum(l.micro_nats) AS BIGINT)
+             / CAST(count(*) * {LOGPROB_SCALE} AS DOUBLE) AS avg_nats
     FROM bg b JOIN lp l USING (w1, w2)
     GROUP BY b.doc_id ORDER BY b.doc_id
     """,
@@ -836,9 +840,13 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_bigrams",
             "sum_micro_nats",
-            F.round(
-                F.col("sum_micro_nats") / (F.col("n_bigrams") * float(LOGPROB_SCALE)),
-                6,
+            # raw BIGINT/BIGINT→double division, no round(): a single
+            # correctly-rounded IEEE op on exact-integer inputs is
+            # bit-identical on both engines, while round(double, k) is
+            # the documented engine coin flip (ADVICE r7)
+            (
+                F.col("sum_micro_nats")
+                / (F.col("n_bigrams") * F.lit(LOGPROB_SCALE)).cast("double")
             ).alias("avg_nats"),
         )
         .orderBy("doc_id")
@@ -864,8 +872,9 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id, t.n AS n_tokens, t.n_types AS n_types,
            CAST(sum(CAST(floor(ln(c.c / t.n) * {LOGPROB_SCALE}) AS BIGINT) * c.c)
                 AS BIGINT) AS sum_micro_nats,
-           round(-sum(CAST(floor(ln(c.c / t.n) * {LOGPROB_SCALE}) AS BIGINT) * c.c)
-                 / (t.n * {LOGPROB_SCALE}.0), 6) AS entropy_nats
+           -CAST(sum(CAST(floor(ln(c.c / t.n) * {LOGPROB_SCALE}) AS BIGINT) * c.c)
+                 AS BIGINT)
+             / CAST(t.n * {LOGPROB_SCALE} AS DOUBLE) AS entropy_nats
     FROM cnt c JOIN tot t USING (doc_id)
     GROUP BY t.doc_id, t.n, t.n_types ORDER BY t.doc_id
     """,
@@ -907,8 +916,10 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_tokens"),
             "n_types",
             "sum_micro_nats",
-            F.round(
-                -F.col("sum_micro_nats") / (F.col("n") * float(LOGPROB_SCALE)), 6
+            # raw (-BIGINT)/BIGINT→double division (no round(): ADVICE r7)
+            (
+                -F.col("sum_micro_nats")
+                / (F.col("n") * F.lit(LOGPROB_SCALE)).cast("double")
             ).alias("entropy_nats"),
         )
         .orderBy("doc_id")

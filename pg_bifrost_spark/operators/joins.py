@@ -37,12 +37,25 @@ def salted_join(
     key's rows then spread over ``salts`` tasks instead of one
     straggler. (AQE's skew-join does this adaptively for sort-merge
     joins; explicit salting is the portable form and also covers
-    aggregations.) Results are identical to a plain join."""
+    aggregations.) Results are identical to a plain join.
+
+    The dim side's key and salt are aliased to distinct names and the
+    join written as explicit equalities: same-named columns on both
+    sides of an equi-join make Catalyst emit a "trivially true equals
+    predicate" warning when attribute resolution collapses them."""
     salted_fact = fact.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts)))
-    replicated_dim = dim.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
-    ).withColumn("_salt", F.col("_salt").cast("bigint"))
-    return salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")
+    replicated_dim = (
+        dim.withColumnRenamed(key, "_dim_key")
+        .withColumn("_dim_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        .withColumn("_dim_salt", F.col("_dim_salt").cast("bigint"))
+    )
+    return (
+        salted_fact.join(
+            replicated_dim,
+            (F.col(key) == F.col("_dim_key")) & (F.col("_salt") == F.col("_dim_salt")),
+        )
+        .drop("_salt", "_dim_salt", "_dim_key")
+    )
 
 
 @register(

@@ -299,9 +299,9 @@ def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 # head domains shrink and tail domains grow, without ever exceeding a
 # source's natural size (the min-p source keeps rate 1.0).
 # ---------------------------------------------------------------------------
-MIX_ALPHA = 0.3
+MIX_ALPHA = 0.3  # == 3/10 exactly — the integer pair (3, 10) drives the math below
 _MIX_RATE_BUCKETS = 10_000
-_MIX_WEIGHT_SCALE = 1_000_000
+_MIX_LN_SCALE = 1_000_000
 
 
 def _mix_bucket(col: F.Column, start: int, buckets: int) -> F.Column:
@@ -326,28 +326,28 @@ def _mix_bucket(col: F.Column, start: int, buckets: int) -> F.Column:
     ),
     counts AS (SELECT source, count(*) AS n_docs FROM skewed GROUP BY 1),
     tot AS (SELECT sum(n_docs) AS n FROM counts),
-    feat AS (
+    lq AS (
       SELECT source, n_docs,
-             pow(n_docs::DOUBLE / n, CAST({MIX_ALPHA} AS DOUBLE)) AS q_un,
-             pow(n_docs::DOUBLE / n, CAST({MIX_ALPHA} AS DOUBLE) - 1.0) AS r_un
+             CAST(floor(ln(n_docs::DOUBLE / n) * {_MIX_LN_SCALE}) AS BIGINT) AS l_micro
       FROM counts, tot
     ),
+    ext AS (SELECT max(l_micro) AS l_max, min(l_micro) AS l_min FROM lq),
     thr AS (
-      SELECT source, n_docs,
-             CAST(round({_MIX_WEIGHT_SCALE} * q_un / (SELECT max(q_un) FROM feat)) AS BIGINT)
-               AS weight_micro,
-             CAST(round({_MIX_RATE_BUCKETS} * r_un / (SELECT max(r_un) FROM feat)) AS BIGINT)
-               AS thr
-      FROM feat
+      SELECT source, n_docs, l_micro,
+             3 * (l_micro - l_max) AS alpha_logweight_e7
+      FROM lq, ext
     ),
     s AS (
       SELECT d.source, count(*) AS n_sampled
-      FROM skewed d JOIN thr USING (source)
-      WHERE (CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 9, 8)) AS BIGINT)
-             % {_MIX_RATE_BUCKETS}) < thr.thr
+      FROM skewed d JOIN thr USING (source) CROSS JOIN ext
+      WHERE 10 * CAST(floor(ln(
+              greatest(CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 9, 8)) AS BIGINT)
+                       % {_MIX_RATE_BUCKETS}, 1)::DOUBLE / {_MIX_RATE_BUCKETS}
+            ) * {_MIX_LN_SCALE}) AS BIGINT)
+            < 7 * (ext.l_min - thr.l_micro)
       GROUP BY 1
     )
-    SELECT source, n_docs, weight_micro, coalesce(n_sampled, 0) AS n_sampled
+    SELECT source, n_docs, alpha_logweight_e7, coalesce(n_sampled, 0) AS n_sampled
     FROM thr LEFT JOIN s USING (source)
     ORDER BY source
     """,
@@ -355,49 +355,67 @@ def _mix_bucket(col: F.Column, start: int, buckets: int) -> F.Column:
 def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """alpha=0.3 temperature resample over the planted-skew corpus.
 
-    Normalizations divide by the MAX of the per-source pow terms, never
-    a SUM — max over doubles is order-independent, so the quantized
-    outputs are stable under any aggregation order (the oracle-hash
-    float rule; pow itself crosses engines at the precedent accepted
-    for ln in quality_unigram_logprob). All scalars (total count, max
-    weights) enter the plan as broadcast single-row crossJoins — the
-    corpus is never collected; the acceptance test is a map-side
-    broadcast join of the O(sources) threshold relation. Counts are
-    exact longs; md5 acceptance draws make the sample reproducible on
-    any cluster layout.
+    Hash stability (ADVICE r7: the old pow()+round() thresholds were
+    the suite's one transcendental-bit-parity dependence): everything
+    now lives in quantized log space. Per-source log-probability is
+    floor(ln(n_docs/n)·1e6) as BIGINT — the accepted exact-int-ratio
+    ln idiom of quality_unigram_logprob — and with alpha = 3/10 the
+    mixture weight alpha·(ln p − ln p_max) and the acceptance rate
+    (alpha−1)·(ln p − ln p_min) are INTEGER multiples of those
+    quantized logs: weight = 3·(L − L_max) (units 1e-7 nats, exported
+    as ``alpha_logweight_e7``), and a doc is accepted iff
+    10·floor(ln(draw/BUCKETS)·1e6) < 7·(L_min − L) — a pure BIGINT
+    comparison (cross-multiplied; never a negative integer division,
+    which truncates on Spark but floors on DuckDB). draw = 0 is
+    evaluated as draw = 1 on both engines (ln(0) is engine-divergent),
+    so the min-p source keeps acceptance rate 1 exactly.
+
+    All scalars (total count, log extremes) enter the plan as
+    broadcast single-row crossJoins — the corpus is never collected;
+    the acceptance test is a map-side broadcast join of the O(sources)
+    threshold relation. Counts are exact longs; md5 acceptance draws
+    make the sample reproducible on any cluster layout.
     """
     docs = table(spark, sf_dir, "documents")
     snum = F.expr("CAST(substring(source, 4) AS INT)")
     skewed = docs.filter(
         _mix_bucket(F.col("doc_id"), 1, 100) < 10 + (snum % 10) * 10
     ).select("doc_id", "source")
-    # counts is O(sources) but feeds four consumers (tot, feat, maxes
-    # twice via feat); cached so the corpus is scanned ONCE for stats.
+    # counts is O(sources) but feeds three consumers (tot, lq, ext via
+    # lq); cached so the corpus is scanned ONCE for stats.
     counts = tracked_cache(skewed.groupBy("source").agg(F.count("*").alias("n_docs")))
     tot = counts.agg(F.sum("n_docs").alias("n"))
-    feat = counts.crossJoin(F.broadcast(tot)).select(
+    lq = counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
-        F.pow(F.col("n_docs").cast("double") / F.col("n"), F.lit(MIX_ALPHA)).alias("q_un"),
-        F.pow(F.col("n_docs").cast("double") / F.col("n"), F.lit(MIX_ALPHA) - 1.0).alias("r_un"),
+        F.floor(
+            F.log(F.col("n_docs").cast("double") / F.col("n")) * F.lit(_MIX_LN_SCALE)
+        )
+        .cast("bigint")
+        .alias("l_micro"),
     )
-    maxes = feat.agg(F.max("q_un").alias("max_q"), F.max("r_un").alias("max_r"))
+    ext = lq.agg(F.max("l_micro").alias("l_max"), F.min("l_micro").alias("l_min"))
     # thr is O(sources) rows but its lineage scans the corpus; cached so
-    # the three consumers (acceptance join, final output, weights) cost
-    # ONE counts pass, not three.
-    thr = tracked_cache(feat.crossJoin(F.broadcast(maxes)).select(
-        "source",
-        "n_docs",
-        F.round(F.lit(_MIX_WEIGHT_SCALE) * F.col("q_un") / F.col("max_q"))
-        .cast("long")
-        .alias("weight_micro"),
-        F.round(F.lit(_MIX_RATE_BUCKETS) * F.col("r_un") / F.col("max_r"))
-        .cast("long")
-        .alias("thr"),
-    ))
+    # the consumers (acceptance join, final output) cost ONE counts pass.
+    thr = tracked_cache(
+        lq.crossJoin(F.broadcast(ext)).select(
+            "source",
+            "n_docs",
+            "l_micro",
+            "l_min",
+            (F.lit(3) * (F.col("l_micro") - F.col("l_max"))).alias(
+                "alpha_logweight_e7"
+            ),
+        )
+    )
+    draw = _mix_bucket(F.col("doc_id"), 9, _MIX_RATE_BUCKETS)
+    ln_draw_micro = F.floor(
+        F.log(F.greatest(draw, F.lit(1)).cast("double") / F.lit(_MIX_RATE_BUCKETS))
+        * F.lit(_MIX_LN_SCALE)
+    ).cast("bigint")
     sampled = (
-        skewed.join(F.broadcast(thr.select("source", "thr")), "source")
-        .filter(_mix_bucket(F.col("doc_id"), 9, _MIX_RATE_BUCKETS) < F.col("thr"))
+        skewed.join(F.broadcast(thr.select("source", "l_micro", "l_min")), "source")
+        .filter(ln_draw_micro * 10 < F.lit(7) * (F.col("l_min") - F.col("l_micro")))
         .groupBy("source")
         .agg(F.count("*").alias("n_sampled"))
     )
@@ -406,7 +424,7 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            "weight_micro",
+            "alpha_logweight_e7",
             F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
         )
         .orderBy("source")

@@ -273,6 +273,19 @@ def kinesis_shard_expr(key: "Column", n_shards: int) -> "Column":
     can reproduce. Used by the itest harness to verify
     PARTITION_METHOD routing against per-shard goldens without a live
     stream."""
+    # the 32-bit-prefix model is exact ONLY when the ring boundaries
+    # land on multiples of 2^96 — i.e. n_shards | 2^32. Any other count
+    # would silently misroute keys whose low 96 hash bits straddle a
+    # boundary, producing confusing golden diffs instead of an error
+    # (ADVICE r7) — so non-power-of-two counts are rejected here.
+    if n_shards <= 0 or n_shards & (n_shards - 1) != 0:
+        raise ValueError(
+            f"kinesis_shard_expr models the hash ring from the 32-bit MD5 "
+            f"prefix, which is exact only for shard counts dividing 2^32 "
+            f"(powers of two); got n_shards={n_shards}. Extend the model to "
+            f"the full 128-bit ring (two conv() limbs) before using other "
+            f"counts."
+        )
     # the real transport substitutes '0' for empty keys (PartitionKey
     # must be non-empty — see the kinesis writer above); the routing
     # model must hash the SAME bytes the service sees

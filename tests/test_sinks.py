@@ -82,3 +82,39 @@ def test_backoff_intervals_cap():
     assert vals[0] == 1.5
     assert max(vals) == 5.0
     assert all(a <= b or b == 5.0 for a, b in zip(vals, vals[1:]))
+
+
+def test_kinesis_shard_expr_rejects_non_power_of_two(spark):
+    """The 32-bit MD5-prefix ring model is exact only when n_shards
+    divides 2^32; a 3-shard caller must get a loud error, not silent
+    near-boundary misrouting (ADVICE r7)."""
+    from pyspark.sql import functions as F
+
+    from pg_bifrost_spark.sinks.writers import kinesis_shard_expr
+
+    for bad in (3, 5, 6, 0, -4):
+        with pytest.raises(ValueError, match="power"):
+            kinesis_shard_expr(F.lit("k"), bad)
+    # powers of two still construct fine (column expr, no evaluation)
+    for ok in (1, 2, 4, 1024):
+        kinesis_shard_expr(F.lit("k"), ok)
+
+
+def test_bench_json_atomic_write(tmp_path):
+    """bench.py persists its JSON payload via write-tmp-then-rename so
+    a driver stdout-pipe truncation can't erase per-query evidence
+    (VERDICT r7 ask #7)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    path = str(tmp_path / "out.json")
+    payload = {"metric": "m", "queries": {"q": 1.5}}
+    bench._write_json_atomic(path, payload)
+    with open(path) as f:
+        assert json.load(f) == payload
+    import os
+
+    assert not os.path.exists(path + ".tmp")
