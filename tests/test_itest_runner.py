@@ -84,6 +84,8 @@ def _drain(spark, test_dir, base):
     kafka_parts = conf.get("kafka_partitions")
     kafka_key_method = conf.get("kafka_key_method", "transaction")
     kafka_max_bytes = conf.get("kafka_max_message_bytes")
+    error_pct = conf.get("kinesis_error_probability")
+    workers = conf.get("workers")
     wal_src = os.path.join(test_dir, "wal")
     if late:
         wal_dir = str(base / "wal")
@@ -128,11 +130,45 @@ def _drain(spark, test_dir, base):
             df = _stamp_shard(df, kinesis_shard_expr(F.col("partition_key"), shards))
         return exactly_once_ndjson(df, epoch, out_dir)
 
+    if error_pct is not None:
+        # kinesis error/multi-worker twins (test_high_kinesis_errors,
+        # test_multi_worker_{high,no}_kinesis_errors): the batch goes
+        # through the REAL kinesis sink machinery — chunking caps +
+        # partial retry + backoff — against a deterministic flaky
+        # capture transport (the poller's view IS the output verified;
+        # sinks/capture.py). Exactly-once file layout doesn't apply
+        # (the reference pollers capture a stream); the ledger check
+        # still runs on the checkpoint.
+        from pg_bifrost_spark.sinks.capture import FlakyFileTransport
+        from pg_bifrost_spark.sinks.retry import BackoffPolicy
+        from pg_bifrost_spark.sinks.writers import kinesis_writer
+
+        deliver = kinesis_writer(
+            "itest-capture",
+            transport=FlakyFileTransport(out_dir, int(round(error_pct * 100))),
+            policy=BackoffPolicy(**conf.get("backoff", {})),
+        )
+
+        def sink(df, epoch):  # noqa: F811 — kinesis twins replace the file sink
+            deliver(df, epoch)
+
     # per-test reader options (test_small_queue: CLIENT_BUFFER_SIZE
     # parity — a tiny max_msgs_per_batch forces many micro-batches
     # through the same checkpoint, exercising the drain loop + the
     # exactly-once epoch layout at itest level)
     src_opts = {"wal_dir": wal_dir, **conf.get("source_options", {})}
+    if workers and "msgs_per_partition" not in src_opts:
+        # WORKERS=N parity: spread the batch over N sink partitions so
+        # N retry/backoff schedules run in parallel (the reference's N
+        # worker goroutines each own a transport — same shape as the
+        # bench degraded multi leg)
+        n_lines = sum(
+            1
+            for name in os.listdir(wal_dir)
+            if name.endswith(".jsonl")
+            for _ in open(os.path.join(wal_dir, name))
+        )
+        src_opts["msgs_per_partition"] = str(max(1, -(-n_lines // workers)))
 
     def drain():
         drain_cdc_query(
@@ -364,3 +400,57 @@ def test_strict_order_violation_is_caught(spark, tmp_path):
                 assert problems != [], "reordered shard output passed verify"
                 return
     pytest.fail("no multi-record part file found")
+
+
+def test_timeout_golden_matches_reference_envelope():
+    """The committed test_timeout golden must be normalize-identical to
+    the reference's own published golden (vendored at
+    tests/golden/timeout.ndjson from itests/tests/base/test_timeout/
+    golden/test.0) — same envelope-parity pin as basic.ndjson."""
+    ours = [
+        runner.normalize(x)
+        for x in open(
+            os.path.join(ITESTS, "tests", "base", "test_timeout", "golden", "customers.golden")
+        )
+        if x.strip()
+    ]
+    ref = [
+        runner.normalize(x)
+        for x in open(os.path.join(os.path.dirname(__file__), "golden", "timeout.ndjson"))
+        if x.strip()
+    ]
+    assert ours == ref
+
+
+def test_expected_count_shortfall_is_caught(spark, tmp_path):
+    """Count-only verification (test_large_sleep) is not vacuous: bump
+    expected_count and verify must fail."""
+    test_dir = os.path.join(ITESTS, "tests", "base", "test_large_sleep")
+    out_dir, ck_dir = _drain(spark, test_dir, tmp_path)
+    assert runner.verify(test_dir, out_dir, ck_dir) == []
+    broken = tmp_path / "broken"
+    shutil.copytree(test_dir, broken)
+    cfgp = broken / "config.json"
+    cfg = json.loads(cfgp.read_text())
+    cfg["expected_count"] += 1
+    cfgp.write_text(json.dumps(cfg))
+    problems = runner.verify(str(broken), out_dir, ck_dir)
+    assert any("expected_count" in p for p in problems), problems
+
+
+def test_kinesis_error_twin_drops_records_without_retry(spark, tmp_path):
+    """The error injection is not vacuous: replay the high-error twin
+    with a give-up-immediately backoff budget wide enough for exactly
+    one attempt — records failed on attempt 1 must be missing and the
+    golden diff must fail. (The committed config's budget lets the
+    partial retry drain everything; this pins that the retry is what
+    makes it pass.)"""
+    test_dir = os.path.join(ITESTS, "tests", "kinesis", "test_high_kinesis_errors")
+    broken = tmp_path / "one_attempt"
+    shutil.copytree(test_dir, broken)
+    cfgp = broken / "config.json"
+    cfg = json.loads(cfgp.read_text())
+    cfg["backoff"] = {"initial_s": 0.01, "max_elapsed_s": 0.0}
+    cfgp.write_text(json.dumps(cfg))
+    with pytest.raises(Exception, match="retry budget exhausted|StreamingQueryException|SparkException"):
+        _drain(spark, str(broken), tmp_path)
