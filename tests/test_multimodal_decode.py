@@ -91,3 +91,107 @@ def test_kernel_parses_mixed_batch():
     assert list(pdf["width"]) == [1, 320]
     assert list(pdf["height"]) == [1, 240]
     assert list(pdf["channels"]) == [4, 3]
+
+
+def _png_gray(pixels, filters):
+    """Build a grayscale 8-bit PNG with EXPLICIT per-row filter types —
+    an independent encoder (struct-packed, forward-filtered) used to
+    probe decoder paths the committed builder never emits."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = [0] * w
+    for y, ft in enumerate(filters):
+        row = pixels[y]
+        raw.append(ft)
+        for x in range(w):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2, 4: paeth(left, up, ul)}[ft]
+            raw.append((row[x] - pred) % 256)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\x0a" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decoder_handles_average_and_paeth():
+    """The committed builder only emits filters 0/1/2; the decoder
+    claims all five — pin Average (3) and Paeth (4) against an
+    independent forward-filtering encoder."""
+    from pg_bifrost_spark.operators.multimodal import decode_png_pixels
+
+    pixels = [[10, 200, 30, 99], [250, 3, 77, 128], [0, 255, 1, 254]]
+    png = _png_gray(pixels, filters=[3, 4, 3])
+    [pdf] = list(decode_png_pixels(iter([pd.DataFrame({"doc_id": [7], "payload": [png]})])))
+    flat = [v for row in pixels for v in row]
+    assert list(pdf["fmt"]) == ["png"]
+    assert int(pdf["sum_pix"][0]) == sum(flat)
+    assert int(pdf["wsum_pix"][0]) == sum(i * v for i, v in enumerate(flat))
+
+
+def test_png_pixel_decoder_flags_bad_crc_and_unknown():
+    from pg_bifrost_spark.operators.multimodal import decode_png_pixels
+
+    png = bytearray(_png_gray([[1, 2], [3, 4]], filters=[0, 1]))
+    png[-5] ^= 0xFF  # corrupt the IEND CRC
+    [pdf] = list(decode_png_pixels(iter([pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [bytes(png), b"not a png at all"]}
+    )])))
+    assert list(pdf["fmt"]) == ["bad_crc", "unknown"]
+    assert pdf["sum_pix"].isna().all()
+
+
+def test_pcm_decoder_signedness_and_truncated_payload():
+    """int16 interpretation: 0x8000 → -32768, 0xFFFF → -1; a data
+    chunk shorter than its declared length → fmt='unknown'."""
+    import struct
+
+    from pg_bifrost_spark.operators.multimodal import decode_pcm_samples
+
+    samples = [0, 1, -1, -32768, 32767]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    truncated = wav[:-4]
+    [pdf] = list(decode_pcm_samples(iter([pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [wav, truncated]}
+    )])))
+    assert list(pdf["fmt"]) == ["wav", "unknown"]
+    assert int(pdf["sum_samples"][0]) == sum(samples)
+    assert int(pdf["min_sample"][0]) == -32768
+    assert int(pdf["max_sample"][0]) == 32767
+    assert int(pdf["sum_sq"][0]) == sum(s * s for s in samples)
+
+
+def test_fixture_pcm_exercises_negative_samples(spark):
+    """The planted sample arithmetic must produce NEGATIVE int16 values
+    on the real fixture (u ≥ 32768 → u − 65536) — otherwise the
+    signedness path would be gate-vacuous."""
+    import pg_bifrost_spark.plans as plans
+
+    plans.load_all()
+    rows = plans.QUERIES["multimodal_audio_samples"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and any(r["min_sample"] < 0 for r in rows)
