@@ -109,6 +109,10 @@ HEADLINE = [
     "pmi_top_bigrams",
     "lang_id_confusion",
     "tokenizer_fertility_by_lang",
+    # r8: the real payload decoders (PNG zlib+unfilter, PCM int16) —
+    # new Python kernels always get bench rows (the spread() lesson)
+    "multimodal_image_pixels",
+    "multimodal_audio_samples",
     "cdc_lineitem_roundtrip",
 ]
 

@@ -220,11 +220,12 @@ GATE_PRIORITY: list[str] = [
     # semantic_dedup_srp + ann_batch_topk + leakage_safe_split in gate
     "embedding_drift_report",
     "semantic_dedup_srp",
-    # dedup_cluster_components (3 straight greens) yields to the
-    # never-checked video decoder; dedup_jaccard_clusters and
-    # near_dup_resolution keep the checkpointed label-prop kernel
-    # in the gate
-    "multimodal_video_decode",
+    # r8 rotation: multimodal_video_decode (3 straight greens r5-r7)
+    # yields to the NEW r8 multimodal_image_pixels — the container
+    # family stays in gate through it (full chunk walk + CRCs) and
+    # strictly deepens: compressed-pixel decode (zlib inflate + all
+    # five scanline unfilters) replaces header-only parsing
+    "multimodal_image_pixels",
     "dedup_jaccard_clusters",
     "near_dup_resolution",
     # dedup_chunk_passages (3 straight greens) yields to the NEW r7
@@ -269,7 +270,11 @@ GATE_PRIORITY: list[str] = [
     # tokenizer_fertility_by_lang
     "tokenizer_fertility_by_lang",
     "paragraph_dedup",
-    "doc_line_dedup",
+    # r8 rotation: doc_line_dedup (3 straight greens r5-r7) yields to
+    # the NEW r8 multimodal_audio_samples (real PCM sample decode);
+    # the structural line/paragraph family stays in the gate via
+    # paragraph_dedup + html_strip_text + refinery_pipeline
+    "multimodal_audio_samples",
     "html_strip_text",
     "refinery_pipeline",
     # r7-late coverage-first swap: pii_scan_documents (green r5+r6,

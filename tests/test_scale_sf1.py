@@ -87,3 +87,20 @@ def test_family_scales_linearly(spark, sf1_dir, name):
         f"(x{ratio:.1f} > {MAX_RATIO} for {DATA_SCALE}x data) — "
         "superlinear growth; check candidate generation / bucket sizing"
     )
+
+
+def test_committed_sf10_artifact_is_sublinear():
+    """BENCH_SF10.json is a committed artifact (`python bench.py
+    --sf10`); guard that what's committed actually shows sublinear
+    100x behavior — a quadratic regression must not slip in via a
+    stale-looking artifact refresh."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SF10.json")
+    d = json.load(open(path))
+    assert d["data_scale"] == 100
+    qs = d["queries"]
+    assert len(qs) >= 4
+    for name, row in qs.items():
+        assert 0 < row["ratio"] < d["data_scale"], (name, row)
