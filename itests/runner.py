@@ -290,9 +290,12 @@ def main(argv: list[str] | None = None) -> int:
                "select confirmed_flush_lsn from pg_replication_slots"],
             env=env,
         ).strip()
+        # verify() itself ORs in the test's config.json "sort" — it is
+        # the single source for config-driven sorting; the CLI flag
+        # only widens (a deliberately ordered diff of a config-sorted
+        # case isn't a real use: such sinks have no delivery order)
         problems = verify(
-            test_dir, out_dir, ck_dir, flush or None,
-            sort=args.sort or bool(cfg.get("sort")),
+            test_dir, out_dir, ck_dir, flush or None, sort=args.sort
         )
         for p in problems:
             print(f"FAIL: {p}", file=sys.stderr)

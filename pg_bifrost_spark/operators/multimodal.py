@@ -523,6 +523,9 @@ PIXEL_SCHEMA_DDL = (
     "doc_id bigint, fmt string, width int, height int, n_pixels int, "
     "sum_pix bigint, wsum_pix bigint"
 )
+# hard bound on the per-payload decode loop: a header claiming huge
+# dims (IHDR carries up to 2^32 × 2^32) must not buy unbounded CPU
+_PNG_MAX_PIXELS = 1 << 24  # 16 M pixels ≈ a 4096×4096 grayscale image
 
 
 def _png_dims(doc_id: int) -> tuple[int, int]:
@@ -620,10 +623,42 @@ def decode_png_pixels(batches):
                     elif ctype == b"IEND":
                         break
                     i += 12 + ln
-                if fmt == "png" and ihdr is not None and ihdr[8] == 8 and ihdr[9] == 0:
+                # malformed-but-CRC-valid payloads (no IDAT, garbage
+                # deflate stream, dims exceeding the data, truncated
+                # IHDR, adversarially huge dims) must DEGRADE to
+                # fmt='unknown', never kill the task — the mixed-corpus
+                # contract. The pixel-count cap also bounds the decode
+                # loop independently of what the header claims.
+                ok = (
+                    fmt == "png"
+                    and ihdr is not None
+                    and len(ihdr) >= 13
+                    and ihdr[8] == 8
+                    and ihdr[9] == 0
+                )
+                if ok:
                     w = int.from_bytes(ihdr[0:4], "big")
                     h = int.from_bytes(ihdr[4:8], "big")
-                    raw = zlib.decompress(idat)
+                    try:
+                        raw = zlib.decompress(idat)
+                    except zlib.error:
+                        raw = None
+                    if (
+                        raw is None
+                        or w == 0
+                        or h == 0
+                        or w * h > _PNG_MAX_PIXELS
+                        or len(raw) != h * (w + 1)
+                    ):
+                        fmt, w, h = "unknown", None, None
+                        out["doc_id"].append(doc_id)
+                        out["fmt"].append(fmt)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["n_pixels"].append(None)
+                        out["sum_pix"].append(None)
+                        out["wsum_pix"].append(None)
+                        continue
                     prior = bytes(w)
                     s = ws = npx = 0
                     for y in range(h):
@@ -716,15 +751,12 @@ def pcm_payloads(docs: DataFrame) -> DataFrame:
     one unhex, like the header-only builders above."""
     n = (F.lit(40) + F.col("doc_id") % 24).cast("int")
     data_len = (n * 2).cast("int")
-
-    def le16(u: F.Column) -> F.Column:
-        h = F.lpad(F.hex(u.cast("bigint")), 4, "0")
-        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
-
     samples_hex = F.array_join(
         F.transform(
             F.sequence(F.lit(0), n - 1),
-            lambda i: le16((F.col("doc_id") * 997 + i.cast("bigint") * 7919) % 65536),
+            lambda i: _hex_le(
+                (F.col("doc_id") * 997 + i.cast("bigint") * 7919) % 65536, 2
+            ),
         ),
         "",
     )
@@ -761,18 +793,33 @@ def decode_pcm_samples(batches):
         )}
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
             fmt, rate, n, s, lo, hi, sq = "unknown", None, None, None, None, None, None
-            if (
-                len(b) >= _WAV_HEADER_LEN
-                and b[:4] == b"RIFF"
-                and b[8:12] == b"WAVE"
-                and b[12:16] == b"fmt "
-                and int.from_bytes(b[34:36], "little") == 16
-            ):
-                rate = int.from_bytes(b[24:28], "little")
-                data_len = int.from_bytes(b[40:44], "little")
-                data = b[_WAV_HEADER_LEN : _WAV_HEADER_LEN + data_len]
-                if len(data) == data_len and data_len % 2 == 0:
+            if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                # REAL chunk walk: 'fmt ' and 'data' are located by
+                # tag, not assumed at fixed offsets — canonical files
+                # commonly carry a LIST/INFO chunk between them, and a
+                # fixed-44-byte read would parse metadata bytes as
+                # samples while still labeling the row fmt='wav'
+                # (code-review r8 finding). Format code is checked too:
+                # only integer PCM (1) 16-bit is decoded here.
+                i, pcm16, found_rate, data = 12, False, None, None
+                while i + 8 <= len(b):
+                    tag = b[i : i + 4]
+                    ln = int.from_bytes(b[i + 4 : i + 8], "little")
+                    body = b[i + 8 : i + 8 + ln]
+                    if len(body) < ln:
+                        break  # truncated chunk — stop, leave unknown
+                    if tag == b"fmt " and ln >= 16:
+                        code = int.from_bytes(body[0:2], "little")
+                        bits = int.from_bytes(body[14:16], "little")
+                        pcm16 = code == 1 and bits == 16
+                        found_rate = int.from_bytes(body[4:8], "little")
+                    elif tag == b"data":
+                        data = body
+                        break
+                    i += 8 + ln + (ln & 1)  # chunks are word-aligned
+                if pcm16 and data is not None and len(data) % 2 == 0:
                     fmt = "wav"
+                    rate = found_rate
                     arr = np.frombuffer(data, dtype="<i2").astype(np.int64)
                     n = int(arr.size)
                     s = int(arr.sum())

@@ -431,19 +431,24 @@ def pq_codebooks(
     )
     rows = unit.orderBy("vec_id").limit(sample).collect()
     X = np.asarray([list(r["u"]) for r in rows], dtype=np.float64)
+    # a corpus smaller than k trains k_eff=len(X) centroids per
+    # sub-space, like the replaced distributed implementation (whose
+    # init limit(k) simply yielded fewer rows) — the bincount/books
+    # shapes must agree or tiny corpora crash (code-review r8)
+    k_eff = min(k, len(X))
     books = np.asarray(
-        [X[:k, i * sub : (i + 1) * sub].copy() for i in range(m)]
-    )  # deterministic init: the k lowest vec_ids, sliced
+        [X[:k_eff, i * sub : (i + 1) * sub].copy() for i in range(m)]
+    )  # deterministic init: the k_eff lowest vec_ids, sliced
     for _ in range(iters):
         for mi in range(m):
             Xm = np.ascontiguousarray(X[:, mi * sub : (mi + 1) * sub])
             C = books[mi]
             scores = Xm @ C.T - 0.5 * (C * C).sum(axis=1)
             cells = scores.argmax(axis=1)
-            cnt = np.bincount(cells, minlength=k)
-            sums = np.zeros((k, sub))
+            cnt = np.bincount(cells, minlength=k_eff)
+            sums = np.zeros((k_eff, sub))
             for d in range(sub):
-                sums[:, d] = np.bincount(cells, weights=Xm[:, d], minlength=k)
+                sums[:, d] = np.bincount(cells, weights=Xm[:, d], minlength=k_eff)
             nz = cnt > 0
             books[mi][nz] = sums[nz] / cnt[nz, None]
     return [[list(map(float, c)) for c in bk] for bk in books]

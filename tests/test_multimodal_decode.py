@@ -195,3 +195,60 @@ def test_fixture_pcm_exercises_negative_samples(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert rows and any(r["min_sample"] < 0 for r in rows)
+
+
+def test_png_decoder_degrades_on_malformed_but_crc_valid():
+    """CRC-valid but malformed PNGs (no IDAT; garbage deflate; dims
+    exceeding the data; adversarially huge dims) must DEGRADE to
+    null-stat rows, never raise — the mixed-corpus contract
+    (code-review r8)."""
+    import struct
+    import zlib
+
+    from pg_bifrost_spark.operators.multimodal import decode_png_pixels
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\x0a"
+    ihdr = lambda w, h: chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))  # noqa: E731
+    cases = [
+        sig + ihdr(2, 2) + chunk(b"IEND", b""),                      # no IDAT
+        sig + ihdr(2, 2) + chunk(b"IDAT", b"not deflate") + chunk(b"IEND", b""),
+        sig + ihdr(9, 9) + chunk(b"IDAT", zlib.compress(b"\x00ab")) + chunk(b"IEND", b""),  # short data
+        sig + ihdr(1 << 16, 1 << 16) + chunk(b"IDAT", zlib.compress(b"\x00a")) + chunk(b"IEND", b""),  # huge dims
+    ]
+    [pdf] = list(decode_png_pixels(iter([pd.DataFrame(
+        {"doc_id": list(range(len(cases))), "payload": cases}
+    )])))
+    assert len(pdf) == len(cases)
+    assert pdf["sum_pix"].isna().all()
+
+
+def test_pcm_decoder_walks_past_list_chunk():
+    """A LIST/INFO chunk between 'fmt ' and 'data' (the common
+    real-world layout) must still decode the true sample data — a
+    fixed-offset read would parse metadata bytes as samples
+    (code-review r8). A float-format (code 3) WAV must stay unknown."""
+    import struct
+
+    from pg_bifrost_spark.operators.multimodal import decode_pcm_samples
+
+    samples = [5, -7, 1000]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    lst = b"LIST" + struct.pack("<I", 10) + b"INFOab\x01\x02\x03\x04"
+    body = fmt_chunk + lst + b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    fmt_f32 = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 16000, 2, 16)
+    body2 = fmt_f32 + b"data" + struct.pack("<I", len(data)) + data
+    wav_f32 = b"RIFF" + struct.pack("<I", 4 + len(body2)) + b"WAVE" + body2
+    [pdf] = list(decode_pcm_samples(iter([pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [wav, wav_f32]}
+    )])))
+    assert list(pdf["fmt"]) == ["wav", "unknown"]
+    assert int(pdf["sum_samples"][0]) == sum(samples)
+    assert int(pdf["n_samples"][0]) == len(samples)

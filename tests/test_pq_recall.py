@@ -56,3 +56,19 @@ def test_pq_codes_shape_and_range(spark):
     # the scan relation a 100 TB deployment persists: ids + codes only
     slim = coded.select("vec_id", "codes")
     assert [f.name for f in slim.schema.fields] == ["vec_id", "codes"]
+
+
+def test_pq_codebooks_tiny_corpus(spark):
+    """A corpus smaller than PQ_K must train k_eff=len(corpus)
+    centroids, not crash (code-review r8 — the replaced distributed
+    implementation handled this)."""
+    from pyspark.sql import functions as F
+
+    from pg_bifrost_spark.operators.similarity import PQ_M, _prepared, pq_codebooks, pq_encode
+
+    emb = _prepared(spark, SF).filter(F.col("vec_id") < 10)
+    books = pq_codebooks(emb)
+    assert len(books) == PQ_M and all(len(b) == 10 for b in books)
+    coded = pq_encode(emb, books).select("vec_id", "codes").collect()
+    assert len(coded) == 10
+    assert all(1 <= c <= 10 for r in coded for c in r["codes"])
