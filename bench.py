@@ -113,6 +113,10 @@ HEADLINE = [
     # new Python kernels always get bench rows (the spread() lesson)
     "multimodal_image_pixels",
     "multimodal_audio_samples",
+    # r8 second batch: soft dedup (digest-window reweight) and the
+    # per-source percentile quality floor
+    "dedup_soft_reweight",
+    "quality_rank_calibration",
     "cdc_lineitem_roundtrip",
 ]
 

@@ -1727,3 +1727,69 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_doc_id", "super_doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Soft deduplication (r8): reweight duplicates instead of removing them
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_soft_reweight",
+    oracle=f"""
+    WITH {PLANTED_DOCS_SQL},
+    c AS (
+      SELECT source, n_chars,
+             count(*) OVER (PARTITION BY text) AS n
+      FROM documents_planted
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+           CAST(sum(n_chars * (1000000 // n)) AS BIGINT) AS eff_chars_ppm
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication: instead of dropping duplicate documents,
+    each exact-duplicate cluster member gets sampling weight 1/n (the
+    SoftDeDup recipe — duplicates carry signal about distribution
+    mass; hard removal throws it away, reweighting keeps the expected
+    token contribution of every distinct text constant regardless of
+    how often it was crawled). Reported per source: document/duplicate
+    counts and the raw vs effective (weight-scaled) character mass the
+    sampler would draw.
+
+    Hash stability: weights are integer ppm (1000000 div n — positive
+    operands, so Spark DIV and DuckDB // agree) and every aggregate is
+    an exact BIGINT sum.
+
+    Plan: ONE shuffle — a count window partitioned by the text digest
+    (digest, not raw text, as the exchange key: a 64-char hex key
+    shuffles instead of document bodies... the window itself carries
+    the row, so the digest matters for partitioner width, not volume)
+    — then a map-side-combined groupBy(source). Planted clones
+    (PLANT_MOD) guarantee n>1 clusters exist; the oracle mirrors the
+    plant and partitions by raw text (identical clustering — md5 is
+    collision-free on the fixture and any real corpus at 2^-64)."""
+    from pyspark.sql import Window
+
+    docs = plant_duplicates(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars"),
+        "doc_id",
+    )
+    n = F.count("*").over(Window.partitionBy(F.md5("text")))
+    c = docs.withColumn("n", n).withColumn(
+        "weight_ppm", F.expr("CAST(1000000 DIV n AS BIGINT)")
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n") > 1).cast("bigint")).cast("bigint").alias("n_dup_docs"),
+            F.sum("n_chars").cast("bigint").alias("raw_chars"),
+            F.sum(F.col("n_chars") * F.col("weight_ppm")).cast("bigint").alias("eff_chars_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -504,3 +504,86 @@ def session_dialog_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_turns") >= 2)
         .orderBy("user_id", "session_id")
     )
+
+
+# --------------------------------------------------------------------------
+# per-source quality-score rank calibration (r8) — cross-domain
+# comparable percentiles + a per-source quality floor
+# --------------------------------------------------------------------------
+CALIB_KEEP_PCT_MICRO = 400_000  # keep the top 60% of each source
+
+
+@register(
+    "quality_rank_calibration",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    scored AS (SELECT doc_id, source, {LEX_SCORE_SQL} AS score FROM tok),
+    ranked AS (
+      SELECT doc_id, source, score,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY score, doc_id) AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM scored
+    ),
+    pct AS (
+      SELECT doc_id, source, score, rnk,
+             CAST(CASE WHEN n_src > 1
+                  THEN (rnk - 1) * 1000000 // (n_src - 1) ELSE 0 END
+                  AS BIGINT) AS pct_micro
+      FROM ranked
+    )
+    SELECT * FROM pct
+    WHERE pct_micro >= {CALIB_KEEP_PCT_MICRO}
+    ORDER BY doc_id
+    """,
+)
+def quality_rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source RANK calibration of a quality score + quality floor:
+    raw quality scores are not comparable across domains (a 'good'
+    forum post scores below a mediocre encyclopedia article), so each
+    source's scores are mapped to their within-source percentile
+    (integer micro-units: (rank−1)·1e6 div (n−1)) and the corpus keeps
+    every document at or above the {CALIB_KEEP_PCT_MICRO} µ floor —
+    the per-dump percentile filtering recipe of FineWeb-style
+    pipelines, with the shared ``lexical_diversity_ppm`` integer score
+    standing in for the model-based scorer a deploy would plug in.
+
+    Hash stability: score is the shared BIGINT-ppm lexical score;
+    rank/percentile are pure integer window arithmetic with a total
+    (score, doc_id) order — no floats anywhere.
+
+    Plan: one shuffle on source, one within-partition sort for the
+    rank window (per-source sort — the natural partitioning of a
+    per-dump pipeline; a single pathologically large source would move
+    to a two-level rank: range-partitioned pre-rank + offset merge).
+    The count window shares the same exchange; the floor filter is
+    evaluated map-side after the window."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        lexical_diversity_ppm("(split(lower(trim(text)), '\\\\s+'))").alias("score"),
+    )
+    ws = Window.partitionBy("source")
+    wr = ws.orderBy("score", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+        F.count("*").over(ws).cast("bigint").alias("n_src"),
+    )
+    pct = F.when(
+        F.col("n_src") > 1,
+        F.expr("(rnk - 1) * 1000000 DIV (n_src - 1)"),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return (
+        ranked.withColumn("pct_micro", pct)
+        .filter(F.col("pct_micro") >= CALIB_KEEP_PCT_MICRO)
+        .drop("n_src")
+        .orderBy("doc_id")
+    )

@@ -202,7 +202,11 @@ GATE_PRIORITY: list[str] = [
     # digest semantics inside the gate; dedup_normalized stays as the
     # planted-duplicate anchor
     "training_set_build",
-    "dedup_normalized",
+    # r8 rotation: dedup_normalized (3 straight greens r5-r7) yields
+    # to the NEW r8 dedup_soft_reweight, which keeps the
+    # planted-duplicate-anchor role (plant_duplicates + exact text
+    # clustering) while adding the reweight-instead-of-remove action
+    "dedup_soft_reweight",
     # dedup_ngram_jaccard (3 straight greens) yields to the
     # never-checked purchase_attribution; the hotset variant keeps
     # the posting-list path (same operator, planted-boilerplate
@@ -275,7 +279,12 @@ GATE_PRIORITY: list[str] = [
     # the structural line/paragraph family stays in the gate via
     # paragraph_dedup + html_strip_text + refinery_pipeline
     "multimodal_audio_samples",
-    "html_strip_text",
+    # r8 rotation: html_strip_text (3 straight greens r5-r7) yields to
+    # the NEW r8 quality_rank_calibration (per-source percentile floor
+    # on the shared lexical score); the structural family stays in the
+    # gate via paragraph_dedup + refinery_pipeline (whose pipeline
+    # includes the strip stage)
+    "quality_rank_calibration",
     "refinery_pipeline",
     # r7-late coverage-first swap: pii_scan_documents (green r5+r6,
     # own plant moduli untouched; canary_extraction_scan keeps the
