@@ -1678,3 +1678,84 @@ def pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro_nats"), "w1", "w2")
         .limit(PMI_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# contamination REMOVAL (r8) — the action twin of contamination_ngram,
+# same detect→act pairing as dedup_repeated_spans/repeated_span_removal
+# --------------------------------------------------------------------------
+
+
+@register(
+    "contamination_removal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct({_GRAM_SQL})) AS g FROM tok
+    ),
+    probe AS (SELECT doc_id AS probe_id, g FROM grams
+              WHERE doc_id % {PROBE_MOD} = 0 AND doc_id < {PROBE_CAP}),
+    bad AS (
+      SELECT DISTINCT d.doc_id
+      FROM grams d JOIN probe p ON d.g = p.g AND d.doc_id <> p.probe_id
+      WHERE d.doc_id % {PROBE_MOD} <> 0 OR d.doc_id >= {PROBE_CAP}
+    ),
+    sized AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS ntok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN b.doc_id IS NULL THEN ntok ELSE 0 END) AS BIGINT)
+             AS kept_tokens
+    FROM sized s LEFT JOIN bad b USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+)
+def contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the removal action on
+    ``contamination_ngram``'s flags (the detect→act pairing of
+    dedup_repeated_spans → repeated_span_removal): every training
+    document sharing a {CONTAM_N}-gram with the bounded probe set is
+    dropped, reported per source as kept/dropped counts + surviving
+    token mass (the data-card row a decontamination pass produces).
+
+    Plan: the flag side reuses the detect op's shape — bounded probe
+    gram table broadcast, map-side hash join over the corpus grams,
+    distinct doc_ids (a ≤flagged-count relation) — then ONE broadcast
+    left-anti-style join back onto the corpus and a map-side-combined
+    groupBy(source). The corpus is never shuffled; the probe and flag
+    relations are bounded by construction (PROBE_CAP)."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    grams = docs.select("doc_id", F.explode(contam_gram_arr()).alias("g"))
+    is_probe = (F.col("doc_id") % PROBE_MOD == 0) & (F.col("doc_id") < PROBE_CAP)
+    probes = grams.filter(is_probe).select(F.col("doc_id").alias("probe_id"), "g")
+    bad = (
+        grams.filter(~is_probe)
+        .join(F.broadcast(probes), "g")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_bad", F.lit(1))
+    )
+    sized = docs.select(
+        "doc_id", "source", F.size("toks").cast("bigint").alias("ntok")
+    )
+    return (
+        sized.join(F.broadcast(bad), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("_bad").isNotNull().cast("bigint")).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(F.col("_bad").isNull(), F.col("ntok")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -1708,14 +1708,21 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ok.select(
         "k", F.col("doc_id").alias("prefix_doc_id"), F.col("text").alias("a_text")
     )
+    # the self-join's right side aliases its key distinctly: a.k == b.k
+    # on two projections of the SAME cached relation resolves to one
+    # attribute and Catalyst emits the trivially-true-predicate warning
+    # (correct result, but exactly the log line readers must not learn
+    # to ignore — VERDICT r7 #2)
     b = ok.select(
-        "k", F.col("doc_id").alias("super_doc_id"), F.col("text").alias("b_text")
+        F.col("k").alias("bk"),
+        F.col("doc_id").alias("super_doc_id"),
+        F.col("text").alias("b_text"),
     )
     return (
         a.join(
             b,
             on=[
-                a.k == b.k,
+                F.col("k") == F.col("bk"),
                 F.length("b_text") > F.length("a_text"),
                 F.expr("startswith(b_text, a_text)"),
             ],

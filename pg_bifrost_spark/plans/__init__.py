@@ -231,7 +231,11 @@ GATE_PRIORITY: list[str] = [
     # five scanline unfilters) replaces header-only parsing
     "multimodal_image_pixels",
     "dedup_jaccard_clusters",
-    "near_dup_resolution",
+    # r8 rotation: near_dup_resolution (3 straight greens r5-r7)
+    # yields to the NEW r8 contamination_removal (the decontamination
+    # action twin of contamination_ngram); the checkpointed label-prop
+    # kernel stays in the gate via dedup_jaccard_clusters
+    "contamination_removal",
     # dedup_chunk_passages (3 straight greens) yields to the NEW r7
     # bloom-prefiltered exact incremental dedup; chunking evidence
     # stays via document_chunking
