@@ -113,10 +113,12 @@ HEADLINE = [
     # new Python kernels always get bench rows (the spread() lesson)
     "multimodal_image_pixels",
     "multimodal_audio_samples",
-    # r8 second batch: soft dedup (digest-window reweight) and the
-    # per-source percentile quality floor
+    # r8 second batch: soft dedup (digest-window reweight), the
+    # per-source percentile quality floor, and the decontamination
+    # action (gram explode + broadcast-probe join + doc_id rejoin)
     "dedup_soft_reweight",
     "quality_rank_calibration",
+    "contamination_removal",
     "cdc_lineitem_roundtrip",
 ]
 

@@ -1727,13 +1727,23 @@ def contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     token mass (the data-card row a decontamination pass produces).
 
     Plan: the flag side reuses the detect op's shape — bounded probe
-    gram table broadcast, map-side hash join over the corpus grams,
-    distinct doc_ids (a ≤flagged-count relation) — then ONE broadcast
-    left-anti-style join back onto the corpus and a map-side-combined
-    groupBy(source). The corpus is never shuffled; the probe and flag
-    relations are bounded by construction (PROBE_CAP)."""
-    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
-    grams = docs.select("doc_id", F.explode(contam_gram_arr()).alias("g"))
+    gram table broadcast (PROBE_CAP bounds the PROBE side only), a
+    map-side hash join over the corpus grams, distinct doc_ids — then
+    one doc_id-keyed left join back onto the corpus and a
+    map-side-combined groupBy(source). The flag relation is NOT
+    broadcast: it is corpus-proportional in the worst case (a probe
+    sharing one boilerplate 5-gram with millions of docs), so the
+    rejoin is a plain equi-join and AQE picks the strategy
+    (code-review r8). The tokenized relation is cached: three
+    consumers (probe build, flag build, sizing) would otherwise
+    re-execute the scan+tokenize lineage (the r7 multi-consumer
+    lesson)."""
+    tokenized = tracked_cache(
+        table(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens())
+        .select("doc_id", "source", "toks")
+    )
+    grams = tokenized.select("doc_id", F.explode(contam_gram_arr()).alias("g"))
     is_probe = (F.col("doc_id") % PROBE_MOD == 0) & (F.col("doc_id") < PROBE_CAP)
     probes = grams.filter(is_probe).select(F.col("doc_id").alias("probe_id"), "g")
     bad = (
@@ -1744,11 +1754,11 @@ def contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_bad", F.lit(1))
     )
-    sized = docs.select(
+    sized = tokenized.select(
         "doc_id", "source", F.size("toks").cast("bigint").alias("ntok")
     )
     return (
-        sized.join(F.broadcast(bad), "doc_id", "left")
+        sized.join(bad, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),

@@ -1772,21 +1772,22 @@ def dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands, so Spark DIV and DuckDB // agree) and every aggregate is
     an exact BIGINT sum.
 
-    Plan: ONE shuffle — a count window partitioned by the text digest
-    (digest, not raw text, as the exchange key: a 64-char hex key
-    shuffles instead of document bodies... the window itself carries
-    the row, so the digest matters for partitioner width, not volume)
-    — then a map-side-combined groupBy(source). Planted clones
-    (PLANT_MOD) guarantee n>1 clusters exist; the oracle mirrors the
-    plant and partitions by raw text (identical clustering — md5 is
-    collision-free on the fixture and any real corpus at 2^-64)."""
+    Plan: ONE shuffle — a count window partitioned by the text
+    digest, with the text column PROJECTED AWAY before the exchange
+    (the window carries whole rows, so keeping the body would shuffle
+    the entire corpus by volume; the digest is all clustering needs —
+    code-review r8) — then a map-side-combined groupBy(source).
+    Planted clones (PLANT_MOD) guarantee n>1 clusters exist; the
+    oracle mirrors the plant and partitions by raw text (identical
+    clustering — md5 is collision-free on the fixture and any real
+    corpus at 2^-64)."""
     from pyspark.sql import Window
 
     docs = plant_duplicates(
         table(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars"),
         "doc_id",
-    )
-    n = F.count("*").over(Window.partitionBy(F.md5("text")))
+    ).select(F.md5("text").alias("digest"), "source", "n_chars")
+    n = F.count("*").over(Window.partitionBy("digest"))
     c = docs.withColumn("n", n).withColumn(
         "weight_ppm", F.expr("CAST(1000000 DIV n AS BIGINT)")
     )

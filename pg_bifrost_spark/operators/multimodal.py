@@ -639,17 +639,28 @@ def decode_png_pixels(batches):
                 if ok:
                     w = int.from_bytes(ihdr[0:4], "big")
                     h = int.from_bytes(ihdr[4:8], "big")
-                    try:
-                        raw = zlib.decompress(idat)
-                    except zlib.error:
-                        raw = None
-                    if (
-                        raw is None
-                        or w == 0
-                        or h == 0
-                        or w * h > _PNG_MAX_PIXELS
-                        or len(raw) != h * (w + 1)
-                    ):
+                    raw = None
+                    # dims are validated BEFORE inflating and the
+                    # inflate itself is output-bounded: a CRC-valid
+                    # deflate bomb (1 MB → GBs) must not allocate its
+                    # full expansion before the cap check runs
+                    # (code-review r8 #2). decompressobj(max_length)
+                    # stops at the expected raw size; any unconsumed
+                    # tail or short output marks the payload malformed.
+                    if 0 < w and 0 < h and w * h <= _PNG_MAX_PIXELS:
+                        want = h * (w + 1)
+                        try:
+                            dobj = zlib.decompressobj()
+                            raw = dobj.decompress(idat, want)
+                            if (
+                                len(raw) != want
+                                or dobj.decompress(dobj.unconsumed_tail, 1)
+                                or not dobj.eof
+                            ):
+                                raw = None
+                        except zlib.error:
+                            raw = None
+                    if raw is None:
                         fmt, w, h = "unknown", None, None
                         out["doc_id"].append(doc_id)
                         out["fmt"].append(fmt)

@@ -199,8 +199,9 @@ GATE_PRIORITY: list[str] = [
     # the gate must see these find duplicates, not match empty sets)
     # dedup_exact_documents (4 straight greens) yields to the NEW r6
     # training_set_build capstone, whose dedup stage runs the same
-    # digest semantics inside the gate; dedup_normalized stays as the
-    # planted-duplicate anchor
+    # digest semantics inside the gate (dedup_normalized carried the
+    # planted-duplicate-anchor role r6-r7; r8 hands it to
+    # dedup_soft_reweight below)
     "training_set_build",
     # r8 rotation: dedup_normalized (3 straight greens r5-r7) yields
     # to the NEW r8 dedup_soft_reweight, which keeps the

@@ -252,3 +252,40 @@ def test_pcm_decoder_walks_past_list_chunk():
     assert list(pdf["fmt"]) == ["wav", "unknown"]
     assert int(pdf["sum_samples"][0]) == sum(samples)
     assert int(pdf["n_samples"][0]) == len(samples)
+
+
+def test_png_decoder_bounds_deflate_bomb():
+    """A CRC-valid IDAT that inflates far past the declared scanline
+    size (deflate bomb) must be rejected WITHOUT materializing its
+    full expansion — the decompress is output-bounded (code-review
+    r8). 64 KB of zeros compresses to ~100 bytes; dims declare 2x2."""
+    import struct
+    import zlib
+
+    from pg_bifrost_spark.operators.multimodal import decode_png_pixels
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\x0a"
+    bomb = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 65536))
+        + chunk(b"IEND", b"")
+    )
+    # and a header claiming dims past the pixel cap with a tiny stream
+    huge = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00a"))
+        + chunk(b"IEND", b"")
+    )
+    [pdf] = list(decode_png_pixels(iter([pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [bomb, huge]}
+    )])))
+    assert pdf["sum_pix"].isna().all()
+    assert list(pdf["fmt"]) == ["unknown", "unknown"]
