@@ -773,3 +773,57 @@ def test_pmi_unigram_table_cached_and_topk_bounded(spark):
     assert "TakeOrderedAndProject" in text
     assert "SortMergeJoin" not in text and "CartesianProduct" not in text
     assert "BatchEvalPython" not in text
+
+
+def test_contamination_removal_flag_join_not_broadcast_forced(spark):
+    """The decontamination rejoin: the PROBE side must broadcast (it is
+    bounded by construction), but the FLAG relation must NOT carry a
+    broadcast hint — it is corpus-proportional in the worst case
+    (code-review r8), so its join strategy belongs to AQE. We assert
+    the probe join broadcasts and that the flag join is keyed on
+    doc_id (either strategy), with no sort-merge on the gram key."""
+    text = plan_of(spark, "contamination_removal")
+    assert "BroadcastHashJoin" in text           # the probe gram join
+    assert "hashpartitioning(g#" not in text     # corpus grams never shuffle on g
+    # the optimized plan must not carry a user hint on the flag side:
+    # logical hints show as 'UnresolvedHint' pre-analysis; in the
+    # analyzed plan a forced broadcast would appear as ResolvedHint
+    logical = (
+        plans.QUERIES["contamination_removal"](spark, SF)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    import re
+
+    hints = re.findall(r"ResolvedHint \(strategy=broadcast\)", logical)
+    assert len(hints) == 1, f"expected exactly the probe broadcast hint, saw {len(hints)}"
+
+
+def test_soft_reweight_window_excludes_text(spark):
+    """dedup_soft_reweight's digest window must shuffle ONLY
+    (digest, source, n_chars) — the document body is projected away
+    before the exchange (code-review r8: window rows carry every
+    column, so keeping text would shuffle the whole corpus body)."""
+    df = plans.QUERIES["dedup_soft_reweight"](spark, SF)
+    text = formatted(df)
+    import re
+
+    # formatted mode puts Exchange args on their own "Arguments:" line
+    m = re.search(r"hashpartitioning\(digest#\d+", text)
+    assert m, "digest window exchange missing:\n" + text
+    # the executed plan's window operator must not reference a text col
+    plan = plan_of(spark, "dedup_soft_reweight")
+    w = next((ln for ln in plan.splitlines() if "Window" in ln), "")
+    assert w and "text#" not in w, w
+
+
+def test_rank_calibration_windows_are_source_partitioned(spark):
+    """Every window in quality_rank_calibration partitions by source —
+    no global single-task data window (the token_budget_sample rule
+    applied to the new op)."""
+    df = plans.QUERIES["quality_rank_calibration"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln.lower():
+            assert "source#" in ln, "unpartitioned window:\n" + ln
