@@ -119,6 +119,9 @@ HEADLINE = [
     "dedup_soft_reweight",
     "quality_rank_calibration",
     "contamination_removal",
+    # r8 third batch: cluster-size data-card + source-pair gram overlap
+    "dedup_cluster_size_histogram",
+    "source_ngram_overlap",
     "cdc_lineitem_roundtrip",
 ]
 

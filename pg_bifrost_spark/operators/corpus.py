@@ -1769,3 +1769,79 @@ def contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# source-pair n-gram overlap matrix (r8) — inter-source contamination /
+# redundancy map
+# --------------------------------------------------------------------------
+OVERLAP_N = 3  # 3-grams: dense enough for non-vacuous pair counts at gate SF
+_OVERLAP_GRAM_SQL = _gram_sql(OVERLAP_N)
+
+
+@register(
+    "source_ngram_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    sg AS (
+      SELECT DISTINCT source, unnest(list_distinct({_OVERLAP_GRAM_SQL})) AS g
+      FROM tok
+    ),
+    tot AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_grams,
+           CAST(ta.n_grams AS BIGINT) AS a_grams,
+           CAST(tb.n_grams AS BIGINT) AS b_grams
+    FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY a.source, b.source, ta.n_grams, tb.n_grams
+    ORDER BY source_a, source_b
+    """,
+)
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source {OVERLAP_N}-gram overlap matrix: for every source
+    pair, how many distinct {OVERLAP_N}-grams they share, next to each
+    side's distinct-gram total (exact integers — Jaccard/containment
+    are one division away for the reader). The cross-SOURCE redundancy
+    map a mixture designer reads before weighting domains, and the
+    coarse inter-dump contamination screen.
+
+    Plan: one map-side gram explode → distinct (source, g) (shuffle
+    keyed on the pair), then a gram-keyed self-join whose per-gram
+    fan-out is bounded by the SOURCE COUNT (≤ n_sources rows per gram,
+    20 on the fixtures — never corpus-proportional), then a
+    pair-keyed count. Per-source totals ride a broadcast (n_sources
+    rows). No driver collects; skew on ubiquitous grams is bounded by
+    n_sources² per gram."""
+    tokenized = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    sg = tracked_cache(
+        tokenized.select(
+            "source", F.explode(gram_arr(OVERLAP_N, distinct=True)).alias("g")
+        ).distinct()
+    )
+    tot = sg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "g")
+    b = sg.select(F.col("source").alias("source_b"), F.col("g").alias("gb"))
+    pairs = (
+        a.join(b, (F.col("g") == F.col("gb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n_grams").alias("a_grams"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n_grams").alias("b_grams"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            F.col("a_grams").cast("bigint").alias("a_grams"),
+            F.col("b_grams").cast("bigint").alias("b_grams"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1801,3 +1801,48 @@ def dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH {PLANTED_DOCS_SQL},
+    c AS (
+      SELECT count(*) AS cluster_size
+      FROM documents_planted GROUP BY text
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE distribution — the data-card panel a
+    dedup pass reports (how much of the corpus sits in 1-, 2-,
+    k-member clusters decides between hard removal, soft reweighting
+    (``dedup_soft_reweight``), and leaving it alone). Exact digest
+    clustering over the planted corpus; all-integer output.
+
+    Plan: two map-side-combined groupBys (digest → cluster size, then
+    size → histogram) — the first shuffles one digest-keyed row per
+    document, the second histogram-sized rows. Nothing is windowed,
+    collected, or broadcast."""
+    docs = plant_duplicates(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    sizes = (
+        docs.select(F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

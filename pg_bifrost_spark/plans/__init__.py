@@ -208,11 +208,14 @@ GATE_PRIORITY: list[str] = [
     # planted-duplicate-anchor role (plant_duplicates + exact text
     # clustering) while adding the reweight-instead-of-remove action
     "dedup_soft_reweight",
-    # dedup_ngram_jaccard (3 straight greens) yields to the
-    # never-checked purchase_attribution; the hotset variant keeps
-    # the posting-list path (same operator, planted-boilerplate
-    # cutoff actually firing) in the gate
-    "dedup_ngram_jaccard_hotset",
+    # dedup_ngram_jaccard (3 straight greens) yielded to the
+    # never-checked purchase_attribution in r7; r8: the hotset variant
+    # (itself 3 straight greens r5-r7, BOILER plant proven) yields to
+    # the NEW r8 source_ngram_overlap — the gram machinery stays in
+    # the gate through it (distinct-gram explode + gram-keyed join)
+    # and the posting-list/hotset path stays pytest-pinned
+    # (test_hot_shingles) with its recorded greens
+    "source_ngram_overlap",
     # r7-late coverage-first swap: purchase_attribution (green r5+r6,
     # events-table op untouched by the PLANT_MOD=64 fixture change)
     # yields its slot to the never-checked corpus_health_report
@@ -278,7 +281,12 @@ GATE_PRIORITY: list[str] = [
     # bpe_apply_merges exactness tests) yields to the never-checked
     # tokenizer_fertility_by_lang
     "tokenizer_fertility_by_lang",
-    "paragraph_dedup",
+    # r8 rotation: paragraph_dedup (3 straight greens r5-r7) yields to
+    # the NEW r8 dedup_cluster_size_histogram (the data-card panel over
+    # the same planted exact clusters); paragraph/line structure stays
+    # pytest-pinned and refinery_pipeline keeps the structural family
+    # in the gate
+    "dedup_cluster_size_histogram",
     # r8 rotation: doc_line_dedup (3 straight greens r5-r7) yields to
     # the NEW r8 multimodal_audio_samples (real PCM sample decode);
     # the structural line/paragraph family stays in the gate via
