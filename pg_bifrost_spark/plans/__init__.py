@@ -284,19 +284,21 @@ GATE_PRIORITY: list[str] = [
     # r8 rotation: paragraph_dedup (3 straight greens r5-r7) yields to
     # the NEW r8 dedup_cluster_size_histogram (the data-card panel over
     # the same planted exact clusters); paragraph/line structure stays
-    # pytest-pinned and refinery_pipeline keeps the structural family
-    # in the gate
+    # pytest-pinned and refinery_pipeline is the structural family's
+    # sole gate row (see the NOTE below)
     "dedup_cluster_size_histogram",
     # r8 rotation: doc_line_dedup (3 straight greens r5-r7) yields to
-    # the NEW r8 multimodal_audio_samples (real PCM sample decode);
-    # the structural line/paragraph family stays in the gate via
-    # paragraph_dedup + html_strip_text + refinery_pipeline
+    # the NEW r8 multimodal_audio_samples (real PCM sample decode).
+    # NOTE on the structural family after ALL r8 rotations: with
+    # doc_line_dedup, html_strip_text, AND paragraph_dedup rotated out
+    # this round, refinery_pipeline (which composes the strip +
+    # line-dedup stages) is the family's SOLE remaining gate row — it
+    # must not rotate out before one of the three returns
     "multimodal_audio_samples",
     # r8 rotation: html_strip_text (3 straight greens r5-r7) yields to
     # the NEW r8 quality_rank_calibration (per-source percentile floor
-    # on the shared lexical score); the structural family stays in the
-    # gate via paragraph_dedup + refinery_pipeline (whose pipeline
-    # includes the strip stage)
+    # on the shared lexical score); structural coverage per the NOTE
+    # above (refinery_pipeline only)
     "quality_rank_calibration",
     "refinery_pipeline",
     # r7-late coverage-first swap: pii_scan_documents (green r5+r6,

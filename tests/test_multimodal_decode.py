@@ -294,69 +294,63 @@ def test_png_decoder_bounds_deflate_bomb():
 # ---------------------------------------------------------------------------
 # property-based round-trip pins for the r8 payload codecs (hypothesis)
 # ---------------------------------------------------------------------------
-try:
-    from hypothesis import given, settings
-    from hypothesis import strategies as st
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
-    _HYP = True
-except ImportError:  # pragma: no cover
-    _HYP = False
 
-if _HYP:
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, seed, data):
+    """ANY pixel grid under ANY per-row filter choice (all five
+    types) must decode back to the exact pixel sums — pins the
+    encoder/decoder pair far beyond the fixture's 3-filter,
+    arithmetic-pixel subset."""
+    import random
 
-    @settings(max_examples=60, deadline=None)
-    @given(
-        w=st.integers(1, 24),
-        h=st.integers(1, 12),
-        seed=st.integers(0, 2**31 - 1),
-        data=st.data(),
+    from pg_bifrost_spark.operators.multimodal import decode_png_pixels
+
+    rng = random.Random(seed)
+    pixels = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+    png = _png_gray(pixels, filters)
+    [pdf] = list(
+        decode_png_pixels(iter([pd.DataFrame({"doc_id": [0], "payload": [png]})]))
     )
-    def test_png_roundtrip_property(w, h, seed, data):
-        """ANY pixel grid under ANY per-row filter choice (all five
-        types) must decode back to the exact pixel sums — pins the
-        encoder/decoder pair far beyond the fixture's 3-filter,
-        arithmetic-pixel subset."""
-        import random
+    flat = [v for row in pixels for v in row]
+    assert list(pdf["fmt"]) == ["png"]
+    assert int(pdf["width"][0]) == w and int(pdf["height"][0]) == h
+    assert int(pdf["sum_pix"][0]) == sum(flat)
+    assert int(pdf["wsum_pix"][0]) == sum(i * v for i, v in enumerate(flat))
 
-        from pg_bifrost_spark.operators.multimodal import decode_png_pixels
+@settings(max_examples=60, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+    pad_list=st.booleans(),
+)
+def test_wav_roundtrip_property(samples, pad_list):
+    """ANY int16 sample sequence — optionally behind a LIST chunk —
+    must decode to its exact sum/min/max/energy."""
+    import struct
 
-        rng = random.Random(seed)
-        pixels = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
-        filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
-        png = _png_gray(pixels, filters)
-        [pdf] = list(
-            decode_png_pixels(iter([pd.DataFrame({"doc_id": [0], "payload": [png]})]))
-        )
-        flat = [v for row in pixels for v in row]
-        assert list(pdf["fmt"]) == ["png"]
-        assert int(pdf["width"][0]) == w and int(pdf["height"][0]) == h
-        assert int(pdf["sum_pix"][0]) == sum(flat)
-        assert int(pdf["wsum_pix"][0]) == sum(i * v for i, v in enumerate(flat))
+    from pg_bifrost_spark.operators.multimodal import decode_pcm_samples
 
-    @settings(max_examples=60, deadline=None)
-    @given(
-        samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
-        pad_list=st.booleans(),
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    mid = (b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00") if pad_list else b""
+    body = fmt_chunk + mid + b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    [pdf] = list(
+        decode_pcm_samples(iter([pd.DataFrame({"doc_id": [0], "payload": [wav]})]))
     )
-    def test_wav_roundtrip_property(samples, pad_list):
-        """ANY int16 sample sequence — optionally behind a LIST chunk —
-        must decode to its exact sum/min/max/energy."""
-        import struct
-
-        from pg_bifrost_spark.operators.multimodal import decode_pcm_samples
-
-        data = b"".join(struct.pack("<h", s) for s in samples)
-        fmt_chunk = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
-        mid = (b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00") if pad_list else b""
-        body = fmt_chunk + mid + b"data" + struct.pack("<I", len(data)) + data
-        wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
-        [pdf] = list(
-            decode_pcm_samples(iter([pd.DataFrame({"doc_id": [0], "payload": [wav]})]))
-        )
-        assert list(pdf["fmt"]) == ["wav"]
-        assert int(pdf["n_samples"][0]) == len(samples)
-        assert int(pdf["sum_samples"][0]) == sum(samples)
-        assert int(pdf["sum_sq"][0]) == sum(s * s for s in samples)
-        if samples:
-            assert int(pdf["min_sample"][0]) == min(samples)
-            assert int(pdf["max_sample"][0]) == max(samples)
+    assert list(pdf["fmt"]) == ["wav"]
+    assert int(pdf["n_samples"][0]) == len(samples)
+    assert int(pdf["sum_samples"][0]) == sum(samples)
+    assert int(pdf["sum_sq"][0]) == sum(s * s for s in samples)
+    if samples:
+        assert int(pdf["min_sample"][0]) == min(samples)
+        assert int(pdf["max_sample"][0]) == max(samples)
