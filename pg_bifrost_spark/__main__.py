@@ -118,7 +118,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd in ("create", "drop"):
         from .sources.pgcdc import LiveTransport
 
-        fn = LiveTransport.create_slot if args.cmd == "create" else LiveTransport.drop_slot
+        fn = (
+            LiveTransport.create_slot_ddl
+            if args.cmd == "create"
+            else LiveTransport.drop_slot_ddl
+        )
         fn(args.dsn, args.slot)
         return 0
 

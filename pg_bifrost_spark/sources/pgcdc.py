@@ -23,9 +23,12 @@ offset/commit log supplies the progress-ledger semantics (X12):
 Transports:
   * ``ReplayTransport`` — WAL-text files on disk (deterministic tests,
     and the bridge to the itest corpus);
-  * ``LiveTransport`` — a real replication connection via psycopg;
-    import-gated (not available in this container), with slot
-    create/drop helpers mirroring ``utils/utils.go:38-77``.
+  * ``LiveTransport`` — a real replication connection over the
+    pure-stdlib wire client (``sources/pgwire.py``; no DB driver —
+    psycopg3 has no replication support), driven by the tested
+    protocol state machine, with slot create/drop helpers mirroring
+    ``utils/utils.go:38-77``. Exercised in-suite against a fake
+    walsender speaking real protocol bytes (``tests/test_pgwire.py``).
 """
 
 from __future__ import annotations
@@ -163,48 +166,133 @@ class ReplayTransport:
             return 0
 
 
-class LiveTransport:  # pragma: no cover - requires a PostgreSQL server
-    """Replication-protocol transport over psycopg. The container has
-    no psycopg/Postgres; the class documents the exact calls a
-    deployment needs (START_REPLICATION with the test_decoding plugin,
-    standby status updates on ack — ``client.go:224-380``).
+class LiveTransport:
+    """Live replication transport over the pure-stdlib wire client
+    (``sources/pgwire.py``) driven by the fully-tested protocol state
+    machine (``sources/protocol.py::ReplicationClientLoop``) — NO
+    database driver dependency (psycopg3 does not implement the
+    replication sub-protocol, so the wire client IS the deploy path).
 
-    The protocol engine itself — keepalive policy, rapid-heartbeat
-    shutdown, duplicate-COMMIT accounting, incomplete-transaction
-    reconnect, deadline handling, error-response skip-ahead — lives in
-    ``sources/protocol.py::ReplicationClientLoop`` and is fully tested
-    against a scripted fake connection (``tests/test_protocol_client``);
-    this class only has to adapt a psycopg replication connection to
-    the loop's ``receive/send_status/close/current_server_lsn``
-    surface and drain ``loop.step()`` into the fetch buffer."""
+    Since r8 this path executes in-suite: ``tests/test_pgwire.py``
+    runs it against a fake walsender speaking real protocol bytes over
+    a localhost socket, so only the final postgres-server integration
+    (the compose rig, itests/) remains deploy-time.
 
-    def __init__(self, dsn: str, slot: str):
+    The fetch contract matches ReplayTransport: ``fetch(after_lsn,
+    limit)`` drains ``loop.step()`` into (wal_start, server_time_ms,
+    line) rows until ``limit`` messages are buffered or a receive
+    deadline signals the stream is idle (one bounded micro-batch —
+    the admission cap applies above). ``ack`` advances the loop's
+    durable LSN and sends a Standby Status Update immediately (W1).
+    Reconnects (incomplete-txn defense, error recovery) restart the
+    stream from the acked LSN — at-least-once, duplicates filtered by
+    the ``after_lsn`` bound and downstream idempotence (W4/W5)."""
+
+    def __init__(
+        self,
+        dsn: str,
+        slot: str,
+        create_slot: bool = True,
+        receive_timeout_s: float = 1.0,
+    ):
+        from .pgwire import parse_dsn
+
+        self._kwargs = parse_dsn(dsn)
+        self.slot = slot
+        self._create_slot = create_slot
+        self.receive_timeout_s = receive_timeout_s
+        self._conn = None
+        self._loop = None
+        self._acked = 0
+
+    # -------------------------------------------------------- connection
+    def _connected(self) -> bool:
+        return self._conn is not None and self._conn._sock is not None
+
+    def _ensure_stream(self, start_lsn: int) -> None:
+        from .pgwire import WireConnection
+        from .protocol import ReplicationClientLoop
+
+        if self._connected():
+            return
+        conn = WireConnection(**self._kwargs).connect()
+        if self._create_slot:
+            conn.create_slot(self.slot)  # idempotent on 42710
+        conn.start_replication(self.slot, start_lsn)
+        self._conn = conn
+        self._loop = ReplicationClientLoop(
+            conn, receive_timeout_s=self.receive_timeout_s
+        )
+        self._loop.ack(self._acked)
+
+    # ------------------------------------------------------------- fetch
+    def fetch(self, after_lsn: int, limit: int) -> list[tuple[int, int, str | None]]:
+        self._ensure_stream(max(after_lsn, self._acked))
+        out: list[tuple[int, int, str | None]] = []
+        while len(out) < limit:
+            msgs = self._loop.step()
+            if not msgs:
+                if self._loop.stats.get("receive_timeouts", 0):
+                    break  # stream idle — this micro-batch is done
+                if not self._connected():
+                    break  # loop closed the conn (incomplete-txn defense)
+                continue  # keepalive handled, keep draining
+            for m in msgs:
+                if m.wal_start > after_lsn or m.synthetic:
+                    out.append((m.wal_start, m.server_time_ms, m.line))
+        return out[:limit]
+
+    def current_end(self) -> int:
+        from .pgwire import WireConnection, lsn_to_int
+
+        if self._connected():
+            return self._conn.current_server_lsn()
+        probe = WireConnection(**self._kwargs).connect()
         try:
-            import psycopg  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "psycopg is not available in this environment; use the "
-                "replay transport (option wal_dir=...) or install psycopg"
-            ) from exc
-        raise NotImplementedError("live replication transport is deployment-only")
+            return lsn_to_int(probe.identify_system()["xlogpos"])
+        finally:
+            probe.close()
+
+    # --------------------------------------------------------------- ack
+    def ack(self, lsn: int) -> None:
+        self._acked = max(self._acked, lsn)
+        if self._loop is not None and self._connected():
+            self._loop.ack(self._acked)
+            self._loop.send_progress()
+
+    def acked(self) -> int:
+        return self._acked
+
+    def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
+
+    # ---------------------------------------------------- slot DDL (CLI)
+    @staticmethod
+    def create_slot_ddl(dsn: str, slot: str) -> bool:
+        """CREATE_REPLICATION_SLOT <slot> LOGICAL test_decoding over
+        the wire (idempotent on SQLSTATE 42710) — utils/utils.go:38-56.
+        The retry/idempotency policy layer lives in sources/slots.py;
+        a psycopg-based adapter (``slots.psycopg_factory``) remains for
+        deployments that prefer a driver-managed connection."""
+        from .pgwire import WireConnection, parse_dsn
+
+        conn = WireConnection(**parse_dsn(dsn)).connect()
+        try:
+            return conn.create_slot(slot)
+        finally:
+            conn.close()
 
     @staticmethod
-    def create_slot(dsn: str, slot: str) -> bool:
-        """CREATE_REPLICATION_SLOT <slot> LOGICAL test_decoding
-        (idempotent on SQLSTATE 42710) — utils/utils.go:38-56. The
-        full DDL semantics (retry/idempotency/WAIT) live in
-        sources/slots.py and are mock-tested; only the psycopg
-        adapter needs a server."""
-        from .slots import SlotAdmin, psycopg_factory
-
-        return SlotAdmin(psycopg_factory(dsn)).create(slot)
-
-    @staticmethod
-    def drop_slot(dsn: str, slot: str) -> None:
+    def drop_slot_ddl(dsn: str, slot: str) -> None:
         """DROP_REPLICATION_SLOT <slot> WAIT — utils/utils.go:59-77."""
-        from .slots import SlotAdmin, psycopg_factory
+        from .pgwire import WireConnection, parse_dsn
 
-        SlotAdmin(psycopg_factory(dsn)).drop(slot)
+        conn = WireConnection(**parse_dsn(dsn)).connect()
+        try:
+            conn.drop_slot(slot)
+        finally:
+            conn.close()
 
 
 @dataclass

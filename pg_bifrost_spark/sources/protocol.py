@@ -50,10 +50,13 @@ class Keepalive:
 
 @dataclass
 class XLogData:
-    """XLogData frame carrying one test_decoding line."""
+    """XLogData frame carrying one test_decoding line.
+    ``server_time_ms`` is the frame's send timestamp (unix ms) — the
+    wire transport fills it; scripted test fakes may leave 0."""
 
     wal_start: int
     line: str
+    server_time_ms: int = 0
 
 
 @dataclass
@@ -72,6 +75,7 @@ class WalMessage:
     xid: str | None
     time_based_key: str | None
     synthetic: bool = False
+    server_time_ms: int = 0
 
 
 # heartbeat shutdown policy (client.go:449-462)
@@ -177,6 +181,7 @@ class ReplicationClientLoop:
                 line=msg.line,
                 xid=self.xid,
                 time_based_key=self.time_based_key,
+                server_time_ms=msg.server_time_ms,
             )
         ]
 
