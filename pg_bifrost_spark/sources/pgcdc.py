@@ -229,29 +229,36 @@ class LiveTransport:
     def fetch(self, after_lsn: int, limit: int) -> list[tuple[int, int, str | None]]:
         self._ensure_stream(max(after_lsn, self._acked))
         out: list[tuple[int, int, str | None]] = []
+        # snapshot, not the raw counter: the loop's stats accumulate
+        # over the TRANSPORT's lifetime, so "a timeout happened in a
+        # previous batch" must not end this one (code-review r8)
+        timeouts_at_start = self._loop.stats.get("receive_timeouts", 0)
+        # the running high-water mark of emitted LSNs: a synthetic
+        # COMMIT (error recovery) carries the last COMMIT's LSN, which
+        # may sit BELOW rows already emitted this batch — clamping it
+        # keeps the reader's end offset monotone (code-review r8; the
+        # replay path gets the same guarantee from max(lsn, current_end))
+        hwm = after_lsn
         while len(out) < limit:
             msgs = self._loop.step()
-            if not msgs:
-                if self._loop.stats.get("receive_timeouts", 0):
-                    break  # stream idle — this micro-batch is done
-                if not self._connected():
-                    break  # loop closed the conn (incomplete-txn defense)
-                continue  # keepalive handled, keep draining
             for m in msgs:
                 if m.wal_start > after_lsn or m.synthetic:
-                    out.append((m.wal_start, m.server_time_ms, m.line))
+                    hwm = max(hwm, m.wal_start)
+                    out.append(
+                        (hwm if m.synthetic else m.wal_start, m.server_time_ms, m.line)
+                    )
+            if self._loop.stats.get("receive_timeouts", 0) > timeouts_at_start:
+                break  # stream idle — this micro-batch is done
+            if not self._connected():
+                break  # loop closed the conn (incomplete-txn / error recovery)
         return out[:limit]
 
     def current_end(self) -> int:
-        from .pgwire import WireConnection, lsn_to_int
+        from .pgwire import probe_xlogpos
 
         if self._connected():
             return self._conn.current_server_lsn()
-        probe = WireConnection(**self._kwargs).connect()
-        try:
-            return lsn_to_int(probe.identify_system()["xlogpos"])
-        finally:
-            probe.close()
+        return probe_xlogpos(**self._kwargs)
 
     # --------------------------------------------------------------- ack
     def ack(self, lsn: int) -> None:
