@@ -2,7 +2,7 @@
 (``main/main.go:557-763``):
 
     python -m pg_bifrost_spark replicate <stdout|s3|kinesis|rabbitmq|kafka>
-    python -m pg_bifrost_spark create   # replication slot (needs psycopg)
+    python -m pg_bifrost_spark create   # replication slot (stdlib wire client)
     python -m pg_bifrost_spark drop
 
 Pipeline config comes from the environment (config.from_env — the
