@@ -681,3 +681,72 @@ def test_live_transport_error_recovery_mid_txn():
         assert srv.failures == [], srv.failures
     finally:
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# framing property: decoding is invariant to TCP segmentation
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    data=st.data(),
+)
+def test_framing_invariant_under_arbitrary_segmentation(lines, data):
+    """A CopyBoth byte stream chopped at ARBITRARY positions (the TCP
+    reality) must decode to exactly the same frame sequence — the
+    all-or-nothing buffering property, generalized from the one
+    split-frame regression test."""
+    stream = b""
+    want = []
+    for i, line in enumerate(lines):
+        lsn = 1000 + i * 8
+        body = b"w" + struct.pack(">qqq", lsn, lsn, 123_456) + line.encode()
+        stream += _msg(b"d", body)
+        want.append(("x", lsn, line))
+        if data.draw(st.booleans()):
+            kb = b"k" + struct.pack(">qq", lsn, 123_456) + b"\x00"
+            stream += _msg(b"d", kb)
+            want.append(("k", lsn, None))
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(0, len(stream)), max_size=12)
+        )
+    )
+    segments = [
+        stream[a:b] for a, b in zip([0] + cuts, cuts + [len(stream)]) if b > a
+    ]
+
+    class _SegSock:
+        """Socket stand-in delivering the stream in the drawn segments."""
+
+        def __init__(self, segs):
+            self.segs = list(segs)
+
+        def recv(self, _n):
+            return self.segs.pop(0) if self.segs else b""
+
+        def settimeout(self, _t):
+            pass
+
+    c = WireConnection(host="x", port=1, user=USER, dbname=DB)
+    c._sock = _SegSock(segments)
+    c._in_copy = True
+    got = []
+    for _ in range(len(want)):
+        m = c.receive(1.0)
+        if isinstance(m, XLogData):
+            got.append(("x", m.wal_start, m.line))
+        else:
+            got.append(("k", m.server_wal_end, None))
+    assert got == want
