@@ -194,6 +194,9 @@ class LiveTransport:
         slot: str,
         create_slot: bool = True,
         receive_timeout_s: float = 1.0,
+        fetch_budget_s: float = 30.0,
+        max_connect_attempts: int = 5,
+        reconnect_backoff_s: float = 0.5,
     ):
         from .pgwire import parse_dsn
 
@@ -201,32 +204,74 @@ class LiveTransport:
         self.slot = slot
         self._create_slot = create_slot
         self.receive_timeout_s = receive_timeout_s
+        # per-batch wall-clock bound (ADVICE r8): during a long replay
+        # of already-acked WAL every frame is filtered by after_lsn —
+        # no yield, no receive timeout — so without a budget one
+        # micro-batch can block for the whole replay window
+        self.fetch_budget_s = fetch_budget_s
+        self.max_connect_attempts = max_connect_attempts
+        self.reconnect_backoff_s = reconnect_backoff_s
         self._conn = None
         self._loop = None
         self._acked = 0
+        self.stats: dict[str, int] = {"transport_errors": 0, "connects": 0}
 
     # -------------------------------------------------------- connection
     def _connected(self) -> bool:
         return self._conn is not None and self._conn._sock is not None
 
+    def _disconnect(self) -> None:
+        """Drop the connection state so the next ``_ensure_stream``
+        reconnects from the acked LSN — the reference's response to ANY
+        receive error, not just server-sent ones (client.go:386-424)."""
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            except OSError:
+                pass  # already dead — that's why we're here
+        self._conn = None
+        self._loop = None
+
     def _ensure_stream(self, start_lsn: int) -> None:
-        from .pgwire import WireConnection
+        """Connect with bounded retry/backoff (ADVICE r8): a routine
+        network blip must resume the pipeline, not kill the streaming
+        query. Exhausting the attempts re-raises the last error — a
+        hard-down server IS fatal, matching the reference's runner."""
+        import time as _time
+
+        from .pgwire import WireConnection, WireError
         from .protocol import ReplicationClientLoop
 
         if self._connected():
             return
-        conn = WireConnection(**self._kwargs).connect()
-        if self._create_slot:
-            conn.create_slot(self.slot)  # idempotent on 42710
-        conn.start_replication(self.slot, start_lsn)
-        self._conn = conn
-        self._loop = ReplicationClientLoop(
-            conn, receive_timeout_s=self.receive_timeout_s
-        )
-        self._loop.ack(self._acked)
+        last_exc: Exception | None = None
+        for attempt in range(self.max_connect_attempts):
+            if attempt:
+                _time.sleep(self.reconnect_backoff_s * (2 ** (attempt - 1)))
+            try:
+                conn = WireConnection(**self._kwargs).connect()
+                if self._create_slot:
+                    conn.create_slot(self.slot)  # idempotent on 42710
+                conn.start_replication(self.slot, start_lsn)
+            except (WireError, OSError) as exc:
+                last_exc = exc
+                self.stats["transport_errors"] += 1
+                continue
+            self._conn = conn
+            self._loop = ReplicationClientLoop(
+                conn, receive_timeout_s=self.receive_timeout_s
+            )
+            self._loop.ack(self._acked)
+            self.stats["connects"] += 1
+            return
+        raise last_exc  # type: ignore[misc]
 
     # ------------------------------------------------------------- fetch
     def fetch(self, after_lsn: int, limit: int) -> list[tuple[int, int, str | None]]:
+        import time as _time
+
+        from .pgwire import WireError
+
         self._ensure_stream(max(after_lsn, self._acked))
         out: list[tuple[int, int, str | None]] = []
         # snapshot, not the raw counter: the loop's stats accumulate
@@ -239,8 +284,20 @@ class LiveTransport:
         # keeps the reader's end offset monotone (code-review r8; the
         # replay path gets the same guarantee from max(lsn, current_end))
         hwm = after_lsn
+        deadline = _time.monotonic() + self.fetch_budget_s
         while len(out) < limit:
-            msgs = self._loop.step()
+            try:
+                msgs = self._loop.step()
+            except (WireError, OSError):
+                # transport-level failure (socket closed mid-recv,
+                # corrupt frame, TLS teardown): return what we have;
+                # the next fetch's _ensure_stream reconnects from
+                # max(after_lsn, acked) — at-least-once, duplicates
+                # filtered by the after_lsn bound (ADVICE r8;
+                # client.go:386-424 reconnects on ANY receive error)
+                self.stats["transport_errors"] += 1
+                self._disconnect()
+                break
             for m in msgs:
                 if m.wal_start > after_lsn or m.synthetic:
                     hwm = max(hwm, m.wal_start)
@@ -251,6 +308,14 @@ class LiveTransport:
                 break  # stream idle — this micro-batch is done
             if not self._connected():
                 break  # loop closed the conn (incomplete-txn / error recovery)
+            if _time.monotonic() >= deadline:
+                # replaying already-acked WAL yields nothing and never
+                # times out — bound per-batch latency so the micro-batch
+                # closes; the next batch resumes where this one left off
+                self.stats["fetch_budget_exhausted"] = (
+                    self.stats.get("fetch_budget_exhausted", 0) + 1
+                )
+                break
         return out[:limit]
 
     def current_end(self) -> int:
@@ -262,10 +327,19 @@ class LiveTransport:
 
     # --------------------------------------------------------------- ack
     def ack(self, lsn: int) -> None:
+        from .pgwire import WireError
+
         self._acked = max(self._acked, lsn)
         if self._loop is not None and self._connected():
             self._loop.ack(self._acked)
-            self._loop.send_progress()
+            try:
+                self._loop.send_progress()
+            except (WireError, OSError):
+                # the ack is durable locally (_acked); a dead socket
+                # just means the next reconnect re-reports it in the
+                # first standby status update (ADVICE r8)
+                self.stats["transport_errors"] += 1
+                self._disconnect()
 
     def acked(self) -> int:
         return self._acked

@@ -46,6 +46,14 @@ from .protocol import ErrorResponse, Keepalive, Timeout, XLogData
 PG_PROTO_VERSION = 196608  # 3.0
 # PostgreSQL timestamps are microseconds since 2000-01-01 UTC
 PG_EPOCH_UNIX_S = 946_684_800
+# Upper bound on a server-declared frame length (ADVICE r8): the
+# 4-byte length word is attacker-controlled until the frame is
+# validated, so without a cap a corrupt/hostile peer can make _fill
+# buffer ~4 GiB before any check runs. 64 MiB comfortably exceeds any
+# legitimate replication frame (test_decoding emits one row-change per
+# XLogData; even a full-page TOAST value tops out well under this)
+# while bounding worst-case memory to something an executor absorbs.
+MAX_FRAME_LEN = 64 * 1024 * 1024
 
 
 def lsn_to_int(text: str) -> int:
@@ -180,6 +188,14 @@ class WireConnection:
     def _read_message(self) -> tuple[bytes, bytes]:
         self._fill(5)
         ln = struct.unpack(">I", self._buf[1:5])[0]
+        # validate BEFORE buffering the body: the declared length
+        # includes its own 4 bytes (so <4 is malformed), and anything
+        # past MAX_FRAME_LEN is rejected rather than allocated
+        if ln < 4 or ln > MAX_FRAME_LEN:
+            raise WireError(
+                f"invalid frame length {ln} "
+                f"(type {self._buf[:1]!r}; cap {MAX_FRAME_LEN})"
+            )
         total = 1 + ln
         self._fill(total)
         mtype, body = self._buf[:1], self._buf[5:total]

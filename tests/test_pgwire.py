@@ -68,14 +68,19 @@ class FakeWalsender:
         tls: str = "refuse",  # "refuse" -> answer 'N'; "accept" -> real TLS
         certfile: str | None = None,
         keyfile: str | None = None,
+        frames_per_conn=None,  # list of scripts, one per START_REPLICATION
     ):
         self.auth = auth
         self.tls = tls
         self.certfile, self.keyfile = certfile, keyfile
         self.frames = list(frames or [])
+        self.frames_per_conn = (
+            [list(s) for s in frames_per_conn] if frames_per_conn is not None else None
+        )
         self.xlogpos = xlogpos
         self.failures: list[str] = []
         self.received_status_lsns: list[int] = []
+        self.start_lsns: list[int] = []  # LSN of each START_REPLICATION
         self.saw_replication_param = False
         self.created_slots: list[str] = []
         self._srv = socket.socket()
@@ -269,16 +274,36 @@ class FakeWalsender:
                     conn.sendall(_msg(b"C", b"CREATE_REPLICATION_SLOT\x00"))
                 self._rfq(conn)
             elif sql.startswith("START_REPLICATION"):
+                self.start_lsns.append(lsn_to_int(sql.split()[-1]))
                 conn.sendall(_msg(b"W", struct.pack(">BH", 0, 0)))
-                self._run_copy_script(conn)
+                if self.frames_per_conn is not None:
+                    script = (
+                        self.frames_per_conn.pop(0) if self.frames_per_conn else []
+                    )
+                else:
+                    script = self.frames
+                self._run_copy_script(conn, script)
                 return
             else:
                 self.failures.append(f"unexpected sql {sql!r}")
                 return
 
-    def _run_copy_script(self, conn):
-        for item in self.frames:
+    def _run_copy_script(self, conn, script):
+        for item in script:
             kind = item[0]
+            if kind == "abort":
+                # abrupt transport death (no CopyDone, no ErrorResponse)
+                # — the network-blip case the client must survive
+                conn.sock.close()
+                return
+            if kind == "copydone":
+                # end-of-stream handoff: CopyDone, then the post-copy
+                # result frames a real walsender sends before going
+                # back to command mode (timeline handoff shape)
+                conn.sendall(_msg(b"c", b""))
+                conn.sendall(_msg(b"C", b"COPY 0\x00"))
+                self._rfq(conn)
+                return
             if kind == "xlog":
                 _, lsn, line = item
                 body = b"w" + struct.pack(
@@ -750,3 +775,280 @@ def test_framing_invariant_under_arbitrary_segmentation(lines, data):
         else:
             got.append(("k", m.server_wal_end, None))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# transport resilience (ADVICE r8): frame-length cap, reconnect on
+# transport-level errors, ack on a dead socket, per-batch replay budget
+# ---------------------------------------------------------------------------
+class _ScriptedSock:
+    """recv() hands out the canned bytes, then EOF."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+    def recv(self, _n):
+        d, self.data = self.data, b""
+        return d
+
+    def settimeout(self, _t):
+        pass
+
+
+def test_frame_length_cap_rejected_before_buffering():
+    """A hostile/corrupt 4-byte length word must be rejected BEFORE
+    _fill tries to buffer it (~4 GiB worst case), and a declared
+    length below its own 4 bytes is malformed (ADVICE r8)."""
+    for bad_len in (0xFFFFFFF0, pgwire.MAX_FRAME_LEN + 1, 3, 0):
+        c = WireConnection(host="x", port=1, user=USER, dbname=DB)
+        c._sock = _ScriptedSock(b"d" + struct.pack(">I", bad_len))
+        c._in_copy = True
+        with pytest.raises(pgwire.WireError, match="frame length"):
+            c.receive(1.0)
+
+
+def test_frame_at_exactly_max_len_is_not_rejected():
+    """The cap is exclusive: a frame declaring exactly MAX_FRAME_LEN
+    must pass validation (it fails later only for lack of bytes)."""
+    c = WireConnection(host="x", port=1, user=USER, dbname=DB)
+    c._sock = _ScriptedSock(b"d" + struct.pack(">I", pgwire.MAX_FRAME_LEN))
+    c._in_copy = True
+    with pytest.raises(pgwire.WireError, match="connection closed"):
+        c.receive(1.0)  # EOF while buffering the body — NOT the cap error
+
+
+def test_live_transport_reconnects_after_transport_blip():
+    """Abrupt socket death mid-stream (no CopyDone, no ErrorResponse —
+    the network-blip case): fetch returns what it has, and the NEXT
+    fetch reconnects from the acked LSN (client.go:386-424 reconnects
+    on ANY receive error, not just server-sent ones — ADVICE r8)."""
+    scripts = [
+        [
+            ("xlog", 3000, "BEGIN 900"),
+            ("xlog", 3008, "table public.t: INSERT: id[integer]:7"),
+            ("xlog", 3016, "COMMIT 900"),
+            ("abort",),
+        ],
+        [
+            ("xlog", 3024, "BEGIN 901"),
+            ("xlog", 3032, "COMMIT 901"),
+        ],
+    ]
+    srv = FakeWalsender(frames_per_conn=scripts)
+    try:
+        from pg_bifrost_spark.sources.pgcdc import LiveTransport
+
+        t = LiveTransport(
+            f"postgres://{USER}@127.0.0.1:{srv.port}/{DB}",
+            slot="s_blip",
+            receive_timeout_s=0.3,
+            reconnect_backoff_s=0.01,
+        )
+        rows1 = t.fetch(after_lsn=0, limit=100)
+        assert [r[0] for r in rows1] == [3000, 3008, 3016]
+        assert t.stats["transport_errors"] == 1
+        assert not t._connected()
+        t.ack(3016)  # conn is down — must record locally, not raise
+        rows2 = t.fetch(after_lsn=3016, limit=100)
+        assert [(r[0], r[2]) for r in rows2] == [
+            (3024, "BEGIN 901"),
+            (3032, "COMMIT 901"),
+        ]
+        assert t.stats["connects"] == 2
+        # the reconnect resumed from the acked LSN, byte-asserted
+        assert srv.start_lsns == [0, 3016]
+        t.close()
+        assert srv.failures == [], srv.failures
+    finally:
+        srv.close()
+
+
+def test_ack_on_dead_socket_degrades_to_local_record():
+    """send_progress on a torn-down socket must not kill the pipeline:
+    the ack stays durable locally and the connection is dropped so the
+    next fetch reconnects (ADVICE r8)."""
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+
+    t = LiveTransport("postgres://u@127.0.0.1:1/db", slot="s")
+
+    class _Loop:
+        def ack(self, lsn):
+            pass
+
+        def send_progress(self):
+            raise OSError("broken pipe")
+
+    class _Conn:
+        _sock = object()
+
+        def close(self):
+            self._sock = None
+
+    t._conn, t._loop = _Conn(), _Loop()
+    t.ack(777)  # must not raise
+    assert t.acked() == 777
+    assert t._conn is None and t._loop is None
+    assert t.stats["transport_errors"] == 1
+
+
+def test_fetch_budget_bounds_replay_latency():
+    """Replaying already-acked WAL yields nothing (every frame is
+    filtered by after_lsn) and never hits a receive timeout, so
+    without a wall-clock budget one micro-batch blocks for the whole
+    replay window (ADVICE r8). The budget must close the batch."""
+    import time as _time
+
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+    from pg_bifrost_spark.sources.protocol import WalMessage
+
+    t = LiveTransport("postgres://u@127.0.0.1:1/db", slot="s", fetch_budget_s=0.2)
+
+    class _Loop:
+        stats: dict = {}
+
+        def step(self):
+            # an endless stream of already-seen WAL, below after_lsn
+            return [
+                WalMessage(wal_start=5, line="BEGIN 1", xid="1", time_based_key="1-5")
+            ]
+
+    class _Conn:
+        _sock = object()
+
+    t._conn, t._loop = _Conn(), _Loop()
+    t0 = _time.monotonic()
+    rows = t.fetch(after_lsn=100, limit=10)
+    assert rows == []
+    assert _time.monotonic() - t0 < 2.0
+    assert t.stats["fetch_budget_exhausted"] == 1
+
+
+def test_connect_retry_exhaustion_raises_after_backoff():
+    """A hard-down server IS fatal: bounded attempts, then the last
+    error surfaces (matching the reference runner's crash-on-dead-db)."""
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    dead_port = probe.getsockname()[1]
+    probe.close()  # nothing listens there now
+    t = LiveTransport(
+        f"postgres://u@127.0.0.1:{dead_port}/db",
+        slot="s",
+        max_connect_attempts=3,
+        reconnect_backoff_s=0.01,
+    )
+    with pytest.raises(OSError):
+        t.fetch(after_lsn=0, limit=1)
+    assert t.stats["transport_errors"] == 3
+    assert t.stats["connects"] == 0
+
+
+# ---------------------------------------------------------------------------
+# wire-client conformance appendix (VERDICT r8 ask #7): behaviors a
+# first real deploy exercises — CopyDone mid-stream, frames spanning
+# the 64 KiB recv buffer exactly, keepalive reply-requested under TLS.
+# Real-server-only residue (timeline switch CONTENT) is documented in
+# PARITY.md next to the deploy rig.
+# ---------------------------------------------------------------------------
+def test_copydone_midstream_recovers_and_reconnects():
+    """Server ends the copy stream mid-transaction (CopyDone + the
+    post-copy result frames — the timeline-handoff shape): the client
+    treats it as stream end, closes the open txn with a synthetic
+    COMMIT, and the next fetch reconnects from the acked LSN."""
+    scripts = [
+        [
+            ("xlog", 6000, "BEGIN 970"),
+            ("xlog", 6008, "table public.t: INSERT: id[integer]:1"),
+            ("copydone",),
+        ],
+        [
+            ("xlog", 23803730, "BEGIN 971"),
+            ("xlog", 23803738, "COMMIT 971"),
+        ],
+    ]
+    srv = FakeWalsender(frames_per_conn=scripts)
+    try:
+        from pg_bifrost_spark.sources.pgcdc import LiveTransport
+
+        t = LiveTransport(
+            f"postgres://{USER}@127.0.0.1:{srv.port}/{DB}",
+            slot="s_cd",
+            receive_timeout_s=0.3,
+            reconnect_backoff_s=0.01,
+        )
+        rows = t.fetch(after_lsn=0, limit=100)
+        assert [r[2].split(" ")[0] for r in rows] == ["BEGIN", "table", "COMMIT"]
+        assert rows[-1][0] == 6008  # synthetic COMMIT clamped to batch hwm
+        assert t._loop.stats["error_responses"] == 1
+        assert not t._connected()
+        t.ack(6008)
+        rows2 = t.fetch(after_lsn=6008, limit=100)
+        assert [r[0] for r in rows2] == [23803730, 23803738]
+        assert srv.start_lsns == [0, 6008]
+        t.close()
+        assert srv.failures == [], srv.failures
+    finally:
+        srv.close()
+
+
+def test_xlogdata_spanning_recv_buffer_boundary():
+    """An XLogData frame larger than one recv() buffer, including the
+    EXACT 64 KiB boundary (the _fill chunk size), must decode intact.
+    The kernel never hands more than the buffer size per recv — the
+    scripted socket reproduces that hard edge deterministically."""
+
+    class _ChunkSock:
+        def __init__(self, data: bytes, chunk: int = 65536):
+            self.data, self.chunk = data, chunk
+
+        def recv(self, n):
+            take = min(len(self.data), n, self.chunk)
+            d, self.data = self.data[:take], self.data[take:]
+            return d
+
+        def settimeout(self, _t):
+            pass
+
+    for total in (65536, 65537, 65541, 131072):
+        pad = total - 5 - 25  # 5 header bytes, 25 = 'w' + 3 qwords
+        line = "x" * pad
+        body = b"w" + struct.pack(">qqq", 9000, 9000, 123_456) + line.encode()
+        frame = _msg(b"d", body)
+        assert len(frame) == total
+        c = WireConnection(host="x", port=1, user=USER, dbname=DB)
+        c._sock = _ChunkSock(frame)
+        c._in_copy = True
+        m = c.receive(1.0)
+        assert isinstance(m, XLogData) and m.wal_start == 9000
+        assert m.line == line, f"frame of {total} bytes corrupted"
+
+
+def test_keepalive_reply_requested_under_tls(self_signed_cert):
+    """Reply-requested keepalive over a REAL TLS channel: the standby
+    status update must come back through the encrypted socket with the
+    acked LSN (the deploy posture — sslmode=require + heartbeats)."""
+    import time as _time
+
+    cert, key = self_signed_cert
+    srv = FakeWalsender(
+        tls="accept",
+        certfile=cert,
+        keyfile=key,
+        frames=[("keepalive", 4100, True), ("expect_status", 4096)],
+    )
+    try:
+        c = WireConnection(
+            host="127.0.0.1", port=srv.port, user=USER, dbname=DB, sslmode="require"
+        ).connect()
+        assert c.tls is True
+        c.start_replication("s_tlska", 0)
+        loop = ReplicationClientLoop(c, receive_timeout_s=2.0)
+        loop.ack(4096)
+        assert loop.step() == []  # keepalive consumed, status sent
+        _time.sleep(0.2)
+        c.close()
+        assert srv.failures == [], srv.failures
+        assert srv.received_status_lsns[-1] == 4096
+    finally:
+        srv.close()
