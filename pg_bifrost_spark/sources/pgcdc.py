@@ -268,54 +268,79 @@ class LiveTransport:
 
     # ------------------------------------------------------------- fetch
     def fetch(self, after_lsn: int, limit: int) -> list[tuple[int, int, str | None]]:
+        """One bounded micro-batch. Three exits: ``limit`` messages
+        buffered, a receive timeout (stream idle), or the per-batch
+        wall-clock budget. A transport-level failure mid-batch
+        (socket death, corrupt frame, TLS teardown) RECONNECTS and
+        CONTINUES the same batch from the emitted high-water mark —
+        the reference reconnects on ANY receive error
+        (client.go:386-424), and for the drain contract an under-cap
+        batch must mean "stream idle", never "a blip truncated us"
+        (ADVICE r8 + the r9 end-to-end drive that caught exactly
+        that). Only reconnect exhaustion with an EMPTY batch raises;
+        with rows in hand the partial batch commits its progress and
+        the next fetch surfaces the error if the server is still
+        down."""
         import time as _time
 
         from .pgwire import WireError
 
-        self._ensure_stream(max(after_lsn, self._acked))
         out: list[tuple[int, int, str | None]] = []
-        # snapshot, not the raw counter: the loop's stats accumulate
-        # over the TRANSPORT's lifetime, so "a timeout happened in a
-        # previous batch" must not end this one (code-review r8)
-        timeouts_at_start = self._loop.stats.get("receive_timeouts", 0)
-        # the running high-water mark of emitted LSNs: a synthetic
-        # COMMIT (error recovery) carries the last COMMIT's LSN, which
-        # may sit BELOW rows already emitted this batch — clamping it
-        # keeps the reader's end offset monotone (code-review r8; the
-        # replay path gets the same guarantee from max(lsn, current_end))
+        # the running high-water mark of emitted LSNs, doing double
+        # duty: (a) a synthetic COMMIT (error recovery) carries the
+        # last COMMIT's LSN, possibly BELOW rows already emitted this
+        # batch — clamping keeps the reader's end offset monotone
+        # (code-review r8); (b) after a mid-batch reconnect it is the
+        # resume point AND the duplicate filter (the server resends
+        # from the requested LSN; WAL positions are strictly
+        # increasing within a stream, so `> hwm` re-admits nothing
+        # already emitted and, with no reconnect, equals the plain
+        # after_lsn bound)
         hwm = after_lsn
         deadline = _time.monotonic() + self.fetch_budget_s
-        while len(out) < limit:
+        while len(out) < limit and _time.monotonic() < deadline:
             try:
-                msgs = self._loop.step()
+                self._ensure_stream(max(hwm, self._acked))
             except (WireError, OSError):
-                # transport-level failure (socket closed mid-recv,
-                # corrupt frame, TLS teardown): return what we have;
-                # the next fetch's _ensure_stream reconnects from
-                # max(after_lsn, acked) — at-least-once, duplicates
-                # filtered by the after_lsn bound (ADVICE r8;
-                # client.go:386-424 reconnects on ANY receive error)
-                self.stats["transport_errors"] += 1
-                self._disconnect()
-                break
-            for m in msgs:
-                if m.wal_start > after_lsn or m.synthetic:
-                    hwm = max(hwm, m.wal_start)
-                    out.append(
-                        (hwm if m.synthetic else m.wal_start, m.server_time_ms, m.line)
+                if out:
+                    break  # commit the partial batch; next fetch re-raises
+                raise
+            # snapshot, not the raw counter: the loop's stats
+            # accumulate over the CONNECTION's lifetime, so "a timeout
+            # happened before this batch" must not end it
+            timeouts_at_start = self._loop.stats.get("receive_timeouts", 0)
+            while len(out) < limit:
+                try:
+                    msgs = self._loop.step()
+                except (WireError, OSError):
+                    self.stats["transport_errors"] += 1
+                    self._disconnect()
+                    break  # outer loop reconnects and continues the batch
+                for m in msgs:
+                    if m.wal_start > hwm or m.synthetic:
+                        hwm = max(hwm, m.wal_start)
+                        out.append(
+                            (
+                                hwm if m.synthetic else m.wal_start,
+                                m.server_time_ms,
+                                m.line,
+                            )
+                        )
+                if self._loop.stats.get("receive_timeouts", 0) > timeouts_at_start:
+                    return out[:limit]  # stream idle — micro-batch done
+                if not self._connected():
+                    # the LOOP closed the conn deliberately
+                    # (incomplete-txn defense / error recovery): end
+                    # the batch so the reader can act on it
+                    return out[:limit]
+                if _time.monotonic() >= deadline:
+                    # replaying already-acked WAL yields nothing and
+                    # never times out — bound per-batch latency; the
+                    # next batch resumes where this one left off
+                    self.stats["fetch_budget_exhausted"] = (
+                        self.stats.get("fetch_budget_exhausted", 0) + 1
                     )
-            if self._loop.stats.get("receive_timeouts", 0) > timeouts_at_start:
-                break  # stream idle — this micro-batch is done
-            if not self._connected():
-                break  # loop closed the conn (incomplete-txn / error recovery)
-            if _time.monotonic() >= deadline:
-                # replaying already-acked WAL yields nothing and never
-                # times out — bound per-batch latency so the micro-batch
-                # closes; the next batch resumes where this one left off
-                self.stats["fetch_budget_exhausted"] = (
-                    self.stats.get("fetch_budget_exhausted", 0) + 1
-                )
-                break
+                    return out[:limit]
         return out[:limit]
 
     def current_end(self) -> int:

@@ -844,21 +844,24 @@ def test_live_transport_reconnects_after_transport_blip():
             receive_timeout_s=0.3,
             reconnect_backoff_s=0.01,
         )
-        rows1 = t.fetch(after_lsn=0, limit=100)
-        assert [r[0] for r in rows1] == [3000, 3008, 3016]
+        # ONE fetch spans the blip: reconnect mid-batch from the
+        # emitted high-water mark, continue, end on stream-idle — so
+        # an under-cap batch truly means "drained", preserving the
+        # drain loop's admission contract (caught by the r9 e2e drive)
+        rows = t.fetch(after_lsn=0, limit=100)
+        assert [r[0] for r in rows] == [3000, 3008, 3016, 3024, 3032]
+        assert [r[2] for r in rows][-2:] == ["BEGIN 901", "COMMIT 901"]
         assert t.stats["transport_errors"] == 1
-        assert not t._connected()
-        t.ack(3016)  # conn is down — must record locally, not raise
-        rows2 = t.fetch(after_lsn=3016, limit=100)
-        assert [(r[0], r[2]) for r in rows2] == [
-            (3024, "BEGIN 901"),
-            (3032, "COMMIT 901"),
-        ]
         assert t.stats["connects"] == 2
-        # the reconnect resumed from the acked LSN, byte-asserted
+        # the reconnect resumed from the high-water mark, byte-asserted
         assert srv.start_lsns == [0, 3016]
+        t.ack(3032)
+        import time as _time
+
+        _time.sleep(0.2)
         t.close()
         assert srv.failures == [], srv.failures
+        assert srv.received_status_lsns[-1] == 3032
     finally:
         srv.close()
 
