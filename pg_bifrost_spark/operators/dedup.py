@@ -1803,13 +1803,35 @@ def dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Histogram-only clone layers (ADVICE r8: a 2-row histogram — sizes 1
+# and 2 — is minimal-variety; a symmetric decoder/oracle bug could
+# cancel out). Both moduli divide gen_sf.STRIDE=10^8 (exact plant
+# pattern per sf1 replica) and neither is ≡ 0 (mod 20), so clones
+# spread across sources like PLANT_MOD itself. At the 500-doc gate
+# fixture: 492 singletons, 6 pairs, 1 triple (doc 256), 1 quad (doc 0)
+# — four distinct sizes, pinned exactly in tests/test_oracle.py.
+TRIPLE_MOD = 256   # %64 clones get a SECOND copy  → cluster size 3
+QUAD_MOD = 1250    # doc 0 also gets a THIRD copy  → cluster size 4
+
+
 @register(
     "dedup_cluster_size_histogram",
     oracle=f"""
-    WITH {PLANTED_DOCS_SQL},
+    WITH documents_hist AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % {PLANT_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {2 * PLANT_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % {TRIPLE_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {3 * PLANT_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % {QUAD_MOD} = 0
+    ),
     c AS (
       SELECT count(*) AS cluster_size
-      FROM documents_planted GROUP BY text
+      FROM documents_hist GROUP BY text
     )
     SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
            CAST(count(*) AS BIGINT) AS n_clusters,
@@ -1822,15 +1844,23 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pass reports (how much of the corpus sits in 1-, 2-,
     k-member clusters decides between hard removal, soft reweighting
     (``dedup_soft_reweight``), and leaving it alone). Exact digest
-    clustering over the planted corpus; all-integer output.
+    clustering over the planted corpus; all-integer output. The plant
+    layers TRIPLE_MOD/QUAD_MOD clones on top of plant_duplicates so
+    the histogram has 4 distinct sizes, not a minimal-variety 2
+    (ADVICE r8).
 
     Plan: two map-side-combined groupBys (digest → cluster size, then
     size → histogram) — the first shuffles one digest-keyed row per
     document, the second histogram-sized rows. Nothing is windowed,
     collected, or broadcast."""
-    docs = plant_duplicates(
-        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    )
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = plant_duplicates(base, "doc_id")
+    for mod, k in ((TRIPLE_MOD, 2), (QUAD_MOD, 3)):
+        docs = docs.unionByName(
+            base.filter(F.col("doc_id") % mod == 0).withColumn(
+                "doc_id", F.col("doc_id") + k * PLANT_OFFSET
+            )
+        )
     sizes = (
         docs.select(F.md5("text").alias("digest"))
         .groupBy("digest")

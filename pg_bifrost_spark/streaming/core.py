@@ -103,11 +103,17 @@ def drain_cdc_query(
     """Process ALL currently-available WAL and stop.
 
     The Python data source does not support Trigger.AvailableNow —
-    Spark falls back to ONE bounded micro-batch per query run, so with
-    a small client buffer a single run under-drains. This loop runs
-    single-batch queries against the same checkpoint until a run makes
-    no progress (the backpressure bound still applies per batch).
-    Returns the number of micro-batches executed.
+    Spark falls back to ONE bounded micro-batch per query run (with a
+    warning that the fallback "may not guarantee processing new data
+    if there is an uncommitted batch"), so with a small client buffer
+    a single run under-drains. This loop runs single-batch queries
+    against the same checkpoint until a run makes no progress (the
+    backpressure bound still applies per batch). Returns the number of
+    micro-batches executed. The warned-about uncommitted-batch edge is
+    pinned by ``tests/test_streaming.py::
+    test_drain_recovers_uncommitted_batch``: a failed sink leaves
+    offsets/N without commits/N, and the next drain re-runs that batch
+    (readBetweenOffsets determinism) then keeps draining.
 
     FETCH-LIMIT CONTRACT (ADVICE r5, runtime-enforced since r7): the
     under-cap early exit assumes the source admits exactly

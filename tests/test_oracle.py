@@ -92,3 +92,14 @@ def test_rows_only_queries_run(spark, name):
     # deterministic across two runs (replay identity)
     again = QUERIES[name](spark, SF_DIR).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again], f"{name}: nondeterministic"
+
+
+def test_cluster_histogram_has_rich_size_distribution(spark):
+    """ADVICE r8: a 2-row histogram (sizes 1 and 2) is minimal-variety
+    — a decoder/oracle bug collapsing both counts symmetrically could
+    pass. The TRIPLE_MOD/QUAD_MOD plant layers guarantee 4 distinct
+    sizes at the 500-doc fixture; pin the exact (size, n_clusters)
+    pairs so fixture drift is loud."""
+    rows = QUERIES["dedup_cluster_size_histogram"](spark, SF_DIR).collect()
+    got = [(r["cluster_size"], r["n_clusters"]) for r in rows]
+    assert got == [(1, 492), (2, 6), (3, 1), (4, 1)], got

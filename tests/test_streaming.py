@@ -260,3 +260,49 @@ def test_drain_rejects_non_message_admission(spark, tmp_path):
             source_options={"wal_dir": str(tmp_path)},
             source=UndeclaredSource,
         )
+
+
+def test_drain_recovers_uncommitted_batch(spark, tmp_path):
+    """Pin the AvailableNow-fallback edge (VERDICT r8 ask #6): the
+    Python source falls back to single-batch runs, and Spark warns it
+    "may not guarantee processing new data if there is an uncommitted
+    batch". The drain path's contract: a run whose SINK fails leaves
+    offsets/N without commits/N; the next drain from the same
+    checkpoint must re-run that exact batch (readBetweenOffsets
+    determinism) and then keep draining the backlog — no loss, the
+    failed batch re-delivered, nothing skipped."""
+    import pytest as _pytest
+
+    ops = []
+    for i in range(8):
+        ops.extend(
+            txn(300 + i, dml_line("public.t", "INSERT", [("id", "integer", i)]))
+        )
+    wal_dir = write_replay_dir(tmp_path, ops)  # 24 messages
+    ckpt = str(tmp_path / "ckpt")
+    opts = {"wal_dir": wal_dir, "max_msgs_per_batch": "10"}
+
+    from pg_bifrost_spark.streaming.core import drain_cdc_query
+
+    seen: list[str] = []
+    fail_once = {"armed": True}
+
+    def flaky_sink(df, epoch_id):
+        rows = [r.json for r in df.collect() if r.json]
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("sink outage: batch must stay uncommitted")
+        seen.extend(rows)
+
+    with _pytest.raises(Exception, match="sink outage"):
+        drain_cdc_query(spark, flaky_sink, ckpt, source_options=opts)
+    assert seen == []  # nothing delivered, offsets/0 written, commits/0 absent
+    assert os.path.exists(os.path.join(ckpt, "offsets", "0"))
+    assert not os.path.exists(os.path.join(ckpt, "commits", "0"))
+
+    rounds = drain_cdc_query(spark, flaky_sink, ckpt, source_options=opts)
+    assert rounds >= 2  # the re-run batch, then the rest of the backlog
+    got = sorted(
+        json.loads(j)["columns"]["id"]["new"]["v"] for j in seen
+    )
+    assert got == sorted(str(i) for i in range(8)), got
