@@ -122,6 +122,9 @@ HEADLINE = [
     # r8 third batch: cluster-size data-card + source-pair gram overlap
     "dedup_cluster_size_histogram",
     "source_ngram_overlap",
+    # r9: MP4 sample-table decode (two chained Arrow kernels — new
+    # Python kernels always get bench rows, the spread() lesson)
+    "multimodal_video_samples",
     "cdc_lineitem_roundtrip",
 ]
 

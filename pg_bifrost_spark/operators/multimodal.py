@@ -884,3 +884,357 @@ def multimodal_audio_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(decode_pcm_samples, schema=SAMPLES_SCHEMA_DDL)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 SAMPLE-TABLE decode (r9, VERDICT r8 ask #4): the video leg's
+# stbl walk — stsz/stco/stts are pure integer box arithmetic, no codec
+# — so `multimodal_video_decode`'s header-only caveat narrows to JPEG
+# entropy streams only (the one honestly-delegated codec). Same
+# triangle as PNG/WAV: a BUILDER kernel assembles complete, spec-valid
+# ISO-BMFF files (ftyp + moov{mvhd, 2×trak{tkhd, mdia{mdhd, hdlr,
+# minf{stbl{stsd,stts,stsc,stsz,stco}}}}} + mdat with absolute chunk
+# offsets patched in a second pass), an INDEPENDENT generic box-walking
+# DECODER parses them back (no shared layout constants — it discovers
+# structure from size/type headers alone), and the SQL oracle restates
+# every per-track stat from doc_id arithmetic.
+#
+# Per-doc plant (all positive operands — Spark DIV == DuckDB //):
+#   track 1 'vide': n = 3 + doc_id%5 samples, EXPLICIT stsz table
+#     (sizes 100 + (doc_id·7 + i·13)%50), TWO stts runs
+#     ((n÷2)×(100+doc_id%7), rest×(200+doc_id%11)), mdhd timescale
+#     600/1200 by doc_id%2;
+#   track 2 'soun': n = 4 + doc_id%3 samples, UNIFORM stsz
+#     (sample_size = 40 + doc_id%30, no table — the other stsz
+#     branch), ONE stts run (delta 128 + doc_id%9), timescale
+#     8000/16000 by doc_id%3.
+# Both tracks chunk 2 samples per stco entry (last chunk may be
+# short). Builder and decoder thus disagree on nothing by
+# construction-sharing: forward assembly vs generic walk are inverse
+# code paths, and any wrong field offset breaks integer sums against
+# the oracle.
+# ---------------------------------------------------------------------------
+VIDEO_SAMPLES_SCHEMA_DDL = (
+    "doc_id bigint, track_id int, handler string, timescale int, "
+    "n_samples int, sum_sample_bytes bigint, n_chunks int, "
+    "duration_ticks bigint, duration_ms bigint"
+)
+
+
+def _mp4_track_plant(doc_id: int):
+    """The per-doc track parameters (mirrored in the oracle SQL)."""
+    n1 = 3 + doc_id % 5
+    vid = {
+        "track_id": 1,
+        "handler": b"vide",
+        "timescale": 600 if doc_id % 2 == 0 else 1200,
+        "sizes": [100 + (doc_id * 7 + i * 13) % 50 for i in range(n1)],
+        "stts": [
+            (n1 // 2, 100 + doc_id % 7),
+            (n1 - n1 // 2, 200 + doc_id % 11),
+        ],
+        "uniform": 0,
+    }
+    n2 = 4 + doc_id % 3
+    aud = {
+        "track_id": 2,
+        "handler": b"soun",
+        "timescale": 8000 if doc_id % 3 == 0 else 16000,
+        "sizes": [40 + doc_id % 30] * n2,
+        "stts": [(n2, 128 + doc_id % 9)],
+        "uniform": 40 + doc_id % 30,  # stsz sample_size field (no table)
+    }
+    return [vid, aud]
+
+
+def build_mp4_payloads(batches):
+    """mapInPandas BUILDER kernel: (doc_id) → (doc_id, payload), a
+    complete two-track ISO-BMFF file. Two-pass: stco holds ABSOLUTE
+    file offsets, which depend on moov's own length — build once with
+    zeroed offsets to measure, then rebuild with the real ones (all
+    offset fields are fixed 4-byte words, so sizes cannot shift)."""
+    import struct
+
+    import pandas as pd
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    def full(btype: bytes, body: bytes) -> bytes:
+        return box(btype, b"\x00\x00\x00\x00" + body)  # version 0, flags 0
+
+    def trak(t, chunk_offsets):
+        tkhd = full(
+            b"tkhd",
+            struct.pack(">III", 0, 0, t["track_id"])  # ctime, mtime, id
+            + b"\x00" * 4  # reserved
+            + struct.pack(">I", 0)  # duration (presentation — unused)
+            + b"\x00" * 8  # reserved
+            + struct.pack(">hhhh", 0, 0, 0, 0)  # layer/group/volume/rsvd
+            + b"\x00" * 36  # matrix
+            + struct.pack(">II", 0, 0),  # width, height (16.16)
+        )
+        dur = sum(c * d for c, d in t["stts"])
+        mdhd = full(
+            b"mdhd",
+            struct.pack(">IIII", 0, 0, t["timescale"], dur)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und', predefined
+        )
+        hdlr = full(
+            b"hdlr", struct.pack(">I", 0) + t["handler"] + b"\x00" * 12 + b"\x00"
+        )
+        stsd = full(b"stsd", struct.pack(">I", 0))  # 0 sample descriptions
+        stts = full(
+            b"stts",
+            struct.pack(">I", len(t["stts"]))
+            + b"".join(struct.pack(">II", c, d) for c, d in t["stts"]),
+        )
+        stsc = full(b"stsc", struct.pack(">IIII", 1, 1, 2, 1))
+        if t["uniform"]:
+            stsz = full(
+                b"stsz", struct.pack(">II", t["uniform"], len(t["sizes"]))
+            )
+        else:
+            stsz = full(
+                b"stsz",
+                struct.pack(">II", 0, len(t["sizes"]))
+                + b"".join(struct.pack(">I", s) for s in t["sizes"]),
+            )
+        stco = full(
+            b"stco",
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        return box(b"trak", tkhd + mdia)
+
+    def assemble(doc_id: int) -> bytes:
+        tracks = _mp4_track_plant(doc_id)
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom")
+        mvhd = full(
+            b"mvhd",
+            struct.pack(">IIII", 0, 0, 1000, 0)
+            + struct.pack(">I", 0x00010000)  # rate 1.0
+            + struct.pack(">H", 0x0100)  # volume 1.0
+            + b"\x00" * 10
+            + b"\x00" * 36
+            + b"\x00" * 24
+            + struct.pack(">I", len(tracks) + 1),
+        )
+        # per-track chunk layout: 2 samples per chunk, tracks laid
+        # sequentially in mdat (track 1's bytes, then track 2's)
+        def chunks(sizes, base):
+            offs, pos = [], base
+            for c in range(0, len(sizes), 2):
+                offs.append(pos)
+                pos += sum(sizes[c : c + 2])
+            return offs, pos
+
+        def build(mdat_data_at: int) -> bytes:
+            traks, pos = [], mdat_data_at
+            for t in tracks:
+                offs, pos = chunks(t["sizes"], pos)
+                traks.append(trak(t, offs))
+            moov = box(b"moov", mvhd + b"".join(traks))
+            total = sum(sum(t["sizes"]) for t in tracks)
+            mdat = box(b"mdat", bytes(total))
+            return ftyp + moov + mdat
+
+        probe = build(0)
+        data_at = len(probe) - sum(sum(t["sizes"]) for t in tracks)
+        return build(data_at)
+
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            {"doc_id": ids, "payload": [assemble(d) for d in ids]}
+        )
+
+
+def decode_mp4_samples(batches):
+    """mapInPandas DECODER kernel: a generic ISO-BMFF box walk —
+    discover moov/trak/mdia/minf/stbl from size/type headers alone,
+    parse stsz (both uniform and table forms), stts (sum of
+    count×delta), stco (entry count + monotonicity + in-file bounds),
+    mdhd timescale, hdlr handler, tkhd track id — one output row per
+    track. Malformed payloads (bad sizes, stsz/stts sample-count
+    disagreement, out-of-file or non-increasing chunk offsets) emit
+    nothing: a mixed corpus streams through, never errors."""
+    import pandas as pd
+
+    def children(b, start, end):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(b[i : i + 4], "big")
+            if size < 8 or i + size > end:
+                return
+            yield b[i + 4 : i + 8], i + 8, i + size
+            i += size
+
+    def child(b, start, end, btype):
+        for t, s, e in children(b, start, end):
+            if t == btype:
+                return s, e
+        return None
+
+    def parse_track(b, ts, te, file_len):
+        tk = child(b, ts, te, b"tkhd")
+        md = child(b, ts, te, b"mdia")
+        if not tk or not md:
+            return None
+        track_id = int.from_bytes(b[tk[0] + 12 : tk[0] + 16], "big")
+        mh = child(b, md[0], md[1], b"mdhd")
+        hd = child(b, md[0], md[1], b"hdlr")
+        mi = child(b, md[0], md[1], b"minf")
+        if not mh or not hd or not mi:
+            return None
+        # mdhd v0 body: verflags(0:4) ctime(4:8) mtime(8:12)
+        # timescale(12:16) duration(16:20)
+        timescale = int.from_bytes(b[mh[0] + 12 : mh[0] + 16], "big")
+        handler = b[hd[0] + 8 : hd[0] + 12].decode("ascii", "replace")
+        sb = child(b, mi[0], mi[1], b"stbl")
+        if not sb:
+            return None
+        # stts → duration + total sample count
+        st = child(b, sb[0], sb[1], b"stts")
+        sz = child(b, sb[0], sb[1], b"stsz")
+        co = child(b, sb[0], sb[1], b"stco")
+        if not st or not sz or not co:
+            return None
+        n_ent = int.from_bytes(b[st[0] + 4 : st[0] + 8], "big")
+        dur = ticks_n = 0
+        for k in range(n_ent):
+            at = st[0] + 8 + 8 * k
+            cnt = int.from_bytes(b[at : at + 4], "big")
+            delta = int.from_bytes(b[at + 4 : at + 8], "big")
+            ticks_n += cnt
+            dur += cnt * delta
+        # stsz → sample count + byte sum (uniform and table forms)
+        sample_size = int.from_bytes(b[sz[0] + 4 : sz[0] + 8], "big")
+        n_samples = int.from_bytes(b[sz[0] + 8 : sz[0] + 12], "big")
+        if sample_size:
+            sum_bytes = sample_size * n_samples
+        else:
+            sum_bytes = sum(
+                int.from_bytes(b[sz[0] + 12 + 4 * k : sz[0] + 16 + 4 * k], "big")
+                for k in range(n_samples)
+            )
+        if ticks_n != n_samples:
+            return None  # stts and stsz disagree — corrupt table
+        # stco → chunk count; offsets must increase and stay in-file
+        n_chunks = int.from_bytes(b[co[0] + 4 : co[0] + 8], "big")
+        offs = [
+            int.from_bytes(b[co[0] + 8 + 4 * k : co[0] + 12 + 4 * k], "big")
+            for k in range(n_chunks)
+        ]
+        if offs != sorted(set(offs)) or any(o >= file_len for o in offs):
+            return None
+        return (
+            track_id,
+            handler,
+            timescale,
+            n_samples,
+            sum_bytes,
+            n_chunks,
+            dur,
+            dur * 1000 // timescale if timescale else None,
+        )
+
+    cols = (
+        "doc_id", "track_id", "handler", "timescale", "n_samples",
+        "sum_sample_bytes", "n_chunks", "duration_ticks", "duration_ms",
+    )
+    for pdf in batches:
+        out = {k: [] for k in cols}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            if len(b) < 8 or b[4:8] != b"ftyp":
+                continue
+            mo = child(b, 0, len(b), b"moov")
+            if not mo:
+                continue
+            for t, s, e in children(b, mo[0], mo[1]):
+                if t != b"trak":
+                    continue
+                row = parse_track(b, s, e, len(b))
+                if row is None:
+                    continue
+                out["doc_id"].append(int(doc_id))
+                for k, v in zip(cols[1:], row):
+                    out[k].append(v)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_video_samples",
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id,
+             3 + doc_id % 5 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1200 END AS ts
+      FROM documents
+    ),
+    vid_bytes AS (
+      SELECT doc_id,
+             CAST(sum(100 + (doc_id * 7 + i * 13) % 50) AS BIGINT) AS sum_b
+      FROM vid, LATERAL (SELECT unnest(range(0, n)) AS i)
+      GROUP BY doc_id
+    ),
+    vid_rows AS (
+      SELECT v.doc_id,
+             CAST(1 AS INT) AS track_id,
+             'vide' AS handler,
+             CAST(ts AS INT) AS timescale,
+             CAST(n AS INT) AS n_samples,
+             vb.sum_b AS sum_sample_bytes,
+             CAST((n + 1) // 2 AS INT) AS n_chunks,
+             CAST((n // 2) * (100 + v.doc_id % 7)
+                  + (n - n // 2) * (200 + v.doc_id % 11) AS BIGINT)
+               AS duration_ticks,
+             CAST(((n // 2) * (100 + v.doc_id % 7)
+                   + (n - n // 2) * (200 + v.doc_id % 11)) * 1000 // ts
+                  AS BIGINT) AS duration_ms
+      FROM vid v JOIN vid_bytes vb ON v.doc_id = vb.doc_id
+    ),
+    aud_rows AS (
+      SELECT doc_id,
+             CAST(2 AS INT) AS track_id,
+             'soun' AS handler,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 8000 ELSE 16000 END AS INT)
+               AS timescale,
+             CAST(4 + doc_id % 3 AS INT) AS n_samples,
+             CAST((4 + doc_id % 3) * (40 + doc_id % 30) AS BIGINT)
+               AS sum_sample_bytes,
+             CAST((4 + doc_id % 3 + 1) // 2 AS INT) AS n_chunks,
+             CAST((4 + doc_id % 3) * (128 + doc_id % 9) AS BIGINT)
+               AS duration_ticks,
+             CAST((4 + doc_id % 3) * (128 + doc_id % 9) * 1000
+                  // (CASE WHEN doc_id % 3 = 0 THEN 8000 ELSE 16000 END)
+                  AS BIGINT) AS duration_ms
+      FROM documents
+    )
+    SELECT * FROM vid_rows
+    UNION ALL
+    SELECT * FROM aud_rows
+    ORDER BY doc_id, track_id
+    """,
+)
+def multimodal_video_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 sample-table decode round-trip (VERDICT r8 ask #4): builder
+    kernel assembles complete two-track ISO-BMFF files, the generic
+    box-walking decoder recovers per-track sample counts, byte sums,
+    chunk counts, and durations from stsz/stco/stts/mdhd/hdlr/tkhd,
+    and the oracle restates every stat from doc_id arithmetic. Plan:
+    two chained Arrow kernels over a spread() scan — map-side only,
+    zero shuffle before the final orderBy; payloads are O(100 bytes)
+    each, so cost is O(rows) at any corpus scale."""
+    from .dedup import spread
+
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    built = docs.mapInPandas(
+        build_mp4_payloads, schema="doc_id bigint, payload binary"
+    )
+    return built.mapInPandas(
+        decode_mp4_samples, schema=VIDEO_SAMPLES_SCHEMA_DDL
+    ).orderBy("doc_id", "track_id")

@@ -350,10 +350,13 @@ GATE_PRIORITY: list[str] = [
     # BM25 retrieval operator; mixture evidence stays via
     # domain_cap_sample + token_budget_sample
     "bm25_retrieval",
-    # domain_cap_sample (3 straight greens) yields to the NEW r6
-    # span-REMOVAL action twin of dedup_repeated_spans; mixture
-    # evidence stays via token_budget_sample
-    "repeated_span_removal",
+    # r9 rotation: repeated_span_removal (3 straight greens r6-r8)
+    # yields to the NEW r9 multimodal_video_samples (MP4 stsz/stco/
+    # stts sample-table decode — VERDICT r8 ask #4); the ExactSubstr
+    # machinery stays in the gate via dedup_repeated_spans (the
+    # removal twin shares its span-count core and stays oracle-backed
+    # + pytest-rehearsed every round)
+    "multimodal_video_samples",
     # token_budget_sample (3 straight greens r4-r6) yields to the NEW
     # r7 contrastive hard-negative miner; budgeted-mixture evidence
     # stays via temperature_mixture_sample + its greens

@@ -354,3 +354,139 @@ def test_wav_roundtrip_property(samples, pad_list):
     if samples:
         assert int(pdf["min_sample"][0]) == min(samples)
         assert int(pdf["max_sample"][0]) == max(samples)
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample-table decoder (r9): generic box walk vs builder, tamper
+# cases, and a hypothesis round-trip over arbitrary sample tables
+# ---------------------------------------------------------------------------
+def _mp4_for(doc_ids):
+    from pg_bifrost_spark.operators.multimodal import build_mp4_payloads
+
+    [built] = list(
+        build_mp4_payloads(iter([pd.DataFrame({"doc_id": doc_ids})]))
+    )
+    return built
+
+
+def test_mp4_sample_tables_decode_both_stsz_forms():
+    """Track 1 uses an explicit stsz table, track 2 the uniform
+    sample_size field — both branches must recover the same stats the
+    plant arithmetic predicts."""
+    from pg_bifrost_spark.operators.multimodal import (
+        _mp4_track_plant,
+        decode_mp4_samples,
+    )
+
+    built = _mp4_for([0, 1, 7, 123, 499])
+    [out] = list(decode_mp4_samples(iter([built])))
+    for doc_id in (0, 1, 7, 123, 499):
+        for t in _mp4_track_plant(doc_id):
+            row = out[(out["doc_id"] == doc_id) & (out["track_id"] == t["track_id"])]
+            assert len(row) == 1, (doc_id, t["track_id"])
+            r = row.iloc[0]
+            assert r["handler"] == t["handler"].decode()
+            assert int(r["timescale"]) == t["timescale"]
+            assert int(r["n_samples"]) == len(t["sizes"])
+            assert int(r["sum_sample_bytes"]) == sum(t["sizes"])
+            assert int(r["n_chunks"]) == (len(t["sizes"]) + 1) // 2
+            dur = sum(c * d for c, d in t["stts"])
+            assert int(r["duration_ticks"]) == dur
+            assert int(r["duration_ms"]) == dur * 1000 // t["timescale"]
+
+
+def test_mp4_decoder_drops_malformed_tracks():
+    """Tampered payloads degrade row-wise, never error: a corrupt
+    stsz/stts disagreement drops that track; an out-of-file or
+    non-increasing stco drops it; a non-MP4 payload emits nothing."""
+    import struct
+
+    from pg_bifrost_spark.operators.multimodal import decode_mp4_samples
+
+    built = _mp4_for([3])
+    good = bytes(built["payload"][0])
+
+    def decode_one(payload):
+        return list(
+            decode_mp4_samples(
+                iter([pd.DataFrame({"doc_id": [3], "payload": [payload]})])
+            )
+        )[0]
+
+    assert len(decode_one(good)) == 2  # both tracks
+
+    # (a) inflate the FIRST stts entry count: stts total != stsz count
+    at = good.index(b"stts")
+    tampered = bytearray(good)
+    cnt = int.from_bytes(good[at + 8 : at + 12], "big")
+    tampered[at + 8 : at + 12] = struct.pack(">I", cnt + 1)
+    out = decode_one(bytes(tampered))
+    assert list(out["track_id"]) == [2]  # video track dropped, audio kept
+
+    # (b) make the first stco offset exceed the file length
+    at = good.index(b"stco")
+    tampered = bytearray(good)
+    tampered[at + 12 : at + 16] = struct.pack(">I", len(good) + 100)
+    out = decode_one(bytes(tampered))
+    assert list(out["track_id"]) == [2]
+
+    # (c) not an MP4 at all
+    assert len(decode_one(b"plain text, not boxes")) == 0
+
+    # (d) truncated mid-moov: box size runs past the buffer -> walk stops
+    assert len(decode_one(good[: len(good) // 3])) == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 5000), min_size=1, max_size=40),
+    runs=st.data(),
+    uniform=st.booleans(),
+    timescale=st.integers(1, 1 << 30),
+)
+def test_mp4_roundtrip_property(sizes, runs, uniform, timescale):
+    """ANY sample table (sizes, stts run partition, uniform/table
+    stsz, any timescale) must round-trip through builder+decoder with
+    exact integer stats — the same pin the PNG/WAV codecs carry."""
+    from pg_bifrost_spark.operators.multimodal import (
+        build_mp4_payloads,
+        decode_mp4_samples,
+    )
+    import pg_bifrost_spark.operators.multimodal as mm
+
+    if uniform:
+        sizes = [sizes[0]] * len(sizes)
+    n = len(sizes)
+    # draw a partition of n into stts runs with arbitrary deltas
+    stts, left = [], n
+    while left:
+        c = runs.draw(st.integers(1, left))
+        stts.append((c, runs.draw(st.integers(0, 10_000))))
+        left -= c
+    plant = [{
+        "track_id": 9,
+        "handler": b"vide",
+        "timescale": timescale,
+        "sizes": sizes,
+        "stts": stts,
+        "uniform": sizes[0] if uniform else 0,
+    }]
+    orig = mm._mp4_track_plant
+    mm._mp4_track_plant = lambda _doc_id: plant
+    try:
+        [built] = list(
+            build_mp4_payloads(iter([pd.DataFrame({"doc_id": [1]})]))
+        )
+        [out] = list(decode_mp4_samples(iter([built])))
+    finally:
+        mm._mp4_track_plant = orig
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["track_id"]) == 9
+    assert int(r["timescale"]) == timescale
+    assert int(r["n_samples"]) == n
+    assert int(r["sum_sample_bytes"]) == sum(sizes)
+    assert int(r["n_chunks"]) == (n + 1) // 2
+    dur = sum(c * d for c, d in stts)
+    assert int(r["duration_ticks"]) == dur
+    assert int(r["duration_ms"]) == dur * 1000 // timescale

@@ -827,3 +827,30 @@ def test_rank_calibration_windows_are_source_partitioned(spark):
     for ln in plan.splitlines():
         if "windowspecdefinition" in ln.lower():
             assert "source#" in ln, "unpartitioned window:\n" + ln
+
+
+def test_video_samples_map_only_chained_kernels(spark):
+    """The MP4 sample-table op is two CHAINED Arrow kernels over a
+    spread() scan: no hash shuffle anywhere (the only exchange is the
+    output sort's range partitioning), and both kernels fuse into
+    map-side stages — a regression inserting an exchange between
+    builder and decoder would ship whole payloads across the wire."""
+    text = plan_of(spark, "multimodal_video_samples")
+    assert text.count("MapInPandas") == 2
+    # exactly two exchanges, both deliberate: spread()'s explicit
+    # REPARTITION_BY_NUM below the builder (single-parquet-split
+    # defense) and the output sort's range partitioning — never an
+    # ENSURE_REQUIREMENTS hash shuffle
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)partitioning.*?(ENSURE_REQUIREMENTS|REPARTITION_BY_NUM)", text)
+    assert sorted(exchanges) == [
+        ("hash", "REPARTITION_BY_NUM"),
+        ("range", "ENSURE_REQUIREMENTS"),
+    ], exchanges
+    # and no exchange sits BETWEEN decoder and builder (payloads never
+    # cross the wire): in the tree dump the builder is the decoder's
+    # immediate child
+    lines = [l.strip("+- ") for l in text.splitlines()]
+    i = next(k for k, l in enumerate(lines) if l.startswith("MapInPandas decode_mp4"))
+    assert lines[i + 1].startswith("MapInPandas build_mp4"), lines[i : i + 2]
