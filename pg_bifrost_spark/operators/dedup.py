@@ -1849,22 +1849,23 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the histogram has 4 distinct sizes, not a minimal-variety 2
     (ADVICE r8).
 
-    Plan: two map-side-combined groupBys (digest → cluster size, then
-    size → histogram) — the first shuffles one digest-keyed row per
-    document, the second histogram-sized rows. Nothing is windowed,
-    collected, or broadcast."""
-    base = table(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = plant_duplicates(base, "doc_id")
-    for mod, k in ((TRIPLE_MOD, 2), (QUAD_MOD, 3)):
-        docs = docs.unionByName(
-            base.filter(F.col("doc_id") % mod == 0).withColumn(
-                "doc_id", F.col("doc_id") + k * PLANT_OFFSET
-            )
-        )
+    Plan: ONE documents scan (clone multiplicity is a computed column
+    — a clone contributes copies of the SAME text, so cluster size ==
+    sum of per-row copy counts; the unioned-scans form read the
+    parquet 4× for the same answer — code-review r9), then two
+    map-side-combined groupBys (digest → cluster size, then size →
+    histogram). Nothing is windowed, collected, or broadcast."""
+    n_copies = (
+        F.lit(1)
+        + (F.col("doc_id") % PLANT_MOD == 0).cast("int")
+        + (F.col("doc_id") % TRIPLE_MOD == 0).cast("int")
+        + (F.col("doc_id") % QUAD_MOD == 0).cast("int")
+    )
     sizes = (
-        docs.select(F.md5("text").alias("digest"))
+        table(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("digest"), n_copies.alias("n_copies"))
         .groupBy("digest")
-        .agg(F.count("*").alias("cluster_size"))
+        .agg(F.sum("n_copies").alias("cluster_size"))
     )
     return (
         sizes.groupBy("cluster_size")

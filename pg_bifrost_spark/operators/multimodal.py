@@ -1103,7 +1103,13 @@ def decode_mp4_samples(batches):
         co = child(b, sb[0], sb[1], b"stco")
         if not st or not sz or not co:
             return None
+        # every declared entry count is bounded by its box's CAPACITY
+        # before looping (code-review r9): a tampered 0xFFFFFFFF count
+        # must degrade to "drop this track", never buy 4 G iterations
+        # of CPU or a 4 G-element list — the mixed-corpus contract
         n_ent = int.from_bytes(b[st[0] + 4 : st[0] + 8], "big")
+        if n_ent > (st[1] - st[0] - 8) // 8:
+            return None
         dur = ticks_n = 0
         for k in range(n_ent):
             at = st[0] + 8 + 8 * k
@@ -1116,6 +1122,10 @@ def decode_mp4_samples(batches):
         n_samples = int.from_bytes(b[sz[0] + 8 : sz[0] + 12], "big")
         if sample_size:
             sum_bytes = sample_size * n_samples
+            if sum_bytes >= 1 << 63:
+                return None  # would overflow the BIGINT output column
+        elif n_samples > (sz[1] - sz[0] - 12) // 4:
+            return None  # table form claims more entries than fit
         else:
             sum_bytes = sum(
                 int.from_bytes(b[sz[0] + 12 + 4 * k : sz[0] + 16 + 4 * k], "big")
@@ -1125,6 +1135,8 @@ def decode_mp4_samples(batches):
             return None  # stts and stsz disagree — corrupt table
         # stco → chunk count; offsets must increase and stay in-file
         n_chunks = int.from_bytes(b[co[0] + 4 : co[0] + 8], "big")
+        if n_chunks > (co[1] - co[0] - 8) // 4:
+            return None  # claims more offsets than the box holds
         offs = [
             int.from_bytes(b[co[0] + 8 + 4 * k : co[0] + 12 + 4 * k], "big")
             for k in range(n_chunks)

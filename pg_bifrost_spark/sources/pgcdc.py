@@ -66,6 +66,26 @@ PGCDC_SCHEMA = StructType(
 )
 
 
+# process-wide count of fetches that ended TRUNCATED — budget
+# exhaustion, or a partial batch committed because reconnect attempts
+# ran out. drain_cdc_query snapshots this around each single-batch
+# query: an under-cap batch normally proves the backlog is empty, but
+# a truncated one proves nothing, so the drain must run another round
+# (code-review r9). A module-level counter is sound because the simple
+# reader and the drain loop both run on the driver, and the drain is a
+# sequential loop — no concurrent writers within one drain.
+_TRUNCATION_EVENTS = 0
+
+
+def truncation_events() -> int:
+    return _TRUNCATION_EVENTS
+
+
+def _note_truncation() -> None:
+    global _TRUNCATION_EVENTS
+    _TRUNCATION_EVENTS += 1
+
+
 class ReplayTransport:
     """Reads WAL messages from ``<dir>/*.jsonl`` files (sorted), each
     line ``{"wal_start": N, "server_time_ms": M, "line": "..."}``.
@@ -232,14 +252,24 @@ class LiveTransport:
         self._conn = None
         self._loop = None
 
-    def _ensure_stream(self, start_lsn: int) -> None:
+    def _ensure_stream(self, start_lsn: int, deadline: float | None = None) -> None:
         """Connect with bounded retry/backoff (ADVICE r8): a routine
         network blip must resume the pipeline, not kill the streaming
         query. Exhausting the attempts re-raises the last error — a
-        hard-down server IS fatal, matching the reference's runner."""
+        hard-down server IS fatal, matching the reference's runner.
+
+        ``ServerError`` is retried too (code-review r9): right after a
+        blip the server-side walsender often still holds the slot
+        (SQLSTATE 55006 'replication slot is active'), which arrives
+        as an ErrorResponse, not a socket error — the backoff is
+        exactly the wait that releases it. A PERMANENT server error
+        (bad credentials, missing slot with create disabled) costs the
+        bounded schedule once, then surfaces. Backoff sleeps respect
+        the caller's ``deadline`` so a reconnect can never blow the
+        per-batch budget; the FIRST attempt always runs."""
         import time as _time
 
-        from .pgwire import WireConnection, WireError
+        from .pgwire import ServerError, WireConnection, WireError
         from .protocol import ReplicationClientLoop
 
         if self._connected():
@@ -247,15 +277,24 @@ class LiveTransport:
         last_exc: Exception | None = None
         for attempt in range(self.max_connect_attempts):
             if attempt:
-                _time.sleep(self.reconnect_backoff_s * (2 ** (attempt - 1)))
+                delay = self.reconnect_backoff_s * (2 ** (attempt - 1))
+                if deadline is not None:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break  # budget spent — surface the last error
+                    delay = min(delay, remaining)
+                _time.sleep(delay)
+            conn = None
             try:
                 conn = WireConnection(**self._kwargs).connect()
                 if self._create_slot:
                     conn.create_slot(self.slot)  # idempotent on 42710
                 conn.start_replication(self.slot, start_lsn)
-            except (WireError, OSError) as exc:
+            except (WireError, ServerError, OSError) as exc:
                 last_exc = exc
                 self.stats["transport_errors"] += 1
+                if conn is not None:
+                    conn.close()  # never leak a half-set-up walsender backend
                 continue
             self._conn = conn
             self._loop = ReplicationClientLoop(
@@ -280,30 +319,42 @@ class LiveTransport:
         that). Only reconnect exhaustion with an EMPTY batch raises;
         with rows in hand the partial batch commits its progress and
         the next fetch surfaces the error if the server is still
-        down."""
+        down (the drain loop re-runs on truncation — see
+        ``truncation_events``).
+
+        Admission filter: ``wal_start > after_lsn`` (or synthetic) —
+        NEVER the emitted high-water mark (code-review r9): a real
+        walsender can stamp BEGIN and the transaction's first change
+        with the SAME wal_start, so filtering past the last emitted
+        LSN would silently drop the first DML of every transaction.
+        After a mid-batch reconnect the server resends from the
+        high-water mark, so frames in (after_lsn, hwm] can be
+        re-delivered as intra-batch duplicates — at-least-once, the
+        reference's own behavior on resume-from-ack, deduped
+        downstream by time_based_key (W4)."""
         import time as _time
 
-        from .pgwire import WireError
+        from .pgwire import ServerError, WireError
 
         out: list[tuple[int, int, str | None]] = []
-        # the running high-water mark of emitted LSNs, doing double
-        # duty: (a) a synthetic COMMIT (error recovery) carries the
-        # last COMMIT's LSN, possibly BELOW rows already emitted this
-        # batch — clamping keeps the reader's end offset monotone
-        # (code-review r8); (b) after a mid-batch reconnect it is the
-        # resume point AND the duplicate filter (the server resends
-        # from the requested LSN; WAL positions are strictly
-        # increasing within a stream, so `> hwm` re-admits nothing
-        # already emitted and, with no reconnect, equals the plain
-        # after_lsn bound)
+        # high-water mark of emitted LSNs: (a) a synthetic COMMIT
+        # (error recovery) carries the last COMMIT's LSN, possibly
+        # BELOW rows already emitted this batch — clamping keeps the
+        # reader's end offset monotone (code-review r8); (b) after a
+        # mid-batch reconnect it is the RESUME position (never the
+        # admission filter — see docstring)
         hwm = after_lsn
         deadline = _time.monotonic() + self.fetch_budget_s
         while len(out) < limit and _time.monotonic() < deadline:
             try:
-                self._ensure_stream(max(hwm, self._acked))
-            except (WireError, OSError):
+                self._ensure_stream(max(hwm, self._acked), deadline=deadline)
+            except (WireError, ServerError, OSError):
                 if out:
-                    break  # commit the partial batch; next fetch re-raises
+                    # commit the partial batch (progress is durable);
+                    # flag truncation so a drain loop runs another
+                    # round, where this re-raises if still down
+                    _note_truncation()
+                    break
                 raise
             # snapshot, not the raw counter: the loop's stats
             # accumulate over the CONNECTION's lifetime, so "a timeout
@@ -312,12 +363,12 @@ class LiveTransport:
             while len(out) < limit:
                 try:
                     msgs = self._loop.step()
-                except (WireError, OSError):
+                except (WireError, ServerError, OSError):
                     self.stats["transport_errors"] += 1
                     self._disconnect()
                     break  # outer loop reconnects and continues the batch
                 for m in msgs:
-                    if m.wal_start > hwm or m.synthetic:
+                    if m.wal_start > after_lsn or m.synthetic:
                         hwm = max(hwm, m.wal_start)
                         out.append(
                             (
@@ -340,6 +391,7 @@ class LiveTransport:
                     self.stats["fetch_budget_exhausted"] = (
                         self.stats.get("fetch_budget_exhausted", 0) + 1
                     )
+                    _note_truncation()
                     return out[:limit]
         return out[:limit]
 
@@ -454,7 +506,9 @@ class PgCdcSimpleReader(SimpleDataSourceStreamReader):
             if first[0] == "BEGIN" and len(first) >= 2:
                 xid, tbk = first[1], f"{first[1]}-{lsn}"
             rows.append((lsn, lsn + 8, time_ms, 0, line, xid, tbk))
-            off.lsn = lsn
+            # max(): a live reconnect mid-batch may re-deliver boundary
+            # frames (at-least-once) — the END offset must stay monotone
+            off.lsn = max(off.lsn, lsn)
         off.xid, off.tbk = xid, tbk
         return iter(rows), off.to_dict()
 

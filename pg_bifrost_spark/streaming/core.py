@@ -140,6 +140,7 @@ def drain_cdc_query(
     cap = source.admission_cap(source_options or {})
     rounds = 0
     for _ in range(max_rounds):
+        truncs_before = pgcdc.truncation_events()
         q = start_cdc_query(
             spark, sink, checkpoint_dir, cfg=cfg, workers=workers,
             source_options=source_options, source=source,
@@ -148,5 +149,12 @@ def drain_cdc_query(
         rounds += 1
         progress = q.lastProgress
         if not progress or progress["numInputRows"] < cap:
-            break
+            # under-cap proves the backlog empty ONLY if the batch was
+            # not TRUNCATED (live-transport fetch budget, or a partial
+            # batch committed when reconnects ran out — code-review
+            # r9): a truncated round proves nothing, so keep draining;
+            # a still-down server re-raises in the next round instead
+            # of being silently swallowed with backlog remaining
+            if pgcdc.truncation_events() == truncs_before:
+                break
     return rounds

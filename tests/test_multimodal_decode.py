@@ -490,3 +490,52 @@ def test_mp4_roundtrip_property(sizes, runs, uniform, timescale):
     dur = sum(c * d for c, d in stts)
     assert int(r["duration_ticks"]) == dur
     assert int(r["duration_ms"]) == dur * 1000 // timescale
+
+
+def test_mp4_decoder_bounds_declared_entry_counts():
+    """Declared entry counts are attacker-controlled: a 0xFFFFFFFF
+    stsz/stts/stco count must be rejected against the enclosing box's
+    CAPACITY before any loop runs (code-review r9 — otherwise ~4 G
+    Python iterations or a 4 G-element list per payload), and a
+    uniform stsz whose product overflows BIGINT is dropped too."""
+    import struct
+    import time
+
+    from pg_bifrost_spark.operators.multimodal import decode_mp4_samples
+
+    built = _mp4_for([3])
+    good = bytes(built["payload"][0])
+
+    def decode_one(payload):
+        t0 = time.monotonic()
+        [out] = list(
+            decode_mp4_samples(
+                iter([pd.DataFrame({"doc_id": [3], "payload": [payload]})])
+            )
+        )
+        assert time.monotonic() - t0 < 5.0, "decode stalled on tampered count"
+        return out
+
+    for marker, count_off in ((b"stts", 4), (b"stco", 4)):
+        at = good.index(marker)
+        tampered = bytearray(good)
+        tampered[at + 4 + count_off : at + 8 + count_off] = struct.pack(
+            ">I", 0xFFFFFFFF
+        )
+        out = decode_one(bytes(tampered))
+        assert list(out["track_id"]) == [2], marker  # video track dropped
+
+    # stsz TABLE form (video track): count field sits 8 past the type
+    at = good.index(b"stsz")
+    tampered = bytearray(good)
+    tampered[at + 12 : at + 16] = struct.pack(">I", 0xFFFFFFFF)
+    out = decode_one(bytes(tampered))
+    assert list(out["track_id"]) == [2]
+
+    # stsz UNIFORM form (audio track): huge size × huge count would
+    # overflow the BIGINT column — drop, don't wrap
+    at = good.index(b"stsz", at + 4)  # the second stsz (audio)
+    tampered = bytearray(good)
+    tampered[at + 8 : at + 16] = struct.pack(">II", 0xFFFFFFFF, 0xFFFFFFFF)
+    out = decode_one(bytes(tampered))
+    assert list(out["track_id"]) == [1]  # audio track dropped this time

@@ -69,6 +69,7 @@ class FakeWalsender:
         certfile: str | None = None,
         keyfile: str | None = None,
         frames_per_conn=None,  # list of scripts, one per START_REPLICATION
+        fail_start=None,  # SQLSTATEs to reject START_REPLICATION with, one per attempt
     ):
         self.auth = auth
         self.tls = tls
@@ -77,6 +78,7 @@ class FakeWalsender:
         self.frames_per_conn = (
             [list(s) for s in frames_per_conn] if frames_per_conn is not None else None
         )
+        self.fail_start = list(fail_start or [])
         self.xlogpos = xlogpos
         self.failures: list[str] = []
         self.received_status_lsns: list[int] = []
@@ -274,6 +276,17 @@ class FakeWalsender:
                     conn.sendall(_msg(b"C", b"CREATE_REPLICATION_SLOT\x00"))
                 self._rfq(conn)
             elif sql.startswith("START_REPLICATION"):
+                if self.fail_start:
+                    state = self.fail_start.pop(0)
+                    conn.sendall(
+                        _msg(
+                            b"E",
+                            b"SERROR\x00C" + state.encode()
+                            + b"\x00Mreplication slot is active for PID 7\x00\x00",
+                        )
+                    )
+                    self._rfq(conn)
+                    continue  # client will close and retry on a new conn
                 self.start_lsns.append(lsn_to_int(sql.split()[-1]))
                 conn.sendall(_msg(b"W", struct.pack(">BH", 0, 0)))
                 if self.frames_per_conn is not None:
@@ -1055,3 +1068,88 @@ def test_keepalive_reply_requested_under_tls(self_signed_cert):
         assert srv.received_status_lsns[-1] == 4096
     finally:
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# code-review r9 findings: equal-LSN admission, ServerError retry,
+# deadline-capped backoff
+# ---------------------------------------------------------------------------
+def test_equal_lsn_begin_and_first_change_both_admitted():
+    """A real walsender can stamp BEGIN and the transaction's first
+    change with the SAME wal_start — the admission filter must never
+    drop the equal-LSN successor (code-review r9: a `> hwm` filter
+    silently lost the first DML of every transaction)."""
+    frames = [
+        ("xlog", 5000, "BEGIN 42"),
+        ("xlog", 5000, "table public.t: INSERT: id[integer]:1"),
+        ("xlog", 5008, "COMMIT 42"),
+    ]
+    srv = FakeWalsender(frames=frames)
+    try:
+        from pg_bifrost_spark.sources.pgcdc import LiveTransport
+
+        t = LiveTransport(
+            f"postgres://{USER}@127.0.0.1:{srv.port}/{DB}",
+            slot="s_eq",
+            receive_timeout_s=0.3,
+        )
+        rows = t.fetch(after_lsn=0, limit=100)
+        assert [r[2].split(" ")[0] for r in rows] == ["BEGIN", "table", "COMMIT"]
+        assert [r[0] for r in rows] == [5000, 5000, 5008]
+        t.close()
+    finally:
+        srv.close()
+
+
+def test_server_error_on_start_replication_is_retried():
+    """Right after a blip the server-side walsender often still holds
+    the slot (SQLSTATE 55006) — it arrives as an ErrorResponse, not a
+    socket error, and must go through the same bounded backoff
+    (code-review r9: ServerError bypassed the retry and killed the
+    query on the exact error a blip produces)."""
+    srv = FakeWalsender(
+        frames=[("xlog", 7000, "BEGIN 1"), ("xlog", 7008, "COMMIT 1")],
+        fail_start=["55006", "55006"],
+    )
+    try:
+        from pg_bifrost_spark.sources.pgcdc import LiveTransport
+
+        t = LiveTransport(
+            f"postgres://{USER}@127.0.0.1:{srv.port}/{DB}",
+            slot="s_active",
+            receive_timeout_s=0.3,
+            reconnect_backoff_s=0.01,
+        )
+        rows = t.fetch(after_lsn=0, limit=10)
+        assert [r[0] for r in rows] == [7000, 7008]
+        assert t.stats["transport_errors"] == 2  # the two 55006 rejections
+        assert t.stats["connects"] == 1
+        t.close()
+    finally:
+        srv.close()
+
+
+def test_reconnect_backoff_respects_fetch_budget():
+    """The backoff schedule must not overshoot fetch_budget_s: with a
+    10 s backoff and a 0.3 s budget against a dead port, fetch raises
+    within the budget's magnitude, not the schedule's (code-review
+    r9)."""
+    import time as _time
+
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    dead_port = probe.getsockname()[1]
+    probe.close()
+    t = LiveTransport(
+        f"postgres://u@127.0.0.1:{dead_port}/db",
+        slot="s",
+        fetch_budget_s=0.3,
+        reconnect_backoff_s=10.0,
+        max_connect_attempts=5,
+    )
+    t0 = _time.monotonic()
+    with pytest.raises(OSError):
+        t.fetch(after_lsn=0, limit=1)
+    assert _time.monotonic() - t0 < 3.0  # never the 10+20+40 s schedule

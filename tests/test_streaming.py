@@ -306,3 +306,30 @@ def test_drain_recovers_uncommitted_batch(spark, tmp_path):
         json.loads(j)["columns"]["id"]["new"]["v"] for j in seen
     )
     assert got == sorted(str(i) for i in range(8)), got
+
+
+def test_drain_runs_extra_round_after_truncated_batch(spark, tmp_path):
+    """An under-cap batch proves the backlog empty ONLY when it was
+    not truncated (live fetch budget / reconnect-exhausted partial
+    batch — code-review r9). A truncation event during the round must
+    buy one more drain round instead of a silent early stop."""
+    from pg_bifrost_spark.sources import pgcdc
+    from pg_bifrost_spark.streaming.core import drain_cdc_query
+
+    ops = txn(700, dml_line("public.t", "INSERT", [("id", "integer", 1)]))
+    wal_dir = write_replay_dir(tmp_path, ops)
+    bumped = {"done": False}
+
+    def sink(df, epoch_id):
+        df.collect()
+        if not bumped["done"]:
+            # simulate the live transport flagging this round truncated
+            pgcdc._note_truncation()
+            bumped["done"] = True
+
+    rounds = drain_cdc_query(
+        spark, sink, str(tmp_path / "ckpt"), source_options={"wal_dir": wal_dir}
+    )
+    # round 1: under-cap BUT truncated -> continue; round 2: under-cap,
+    # clean -> stop. Without the truncation check this would be 1.
+    assert rounds == 2
