@@ -122,9 +122,11 @@ HEADLINE = [
     # r8 third batch: cluster-size data-card + source-pair gram overlap
     "dedup_cluster_size_histogram",
     "source_ngram_overlap",
-    # r9: MP4 sample-table decode (two chained Arrow kernels — new
-    # Python kernels always get bench rows, the spread() lesson)
+    # r9: MP4 sample-table decode + baseline JPEG entropy decode (two
+    # chained Arrow kernels each — new Python kernels always get bench
+    # rows, the spread() lesson)
     "multimodal_video_samples",
+    "multimodal_jpeg_pixels",
     "cdc_lineitem_roundtrip",
 ]
 

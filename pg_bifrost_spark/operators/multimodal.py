@@ -15,10 +15,16 @@ Codec-free payloads are decoded FOR REAL in-sandbox (r8): PNG pixels
 (stdlib zlib inflate + the spec's five scanline unfilters —
 ``multimodal_image_pixels``) and WAV PCM samples (numpy int16 view —
 ``multimodal_audio_samples``), both oracle-verified on exact-integer
-stats. What still needs a real codec at deploy: JPEG entropy streams
-and MP4 sample data — swap the header kernels for a PIL/ffmpeg call on
-the executors; the batching, schema, and partition-parallel layout do
-not change.
+stats. r9 adds MP4 sample tables (``multimodal_video_samples`` —
+stsz/stco/stts integer box walk, no codec needed) and baseline JPEG
+ENTROPY decode (``multimodal_jpeg_pixels`` — real DQT/DHT/huffman/
+dequant/IDCT pipeline over a DC-only-block plant whose pixel sums an
+SQL oracle can restate exactly; the decoder itself handles arbitrary
+AC coefficients, pinned against an independent IDCT in tests). What
+still needs a real codec at deploy: progressive/chroma JPEG and
+actual video sample decode (H.264 etc.) — swap these kernels for a
+PIL/ffmpeg call on the executors; the batching, schema, and
+partition-parallel layout do not change.
 """
 
 from __future__ import annotations
@@ -1250,3 +1256,403 @@ def multimodal_video_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return built.mapInPandas(
         decode_mp4_samples, schema=VIDEO_SAMPLES_SCHEMA_DDL
     ).orderBy("doc_id", "track_id")
+
+
+# ---------------------------------------------------------------------------
+# JPEG ENTROPY decode (r9): the last delegated codec path, closed for
+# the baseline-sequential grayscale subset. The BUILDER is a real
+# JFIF encoder (SOI/APP0/DQT/DHT/SOF0/SOS markers, Annex-K standard
+# luminance huffman tables, bit-level DC-difference coding, EOB-coded
+# AC, 0xFF byte stuffing); the DECODER is a real baseline decoder —
+# marker walk, DQT/DHT table parse (canonical code construction),
+# bit-unstuffing, huffman DC+AC decode (EXTEND, ZRL, EOB), dequant,
+# full 2-D integer-rounded IDCT, level shift — with decode breadth
+# exceeding the fixture (it handles arbitrary AC coefficients; the
+# plant emits DC-only blocks).
+#
+# Why DC-only blocks in the PLANT: JPEG is lossy through the
+# DCT/quant round-trip, so arbitrary pixels cannot be restated by an
+# independent SQL oracle. A block that is CONSTANT has exactly one
+# nonzero DCT coefficient (DC = 8·(c-128)); with the DQT's q[0]=8 the
+# quantized DC is the integer c-128, the IDCT of a DC-only block is
+# flat, and decode returns exactly c — so the oracle can restate every
+# pixel sum from the plant formula in pure SQL, while the entropy
+# stream the decoder consumes is a genuine huffman-coded JPEG scan.
+# The general-AC path is pinned separately against an independent
+# numpy IDCT in tests (tests/test_multimodal_decode.py).
+# ---------------------------------------------------------------------------
+# ITU-T T.81 Annex K.3.1: standard luminance DC huffman spec
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))  # categories 0..11
+# Annex K.3.2 standard luminance AC table (only EOB/ZRL reachable from
+# the plant, but shipping the REAL table keeps the decoder honest)
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+# flat quant table with q[0]=8: DC survives the quant round-trip
+# exactly on constant blocks (8·(c-128) / 8 == c-128)
+_JPEG_QTABLE = [8] * 64
+
+
+def _jpeg_block_dims(doc_id: int) -> tuple[int, int]:
+    """Blocks across × down — small (≤4×2 blocks = 32×16 px) so 100 TB
+    of docs costs O(rows); mirrored literally in the oracle SQL."""
+    return 2 + doc_id % 3, 1 + doc_id % 2
+
+
+def _jpeg_block_const(doc_id: int, bi: int) -> int:
+    """The planted constant of block #bi (row-major) — oracle-mirrored."""
+    return (doc_id * 7 + bi * 17) % 256
+
+
+def _huff_encode_table(bits, vals):
+    """(value → (code, length)) from a T.81 BITS/HUFFVAL spec."""
+    out, code = {}, 0
+    for ln in range(1, 17):
+        for v in vals[sum(bits[: ln - 1]) : sum(bits[:ln])]:
+            out[v] = (code, ln)
+            code += 1
+        code <<= 1
+    return out
+
+
+def build_jpeg_payloads(batches):
+    """mapInPandas BUILDER kernel: (doc_id) → (doc_id, payload), a
+    complete baseline-sequential grayscale JFIF file whose entropy
+    stream huffman-codes the planted DC-only blocks for real."""
+    import struct
+
+    import pandas as pd
+
+    dc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    class _BitWriter:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code: int, length: int) -> None:
+            for k in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> k) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)  # byte stuffing
+                    self.acc = self.n = 0
+
+        def done(self) -> bytes:
+            if self.n:
+                pad = 8 - self.n
+                self.acc = (self.acc << pad) | ((1 << pad) - 1)  # 1-pad
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+            return bytes(self.out)
+
+    def assemble(doc_id: int) -> bytes:
+        bx, by = _jpeg_block_dims(doc_id)
+        w, h = bx * 8, by * 8
+        bw = _BitWriter()
+        prev_dc = 0
+        for bi in range(bx * by):
+            coeff = _jpeg_block_const(doc_id, bi) - 128  # quantized DC
+            diff = coeff - prev_dc
+            prev_dc = coeff
+            mag = abs(diff)
+            cat = mag.bit_length()
+            bw.put(*dc[cat])
+            if cat:
+                bits = diff if diff > 0 else diff + (1 << cat) - 1
+                bw.put(bits & ((1 << cat) - 1), cat)
+            bw.put(*ac[0x00])  # EOB — all 63 AC coefficients zero
+        scan = bw.done()
+        dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+        sof0 = seg(
+            0xC0,
+            bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]),
+        )
+        dht = seg(
+            0xC4,
+            bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+        )
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + bytes([0, 1, 0, 1, 0, 0]))
+        return (
+            b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+        )
+
+    for pdf in batches:
+        ids = [int(d) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            {"doc_id": ids, "payload": [assemble(d) for d in ids]}
+        )
+
+
+def _huff_decode_table(bits, vals):
+    """((length, code) → value) canonical decode map."""
+    out, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+# zig-zag order: index in scan order → (row, col)
+_ZIGZAG = [
+    (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),(0,3),(1,2),(2,1),(3,0),(4,0),(3,1),
+    (2,2),(1,3),(0,4),(0,5),(1,4),(2,3),(3,2),(4,1),(5,0),(6,0),(5,1),(4,2),
+    (3,3),(2,4),(1,5),(0,6),(0,7),(1,6),(2,5),(3,4),(4,3),(5,2),(6,1),(7,0),
+    (7,1),(6,2),(5,3),(4,4),(3,5),(2,6),(1,7),(2,7),(3,6),(4,5),(5,4),(6,3),
+    (7,2),(7,3),(6,4),(5,5),(4,6),(3,7),(4,7),(5,6),(6,5),(7,4),(7,5),(6,6),
+    (5,7),(6,7),(7,6),(7,7),
+]
+
+
+def decode_jpeg_blocks(payload: bytes):
+    """A real baseline-sequential grayscale JPEG decoder: marker walk,
+    DQT/DHT parse with canonical huffman construction, entropy decode
+    (DC EXTEND + AC run-length incl. ZRL/EOB) with 0xFF00 unstuffing,
+    dequantization, full 2-D IDCT (numpy float64, spec rounding), and
+    level shift. Returns (width, height, pixels ndarray) or None for
+    anything malformed — exposed at module level so tests can drive
+    the general-AC path directly."""
+    import numpy as np
+
+    b = payload
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qtab = None
+    dc_tab = ac_tab = None
+    w = h = None
+    i = 2
+    scan_at = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(b[i + 2 : i + 4], "big")
+        body = b[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq_tq = body[j]
+                if pq_tq >> 4 != 0:
+                    return None  # 16-bit tables: not baseline-typical
+                if pq_tq & 0x0F == 0:
+                    qtab = list(body[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC0:
+            if body[0] != 8 or body[5] != 1:
+                return None  # only 8-bit grayscale here
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+        elif marker in _JPEG_SOF:
+            return None  # progressive/extended: out of scope
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc_th = body[j]
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                tab = _huff_decode_table(bits, vals)
+                if tc_th == 0x00:
+                    dc_tab = tab
+                elif tc_th == 0x10:
+                    ac_tab = tab
+                j += 17 + nv
+        elif marker == 0xDA:
+            scan_at = i + 2 + ln
+            break
+        i += 2 + ln
+    if None in (qtab, dc_tab, ac_tab, w, h, scan_at):
+        return None
+
+    # unstuff the entropy bytes up to EOI
+    data = bytearray()
+    j = scan_at
+    while j < len(b):
+        v = b[j]
+        if v == 0xFF:
+            nxt = b[j + 1] if j + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                data.append(0xFF)
+                j += 2
+                continue
+            break  # a real marker — end of scan
+        data.append(v)
+        j += 1
+
+    pos = 0  # bit cursor
+
+    def bit():
+        nonlocal pos
+        if pos >= 8 * len(data):
+            raise ValueError("entropy stream exhausted")
+        v = (data[pos >> 3] >> (7 - (pos & 7))) & 1
+        pos += 1
+        return v
+
+    def huff(tab):
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | bit()
+            ln += 1
+            if (ln, code) in tab:
+                return tab[(ln, code)]
+        raise ValueError("invalid huffman code")
+
+    def receive_extend(cat):
+        if cat == 0:
+            return 0
+        v = 0
+        for _ in range(cat):
+            v = (v << 1) | bit()
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    # the spec's IDCT basis, float64
+    n = np.arange(8)
+    cosines = np.cos((2 * n[:, None] + 1) * n[None, :] * np.pi / 16)
+    cu = np.full(8, np.sqrt(2) / 2)
+    cu[1:] = 1.0
+    # guard against absurd dims before allocating (mixed-corpus rule)
+    if not (0 < w <= 4096 and 0 < h <= 4096) or w % 8 or h % 8:
+        return None
+    bx, by = w // 8, h // 8
+    pixels = np.zeros((h, w), dtype=np.int64)
+    prev_dc = 0
+    try:
+        for biy in range(by):
+            for bix in range(bx):
+                zz = [0] * 64
+                prev_dc += receive_extend(huff(dc_tab))
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    rs = huff(ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if rs == 0x00:
+                        break  # EOB
+                    if rs == 0xF0:
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > 63:
+                        return None
+                    zz[k] = receive_extend(s)
+                    k += 1
+                coeffs = np.zeros((8, 8))
+                for idx, (r, c) in enumerate(_ZIGZAG):
+                    coeffs[r, c] = zz[idx] * qtab[idx]
+                blk = 0.25 * (cu[:, None] * cu[None, :] * coeffs)
+                out = cosines @ blk @ cosines.T
+                blk_px = np.clip(np.rint(out) + 128, 0, 255).astype(np.int64)
+                pixels[biy * 8 : biy * 8 + 8, bix * 8 : bix * 8 + 8] = blk_px
+    except ValueError:
+        return None
+    return w, h, pixels
+
+
+def decode_jpeg_pixels(batches):
+    """mapInPandas DECODER kernel over ``decode_jpeg_blocks`` —
+    exact-integer pixel stats per payload; malformed payloads emit
+    nothing (mixed-corpus contract)."""
+    import pandas as pd
+
+    cols = ("doc_id", "fmt", "width", "height", "n_pixels", "sum_pix", "wsum_pix")
+    for pdf in batches:
+        out = {k: [] for k in cols}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            r = decode_jpeg_blocks(bytes(b))
+            if r is None:
+                continue
+            w, h, px = r
+            flat = px.reshape(-1)
+            out["doc_id"].append(int(doc_id))
+            out["fmt"].append("jpeg")
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_pixels"].append(w * h)
+            out["sum_pix"].append(int(flat.sum()))
+            out["wsum_pix"].append(int((flat * range(len(flat))).sum()))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_jpeg_pixels",
+    oracle="""
+    WITH blocks AS (
+      SELECT doc_id,
+             2 + doc_id % 3 AS bx,
+             1 + doc_id % 2 AS by
+      FROM documents
+    ),
+    per_block AS (
+      SELECT doc_id, bx, by, bi,
+             (doc_id * 7 + bi * 17) % 256 AS c
+      FROM blocks, LATERAL (SELECT unnest(range(0, bx * by)) AS bi)
+    )
+    SELECT doc_id,
+           'jpeg' AS fmt,
+           CAST(max(bx) * 8 AS INT) AS width,
+           CAST(max(by) * 8 AS INT) AS height,
+           CAST(max(bx) * max(by) * 64 AS INT) AS n_pixels,
+           CAST(sum(c * 64) AS BIGINT) AS sum_pix,
+           -- pixel-index weighted sum: every pixel of block bi equals
+           -- c, so its contribution is c × (sum of the block's 64
+           -- row-major flat indices). For block column bx0 = bi % bx,
+           -- block row by0 = bi // bx, width W = bx·8:
+           --   Σ_{dy,dx} ((by0·8+dy)·W + bx0·8 + dx)
+           --     = 8·W·(64·by0 + 28) + 512·bx0 + 224
+           CAST(sum(c * (
+               8 * (bx * 8) * (64 * (bi // bx) + 28)
+               + 512 * (bi % bx) + 224
+           )) AS BIGINT) AS wsum_pix
+    FROM per_block
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG entropy-stream decode round-trip (closing the last
+    delegated-codec caveat for the baseline grayscale subset): the
+    builder huffman-codes planted DC-only blocks into spec-valid JFIF
+    files, the decoder runs the full baseline pipeline (DQT/DHT parse,
+    unstuffing, huffman DC+AC, dequant, 2-D IDCT, level shift), and
+    the oracle restates the pixel sums from the block-constant plant.
+    Plan: two chained Arrow kernels over a spread() scan — map-side
+    only; payloads are O(100 bytes)/doc, cost O(rows) at any scale."""
+    from .dedup import spread
+
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    built = docs.mapInPandas(
+        build_jpeg_payloads, schema="doc_id bigint, payload binary"
+    )
+    return built.mapInPandas(
+        decode_jpeg_pixels, schema=PIXEL_SCHEMA_DDL
+    ).orderBy("doc_id")

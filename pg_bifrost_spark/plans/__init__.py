@@ -263,7 +263,13 @@ GATE_PRIORITY: list[str] = [
     # footer); quality evidence stays via quality_gopher_rules +
     # text_repetition_stats
     "dedup_repeated_spans",
-    "dedup_incremental_batch",
+    # r9 rotation: dedup_incremental_batch (3 straight greens r6-r8)
+    # yields to the NEW r9 multimodal_jpeg_pixels (baseline JPEG
+    # entropy decode — the last delegated-codec caveat, closed for the
+    # grayscale subset); incremental-dedup evidence stays via
+    # dedup_bloom_prefilter (same new-vs-seen digest machinery) and
+    # the op stays oracle-backed + pytest-rehearsed every round
+    "multimodal_jpeg_pixels",
     # text_repetition_stats (3 straight greens) yields to the NEW r7
     # exactly-k-per-group deterministic reservoir; repetition evidence
     # stays via quality_gopher_rules + quality_c4_rules + text_token_entropy

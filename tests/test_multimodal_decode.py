@@ -539,3 +539,226 @@ def test_mp4_decoder_bounds_declared_entry_counts():
     tampered[at + 8 : at + 16] = struct.pack(">II", 0xFFFFFFFF, 0xFFFFFFFF)
     out = decode_one(bytes(tampered))
     assert list(out["track_id"]) == [1]  # audio track dropped this time
+
+
+# ---------------------------------------------------------------------------
+# JPEG entropy decoder (r9): DC-only fixture round-trip, the general
+# AC path vs an independent IDCT, tamper cases, hypothesis property
+# ---------------------------------------------------------------------------
+def _encode_jpeg_blocks(zz_blocks, bx, by, qtable=None):
+    """Test-local JFIF encoder for ARBITRARY quantized coefficient
+    blocks (zig-zag order) — lets the tests drive the decoder's
+    AC/ZRL/EOB machinery, which the DC-only production plant never
+    exercises. Shares only the public huffman-table SPECS with the
+    production builder, not its code path."""
+    import struct
+
+    from pg_bifrost_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_QTABLE,
+        _huff_encode_table,
+    )
+
+    qtable = qtable or _JPEG_QTABLE
+    dc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out, acc, n = bytearray(), 0, 0
+
+    def put(code, length):
+        nonlocal acc, n
+        for k in range(length - 1, -1, -1):
+            acc = (acc << 1) | ((code >> k) & 1)
+            n += 1
+            if n == 8:
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0x00)
+                acc = n = 0
+
+    def put_mag(v):
+        cat = abs(v).bit_length()
+        return cat, (v if v > 0 else v + (1 << cat) - 1) & ((1 << cat) - 1)
+
+    prev_dc = 0
+    for zz in zz_blocks:
+        cat, bits = put_mag(zz[0] - prev_dc) if zz[0] != prev_dc else (0, 0)
+        prev_dc = zz[0]
+        put(*dc[cat])
+        if cat:
+            put(bits, cat)
+        k, run = 1, 0
+        while k < 64:
+            if zz[k] == 0:
+                run += 1
+                k += 1
+                continue
+            while run >= 16:
+                put(*ac[0xF0])  # ZRL
+                run -= 16
+            cat, bits = put_mag(zz[k])
+            put(*ac[(run << 4) | cat])
+            put(bits, cat)
+            run = 0
+            k += 1
+        if run:
+            put(*ac[0x00])  # EOB
+    if n:
+        pad = 8 - n
+        acc = (acc << pad) | ((1 << pad) - 1)
+        out.append(acc)
+        if acc == 0xFF:
+            out.append(0x00)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(qtable))
+    sof0 = seg(0xC0, bytes([8]) + struct.pack(">HH", by * 8, bx * 8) + bytes([1, 1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(out) + b"\xff\xd9"
+
+
+def _reference_idct(zz, qtable):
+    """Independent spec IDCT (separate formulation from the decoder:
+    explicit quadruple loop, no matrix algebra)."""
+    import math
+
+    import numpy as np
+
+    from pg_bifrost_spark.operators.multimodal import _ZIGZAG
+
+    coeffs = [[0.0] * 8 for _ in range(8)]
+    for idx, (r, c) in enumerate(_ZIGZAG):
+        coeffs[r][c] = zz[idx] * qtable[idx]
+    px = np.zeros((8, 8), dtype=np.int64)
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coeffs[u][v]
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                    )
+            px[y][x] = min(255, max(0, round(s / 4) + 128))
+    return px
+
+
+def test_jpeg_decoder_general_ac_path_matches_reference_idct():
+    """The production plant is DC-only; this drives the decoder's full
+    AC machinery (nonzero ACs, a >16-zero run forcing ZRL, EOB) and
+    checks every pixel against an independently-formulated IDCT."""
+    import numpy as np
+
+    from pg_bifrost_spark.operators.multimodal import (
+        _JPEG_QTABLE,
+        decode_jpeg_blocks,
+    )
+
+    zz1 = [0] * 64
+    zz1[0], zz1[1], zz1[2], zz1[5] = 40, -13, 7, 3  # DC + low-freq ACs
+    zz2 = [0] * 64
+    zz2[0], zz2[30], zz2[63] = -25, 9, -2  # long zero runs -> ZRL twice
+    payload = _encode_jpeg_blocks([zz1, zz2], bx=2, by=1)
+    r = decode_jpeg_blocks(payload)
+    assert r is not None
+    w, h, px = r
+    assert (w, h) == (16, 8)
+    want1 = _reference_idct(zz1, _JPEG_QTABLE)
+    want2 = _reference_idct(zz2, _JPEG_QTABLE)
+    assert np.array_equal(px[:, :8], want1)
+    assert np.array_equal(px[:, 8:], want2)
+
+
+def test_jpeg_decoder_honors_dqt_values():
+    """Dequantization must use the DQT the file declares, not an
+    assumed table — same coefficients with a different qtable must
+    decode to different (reference-matched) pixels."""
+    import numpy as np
+
+    from pg_bifrost_spark.operators.multimodal import decode_jpeg_blocks
+
+    zz = [0] * 64
+    zz[0], zz[3] = 10, 4
+    q2 = [16] * 64
+    payload = _encode_jpeg_blocks([zz], bx=1, by=1, qtable=q2)
+    r = decode_jpeg_blocks(payload)
+    assert r is not None
+    _, _, px = r
+    assert np.array_equal(px, _reference_idct(zz, q2))
+
+
+def test_jpeg_decoder_degrades_on_malformed():
+    from pg_bifrost_spark.operators.multimodal import (
+        build_jpeg_payloads,
+        decode_jpeg_blocks,
+    )
+
+    [built] = list(
+        build_jpeg_payloads(iter([pd.DataFrame({"doc_id": [7]})]))
+    )
+    good = bytes(built["payload"][0])
+    assert decode_jpeg_blocks(good) is not None
+    assert decode_jpeg_blocks(b"not a jpeg") is None
+    assert decode_jpeg_blocks(good[:20]) is None  # truncated pre-scan
+    # truncate the WHOLE entropy stream away: huffman runs dry -> None,
+    # never an uncaught exception (the scan starts right after SOS)
+    sos_end = good.index(b"\xff\xda") + 2 + int.from_bytes(
+        good[good.index(b"\xff\xda") + 2 : good.index(b"\xff\xda") + 4], "big"
+    )
+    assert decode_jpeg_blocks(good[:sos_end]) is None
+    # corrupt a huffman byte: either an invalid code (None) or a
+    # DIFFERENT valid decode — never a raise, never a half-shaped array
+    tampered = bytearray(good)
+    tampered[sos_end + 1] ^= 0x55
+    r = decode_jpeg_blocks(bytes(tampered))
+    if r is not None:
+        w, h, px = r
+        assert px.shape == (h, w)
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=30, deadline=None)
+@_given(
+    consts=_st.lists(_st.integers(0, 255), min_size=1, max_size=12),
+    bx=_st.integers(1, 4),
+)
+def test_jpeg_dc_only_roundtrip_property(consts, bx):
+    """ANY sequence of block constants at ANY width must round-trip
+    exactly through huffman encode -> full baseline decode (the PNG/
+    WAV/MP4 property, extended to the entropy-coded codec)."""
+    import numpy as np
+
+    from pg_bifrost_spark.operators.multimodal import decode_jpeg_blocks
+
+    while len(consts) % bx:
+        consts.append(consts[-1])
+    by = len(consts) // bx
+    zz_blocks = []
+    for c in consts:
+        zz = [0] * 64
+        zz[0] = c - 128
+        zz_blocks.append(zz)
+    payload = _encode_jpeg_blocks(zz_blocks, bx=bx, by=by)
+    r = decode_jpeg_blocks(payload)
+    assert r is not None
+    w, h, px = r
+    assert (w, h) == (bx * 8, by * 8)
+    for bi, c in enumerate(consts):
+        tile = px[(bi // bx) * 8 : (bi // bx) * 8 + 8,
+                  (bi % bx) * 8 : (bi % bx) * 8 + 8]
+        assert np.all(tile == c), (bi, c, tile)

@@ -854,3 +854,23 @@ def test_video_samples_map_only_chained_kernels(spark):
     lines = [l.strip("+- ") for l in text.splitlines()]
     i = next(k for k, l in enumerate(lines) if l.startswith("MapInPandas decode_mp4"))
     assert lines[i + 1].startswith("MapInPandas build_mp4"), lines[i : i + 2]
+
+
+def test_jpeg_pixels_map_only_chained_kernels(spark):
+    """Same contract as the MP4 op: builder and decoder kernels fuse
+    back-to-back with no exchange between them; the only exchanges are
+    spread()'s explicit repartition and the output sort."""
+    import re
+
+    text = plan_of(spark, "multimodal_jpeg_pixels")
+    assert text.count("MapInPandas") == 2
+    exchanges = re.findall(
+        r"Exchange (\w+)partitioning.*?(ENSURE_REQUIREMENTS|REPARTITION_BY_NUM)", text
+    )
+    assert sorted(exchanges) == [
+        ("hash", "REPARTITION_BY_NUM"),
+        ("range", "ENSURE_REQUIREMENTS"),
+    ], exchanges
+    lines = [l.strip("+- ") for l in text.splitlines()]
+    i = next(k for k, l in enumerate(lines) if l.startswith("MapInPandas decode_jpeg"))
+    assert lines[i + 1].startswith("MapInPandas build_jpeg"), lines[i : i + 2]
