@@ -1330,77 +1330,101 @@ def _huff_encode_table(bits, vals):
     return out
 
 
-def build_jpeg_payloads(batches):
-    """mapInPandas BUILDER kernel: (doc_id) → (doc_id, payload), a
-    complete baseline-sequential grayscale JFIF file whose entropy
-    stream huffman-codes the planted DC-only blocks for real."""
+def encode_jpeg_gray(zz_blocks, bx: int, by: int, qtable=None,
+                     width: int | None = None, height: int | None = None) -> bytes:
+    """Assemble a complete baseline-sequential grayscale JFIF file
+    from ARBITRARY quantized coefficient blocks (zig-zag order): DC
+    differences + AC run-length (ZRL/EOB) huffman-coded with the
+    Annex-K tables, 0xFF byte stuffing, 1-padding. The production
+    plant feeds it DC-only blocks; tests feed it general AC blocks
+    (code-review r9: one real encoder, not a test-local duplicate —
+    encoder correctness is independently proven by the decoder ×
+    SQL-oracle triangle, like the PNG builder). ``width``/``height``
+    override the SOF0 dims for non-block-aligned images (the encoder
+    still emits full MCUs; the decoder crops)."""
     import struct
-
-    import pandas as pd
 
     dc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    qtable = qtable or _JPEG_QTABLE
+    w = width if width is not None else bx * 8
+    h = height if height is not None else by * 8
+
+    out, acc, n = bytearray(), 0, 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, n
+        for k in range(length - 1, -1, -1):
+            acc = (acc << 1) | ((code >> k) & 1)
+            n += 1
+            if n == 8:
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0x00)  # byte stuffing
+                acc = n = 0
+
+    prev_dc = 0
+    for zz in zz_blocks:
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        cat = abs(diff).bit_length()
+        put(*dc[cat])
+        if cat:
+            bits = diff if diff > 0 else diff + (1 << cat) - 1
+            put(bits & ((1 << cat) - 1), cat)
+        k, run = 1, 0
+        while k < 64:
+            if zz[k] == 0:
+                run += 1
+                k += 1
+                continue
+            while run >= 16:
+                put(*ac[0xF0])  # ZRL: 16 zeros
+                run -= 16
+            cat = abs(zz[k]).bit_length()
+            put(*ac[(run << 4) | cat])
+            bits = zz[k] if zz[k] > 0 else zz[k] + (1 << cat) - 1
+            put(bits & ((1 << cat) - 1), cat)
+            run = 0
+            k += 1
+        if run:
+            put(*ac[0x00])  # EOB — trailing zeros
+    if n:
+        pad = 8 - n
+        acc = (acc << pad) | ((1 << pad) - 1)  # 1-pad
+        out.append(acc)
+        if acc == 0xFF:
+            out.append(0x00)
+    scan = bytes(out)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    class _BitWriter:
-        def __init__(self):
-            self.out = bytearray()
-            self.acc = 0
-            self.n = 0
+    dqt = seg(0xDB, bytes([0x00]) + bytes(qtable))
+    sof0 = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + bytes([0, 1, 0, 1, 0, 0]))
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
 
-        def put(self, code: int, length: int) -> None:
-            for k in range(length - 1, -1, -1):
-                self.acc = (self.acc << 1) | ((code >> k) & 1)
-                self.n += 1
-                if self.n == 8:
-                    self.out.append(self.acc)
-                    if self.acc == 0xFF:
-                        self.out.append(0x00)  # byte stuffing
-                    self.acc = self.n = 0
 
-        def done(self) -> bytes:
-            if self.n:
-                pad = 8 - self.n
-                self.acc = (self.acc << pad) | ((1 << pad) - 1)  # 1-pad
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-            return bytes(self.out)
+def build_jpeg_payloads(batches):
+    """mapInPandas BUILDER kernel: (doc_id) → (doc_id, payload) via
+    ``encode_jpeg_gray`` over the planted DC-only blocks."""
+    import pandas as pd
 
     def assemble(doc_id: int) -> bytes:
         bx, by = _jpeg_block_dims(doc_id)
-        w, h = bx * 8, by * 8
-        bw = _BitWriter()
-        prev_dc = 0
+        zz_blocks = []
         for bi in range(bx * by):
-            coeff = _jpeg_block_const(doc_id, bi) - 128  # quantized DC
-            diff = coeff - prev_dc
-            prev_dc = coeff
-            mag = abs(diff)
-            cat = mag.bit_length()
-            bw.put(*dc[cat])
-            if cat:
-                bits = diff if diff > 0 else diff + (1 << cat) - 1
-                bw.put(bits & ((1 << cat) - 1), cat)
-            bw.put(*ac[0x00])  # EOB — all 63 AC coefficients zero
-        scan = bw.done()
-        dqt = seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
-        sof0 = seg(
-            0xC0,
-            bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]),
-        )
-        dht = seg(
-            0xC4,
-            bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-            + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
-        )
-        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-        app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + bytes([0, 1, 0, 1, 0, 0]))
-        return (
-            b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
-        )
+            zz = [0] * 64
+            zz[0] = _jpeg_block_const(doc_id, bi) - 128  # quantized DC
+            zz_blocks.append(zz)
+        return encode_jpeg_gray(zz_blocks, bx, by)
 
     for pdf in batches:
         ids = [int(d) for d in pdf["doc_id"]]
@@ -1432,7 +1456,37 @@ _ZIGZAG = [
 ]
 
 
+_JPEG_IDCT_BASIS = None
+
+
+def _jpeg_idct_basis():
+    """The spec's 8x8 IDCT basis matrices, built once per process
+    (code-review r9: rebuilding them per payload is per-row waste)."""
+    global _JPEG_IDCT_BASIS
+    if _JPEG_IDCT_BASIS is None:
+        import numpy as np
+
+        n = np.arange(8)
+        cosines = np.cos((2 * n[:, None] + 1) * n[None, :] * np.pi / 16)
+        cu = np.full(8, np.sqrt(2) / 2)
+        cu[1:] = 1.0
+        _JPEG_IDCT_BASIS = (cosines, cu)
+    return _JPEG_IDCT_BASIS
+
+
 def decode_jpeg_blocks(payload: bytes):
+    """Malformed-input-safe wrapper around the real decoder: ANY
+    structurally-corrupt payload (truncated segments, short DQT/DHT
+    tables, bad huffman codes, exhausted entropy stream) returns None
+    — a mixed corpus streams through, never errors (code-review r9:
+    IndexErrors from short marker bodies escaped the contract)."""
+    try:
+        return _decode_jpeg_blocks(payload)
+    except (ValueError, IndexError):
+        return None
+
+
+def _decode_jpeg_blocks(payload: bytes):
     """A real baseline-sequential grayscale JPEG decoder: marker walk,
     DQT/DHT parse with canonical huffman construction, entropy decode
     (DC EXTEND + AC run-length incl. ZRL/EOB) with 0xFF00 unstuffing,
@@ -1466,9 +1520,11 @@ def decode_jpeg_blocks(payload: bytes):
                     return None  # 16-bit tables: not baseline-typical
                 if pq_tq & 0x0F == 0:
                     qtab = list(body[j + 1 : j + 65])
+                    if len(qtab) != 64:
+                        return None  # truncated table
                 j += 65
         elif marker == 0xC0:
-            if body[0] != 8 or body[5] != 1:
+            if len(body) < 6 or body[0] != 8 or body[5] != 1:
                 return None  # only 8-bit grayscale here
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
@@ -1481,6 +1537,8 @@ def decode_jpeg_blocks(payload: bytes):
                 bits = list(body[j + 1 : j + 17])
                 nv = sum(bits)
                 vals = list(body[j + 17 : j + 17 + nv])
+                if len(bits) != 16 or len(vals) != nv:
+                    return None  # truncated table spec
                 tab = _huff_decode_table(bits, vals)
                 if tc_th == 0x00:
                     dc_tab = tab
@@ -1536,16 +1594,15 @@ def decode_jpeg_blocks(payload: bytes):
             v = (v << 1) | bit()
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
-    # the spec's IDCT basis, float64
-    n = np.arange(8)
-    cosines = np.cos((2 * n[:, None] + 1) * n[None, :] * np.pi / 16)
-    cu = np.full(8, np.sqrt(2) / 2)
-    cu[1:] = 1.0
+    cosines, cu = _jpeg_idct_basis()
     # guard against absurd dims before allocating (mixed-corpus rule)
-    if not (0 < w <= 4096 and 0 < h <= 4096) or w % 8 or h % 8:
+    if not (0 < w <= 4096 and 0 < h <= 4096):
         return None
-    bx, by = w // 8, h // 8
-    pixels = np.zeros((h, w), dtype=np.int64)
+    # non-block-aligned dims are legal baseline JPEG: the scan carries
+    # full MCUs, the decoder crops the right/bottom padding to the
+    # SOF0 dims (code-review r9)
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    pixels = np.zeros((by * 8, bx * 8), dtype=np.int64)
     prev_dc = 0
     try:
         for biy in range(by):
@@ -1576,13 +1633,14 @@ def decode_jpeg_blocks(payload: bytes):
                 pixels[biy * 8 : biy * 8 + 8, bix * 8 : bix * 8 + 8] = blk_px
     except ValueError:
         return None
-    return w, h, pixels
+    return w, h, pixels[:h, :w]
 
 
 def decode_jpeg_pixels(batches):
     """mapInPandas DECODER kernel over ``decode_jpeg_blocks`` —
     exact-integer pixel stats per payload; malformed payloads emit
     nothing (mixed-corpus contract)."""
+    import numpy as np
     import pandas as pd
 
     cols = ("doc_id", "fmt", "width", "height", "n_pixels", "sum_pix", "wsum_pix")
@@ -1600,7 +1658,7 @@ def decode_jpeg_pixels(batches):
             out["height"].append(h)
             out["n_pixels"].append(w * h)
             out["sum_pix"].append(int(flat.sum()))
-            out["wsum_pix"].append(int((flat * range(len(flat))).sum()))
+            out["wsum_pix"].append(int((flat * np.arange(flat.size)).sum()))
         yield pd.DataFrame(out)
 
 

@@ -545,85 +545,17 @@ def test_mp4_decoder_bounds_declared_entry_counts():
 # JPEG entropy decoder (r9): DC-only fixture round-trip, the general
 # AC path vs an independent IDCT, tamper cases, hypothesis property
 # ---------------------------------------------------------------------------
-def _encode_jpeg_blocks(zz_blocks, bx, by, qtable=None):
-    """Test-local JFIF encoder for ARBITRARY quantized coefficient
-    blocks (zig-zag order) — lets the tests drive the decoder's
-    AC/ZRL/EOB machinery, which the DC-only production plant never
-    exercises. Shares only the public huffman-table SPECS with the
-    production builder, not its code path."""
-    import struct
+def _encode_jpeg_blocks(zz_blocks, bx, by, qtable=None, width=None, height=None):
+    """Thin alias for the production ``encode_jpeg_gray`` (code-review
+    r9 removed a near-verbatim test-local duplicate: encoder
+    correctness is independently proven by the decoder × SQL-oracle
+    triangle plus the reference IDCT below, so the tests SHOULD drive
+    the one real encoder with arbitrary AC blocks)."""
+    from pg_bifrost_spark.operators.multimodal import encode_jpeg_gray
 
-    from pg_bifrost_spark.operators.multimodal import (
-        _JPEG_AC_BITS,
-        _JPEG_AC_VALS,
-        _JPEG_DC_BITS,
-        _JPEG_DC_VALS,
-        _JPEG_QTABLE,
-        _huff_encode_table,
+    return encode_jpeg_gray(
+        zz_blocks, bx, by, qtable=qtable, width=width, height=height
     )
-
-    qtable = qtable or _JPEG_QTABLE
-    dc = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    out, acc, n = bytearray(), 0, 0
-
-    def put(code, length):
-        nonlocal acc, n
-        for k in range(length - 1, -1, -1):
-            acc = (acc << 1) | ((code >> k) & 1)
-            n += 1
-            if n == 8:
-                out.append(acc)
-                if acc == 0xFF:
-                    out.append(0x00)
-                acc = n = 0
-
-    def put_mag(v):
-        cat = abs(v).bit_length()
-        return cat, (v if v > 0 else v + (1 << cat) - 1) & ((1 << cat) - 1)
-
-    prev_dc = 0
-    for zz in zz_blocks:
-        cat, bits = put_mag(zz[0] - prev_dc) if zz[0] != prev_dc else (0, 0)
-        prev_dc = zz[0]
-        put(*dc[cat])
-        if cat:
-            put(bits, cat)
-        k, run = 1, 0
-        while k < 64:
-            if zz[k] == 0:
-                run += 1
-                k += 1
-                continue
-            while run >= 16:
-                put(*ac[0xF0])  # ZRL
-                run -= 16
-            cat, bits = put_mag(zz[k])
-            put(*ac[(run << 4) | cat])
-            put(bits, cat)
-            run = 0
-            k += 1
-        if run:
-            put(*ac[0x00])  # EOB
-    if n:
-        pad = 8 - n
-        acc = (acc << pad) | ((1 << pad) - 1)
-        out.append(acc)
-        if acc == 0xFF:
-            out.append(0x00)
-
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    dqt = seg(0xDB, bytes([0x00]) + bytes(qtable))
-    sof0 = seg(0xC0, bytes([8]) + struct.pack(">HH", by * 8, bx * 8) + bytes([1, 1, 0x11, 0]))
-    dht = seg(
-        0xC4,
-        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
-    )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(out) + b"\xff\xd9"
 
 
 def _reference_idct(zz, qtable):
@@ -762,3 +694,47 @@ def test_jpeg_dc_only_roundtrip_property(consts, bx):
         tile = px[(bi // bx) * 8 : (bi // bx) * 8 + 8,
                   (bi % bx) * 8 : (bi % bx) * 8 + 8]
         assert np.all(tile == c), (bi, c, tile)
+
+
+def test_jpeg_decoder_crops_non_block_aligned_dims():
+    """SOF0 dims need not be multiples of 8 (encoders pad to full
+    MCUs): a 20x12 image carried in 3x2 blocks must decode to exactly
+    20x12 with the padding cropped (code-review r9)."""
+    import numpy as np
+
+    from pg_bifrost_spark.operators.multimodal import decode_jpeg_blocks
+
+    consts = [10, 60, 110, 160, 210, 250]
+    zz_blocks = []
+    for c in consts:
+        zz = [0] * 64
+        zz[0] = c - 128
+        zz_blocks.append(zz)
+    payload = _encode_jpeg_blocks(zz_blocks, bx=3, by=2, width=20, height=12)
+    r = decode_jpeg_blocks(payload)
+    assert r is not None
+    w, h, px = r
+    assert (w, h) == (20, 12) and px.shape == (12, 20)
+    # top-left block fully inside; right/bottom blocks cropped
+    assert np.all(px[:8, :8] == consts[0])
+    assert np.all(px[:8, 16:20] == consts[2])   # third block: 4 cols survive
+    assert np.all(px[8:12, :8] == consts[3])    # second row: 4 rows survive
+
+
+def test_jpeg_decoder_short_tables_return_none():
+    """Truncated DQT/DHT/SOF0 bodies must return None, never raise
+    (code-review r9: IndexErrors escaped the mixed-corpus contract)."""
+    import struct
+
+    from pg_bifrost_spark.operators.multimodal import decode_jpeg_blocks
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    # SOF0 with a 2-byte body
+    assert decode_jpeg_blocks(b"\xff\xd8" + seg(0xC0, b"\x08") + b"\xff\xd9") is None
+    # DQT with only 10 table bytes
+    assert decode_jpeg_blocks(b"\xff\xd8" + seg(0xDB, bytes(11)) + b"\xff\xd9") is None
+    # DHT whose vals are shorter than sum(bits)
+    dht = bytes([0x00]) + bytes([0, 9] + [0] * 14) + bytes([1, 2])  # claims 9 vals
+    assert decode_jpeg_blocks(b"\xff\xd8" + seg(0xC4, dht) + b"\xff\xd9") is None
