@@ -454,3 +454,53 @@ def test_kinesis_error_twin_drops_records_without_retry(spark, tmp_path):
     cfgp.write_text(json.dumps(cfg))
     with pytest.raises(Exception, match="retry budget exhausted|StreamingQueryException|SparkException"):
         _drain(spark, str(broken), tmp_path)
+
+
+def test_basic_golden_passes_verify_via_live_wire_transport(spark, tmp_path):
+    """The reference-golden parity check THROUGH the deploy transport:
+    test_basic's committed WAL twin is served as real XLogData frames
+    by the fake walsender, drained over the stdlib wire client
+    (dsn source — the exact compose-rig path), and the output must
+    clear the SAME full verify stage (golden diff + confirmed-LSN +
+    ledger-empty) the replay twin clears. Ties golden parity to the
+    live path instead of only the wal_dir replay."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pgwire import DB, USER, FakeWalsender
+
+    from pg_bifrost_spark.cdc.pipeline import PipelineConfig
+    from pg_bifrost_spark.sinks.writers import exactly_once_ndjson
+    from pg_bifrost_spark.streaming.core import drain_cdc_query
+
+    test_dir = os.path.join(ITESTS, "tests", "base", "test_basic")
+    frames = []
+    wal_dir = os.path.join(test_dir, "wal")
+    for name in sorted(n for n in os.listdir(wal_dir) if n.endswith(".jsonl")):
+        with open(os.path.join(wal_dir, name)) as f:
+            for ln in f:
+                if ln.strip():
+                    m = json.loads(ln)
+                    frames.append(("xlog", m["wal_start"], m["line"]))
+    srv = FakeWalsender(frames=frames)
+    try:
+        out_dir, ck_dir = str(tmp_path / "out"), str(tmp_path / "ck")
+
+        def sink(df, epoch):
+            return exactly_once_ndjson(df.orderBy("wal_start"), epoch, out_dir)
+
+        drain_cdc_query(
+            spark,
+            sink,
+            ck_dir,
+            cfg=PipelineConfig(),
+            source_options={
+                "dsn": f"postgres://{USER}@127.0.0.1:{srv.port}/{DB}",
+                "slot": "itest_live",
+            },
+        )
+        problems = runner.verify(test_dir, out_dir, ck_dir)
+        assert problems == [], problems
+        assert srv.failures == [], srv.failures
+    finally:
+        srv.close()
