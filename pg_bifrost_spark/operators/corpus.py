@@ -1845,3 +1845,77 @@ def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# learned-classifier quality scoring (r9): the fastText/CCNet-style
+# CLASSIFIER filter next to the rule-based family (gopher/C4/ccnet) —
+# a linear model over the hashed bag-of-words, scored engine-side.
+# ---------------------------------------------------------------------------
+# Fixed-point weight per hashed feature, derived deterministically
+# from the feature index (Knuth multiplicative constant) so BOTH
+# engines materialize the identical model with no weight table to
+# ship: w(f) = (f·2654435761) mod 2001 − 1000 ∈ [−1000, 1000]
+# micro-units. A deployed pipeline swaps in trained weights as a
+# broadcast map — identical plan shape (map-side lookup + one
+# doc-keyed sum). The keep decision is sigmoid(z) > 0.5 ⟺ z > 0 in
+# pure integer arithmetic — no transcendental, no float, no hash
+# risk. CLS_BIAS_FP centers the fixture's score distribution
+# (median ≈ −5400 micro-units) so BOTH classes are populated — the
+# fixture-degeneracy rule.
+CLS_WEIGHT_MULT = 2654435761
+CLS_WEIGHT_MOD = 2001
+CLS_BIAS_FP = 5400
+
+
+@register(
+    "quality_classifier_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             (CAST(CONCAT('0x', substr(md5(token), 1, 8)) AS BIGINT)
+              % {FEATURE_DIM}) AS feat
+      FROM tok
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(sum((feat * {CLS_WEIGHT_MULT}) % {CLS_WEIGHT_MOD} - 1000)
+                  + {CLS_BIAS_FP} AS BIGINT) AS score_fp
+      FROM f GROUP BY doc_id
+    )
+    SELECT doc_id, score_fp,
+           CAST(CASE WHEN score_fp > 0 THEN 1 ELSE 0 END AS INT) AS kept
+    FROM s ORDER BY doc_id
+    """,
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-classifier quality filter over hashed-BOW features
+    (``feature_hashing_bow``'s index scheme): per-token weight lookup
+    is a map-side expression, the document score is ONE
+    map-side-combined groupBy(doc_id) BIGINT sum, and the keep
+    decision is an integer sign test (sigmoid > 0.5 ⟺ z > 0). At
+    100 TB: explode + single doc-keyed sum, no weight-table join, no
+    Python. The deployed variant broadcasts trained weights; shape
+    unchanged."""
+    from .curation import md5_bucket
+
+    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    tok = docs.select("doc_id", F.explode("toks").alias("token"))
+    w = (
+        md5_bucket(F.col("token"), buckets=FEATURE_DIM) * F.lit(CLS_WEIGHT_MULT)
+    ) % F.lit(CLS_WEIGHT_MOD) - F.lit(1000)
+    return (
+        tok.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg((F.sum("w") + F.lit(CLS_BIAS_FP)).cast("bigint").alias("score_fp"))
+        .select(
+            "doc_id",
+            "score_fp",
+            (F.col("score_fp") > 0).cast("int").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -245,10 +245,15 @@ GATE_PRIORITY: list[str] = [
     # stays via document_chunking
     "dedup_bloom_prefilter",
     # similarity / embeddings
-    # ann_bruteforce_topk (3 straight greens) yields to the
-    # never-checked audio decoder; its batched sibling keeps the
-    # exact-scoring tail in the gate
-    "ann_batch_topk",
+    # ann_bruteforce_topk (3 straight greens) yielded to the
+    # never-checked audio decoder in r7; r9: its batched sibling
+    # ann_batch_topk (3 straight greens r6-r8, plan-pinned
+    # broadcast-queries-only) yields to the NEW r9
+    # quality_classifier_filter (learned-classifier quality scoring —
+    # the fastText/CCNet-classifier analog next to the rule-based
+    # family); the exact-scoring tail stays in the gate via
+    # ann_hard_negatives + ann_radius_search
+    "quality_classifier_filter",
     # r7-late coverage-first swap: multimodal_audio_decode (green
     # r5+r6, plant-independent) yields to the never-checked
     # corpus_distinct_ngram_rate

@@ -874,3 +874,15 @@ def test_jpeg_pixels_map_only_chained_kernels(spark):
     lines = [l.strip("+- ") for l in text.splitlines()]
     i = next(k for k, l in enumerate(lines) if l.startswith("MapInPandas decode_jpeg"))
     assert lines[i + 1].startswith("MapInPandas build_jpeg"), lines[i : i + 2]
+
+
+def test_classifier_filter_single_doc_sum_no_weight_join(spark):
+    """The learned-classifier filter must be explode + ONE doc-keyed
+    map-side-combined sum: the weight is a map-side expression, never
+    a weight-table join (a 1024-row join would be harmless here but
+    the deployed trained-weights variant must stay a broadcast lookup,
+    so the shape is pinned join-free)."""
+    text = plan_of(spark, "quality_classifier_filter")
+    assert "Join" not in text, "weight lookup became a join"
+    assert text.count("HashAggregate") >= 2  # partial + final sum
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text
