@@ -52,6 +52,9 @@ FAMILY = [
     # bigram-domain joins: per-replica vocab universes keep the
     # collocation key-space linear in N
     "pmi_top_bigrams",
+    # r9: the learned-classifier filter — token explode + one doc-keyed
+    # sum; the per-replica vocab growth must not bend the exchange
+    "quality_classifier_filter",
 ]
 
 
