@@ -83,3 +83,22 @@ def test_domain_cap_respected(spark):
     out = plans.QUERIES["domain_cap_sample"](spark, SF)
     per = out.groupBy("source").count().collect()
     assert per and all(r["count"] <= DOMAIN_CAP for r in per)
+
+
+def test_classifier_gate_fixture_discriminates(spark):
+    """Fixture-degeneracy pin (the pagerank precedent): the classifier
+    gate row is only meaningful if BOTH keep classes populate and the
+    scores spread — a CLS_BIAS_FP drift or fixture-vintage change that
+    collapses `kept` to a constant must fail HERE, not pass the
+    oracle-parity gate vacuously."""
+    import pg_bifrost_spark.plans as plans
+
+    plans.load_all()
+    rows = plans.QUERIES["quality_classifier_filter"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    kept = {r["kept"] for r in rows}
+    assert kept == {0, 1}, f"kept degenerated to {kept}"
+    frac = sum(r["kept"] for r in rows) / len(rows)
+    assert 0.2 < frac < 0.8, f"keep rate {frac} — bias off-center"
+    assert len({r["score_fp"] for r in rows}) > len(rows) // 2
