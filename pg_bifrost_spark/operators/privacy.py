@@ -290,3 +290,57 @@ def canary_extraction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canary")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity report (r9): the re-identification audit a curation
+# pass runs before releasing structured records — every equivalence
+# class over the quasi-identifiers must hold at least K records, or
+# its members are re-identifiable by joining the quasi-IDs against an
+# external dataset (Sweeney's k-anonymity, public literature).
+# ---------------------------------------------------------------------------
+K_ANON = 8  # splits the fixture: sizes 5..21 ⇒ both verdicts populate
+
+
+@register(
+    "privacy_k_anonymity_report",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(class_size AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(class_size * count(*) AS BIGINT) AS n_records,
+           CAST(CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END AS INT)
+             AS violates_k
+    FROM classes GROUP BY class_size ORDER BY class_size
+    """,
+)
+def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence-class-size histogram over the quasi-identifier
+    tuple (nation, market segment) with a per-size K=8 verdict —
+    the data-card panel deciding whether a release needs coarsening
+    (generalize a quasi-ID) or suppression (drop the small classes).
+
+    Plan: two map-side-combined groupBys (quasi-IDs → class size,
+    then size → histogram), same shape as the dedup cluster-size
+    data card — one small shuffle keyed on the quasi-IDs, one
+    histogram-sized one; nothing windowed, collected, or broadcast,
+    so the audit costs two cheap exchanges at any corpus size."""
+    classes = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("class_size"))
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count("*").cast("bigint").alias("n_classes"))
+        .select(
+            F.col("class_size").cast("bigint").alias("class_size"),
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).cast("bigint").alias("n_records"),
+            (F.col("class_size") < K_ANON).cast("int").alias("violates_k"),
+        )
+        .orderBy("class_size")
+    )

@@ -222,7 +222,13 @@ GATE_PRIORITY: list[str] = [
     # capstone — every plant-affected dedup row stays in the gate to
     # prove the new fixture vintage
     "corpus_health_report",
-    "dedup_containment",
+    # r9 rotation: dedup_containment (3 straight greens r6-r8) yields
+    # to the NEW r9 privacy_k_anonymity_report (quasi-ID equivalence-
+    # class audit — the privacy family's structured-records leg next
+    # to pii/canary); asymmetric-overlap evidence stays via
+    # source_ngram_overlap + the jaccard family, and the op stays
+    # oracle-backed + pytest-rehearsed every round
+    "privacy_k_anonymity_report",
     # dedup_embedding_cosine (4 straight greens) yields to the NEW r6
     # embedding_drift_report; the embedding family keeps
     # semantic_dedup_srp + ann_batch_topk + leakage_safe_split in gate

@@ -102,3 +102,17 @@ def test_classifier_gate_fixture_discriminates(spark):
     frac = sum(r["kept"] for r in rows) / len(rows)
     assert 0.2 < frac < 0.8, f"keep rate {frac} — bias off-center"
     assert len({r["score_fp"] for r in rows}) > len(rows) // 2
+
+
+def test_k_anonymity_gate_fixture_discriminates(spark):
+    """Both verdicts must populate at gate scale (K_ANON=8 vs class
+    sizes 5..21) — a K drift or fixture change that makes violates_k
+    constant must fail here, not pass the parity gate vacuously."""
+    import pg_bifrost_spark.plans as plans
+
+    plans.load_all()
+    rows = plans.QUERIES["privacy_k_anonymity_report"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert {r["violates_k"] for r in rows} == {0, 1}
+    assert len(rows) >= 5  # a real size distribution, not 2 buckets

@@ -738,3 +738,29 @@ def test_jpeg_decoder_short_tables_return_none():
     # DHT whose vals are shorter than sum(bits)
     dht = bytes([0x00]) + bytes([0, 9] + [0] * 14) + bytes([1, 2])  # claims 9 vals
     assert decode_jpeg_blocks(b"\xff\xd8" + seg(0xC4, dht) + b"\xff\xd9") is None
+
+
+@_settings(max_examples=150, deadline=None)
+@_given(data=_st.binary(min_size=0, max_size=400))
+def test_mp4_and_jpeg_decoders_never_raise_on_arbitrary_bytes(data):
+    """Mixed-corpus contract, fuzzed: ARBITRARY bytes must decode to
+    None/empty, never raise — including bytes that start with valid
+    magic and degrade into garbage."""
+    from pg_bifrost_spark.operators.multimodal import (
+        decode_jpeg_blocks,
+        decode_mp4_samples,
+    )
+
+    for payload in (
+        data,
+        b"\xff\xd8" + data,          # JPEG SOI + garbage
+        data[:4] + b"ftyp" + data,   # MP4-ish box + garbage
+    ):
+        r = decode_jpeg_blocks(payload)
+        assert r is None or len(r) == 3
+        [out] = list(
+            decode_mp4_samples(
+                iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+            )
+        )
+        assert len(out) >= 0  # reaching here == no raise
