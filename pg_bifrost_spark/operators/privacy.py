@@ -344,3 +344,62 @@ def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class_size")
     )
+
+
+# l-diversity (the k-anonymity companion): a class can satisfy k yet
+# leak the sensitive attribute when all its members SHARE the value
+# (homogeneity attack) — each quasi-ID class must hold ≥ L distinct
+# sensitive values (Machanavajjhala et al., public literature). The
+# sensitive attribute here is the account-balance band; floor(x/2000)
+# is one IEEE division + floor, bit-identical across engines.
+L_DIV = 5  # fixture classes span l = 3..6 ⇒ both verdicts populate
+
+
+@register(
+    "privacy_l_diversity_report",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS l,
+             count(*) AS class_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(l AS BIGINT) AS l,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_records,
+           CAST(CASE WHEN l < {L_DIV} THEN 1 ELSE 0 END AS INT) AS violates_l
+    FROM classes GROUP BY l ORDER BY l
+    """,
+)
+def privacy_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-sensitive-value (l) histogram per quasi-ID class with
+    a per-l L=5 verdict — run together with
+    ``privacy_k_anonymity_report`` before releasing structured
+    records: k bounds re-identification, l bounds attribute
+    disclosure. Plan: one distinct-aggregate groupBy over the
+    quasi-IDs (Spark expands it to a two-phase partial/final pair,
+    map-side combined) + one histogram-sized groupBy."""
+    classes = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+            ).alias("l"),
+            F.count("*").alias("class_size"),
+        )
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_records"),
+        )
+        .select(
+            F.col("l").cast("bigint").alias("l"),
+            "n_classes",
+            "n_records",
+            (F.col("l") < L_DIV).cast("int").alias("violates_l"),
+        )
+        .orderBy("l")
+    )

@@ -266,7 +266,12 @@ GATE_PRIORITY: list[str] = [
     "corpus_distinct_ngram_rate",
     # embedding_quantize_int8 (3 straight greens, map-only shape)
     # yields to the never-checked leakage_safe_split
-    "leakage_safe_split",
+    # r9 rotation: leakage_safe_split (3 straight greens r6-r8) yields
+    # to the NEW r9 privacy_l_diversity_report (the k-anonymity
+    # companion — attribute-disclosure audit); split-machinery
+    # evidence stays via contamination_removal + the md5-bucket
+    # sampling family, and the op stays oracle-backed + rehearsed
+    "privacy_l_diversity_report",
     # text analysis / structural cleaning (r5 additions:
     # paragraph/line/html/PII/unigram-LM/BPE — first gate appearance)
     # text_quality_score (4 straight greens) yields to the NEW r6

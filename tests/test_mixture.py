@@ -116,3 +116,15 @@ def test_k_anonymity_gate_fixture_discriminates(spark):
     ).collect()
     assert {r["violates_k"] for r in rows} == {0, 1}
     assert len(rows) >= 5  # a real size distribution, not 2 buckets
+
+
+def test_l_diversity_gate_fixture_discriminates(spark):
+    """Both verdicts must populate (L_DIV=5 vs fixture l = 3..6)."""
+    import pg_bifrost_spark.plans as plans
+
+    plans.load_all()
+    rows = plans.QUERIES["privacy_l_diversity_report"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert {r["violates_l"] for r in rows} == {0, 1}
+    assert len(rows) >= 3
