@@ -68,12 +68,14 @@ PGCDC_SCHEMA = StructType(
 
 # process-wide count of fetches that ended TRUNCATED — budget
 # exhaustion, or a partial batch committed because reconnect attempts
-# ran out. drain_cdc_query snapshots this around each single-batch
-# query: an under-cap batch normally proves the backlog is empty, but
-# a truncated one proves nothing, so the drain must run another round
-# (code-review r9). A module-level counter is sound because the simple
-# reader and the drain loop both run on the driver, and the drain is a
-# sequential loop — no concurrent writers within one drain.
+# ran out. NOTE (ADVICE r9): when the reader runs inside PySpark's
+# Python data-source worker (python_streaming_source_runner), this
+# counter lives in THAT process, not the user's driver process — so it
+# is a same-process convenience only (tests, direct transport use).
+# The cross-process channel is the OFFSET: ``_Offset.trunc`` carries a
+# cumulative truncated-fetch count through the checkpoint/progress
+# log, and ``drain_cdc_query`` reads it from ``lastProgress`` (the
+# start→end delta of one batch says whether THAT batch truncated).
 _TRUNCATION_EVENTS = 0
 
 
@@ -158,15 +160,45 @@ class ReplayTransport:
             )
         return self._msgs
 
-    def fetch(self, after_lsn: int, limit: int) -> list[tuple[int, int, str | None]]:
-        """Messages after ``after_lsn``. A file line ``{"wal_start": N,
-        "error": "..."}`` models a protocol ErrorResponse at that
-        position (line=None) — the replay analog of a decoding fault."""
+    # replay never truncates a batch (the corpus is local); the
+    # attribute exists so the reader can read one field off any
+    # transport when stamping the offset's truncation count
+    truncations = 0
+
+    def fetch(
+        self, after_lsn: int, limit: int, after_seq: int | None = None
+    ) -> list[tuple[int, int, str | None, int]]:
+        """Messages strictly after position ``(after_lsn, after_seq)``.
+
+        Returns ``(lsn, time_ms, line, k)`` where ``k`` is the
+        message's index within its equal-LSN run — a real walsender
+        stamps BEGIN and the transaction's first change with the SAME
+        wal_start (ADVICE r9), so an LSN alone cannot address a batch
+        boundary: a limit cut between them would make the next fetch's
+        ``> after_lsn`` filter silently drop the first DML of that
+        transaction. ``after_seq = S`` means "the first S messages at
+        ``after_lsn`` are consumed"; ``None`` is the legacy offset form
+        (pre-seq checkpoints): everything at ``after_lsn`` consumed.
+
+        A file line ``{"wal_start": N, "error": "..."}`` models a
+        protocol ErrorResponse at that position (line=None) — the
+        replay analog of a decoding fault."""
         import bisect
 
         msgs = self._load()
-        i = bisect.bisect_right(self._lsns, after_lsn)
-        return msgs[i : i + limit]
+        if after_seq is None:
+            i = bisect.bisect_right(self._lsns, after_lsn)
+        else:
+            i = min(bisect.bisect_left(self._lsns, after_lsn) + after_seq, len(msgs))
+        out: list[tuple[int, int, str | None, int]] = []
+        run_lsn, run_start = None, 0
+        for idx in range(i, min(i + limit, len(msgs))):
+            lsn, tms, line = msgs[idx]
+            if lsn != run_lsn:
+                run_lsn = lsn
+                run_start = bisect.bisect_left(self._lsns, lsn)
+            out.append((lsn, tms, line, idx - run_start))
+        return out
 
     def current_end(self) -> int:
         """Highest LSN available — the 'server WAL end' the reference
@@ -174,16 +206,26 @@ class ReplayTransport:
         msgs = self._load()
         return msgs[-1][0] if msgs else 0
 
-    def ack(self, lsn: int) -> None:
+    def ack(self, lsn: int, seq: int | None = None) -> None:
+        """Record the durable position. ``seq`` (count of messages
+        consumed at exactly ``lsn``) makes a restart resume exact when
+        a batch boundary landed inside an equal-LSN run (ADVICE r9);
+        omitted = legacy whole-run form."""
         with open(os.path.join(self.wal_dir, ".ack"), "w") as f:
-            f.write(str(lsn))
+            f.write(str(lsn) if seq is None else f"{lsn} {seq}")
 
     def acked(self) -> int:
+        return self.acked_pos()[0]
+
+    def acked_pos(self) -> tuple[int, int | None]:
         try:
             with open(os.path.join(self.wal_dir, ".ack")) as f:
-                return int(f.read().strip() or 0)
+                parts = f.read().split()
         except FileNotFoundError:
-            return 0
+            return 0, None
+        if not parts:
+            return 0, None
+        return int(parts[0]), (int(parts[1]) if len(parts) > 1 else None)
 
 
 class LiveTransport:
@@ -229,11 +271,28 @@ class LiveTransport:
         # no yield, no receive timeout — so without a budget one
         # micro-batch can block for the whole replay window
         self.fetch_budget_s = fetch_budget_s
+        if max_connect_attempts < 1:
+            # ADVICE r9: with 0 attempts the retry loop body never runs
+            # and ``raise last_exc`` would raise None (TypeError)
+            raise ValueError(
+                f"max_connect_attempts must be >= 1, got {max_connect_attempts}"
+            )
         self.max_connect_attempts = max_connect_attempts
         self.reconnect_backoff_s = reconnect_backoff_s
         self._conn = None
         self._loop = None
         self._acked = 0
+        # truncated-fetch count for THIS transport instance — the
+        # reader folds the per-fetch delta into the offset's ``trunc``
+        # field (the only channel that crosses the data-source worker
+        # process boundary, ADVICE r9)
+        self.truncations = 0
+        # per-connection equal-LSN run tracker: k = index of a frame
+        # within its wal_start run since (re)connect. START_REPLICATION
+        # resends from the requested LSN's run start, so a frame's k is
+        # stable across reconnects and can address batch boundaries.
+        self._run_lsn: int | None = None
+        self._run_k = 0
         self.stats: dict[str, int] = {"transport_errors": 0, "connects": 0}
 
     # -------------------------------------------------------- connection
@@ -302,11 +361,21 @@ class LiveTransport:
             )
             self._loop.ack(self._acked)
             self.stats["connects"] += 1
+            # fresh stream ⇒ the server resends the start LSN's run
+            # from its first frame: reset the equal-LSN run tracker so
+            # k values realign with the original delivery
+            self._run_lsn, self._run_k = None, 0
             return
         raise last_exc  # type: ignore[misc]
 
+    def _mark_truncated(self) -> None:
+        self.truncations += 1
+        _note_truncation()
+
     # ------------------------------------------------------------- fetch
-    def fetch(self, after_lsn: int, limit: int) -> list[tuple[int, int, str | None]]:
+    def fetch(
+        self, after_lsn: int, limit: int, after_seq: int | None = None
+    ) -> list[tuple[int, int, str | None, int]]:
         """One bounded micro-batch. Three exits: ``limit`` messages
         buffered, a receive timeout (stream idle), or the per-batch
         wall-clock budget. A transport-level failure mid-batch
@@ -322,13 +391,19 @@ class LiveTransport:
         down (the drain loop re-runs on truncation — see
         ``truncation_events``).
 
-        Admission filter: ``wal_start > after_lsn`` (or synthetic) —
-        NEVER the emitted high-water mark (code-review r9): a real
-        walsender can stamp BEGIN and the transaction's first change
-        with the SAME wal_start, so filtering past the last emitted
-        LSN would silently drop the first DML of every transaction.
-        After a mid-batch reconnect the server resends from the
-        high-water mark, so frames in (after_lsn, hwm] can be
+        Admission filter: position ``(wal_start, k) > (after_lsn,
+        after_seq-1)`` where ``k`` is the frame's index within its
+        equal-LSN run since (re)connect (or synthetic) — NEVER the
+        emitted high-water mark (code-review r9): a real walsender can
+        stamp BEGIN and the transaction's first change with the SAME
+        wal_start, so filtering past the last emitted LSN would
+        silently drop the first DML of every transaction; and the
+        sub-LSN ``k`` (ADVICE r9) keeps that true even when the LIMIT
+        cut itself lands between two equal-LSN frames — the next batch
+        resumes mid-run instead of skipping its tail. ``after_seq =
+        None`` (legacy/pre-seq offsets) degrades to ``wal_start >
+        after_lsn``. After a mid-batch reconnect the server resends
+        from the high-water-mark LSN, so frames in (after, hwm] can be
         re-delivered as intra-batch duplicates — at-least-once, the
         reference's own behavior on resume-from-ack, deduped
         downstream by time_based_key (W4)."""
@@ -336,14 +411,15 @@ class LiveTransport:
 
         from .pgwire import ServerError, WireError
 
-        out: list[tuple[int, int, str | None]] = []
-        # high-water mark of emitted LSNs: (a) a synthetic COMMIT
+        out: list[tuple[int, int, str | None, int]] = []
+        # high-water mark of emitted POSITIONS: (a) a synthetic COMMIT
         # (error recovery) carries the last COMMIT's LSN, possibly
         # BELOW rows already emitted this batch — clamping keeps the
         # reader's end offset monotone (code-review r8); (b) after a
-        # mid-batch reconnect it is the RESUME position (never the
-        # admission filter — see docstring)
-        hwm = after_lsn
+        # mid-batch reconnect its LSN is the RESUME position (never
+        # the admission filter — see docstring)
+        hwm, hwm_k = after_lsn, (after_seq - 1) if after_seq else -1
+        truncated = False
         deadline = _time.monotonic() + self.fetch_budget_s
         while len(out) < limit and _time.monotonic() < deadline:
             try:
@@ -353,13 +429,14 @@ class LiveTransport:
                     # commit the partial batch (progress is durable);
                     # flag truncation so a drain loop runs another
                     # round, where this re-raises if still down
-                    _note_truncation()
+                    truncated = True
                     break
                 raise
             # snapshot, not the raw counter: the loop's stats
             # accumulate over the CONNECTION's lifetime, so "a timeout
             # happened before this batch" must not end it
             timeouts_at_start = self._loop.stats.get("receive_timeouts", 0)
+            budget_spent = False
             while len(out) < limit:
                 try:
                     msgs = self._loop.step()
@@ -368,15 +445,26 @@ class LiveTransport:
                     self._disconnect()
                     break  # outer loop reconnects and continues the batch
                 for m in msgs:
-                    if m.wal_start > after_lsn or m.synthetic:
+                    if m.synthetic:
+                        # error-recovery COMMIT: clamp to the batch
+                        # high-water position; does not advance the
+                        # equal-LSN run (it is not a WAL frame)
                         hwm = max(hwm, m.wal_start)
-                        out.append(
-                            (
-                                hwm if m.synthetic else m.wal_start,
-                                m.server_time_ms,
-                                m.line,
-                            )
-                        )
+                        out.append((hwm, m.server_time_ms, m.line, hwm_k))
+                        continue
+                    if m.wal_start == self._run_lsn:
+                        self._run_k += 1
+                    else:
+                        self._run_lsn, self._run_k = m.wal_start, 0
+                    k = self._run_k
+                    if m.wal_start > after_lsn or (
+                        m.wal_start == after_lsn
+                        and after_seq is not None
+                        and k >= after_seq
+                    ):
+                        if (m.wal_start, k) > (hwm, hwm_k):
+                            hwm, hwm_k = m.wal_start, k
+                        out.append((m.wal_start, m.server_time_ms, m.line, k))
                 if self._loop.stats.get("receive_timeouts", 0) > timeouts_at_start:
                     return out[:limit]  # stream idle — micro-batch done
                 if not self._connected():
@@ -391,8 +479,16 @@ class LiveTransport:
                     self.stats["fetch_budget_exhausted"] = (
                         self.stats.get("fetch_budget_exhausted", 0) + 1
                     )
-                    _note_truncation()
-                    return out[:limit]
+                    truncated = budget_spent = True
+                    break
+            if budget_spent:
+                break
+        # flag ANY under-cap exit that does not prove the stream idle:
+        # partial-batch reconnect exhaustion, the inner budget branch,
+        # and the outer-loop deadline exit after a mid-batch error
+        # (ADVICE r9 — that last path previously returned unflagged)
+        if truncated or len(out) < limit:
+            self._mark_truncated()
         return out[:limit]
 
     def current_end(self) -> int:
@@ -458,13 +554,38 @@ class _Offset:
     lsn: int = 0
     xid: str | None = None  # last-seen BEGIN xid (W3 carry-over)
     tbk: str | None = None  # its time_based_key
+    # sub-LSN position: COUNT of messages consumed at exactly ``lsn``
+    # (ADVICE r9 — BEGIN and the txn's first change share a wal_start,
+    # so an LSN alone cannot address a batch boundary that lands
+    # inside an equal-LSN run). ``None`` = legacy/pre-seq checkpoint
+    # semantics: everything at ``lsn`` consumed.
+    seq: int | None = None
+    # cumulative count of TRUNCATED fetches along this offset lineage
+    # (budget exhaustion / partial batch on reconnect exhaustion).
+    # This is the signal's only channel across the data-source worker
+    # process boundary (ADVICE r9): drain_cdc_query reads the
+    # start→end delta from lastProgress to decide whether an under-cap
+    # batch proves the backlog empty.
+    trunc: int = 0
 
     def to_dict(self) -> dict:
-        return {"lsn": self.lsn, "xid": self.xid, "tbk": self.tbk}
+        return {
+            "lsn": self.lsn,
+            "xid": self.xid,
+            "tbk": self.tbk,
+            "seq": self.seq,
+            "trunc": self.trunc,
+        }
 
     @classmethod
     def from_dict(cls, d: dict) -> "_Offset":
-        return cls(lsn=d.get("lsn", 0), xid=d.get("xid"), tbk=d.get("tbk"))
+        return cls(
+            lsn=d.get("lsn", 0),
+            xid=d.get("xid"),
+            tbk=d.get("tbk"),
+            seq=d.get("seq"),
+            trunc=d.get("trunc") or 0,
+        )
 
 
 class PgCdcSimpleReader(SimpleDataSourceStreamReader):
@@ -483,12 +604,15 @@ class PgCdcSimpleReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return _Offset().to_dict()
 
-    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
-        off = _Offset.from_dict(start)
-        msgs = self.transport.fetch(off.lsn, self.max_msgs)
-        rows = []
+    def _read_batch(self, off: _Offset):
+        """One admission-capped batch from position (off.lsn, off.seq).
+        Returns (rows, positions, end_offset); positions[i] = (lsn, k)
+        of rows[i] so replay filtering can address equal-LSN runs."""
+        truncs_before = getattr(self.transport, "truncations", 0)
+        msgs = self.transport.fetch(off.lsn, self.max_msgs, off.seq)
+        rows, poss = [], []
         xid, tbk = off.xid, off.tbk
-        for lsn, time_ms, line in msgs:
+        for lsn, time_ms, line, k in msgs:
             if line is None:
                 # error-recovery skip-ahead (S7, client.go:386-424):
                 # close the open transaction with a synthetic COMMIT,
@@ -496,7 +620,9 @@ class PgCdcSimpleReader(SimpleDataSourceStreamReader):
                 # at-least-once with an explicit, documented data gap.
                 if xid is not None:
                     rows.append((lsn, lsn + 8, time_ms, 0, f"COMMIT {xid}", xid, tbk))
+                    poss.append((lsn, k))
                 off.lsn = max(lsn, self.transport.current_end())
+                off.seq = None  # the jump consumes everything at off.lsn
                 break
             # transaction assembly (client.go:487-545): xid appears on
             # BEGIN/COMMIT; intermediate rows take the last BEGIN's.
@@ -506,18 +632,34 @@ class PgCdcSimpleReader(SimpleDataSourceStreamReader):
             if first[0] == "BEGIN" and len(first) >= 2:
                 xid, tbk = first[1], f"{first[1]}-{lsn}"
             rows.append((lsn, lsn + 8, time_ms, 0, line, xid, tbk))
-            # max(): a live reconnect mid-batch may re-deliver boundary
-            # frames (at-least-once) — the END offset must stay monotone
-            off.lsn = max(off.lsn, lsn)
+            poss.append((lsn, k))
+            # monotone end POSITION: a live reconnect mid-batch may
+            # re-deliver boundary frames (at-least-once), so only a
+            # strictly greater (lsn, k) advances the offset; seq is the
+            # consumed COUNT at off.lsn (= last k + 1)
+            if lsn > off.lsn or (lsn == off.lsn and off.seq is not None and k + 1 > off.seq):
+                off.lsn, off.seq = lsn, k + 1
         off.xid, off.tbk = xid, tbk
+        off.trunc += getattr(self.transport, "truncations", 0) - truncs_before
+        return rows, poss, off
+
+    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
+        rows, _poss, off = self._read_batch(_Offset.from_dict(start))
         return iter(rows), off.to_dict()
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         """Deterministic replay of a checkpointed range (exactly the
         reference's resume-at-LSN, X13)."""
-        rows, _ = self.read(start)
-        end_lsn = _Offset.from_dict(end).lsn
-        return iter([r for r in rows if r[0] <= end_lsn])
+        rows, poss, _ = self._read_batch(_Offset.from_dict(start))
+        e = _Offset.from_dict(end)
+
+        def _within(pos):
+            lsn, k = pos
+            if lsn != e.lsn:
+                return lsn < e.lsn
+            return e.seq is None or k < e.seq
+
+        return iter([r for r, p in zip(rows, poss) if _within(p)])
 
     def commit(self, end: dict) -> None:
         """Micro-batch durably committed → ack the contiguous prefix
@@ -622,11 +764,10 @@ class PgCdcParallelReader(DataSourceStreamReader):
         in-flight txn state at that LSN is recovered by scanning the
         corpus backwards for the nearest BEGIN/COMMIT — O(txn) work,
         once per query start."""
-        lsn = self.transport.acked()
+        lsn, seq = self.transport.acked_pos()
         msgs, lsns = self.transport._load(), self.transport._lsns
-        import bisect
 
-        i = bisect.bisect_right(lsns, lsn)
+        i = self._pos_index(lsns, _Offset(lsn=lsn, seq=seq))
         for j in range(i - 1, -1, -1):
             line = msgs[j][2]
             if line is None:
@@ -635,41 +776,61 @@ class PgCdcParallelReader(DataSourceStreamReader):
             if head[0] == "COMMIT":
                 break
             if head[0] == "BEGIN" and len(head) >= 2:
-                return _Offset(lsn=lsn, xid=head[1], tbk=f"{head[1]}-{msgs[j][0]}")
-        return _Offset(lsn=lsn)
+                return _Offset(
+                    lsn=lsn, xid=head[1], tbk=f"{head[1]}-{msgs[j][0]}", seq=seq
+                )
+        return _Offset(lsn=lsn, seq=seq)
 
     @staticmethod
     def _advance(msgs, start: _Offset, transport=None) -> _Offset:
         """Fold txn state over a batch slice — the same per-message
         rules as PgCdcSimpleReader.read (BEGIN adopts xid, error
-        marker skips to server WAL end)."""
-        xid, tbk, lsn = start.xid, start.tbk, start.lsn
-        for m_lsn, _t, line in msgs:
+        marker skips to server WAL end). Accepts both fetch-shaped
+        4-tuples (with the equal-LSN run index ``k``, which sets the
+        end offset's sub-LSN ``seq``) and raw 3-tuple corpus slices
+        (used only for per-chunk txn state, where seq is unused)."""
+        xid, tbk = start.xid, start.tbk
+        lsn, seq, trunc = start.lsn, start.seq, start.trunc
+        for m in msgs:
+            m_lsn, _t, line = m[0], m[1], m[2]
             if line is None:
                 end = transport.current_end() if transport is not None else m_lsn
-                return _Offset(lsn=max(m_lsn, end), xid=xid, tbk=tbk)
+                # the jump consumes everything at the target lsn
+                return _Offset(
+                    lsn=max(m_lsn, end), xid=xid, tbk=tbk, seq=None, trunc=trunc
+                )
             head = line.split(" ", 2)
             if head[0] == "BEGIN" and len(head) >= 2:
                 xid, tbk = head[1], f"{head[1]}-{m_lsn}"
             lsn = m_lsn
-        return _Offset(lsn=lsn, xid=xid, tbk=tbk)
+            seq = (m[3] + 1) if len(m) > 3 else None
+        return _Offset(lsn=lsn, xid=xid, tbk=tbk, seq=seq, trunc=trunc)
 
     def latestOffset(self) -> dict:
         start = self._last if self._last is not None else self._resume_state()
-        batch = self.transport.fetch(start.lsn, self.max_msgs)
+        batch = self.transport.fetch(start.lsn, self.max_msgs, start.seq)
         end = self._advance(batch, start, self.transport)
         self._last = end
         return end.to_dict()
 
     @staticmethod
-    def _batch_slice(msgs, lsns, start: _Offset, end: _Offset):
+    def _pos_index(lsns, off: _Offset) -> int:
+        """First corpus index NOT consumed by ``off`` — sub-LSN aware:
+        (lsn, seq) addresses ``seq`` messages into the equal-LSN run
+        (ADVICE r9); seq=None is the legacy whole-run form."""
+        import bisect
+
+        if off.seq is None:
+            return bisect.bisect_right(lsns, off.lsn)
+        return min(bisect.bisect_left(lsns, off.lsn) + off.seq, len(lsns))
+
+    @classmethod
+    def _batch_slice(cls, msgs, lsns, start: _Offset, end: _Offset):
         """[i0, i1) of the sorted corpus for offset range (start, end],
         truncated just past the first error marker (skip-ahead leaves
         a documented gap)."""
-        import bisect
-
-        i0 = bisect.bisect_right(lsns, start.lsn)
-        i1 = bisect.bisect_right(lsns, end.lsn)
+        i0 = cls._pos_index(lsns, start)
+        i1 = cls._pos_index(lsns, end)
         for j in range(i0, i1):
             if msgs[j][2] is None:
                 return i0, j + 1
@@ -748,7 +909,12 @@ class PgCdcParallelReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        self.transport.ack(_Offset.from_dict(end).lsn)
+        off = _Offset.from_dict(end)
+        # ack the sub-LSN position too: this reader's restart resume
+        # goes through the ack record (_resume_state), so an LSN-only
+        # ack would skip the equal-LSN run tail after a mid-run batch
+        # boundary (ADVICE r9)
+        self.transport.ack(off.lsn, off.seq)
 
 
 class PgCdcDataSource(DataSource):

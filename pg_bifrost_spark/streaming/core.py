@@ -154,7 +154,54 @@ def drain_cdc_query(
             # batch committed when reconnects ran out — code-review
             # r9): a truncated round proves nothing, so keep draining;
             # a still-down server re-raises in the next round instead
-            # of being silently swallowed with backlog remaining
-            if pgcdc.truncation_events() == truncs_before:
+            # of being silently swallowed with backlog remaining.
+            # The signal channel is the OFFSET (ADVICE r9): the reader
+            # runs inside PySpark's data-source worker process, so a
+            # module counter bumped there is invisible here — the
+            # reader folds the transport's truncation count into the
+            # offset's ``trunc`` field, and this batch truncated iff
+            # end.trunc > start.trunc in lastProgress. The module
+            # counter is kept as a same-process fallback (tests,
+            # direct-transport drains).
+            if (
+                _progress_trunc_delta(progress) == 0
+                and pgcdc.truncation_events() == truncs_before
+            ):
                 break
     return rounds
+
+
+def _progress_trunc_delta(progress: dict | None) -> int:
+    """Truncated-fetch count of ONE batch, read from its progress
+    entry's start/end offsets (the reader stamps a cumulative count
+    into the offset dict — the only channel that crosses the
+    data-source worker process boundary)."""
+    import ast as _ast
+    import json as _json
+
+    def _trunc(raw) -> int:
+        if raw is None:
+            return 0
+        if isinstance(raw, str):
+            # Spark renders the Python source's offset as the dict's
+            # REPR (single quotes; "None" for the initial offset), not
+            # JSON — accept both forms
+            try:
+                raw = _json.loads(raw)
+            except ValueError:
+                try:
+                    raw = _ast.literal_eval(raw)
+                except (ValueError, SyntaxError):
+                    return 0
+        if isinstance(raw, dict):
+            try:
+                return int(raw.get("trunc") or 0)
+            except (TypeError, ValueError):
+                return 0
+        return 0
+
+    sources = (progress or {}).get("sources") or []
+    if not sources:
+        return 0
+    src = sources[0]
+    return max(0, _trunc(src.get("endOffset")) - _trunc(src.get("startOffset")))

@@ -1096,9 +1096,61 @@ def test_equal_lsn_begin_and_first_change_both_admitted():
         rows = t.fetch(after_lsn=0, limit=100)
         assert [r[2].split(" ")[0] for r in rows] == ["BEGIN", "table", "COMMIT"]
         assert [r[0] for r in rows] == [5000, 5000, 5008]
+        # each frame carries its equal-LSN run index k (ADVICE r9)
+        assert [r[3] for r in rows] == [0, 1, 0]
         t.close()
     finally:
         srv.close()
+
+
+def test_equal_lsn_batch_boundary_resumes_mid_run():
+    """ADVICE r9 (medium): when the LIMIT cut lands BETWEEN two
+    equal-LSN frames, the next batch's offset (lsn, seq) must resume
+    mid-run instead of skipping the run tail — an LSN-only filter
+    would silently drop the first DML of the transaction."""
+    frames = [
+        ("xlog", 5000, "BEGIN 42"),
+        ("xlog", 5000, "table public.t: INSERT: id[integer]:1"),
+        ("xlog", 5008, "COMMIT 42"),
+    ]
+    srv = FakeWalsender(frames=frames)
+    try:
+        from pg_bifrost_spark.sources.pgcdc import LiveTransport
+
+        dsn = f"postgres://{USER}@127.0.0.1:{srv.port}/{DB}"
+        t = LiveTransport(dsn, slot="s_eqcut", receive_timeout_s=0.3)
+        first = t.fetch(after_lsn=0, limit=1)  # the cut: BEGIN only
+        assert [(r[0], r[3]) for r in first] == [(5000, 0)]
+        t.close()
+
+        # a FRESH transport (new connection, run counters realigned by
+        # the server's resend) resuming from position (5000, seq=1):
+        # the equal-LSN successor is delivered, nothing lost
+        t2 = LiveTransport(dsn, slot="s_eqcut", receive_timeout_s=0.3)
+        rest = t2.fetch(after_lsn=5000, limit=100, after_seq=1)
+        assert [(r[0], r[2].split(" ")[0]) for r in rest] == [
+            (5000, "table"),
+            (5008, "COMMIT"),
+        ]
+        # legacy offset form (seq=None) keeps the old strictly-greater
+        # admission for pre-seq checkpoints
+        t2.close()
+        t3 = LiveTransport(dsn, slot="s_eqcut", receive_timeout_s=0.3)
+        legacy = t3.fetch(after_lsn=5000, limit=100)
+        assert [r[0] for r in legacy] == [5008]
+        t3.close()
+        assert srv.failures == [], srv.failures
+    finally:
+        srv.close()
+
+
+def test_zero_connect_attempts_rejected():
+    """ADVICE r9 (low): max_connect_attempts=0 would make the retry
+    loop body never run and ``raise last_exc`` raise None."""
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+
+    with pytest.raises(ValueError, match="max_connect_attempts"):
+        LiveTransport("postgres://u@127.0.0.1:5432/db", slot="s", max_connect_attempts=0)
 
 
 def test_server_error_on_start_replication_is_retried():

@@ -333,3 +333,98 @@ def test_drain_runs_extra_round_after_truncated_batch(spark, tmp_path):
     # round 1: under-cap BUT truncated -> continue; round 2: under-cap,
     # clean -> stop. Without the truncation check this would be 1.
     assert rounds == 2
+
+
+def test_drain_sees_truncation_across_process_boundary(spark, tmp_path):
+    """ADVICE r9 (high): the reader runs inside PySpark's data-source
+    worker process, so a module counter bumped by the transport there
+    is INVISIBLE to the drain loop in the driver process. The signal
+    must ride the offset (``trunc`` field → lastProgress). This twin
+    truncates its first fetch in whatever process the reader runs in
+    and never touches the driver-side counter — the drain recovers the
+    cut-off backlog only if the offset channel works."""
+    from pg_bifrost_spark.sources import pgcdc
+    from pg_bifrost_spark.sources.testing import TruncatingReplaySource
+    from pg_bifrost_spark.streaming.core import drain_cdc_query
+
+    ops = []
+    for i in range(2):
+        ops.extend(
+            txn(500 + i, dml_line("public.t", "INSERT", [("id", "integer", i)]))
+        )
+    wal_dir = write_replay_dir(tmp_path, ops)  # 6 messages, cap 10
+    seen: list[str] = []
+
+    def sink(df, epoch_id):
+        seen.extend(r.json for r in df.collect() if r.json)
+
+    counter_before = pgcdc.truncation_events()
+    rounds = drain_cdc_query(
+        spark,
+        sink,
+        str(tmp_path / "ckpt"),
+        source_options={"wal_dir": wal_dir},
+        source=TruncatingReplaySource,
+    )
+    # the driver-process module counter never moved — the offset dict
+    # was the only channel that could have carried the signal
+    assert pgcdc.truncation_events() == counter_before
+    # round 1 delivered 2 of 6 (truncated, under cap); without the
+    # offset channel the drain would stop there with backlog remaining
+    assert rounds >= 2
+    got = sorted(json.loads(j)["columns"]["id"]["new"]["v"] for j in seen)
+    assert got == ["0", "1"], got
+
+
+def test_equal_lsn_batch_boundary_replay_reader(tmp_path):
+    """ADVICE r9 (medium), replay side: BEGIN and the transaction's
+    first change share a wal_start; with the admission cap cutting
+    between them, the offset's sub-LSN seq must resume mid-run — an
+    LSN-only offset would drop the first DML."""
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir)
+    lines = [
+        (1000, "BEGIN 800"),
+        (1000, "table public.t: INSERT: id[integer]:1"),
+        (1008, "COMMIT 800"),
+    ]
+    with open(os.path.join(wal_dir, "000.jsonl"), "w") as f:
+        for lsn, line in lines:
+            f.write(json.dumps({"wal_start": lsn, "server_time_ms": 1, "line": line}) + "\n")
+
+    reader = PgCdcSimpleReader({"wal_dir": wal_dir, "max_msgs_per_batch": "1"})
+    out, off = [], reader.initialOffset()
+    for _ in range(3):
+        rows, off = reader.read(off)
+        out.extend(rows)
+    assert [r[4].split(" ")[0] for r in out] == ["BEGIN", "table", "COMMIT"]
+    assert [r[0] for r in out] == [1000, 1000, 1008]
+    # the mid-run offset addressed the boundary: (lsn=1000, seq=1)
+    assert off["lsn"] == 1008
+    # replay of a checkpointed mid-run range honors the sub-LSN bound
+    rows1, off1 = reader.read(reader.initialOffset())
+    replayed = list(reader.readBetweenOffsets(reader.initialOffset(), off1))
+    assert [r[4].split(" ")[0] for r in replayed] == ["BEGIN"]
+
+
+def test_replay_transport_position_fetch(tmp_path):
+    """ReplayTransport position contract: k = index within the
+    equal-LSN run; after_seq resumes mid-run; seq=None is the legacy
+    whole-run form; the ack record round-trips the position."""
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir)
+    with open(os.path.join(wal_dir, "000.jsonl"), "w") as f:
+        for lsn, line in [(100, "BEGIN 1"), (100, "table t: INSERT"), (100, "COMMIT 1"), (108, "BEGIN 2")]:
+            f.write(json.dumps({"wal_start": lsn, "server_time_ms": 0, "line": line}) + "\n")
+    t = ReplayTransport(wal_dir)
+    first = t.fetch(0, 2)
+    assert [(m[0], m[3]) for m in first] == [(100, 0), (100, 1)]
+    rest = t.fetch(100, 10, after_seq=2)
+    assert [(m[0], m[3]) for m in rest] == [(100, 2), (108, 0)]
+    legacy = t.fetch(100, 10)  # seq=None: everything at 100 consumed
+    assert [(m[0], m[3]) for m in legacy] == [(108, 0)]
+    t.ack(100, 2)
+    assert t.acked() == 100
+    assert t.acked_pos() == (100, 2)
+    t.ack(108)  # legacy form still round-trips
+    assert t.acked_pos() == (108, None)
