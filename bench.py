@@ -127,6 +127,13 @@ HEADLINE = [
     # rows, the spread() lesson)
     "multimodal_video_samples",
     "multimodal_jpeg_pixels",
+    # r10 freeze (VERDICT r9 ask #1): the three gate-green ops that
+    # landed after r9's final baseline refresh — the perf-regression
+    # gate iterates baseline keys, so an op missing from the baseline
+    # is invisible to it. Added BEFORE any r10 measurement.
+    "quality_classifier_filter",
+    "privacy_k_anonymity_report",
+    "privacy_l_diversity_report",
     "cdc_lineitem_roundtrip",
 ]
 
