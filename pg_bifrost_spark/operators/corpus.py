@@ -704,8 +704,8 @@ def merged_symbol(a: str, b: str) -> str:
     return f"{a}+{b}"
 
 
-def _merge_fold(col: F.Column, a: str, b: str) -> F.Column:
-    m = merged_symbol(a, b)
+def _merge_fold(col: F.Column, a: str, b: str, m: str | None = None) -> F.Column:
+    m = merged_symbol(a, b) if m is None else m
     return F.aggregate(
         col,
         F.array().cast("array<string>"),
@@ -749,6 +749,149 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens_after") < F.col("n_tokens_before"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# distributed BPE merge LEARNING (r10) — the training side of the merge
+# family (``bpe_apply_merges`` applies a given table; this learns one)
+# --------------------------------------------------------------------------
+
+BPE_LEARN_MOD = 16  # divides gen_sf's STRIDE=10^8 (fixture invariant)
+BPE_LEARN_STEPS = 10
+
+
+def _bpe_vocab(words: DataFrame) -> DataFrame:
+    """(word, weight) → distinct-word symbol relation: ONE map-side
+    combined word-count groupBy (the only corpus-sized pass of the
+    trainer), symbols = the word's characters."""
+    return (
+        words.groupBy("word")
+        .agg(F.sum("weight").cast("bigint").alias("weight"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "weight",
+        )
+    )
+
+
+def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """One training iteration's candidate relation: adjacent symbol
+    pairs (map-side transform+explode over the vocabulary) → weighted
+    pair counts (map-side combined groupBy). Plan shape pinned by
+    ``tests/test_plan_quality.py``."""
+    return (
+        vocab.filter(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS l, "
+                    "element_at(syms, i + 1) AS r))"
+                )
+            ).alias("p"),
+            "weight",
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("weight").alias("cnt"))
+    )
+
+
+def learn_bpe_merges(words: DataFrame, steps: int) -> list[tuple[int, str, str, int]]:
+    """Distributed BPE training over a weighted word relation
+    (``word string, weight bigint``) — the sennrich-style trainer
+    re-expressed Spark-first. Per iteration: adjacent symbol pairs are
+    a map-side transform+explode, pair counts one map-side-combined
+    groupBy over the DISTINCT-WORD relation (vocabulary-sized, never
+    corpus-row-sized — exactly how single-node BPE trainers operate on
+    a word-count dict), merge selection is ONE driver row
+    (TakeOrderedAndProject), and the chosen merge is applied to every
+    word in lockstep via the same greedy left-to-right HOF fold as
+    ``bpe_encode``. Driver traffic is O(steps) rows total; the fold
+    keeps each iteration's vocabulary cached and materialized BEFORE
+    the previous cache is released, so lineage stays one fold deep
+    (the pq_codebooks sequential-round-trip lesson: budget the job
+    count — ``steps`` is small and each job is vocabulary-sized).
+
+    Merged symbols use plain concatenation (real BPE token identity);
+    pair counts include overlapping occurrences within a run (the
+    standard trainer's counting), and ties break lexicographically on
+    (left, right) — both conventions pinned against an independent
+    single-node implementation in ``tests/test_bpe_learn.py``.
+
+    100-TB posture: the only corpus-sized pass is the caller's
+    word-count groupBy (map-side combined); everything iterative runs
+    on the vocabulary relation. No all-pairs, no window, no broadcast.
+    """
+    vocab = tracked_cache(_bpe_vocab(words))
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, steps + 1):
+        pairs = _bpe_pair_counts(vocab)
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break  # every word is a single symbol — vocabulary saturated
+        a, b, c = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((step, a, b, c))
+        nxt = tracked_cache(
+            vocab.withColumn("syms", _merge_fold(F.col("syms"), a, b, m=a + b))
+        )
+        nxt.count()  # materialize BEFORE releasing the parent cache,
+        vocab.unpersist()  # else the next iteration re-folds the whole chain
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=f"""
+    WITH fams AS (
+      SELECT CAST(doc_id % {BPE_LEARN_MOD} AS INT) AS fam,
+             CAST(pow(2, 15 - (doc_id % {BPE_LEARN_MOD})) AS BIGINT) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT chr(97 + fam) AS left_sym, chr(65 + fam) AS right_sym,
+             CAST(sum(w) AS BIGINT) AS pair_count
+      FROM fams GROUP BY fam
+    ),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, left_sym) AS INT) AS step,
+             left_sym, right_sym, pair_count
+      FROM cnt
+    )
+    SELECT step, left_sym, right_sym, pair_count
+    FROM ranked WHERE step <= {BPE_LEARN_STEPS} ORDER BY step
+    """,
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {BPE_LEARN_STEPS} BPE merges from a planted
+    training corpus (VERDICT r9 ask #3). The trainer is the fully
+    general distributed algorithm (``learn_bpe_merges``); the PLANT
+    makes its result closed-form-oracle-able, the same trick as the
+    JPEG DC-only fixture: each doc contributes one two-char word
+    ``chr(97+fam) || chr(65+fam)`` for fam = doc_id % {BPE_LEARN_MOD},
+    weighted 2^(15-fam). Families use disjoint alphabets, so each
+    merge collapses its whole family to single symbols and CANNOT
+    create or destroy any other candidate pair — the learned table is
+    exactly the families ranked by total weight, which the oracle
+    restates without simulating a single merge. The exponential weight
+    spacing makes ranks strictly ordered at every fixture SF (adjacent
+    families' doc counts differ by ≤1 while weights differ 2×). The
+    interacting-merge dynamics the plant deliberately avoids are
+    pinned against an independent single-node trainer in
+    ``tests/test_bpe_learn.py``."""
+    docs = table(spark, sf_dir, "documents")
+    fam = f"cast(doc_id % {BPE_LEARN_MOD} as int)"
+    words = docs.select(
+        F.expr(f"char(97 + {fam}) || char(65 + {fam})").alias("word"),
+        F.expr(f"cast(pow(2, 15 - {fam}) as bigint)").alias("weight"),
+    )
+    merges = learn_bpe_merges(words, BPE_LEARN_STEPS)
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count bigint"
+    ).orderBy("step")
 
 
 # --------------------------------------------------------------------------

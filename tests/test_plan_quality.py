@@ -886,3 +886,22 @@ def test_classifier_filter_single_doc_sum_no_weight_join(spark):
     assert "Join" not in text, "weight lookup became a join"
     assert text.count("HashAggregate") >= 2  # partial + final sum
     assert "MapInPandas" not in text and "BatchEvalPython" not in text
+
+
+def test_bpe_trainer_iteration_is_two_mapside_aggregates(spark):
+    """The BPE trainer's corpus-sized pass (word-count groupBy) and its
+    per-iteration candidate relation (pair-count groupBy over the
+    vocabulary) must both be map-side-combined HashAggregate pairs with
+    no Python, no Join, no Window — the trainer's cost at 100 TB is
+    exactly these exchanges times the step count."""
+    from pg_bifrost_spark.operators.corpus import _bpe_pair_counts, _bpe_vocab
+
+    words = spark.createDataFrame(
+        [("abab", 5), ("xy", 7)], "word string, weight bigint"
+    )
+    for rel in (_bpe_vocab(words), _bpe_pair_counts(_bpe_vocab(words))):
+        text = rel._jdf.queryExecution().executedPlan().toString()
+        assert text.count("HashAggregate") % 2 == 0  # partial+final pairs
+        assert "HashAggregate" in text
+        for bad in ("Join", "Window", "MapInPandas", "BatchEvalPython"):
+            assert bad not in text, f"{bad} in BPE trainer plan:\n{text}"

@@ -55,6 +55,15 @@ FAMILY = [
     # r9: the learned-classifier filter — token explode + one doc-keyed
     # sum; the per-replica vocab growth must not bend the exchange
     "quality_classifier_filter",
+    # r10 (VERDICT r9 ask #6): the privacy release-audit pair — two
+    # map-side-combined groupBys each; production runs these on full
+    # corpora, so the audit must stay two cheap exchanges at 10x
+    "privacy_k_anonymity_report",
+    "privacy_l_diversity_report",
+    # r10: BPE merge learning — the corpus-sized pass is ONE word-count
+    # groupBy; iterations run on the vocabulary relation, which grows
+    # with the per-replica token-suffix vocab, not with corpus rows
+    "bpe_learn_merges",
 ]
 
 
