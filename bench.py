@@ -134,6 +134,12 @@ HEADLINE = [
     "quality_classifier_filter",
     "privacy_k_anonymity_report",
     "privacy_l_diversity_report",
+    # r10 new ops, added BEFORE the end-of-round baseline refresh:
+    # mdat sample extraction is a Python-kernel op (mandatory row per
+    # the spread() lesson); BPE training's cost is its build-time
+    # driver loop, which _run_once's build+exec timing captures
+    "multimodal_sample_extract",
+    "bpe_learn_merges",
     "cdc_lineitem_roundtrip",
 ]
 

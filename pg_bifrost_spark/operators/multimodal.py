@@ -1044,8 +1044,20 @@ def build_mp4_payloads(batches):
                 offs, pos = chunks(t["sizes"], pos)
                 traks.append(trak(t, offs))
             moov = box(b"moov", mvhd + b"".join(traks))
-            total = sum(sum(t["sizes"]) for t in tracks)
-            mdat = box(b"mdat", bytes(total))
+            # mdat carries the PLANTED payload: track byte p (position
+            # within the track's concatenated samples) is
+            # (doc_id·131 + track_id·17 + p) mod 256 — closed-form, so
+            # the sample-extract op's oracle can restate per-sample
+            # byte sums without touching absolute file offsets (those
+            # are the extractor's job, via stco/stsc)
+            payload = b"".join(
+                bytes(
+                    (doc_id * 131 + t["track_id"] * 17 + p) % 256
+                    for p in range(sum(t["sizes"]))
+                )
+                for t in tracks
+            )
+            mdat = box(b"mdat", payload)
             return ftyp + moov + mdat
 
         probe = build(0)
@@ -1256,6 +1268,237 @@ def multimodal_video_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return built.mapInPandas(
         decode_mp4_samples, schema=VIDEO_SAMPLES_SCHEMA_DDL
     ).orderBy("doc_id", "track_id")
+
+
+# ---------------------------------------------------------------------------
+# mdat sample EXTRACTION (r10, VERDICT r9 ask #4): the capstone over the
+# r9 box walk — prove the sample tables index real bytes by slicing
+# every sample out of mdat via stsz+stsc+stco and digesting the payload.
+# ---------------------------------------------------------------------------
+
+SAMPLE_EXTRACT_SCHEMA_DDL = (
+    "doc_id bigint, track_id int, sample_idx int, sample_bytes int, "
+    "first_byte int, byte_sum bigint"
+)
+
+
+def _box_children(b: bytes, start: int, end: int):
+    """Generic ISO-BMFF child-box iterator over b[start:end): yields
+    (type, body_start, box_end); stops on any malformed size header."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        if size < 8 or i + size > end:
+            return
+        yield b[i + 4 : i + 8], i + 8, i + size
+        i += size
+
+
+def _box_child(b: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _box_children(b, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def extract_mp4_samples(batches):
+    """mapInPandas EXTRACTOR kernel: for every track, build the
+    per-sample (absolute_offset, size) map the way a real demuxer does
+    — stsz gives sizes, stsc maps samples onto chunks (general
+    run-length form: (first_chunk, samples_per_chunk, desc) runs, not
+    the builder's fixed 2-per-chunk), stco gives chunk file offsets —
+    then slice each sample's bytes out of the file and digest them
+    (first byte + byte sum). One output row per sample.
+
+    Every payload-declared count is capacity-bounded before looping
+    (the bounded-declared-counts rule), every sample range is checked
+    in-file, and a track whose chunks cannot cover its declared sample
+    count is dropped — malformed payloads emit nothing, never raise
+    (fuzz-pinned in tests/test_multimodal_decode.py)."""
+    import pandas as pd
+
+    def parse_track(b, ts, te, file_len):
+        tk = _box_child(b, ts, te, b"tkhd")
+        md = _box_child(b, ts, te, b"mdia")
+        if not tk or not md:
+            return None
+        track_id = int.from_bytes(b[tk[0] + 12 : tk[0] + 16], "big")
+        mi = _box_child(b, md[0], md[1], b"minf")
+        if not mi:
+            return None
+        sb = _box_child(b, mi[0], mi[1], b"stbl")
+        if not sb:
+            return None
+        sz = _box_child(b, sb[0], sb[1], b"stsz")
+        sc = _box_child(b, sb[0], sb[1], b"stsc")
+        co = _box_child(b, sb[0], sb[1], b"stco")
+        if not sz or not sc or not co:
+            return None
+        # stsz → per-sample sizes (uniform and table forms)
+        sample_size = int.from_bytes(b[sz[0] + 4 : sz[0] + 8], "big")
+        n_samples = int.from_bytes(b[sz[0] + 8 : sz[0] + 12], "big")
+        if sample_size:
+            if sample_size * n_samples > file_len:
+                return None  # cannot possibly fit — tampered count
+            sizes = [sample_size] * n_samples
+        elif n_samples > (sz[1] - sz[0] - 12) // 4:
+            return None  # table form claims more entries than fit
+        else:
+            sizes = [
+                int.from_bytes(b[sz[0] + 12 + 4 * k : sz[0] + 16 + 4 * k], "big")
+                for k in range(n_samples)
+            ]
+        # stsc → run-length sample→chunk map
+        n_sc = int.from_bytes(b[sc[0] + 4 : sc[0] + 8], "big")
+        if n_sc == 0 or n_sc > (sc[1] - sc[0] - 8) // 12:
+            return None
+        runs = []
+        for k in range(n_sc):
+            at = sc[0] + 8 + 12 * k
+            first = int.from_bytes(b[at : at + 4], "big")
+            spc = int.from_bytes(b[at + 4 : at + 8], "big")
+            if first < 1 or spc < 1 or (runs and first <= runs[-1][0]):
+                return None  # first_chunk must be ≥1 and increasing
+            runs.append((first, spc))
+        # stco → chunk offsets (bounded, increasing, in-file)
+        n_chunks = int.from_bytes(b[co[0] + 4 : co[0] + 8], "big")
+        if n_chunks > (co[1] - co[0] - 8) // 4:
+            return None
+        offs = [
+            int.from_bytes(b[co[0] + 8 + 4 * k : co[0] + 12 + 4 * k], "big")
+            for k in range(n_chunks)
+        ]
+        if offs != sorted(set(offs)) or any(o >= file_len for o in offs):
+            return None
+        # expand: walk chunks in order, taking the applicable run's
+        # samples-per-chunk; inner loop bounded by the REMAINING
+        # declared samples, so a tampered spc cannot buy iterations
+        positions: list[tuple[int, int]] = []  # (abs_offset, size)
+        si, ri = 0, 0
+        for ci in range(n_chunks):
+            while ri + 1 < len(runs) and runs[ri + 1][0] <= ci + 1:
+                ri += 1
+            base = offs[ci]
+            for _ in range(min(runs[ri][1], n_samples - si)):
+                positions.append((base, sizes[si]))
+                base += sizes[si]
+                si += 1
+        if si != n_samples:
+            return None  # chunks cover fewer samples than declared
+        if any(o + s > file_len for o, s in positions):
+            return None  # a sample would run off the file
+        return [
+            (
+                track_id,
+                idx,
+                s,
+                b[o] if s else None,
+                sum(b[o : o + s]),
+            )
+            for idx, (o, s) in enumerate(positions, start=1)
+        ]
+
+    cols = (
+        "doc_id", "track_id", "sample_idx", "sample_bytes",
+        "first_byte", "byte_sum",
+    )
+    for pdf in batches:
+        out = {k: [] for k in cols}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            if len(b) < 8 or b[4:8] != b"ftyp":
+                continue
+            mo = _box_child(b, 0, len(b), b"moov")
+            if not mo:
+                continue
+            for t, s, e in _box_children(b, mo[0], mo[1]):
+                if t != b"trak":
+                    continue
+                rows = parse_track(b, s, e, len(b))
+                if rows is None:
+                    continue
+                for row in rows:
+                    out["doc_id"].append(int(doc_id))
+                    for k, v in zip(cols[1:], row):
+                        out[k].append(v)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_sample_extract",
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id, 3 + doc_id % 5 AS n FROM documents
+    ),
+    vid_samples AS (
+      SELECT doc_id, i,
+             CAST(100 + (doc_id * 7 + i * 13) % 50 AS INT) AS sz
+      FROM vid, LATERAL (SELECT unnest(range(0, n)) AS i)
+    ),
+    vid_pos AS (
+      SELECT doc_id, i, sz,
+             CAST(COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS p0,
+             CAST((doc_id * 131 + 17) % 256 AS BIGINT) AS a
+      FROM vid_samples
+    ),
+    aud AS (
+      SELECT doc_id, 4 + doc_id % 3 AS n,
+             CAST(40 + doc_id % 30 AS INT) AS sz
+      FROM documents
+    ),
+    aud_pos AS (
+      SELECT doc_id, i, sz, CAST(i * sz AS BIGINT) AS p0,
+             CAST((doc_id * 131 + 34) % 256 AS BIGINT) AS a
+      FROM aud, LATERAL (SELECT unnest(range(0, n)) AS i)
+    ),
+    uni AS (
+      SELECT doc_id, 1 AS track_id, i, sz, p0, a FROM vid_pos
+      UNION ALL
+      SELECT doc_id, 2 AS track_id, i, sz, p0, a FROM aud_pos
+    )
+    -- byte p of a track's payload is (a + p) % 256, so a sample's
+    -- byte sum telescopes through f(m) = Σ_{k<m} (k % 256)
+    --                                 = (m//256)·32640 + t(t-1)/2, t=m%256
+    SELECT doc_id,
+           CAST(track_id AS INT) AS track_id,
+           CAST(i + 1 AS INT) AS sample_idx,
+           sz AS sample_bytes,
+           CAST((a + p0) % 256 AS INT) AS first_byte,
+           CAST(
+             ((a + p0 + sz) // 256) * 32640
+               + ((a + p0 + sz) % 256) * (((a + p0 + sz) % 256) - 1) // 2
+             - ((a + p0) // 256) * 32640
+               - ((a + p0) % 256) * (((a + p0) % 256) - 1) // 2
+           AS BIGINT) AS byte_sum
+    FROM uni
+    ORDER BY doc_id, track_id, sample_idx
+    """,
+)
+def multimodal_sample_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mdat sample extraction round-trip (VERDICT r9 ask #4): the
+    builder plants deterministic bytes in mdat; the extractor locates
+    every sample through the REAL demuxer path (stsz sizes → stsc
+    run-length chunk map → stco absolute offsets → byte slices) and
+    digests the payload; the oracle restates each sample's first byte
+    and byte sum in closed form from TRACK-RELATIVE positions — so a
+    single misplaced offset anywhere in the table chain shifts bytes
+    and breaks the hash. Codec-free by construction (sample payloads
+    are opaque bytes, exactly what a demuxer hands a decoder).
+
+    Plan: two chained Arrow kernels over a spread() scan — map-side
+    only, zero shuffle before the final orderBy; O(rows · bytes/doc)
+    at any corpus scale. Reference has no multimodal surface; this is
+    the LLM-pipeline extension (builder's mandate)."""
+    from .dedup import spread
+
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    built = docs.mapInPandas(
+        build_mp4_payloads, schema="doc_id bigint, payload binary"
+    )
+    return built.mapInPandas(
+        extract_mp4_samples, schema=SAMPLE_EXTRACT_SCHEMA_DDL
+    ).orderBy("doc_id", "track_id", "sample_idx")
 
 
 # ---------------------------------------------------------------------------

@@ -740,6 +740,127 @@ def test_jpeg_decoder_short_tables_return_none():
     assert decode_jpeg_blocks(b"\xff\xd8" + seg(0xC4, dht) + b"\xff\xd9") is None
 
 
+def test_sample_extract_matches_plant():
+    """The extractor's per-sample digests equal the closed-form plant:
+    byte p of track t's payload is (doc_id·131 + track_id·17 + p) % 256,
+    so each sample's first byte / byte sum are computable from the
+    plant sizes alone — a misplaced stco/stsc/stsz offset anywhere
+    shifts bytes and fails this."""
+    from pg_bifrost_spark.operators.multimodal import (
+        _mp4_track_plant,
+        extract_mp4_samples,
+    )
+
+    built = _mp4_for([0, 1, 7, 123, 499])
+    [out] = list(extract_mp4_samples(iter([built])))
+    for doc_id in (0, 1, 7, 123, 499):
+        for t in _mp4_track_plant(doc_id):
+            a = (doc_id * 131 + t["track_id"] * 17) % 256
+            p0 = 0
+            for idx, sz in enumerate(t["sizes"], start=1):
+                row = out[
+                    (out["doc_id"] == doc_id)
+                    & (out["track_id"] == t["track_id"])
+                    & (out["sample_idx"] == idx)
+                ].iloc[0]
+                want = [(a + p) % 256 for p in range(p0, p0 + sz)]
+                assert int(row["sample_bytes"]) == sz
+                assert int(row["first_byte"]) == want[0]
+                assert int(row["byte_sum"]) == sum(want)
+                p0 += sz
+
+
+def _minimal_mp4(sizes, stsc_runs, chunk_offsets, payload):
+    """Hand-rolled single-track MP4 with an ARBITRARY stsc run map —
+    the builder only emits one (1, 2, 1) run, so the general
+    run-length path needs its own fixture."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    def full(btype, body):
+        return box(btype, b"\x00\x00\x00\x00" + body)
+
+    tkhd = full(b"tkhd", struct.pack(">III", 0, 0, 9) + b"\x00" * 60)
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stsc = full(
+        b"stsc",
+        struct.pack(">I", len(stsc_runs))
+        + b"".join(struct.pack(">III", f, c, 1) for f, c in stsc_runs),
+    )
+    stco = full(
+        b"stco",
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    trak = box(b"trak", tkhd + box(b"mdia", box(b"minf", box(b"stbl", stsz + stsc + stco))))
+    head = box(b"ftyp", b"isom") + box(b"moov", trak)
+    return head + box(b"mdat", payload)
+
+
+def test_sample_extract_general_stsc_runs():
+    """Multi-run stsc: chunk 1 holds one sample, chunks 2+ hold two —
+    the extractor must expand the run map, not assume a constant
+    samples-per-chunk."""
+    from pg_bifrost_spark.operators.multimodal import extract_mp4_samples
+
+    sizes = [10, 20, 30, 40, 50]
+    # head length depends only on the box sizes (offsets are fixed words)
+    probe = _minimal_mp4(sizes, [(1, 1), (2, 2)], [0, 0, 0], b"")
+    data_at = len(probe)  # mdat body starts where the probe file ended
+    offs = [data_at, data_at + 10, data_at + 60]  # s1 | s2 s3 | s4 s5
+    payload = bytes(p % 256 for p in range(150))
+    mp4 = _minimal_mp4(sizes, [(1, 1), (2, 2)], offs, payload)
+    [out] = list(
+        extract_mp4_samples(iter([pd.DataFrame({"doc_id": [42], "payload": [mp4]})]))
+    )
+    assert list(out["sample_bytes"]) == sizes
+    assert list(out["first_byte"]) == [0, 10, 30, 60, 100]
+    assert list(out["byte_sum"]) == [
+        sum(range(0, 10)), sum(range(10, 30)), sum(range(30, 60)),
+        sum(range(60, 100)), sum(range(100, 150)),
+    ]
+
+
+def test_sample_extract_drops_malformed():
+    """Tampered tables degrade to drop-this-track: a sample running
+    off the file, an stsc count past its box capacity, non-increasing
+    run starts, and chunks that cannot cover the declared samples."""
+    from pg_bifrost_spark.operators.multimodal import extract_mp4_samples
+
+    def n_rows(mp4):
+        [out] = list(
+            extract_mp4_samples(
+                iter([pd.DataFrame({"doc_id": [1], "payload": [mp4]})])
+            )
+        )
+        return len(out)
+
+    sizes = [10, 20]
+    probe = _minimal_mp4(sizes, [(1, 2)], [0], b"")
+    good = _minimal_mp4(sizes, [(1, 2)], [len(probe)], bytes(30))
+    assert n_rows(good) == 2
+
+    # (a) last sample runs past end-of-file
+    assert n_rows(_minimal_mp4(sizes, [(1, 2)], [len(probe)], bytes(25))) == 0
+    # (b) stsc claims more runs than its box holds
+    import struct
+
+    tampered = bytearray(good)
+    at = good.index(b"stsc")
+    tampered[at + 8 : at + 12] = struct.pack(">I", 1 << 30)
+    assert n_rows(bytes(tampered)) == 0
+    # (c) non-increasing first_chunk
+    assert n_rows(_minimal_mp4(sizes, [(2, 1), (2, 1)], [len(probe)], bytes(30))) == 0
+    # (d) one chunk of one sample cannot cover two declared samples
+    assert n_rows(_minimal_mp4(sizes, [(1, 1)], [len(probe)], bytes(30))) == 0
+
+
 @_settings(max_examples=150, deadline=None)
 @_given(data=_st.binary(min_size=0, max_size=400))
 def test_mp4_and_jpeg_decoders_never_raise_on_arbitrary_bytes(data):
@@ -749,6 +870,7 @@ def test_mp4_and_jpeg_decoders_never_raise_on_arbitrary_bytes(data):
     from pg_bifrost_spark.operators.multimodal import (
         decode_jpeg_blocks,
         decode_mp4_samples,
+        extract_mp4_samples,
     )
 
     for payload in (
@@ -758,9 +880,8 @@ def test_mp4_and_jpeg_decoders_never_raise_on_arbitrary_bytes(data):
     ):
         r = decode_jpeg_blocks(payload)
         assert r is None or len(r) == 3
-        [out] = list(
-            decode_mp4_samples(
-                iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+        for kernel in (decode_mp4_samples, extract_mp4_samples):
+            [out] = list(
+                kernel(iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})]))
             )
-        )
-        assert len(out) >= 0  # reaching here == no raise
+            assert len(out) >= 0  # reaching here == no raise

@@ -905,3 +905,25 @@ def test_bpe_trainer_iteration_is_two_mapside_aggregates(spark):
         assert "HashAggregate" in text
         for bad in ("Join", "Window", "MapInPandas", "BatchEvalPython"):
             assert bad not in text, f"{bad} in BPE trainer plan:\n{text}"
+
+
+def test_sample_extract_map_only_chained_kernels(spark):
+    """Same contract as the MP4/JPEG ops: builder and extractor kernels
+    fuse back-to-back with no exchange between them; the only exchanges
+    are spread()'s explicit repartition and the output sort."""
+    import re
+
+    text = plan_of(spark, "multimodal_sample_extract")
+    assert text.count("MapInPandas") == 2
+    exchanges = re.findall(
+        r"Exchange (\w+)partitioning.*?(ENSURE_REQUIREMENTS|REPARTITION_BY_NUM)", text
+    )
+    assert sorted(exchanges) == [
+        ("hash", "REPARTITION_BY_NUM"),
+        ("range", "ENSURE_REQUIREMENTS"),
+    ], exchanges
+    lines = [l.strip("+- ") for l in text.splitlines()]
+    i = next(
+        k for k, l in enumerate(lines) if l.startswith("MapInPandas extract_mp4")
+    )
+    assert lines[i + 1].startswith("MapInPandas build_mp4"), lines[i : i + 2]
