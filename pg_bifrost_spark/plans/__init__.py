@@ -233,14 +233,27 @@ GATE_PRIORITY: list[str] = [
     # embedding_drift_report; the embedding family keeps
     # semantic_dedup_srp + ann_batch_topk + leakage_safe_split in gate
     "embedding_drift_report",
-    "semantic_dedup_srp",
+    # r10 rotation: semantic_dedup_srp (5 straight greens r5-r9) yields
+    # to the NEW r10 bpe_learn_merges (distributed BPE merge training —
+    # the learning leg of the tokenizer family next to
+    # bpe_apply_merges/fertility/vocab_coverage); SRP evidence stays via
+    # embedding_drift_report + the scale leg's semantic_dedup_srp_scaled
+    # + the recall pin, and the op stays oracle-backed + rehearsed
+    "bpe_learn_merges",
     # r8 rotation: multimodal_video_decode (3 straight greens r5-r7)
     # yields to the NEW r8 multimodal_image_pixels — the container
     # family stays in gate through it (full chunk walk + CRCs) and
     # strictly deepens: compressed-pixel decode (zlib inflate + all
     # five scanline unfilters) replaces header-only parsing
     "multimodal_image_pixels",
-    "dedup_jaccard_clusters",
+    # r10 rotation: dedup_jaccard_clusters (5 straight greens r5-r9)
+    # yields to the NEW r10 multimodal_sample_extract (mdat byte-slice
+    # extraction through stsz/stsc/stco — the capstone proving the r9
+    # sample tables index real bytes); the checkpointed label-prop
+    # kernel stays pinned by its recursive-CTE-oracle rehearsal and
+    # near-dup cluster evidence stays via contamination_removal +
+    # near_dup_rate_by_source
+    "multimodal_sample_extract",
     # r8 rotation: near_dup_resolution (3 straight greens r5-r7)
     # yields to the NEW r8 contamination_removal (the decontamination
     # action twin of contamination_ngram); the checkpointed label-prop
