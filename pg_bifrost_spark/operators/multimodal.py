@@ -1038,25 +1038,27 @@ def build_mp4_payloads(batches):
                 pos += sum(sizes[c : c + 2])
             return offs, pos
 
+        # mdat carries the PLANTED payload: track byte p (position
+        # within the track's concatenated samples) is
+        # (doc_id·131 + track_id·17 + p) mod 256 — closed-form, so
+        # the sample-extract op's oracle can restate per-sample byte
+        # sums without touching absolute file offsets (those are the
+        # extractor's job, via stco/stsc). Computed ONCE: the probe
+        # build only needs the length, and the bytes are offset-free.
+        payload = b"".join(
+            bytes(
+                (doc_id * 131 + t["track_id"] * 17 + p) % 256
+                for p in range(sum(t["sizes"]))
+            )
+            for t in tracks
+        )
+
         def build(mdat_data_at: int) -> bytes:
             traks, pos = [], mdat_data_at
             for t in tracks:
                 offs, pos = chunks(t["sizes"], pos)
                 traks.append(trak(t, offs))
             moov = box(b"moov", mvhd + b"".join(traks))
-            # mdat carries the PLANTED payload: track byte p (position
-            # within the track's concatenated samples) is
-            # (doc_id·131 + track_id·17 + p) mod 256 — closed-form, so
-            # the sample-extract op's oracle can restate per-sample
-            # byte sums without touching absolute file offsets (those
-            # are the extractor's job, via stco/stsc)
-            payload = b"".join(
-                bytes(
-                    (doc_id * 131 + t["track_id"] * 17 + p) % 256
-                    for p in range(sum(t["sizes"]))
-                )
-                for t in tracks
-            )
             mdat = box(b"mdat", payload)
             return ftyp + moov + mdat
 
@@ -1071,6 +1073,25 @@ def build_mp4_payloads(batches):
         )
 
 
+def _box_children(b: bytes, start: int, end: int):
+    """Generic ISO-BMFF child-box iterator over b[start:end): yields
+    (type, body_start, box_end); stops on any malformed size header."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        if size < 8 or i + size > end:
+            return
+        yield b[i + 4 : i + 8], i + 8, i + size
+        i += size
+
+
+def _box_child(b: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _box_children(b, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
 def decode_mp4_samples(batches):
     """mapInPandas DECODER kernel: a generic ISO-BMFF box walk —
     discover moov/trak/mdia/minf/stbl from size/type headers alone,
@@ -1082,20 +1103,9 @@ def decode_mp4_samples(batches):
     nothing: a mixed corpus streams through, never errors."""
     import pandas as pd
 
-    def children(b, start, end):
-        i = start
-        while i + 8 <= end:
-            size = int.from_bytes(b[i : i + 4], "big")
-            if size < 8 or i + size > end:
-                return
-            yield b[i + 4 : i + 8], i + 8, i + size
-            i += size
-
-    def child(b, start, end, btype):
-        for t, s, e in children(b, start, end):
-            if t == btype:
-                return s, e
-        return None
+    # one box walk for the whole module (code-review r10): the
+    # extractor kernel and this decoder must accept the same payloads
+    children, child = _box_children, _box_child
 
     def parse_track(b, ts, te, file_len):
         tk = child(b, ts, te, b"tkhd")
@@ -1280,25 +1290,6 @@ SAMPLE_EXTRACT_SCHEMA_DDL = (
     "doc_id bigint, track_id int, sample_idx int, sample_bytes int, "
     "first_byte int, byte_sum bigint"
 )
-
-
-def _box_children(b: bytes, start: int, end: int):
-    """Generic ISO-BMFF child-box iterator over b[start:end): yields
-    (type, body_start, box_end); stops on any malformed size header."""
-    i = start
-    while i + 8 <= end:
-        size = int.from_bytes(b[i : i + 4], "big")
-        if size < 8 or i + size > end:
-            return
-        yield b[i + 4 : i + 8], i + 8, i + size
-        i += size
-
-
-def _box_child(b: bytes, start: int, end: int, btype: bytes):
-    for t, s, e in _box_children(b, start, end):
-        if t == btype:
-            return s, e
-    return None
 
 
 def extract_mp4_samples(batches):

@@ -470,8 +470,13 @@ class LiveTransport:
                 if not self._connected():
                     # the LOOP closed the conn deliberately
                     # (incomplete-txn defense / error recovery): end
-                    # the batch so the reader can act on it
-                    return out[:limit]
+                    # the batch so the reader can act on it — but an
+                    # under-cap batch here proves NOTHING about the
+                    # backlog (the reconnect resumes WAL from the
+                    # ack), so it must flag truncation like every
+                    # other non-idle exit (code-review r10)
+                    truncated = budget_spent = True
+                    break
                 if _time.monotonic() >= deadline:
                     # replaying already-acked WAL yields nothing and
                     # never times out — bound per-batch latency; the
@@ -484,9 +489,10 @@ class LiveTransport:
             if budget_spent:
                 break
         # flag ANY under-cap exit that does not prove the stream idle:
-        # partial-batch reconnect exhaustion, the inner budget branch,
-        # and the outer-loop deadline exit after a mid-batch error
-        # (ADVICE r9 — that last path previously returned unflagged)
+        # partial-batch reconnect exhaustion, the loop-closed-conn
+        # exit, the inner budget branch, and the outer-loop deadline
+        # exit after a mid-batch error (ADVICE r9 + code-review r10 —
+        # the last two previously returned unflagged)
         if truncated or len(out) < limit:
             self._mark_truncated()
         return out[:limit]
@@ -738,8 +744,9 @@ class PgCdcParallelReader(DataSourceStreamReader):
     slice of the corpus and yields one Arrow RecordBatch, so the
     Python→JVM hop is a columnar buffer, not 600 k pickled tuples.
     Offset dicts are byte-compatible with ``PgCdcSimpleReader``
-    (``{"lsn", "xid", "tbk"}``) — checkpoints carry the in-flight
-    transaction state (W3) either way.
+    (``{"lsn", "xid", "tbk", "seq", "trunc"}`` — the sub-LSN resume
+    position and the truncated-fetch count, ADVICE r9) — checkpoints
+    carry the in-flight transaction state (W3) either way.
 
     Scale posture: a 1000-executor cluster reads a WAL replay corpus
     at aggregate disk bandwidth; per-batch admission is still bounded

@@ -74,3 +74,27 @@ def test_headline_is_subset_of_registry():
     missing = [h for h in bench.HEADLINE if h not in queries]
     assert not missing, f"bench.HEADLINE entries not in registry: {missing}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline entries"
+
+
+def test_readme_headline_delta_sentence_matches():
+    """The 'rN's record was X queries ... with Y headline queries added
+    since' aside must satisfy X + Y == len(HEADLINE) — it shipped
+    drifted in the same round that added this gate (code-review r10)."""
+    readme = (REPO / "README.md").read_text()
+    m = re.search(
+        r"record was (\d+) queries.*?with\s+(\d+) headline queries added since",
+        readme,
+        re.S,
+    )
+    assert m, "README headline-delta sentence not found — keep it parseable"
+    base, added = map(int, m.groups())
+
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    assert base + added == len(bench.HEADLINE), (
+        f"README says {base}+{added} headline queries; bench.HEADLINE has "
+        f"{len(bench.HEADLINE)} — update README.md"
+    )
