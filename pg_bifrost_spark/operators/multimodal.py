@@ -949,16 +949,22 @@ def _mp4_track_plant(doc_id: int):
         "sizes": [40 + doc_id % 30] * n2,
         "stts": [(n2, 128 + doc_id % 9)],
         "uniform": 40 + doc_id % 30,  # stsz sample_size field (no table)
+        # 64-bit chunk offsets on a quarter of the corpus (4 divides
+        # the gen_sf STRIDE): a 100-TB video corpus is full of >4 GiB
+        # files whose movies use co64, so both decode kernels must
+        # accept it — same values, 8-byte words, no oracle impact
+        "co64": doc_id % 4 == 0,
     }
     return [vid, aud]
 
 
 def build_mp4_payloads(batches):
     """mapInPandas BUILDER kernel: (doc_id) → (doc_id, payload), a
-    complete two-track ISO-BMFF file. Two-pass: stco holds ABSOLUTE
-    file offsets, which depend on moov's own length — build once with
-    zeroed offsets to measure, then rebuild with the real ones (all
-    offset fields are fixed 4-byte words, so sizes cannot shift)."""
+    complete two-track ISO-BMFF file. Two-pass: stco/co64 holds
+    ABSOLUTE file offsets, which depend on moov's own length — build
+    once with zeroed offsets to measure, then rebuild with the real
+    ones (offset fields are fixed-width words — 4-byte stco or 8-byte
+    co64, chosen per track up front — so sizes cannot shift)."""
     import struct
 
     import pandas as pd
@@ -1006,11 +1012,18 @@ def build_mp4_payloads(batches):
                 struct.pack(">II", 0, len(t["sizes"]))
                 + b"".join(struct.pack(">I", s) for s in t["sizes"]),
             )
-        stco = full(
-            b"stco",
-            struct.pack(">I", len(chunk_offsets))
-            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
-        )
+        if t.get("co64"):
+            stco = full(
+                b"co64",
+                struct.pack(">I", len(chunk_offsets))
+                + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+            )
+        else:
+            stco = full(
+                b"stco",
+                struct.pack(">I", len(chunk_offsets))
+                + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+            )
         stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
         minf = box(b"minf", stbl)
         mdia = box(b"mdia", mdhd + hdlr + minf)
@@ -1128,7 +1141,10 @@ def decode_mp4_samples(batches):
         # stts → duration + total sample count
         st = child(b, sb[0], sb[1], b"stts")
         sz = child(b, sb[0], sb[1], b"stsz")
-        co = child(b, sb[0], sb[1], b"stco")
+        # chunk offsets: 4-byte stco or the >4 GiB-file 8-byte co64
+        co, co_w = child(b, sb[0], sb[1], b"stco"), 4
+        if not co:
+            co, co_w = child(b, sb[0], sb[1], b"co64"), 8
         if not st or not sz or not co:
             return None
         # every declared entry count is bounded by its box's CAPACITY
@@ -1161,12 +1177,14 @@ def decode_mp4_samples(batches):
             )
         if ticks_n != n_samples:
             return None  # stts and stsz disagree — corrupt table
-        # stco → chunk count; offsets must increase and stay in-file
+        # stco/co64 → chunk count; offsets must increase, stay in-file
         n_chunks = int.from_bytes(b[co[0] + 4 : co[0] + 8], "big")
-        if n_chunks > (co[1] - co[0] - 8) // 4:
+        if n_chunks > (co[1] - co[0] - 8) // co_w:
             return None  # claims more offsets than the box holds
         offs = [
-            int.from_bytes(b[co[0] + 8 + 4 * k : co[0] + 12 + 4 * k], "big")
+            int.from_bytes(
+                b[co[0] + 8 + co_w * k : co[0] + 8 + co_w * (k + 1)], "big"
+            )
             for k in range(n_chunks)
         ]
         if offs != sorted(set(offs)) or any(o >= file_len for o in offs):
@@ -1322,7 +1340,10 @@ def extract_mp4_samples(batches):
             return None
         sz = _box_child(b, sb[0], sb[1], b"stsz")
         sc = _box_child(b, sb[0], sb[1], b"stsc")
-        co = _box_child(b, sb[0], sb[1], b"stco")
+        # chunk offsets: 4-byte stco or the >4 GiB-file 8-byte co64
+        co, co_w = _box_child(b, sb[0], sb[1], b"stco"), 4
+        if not co:
+            co, co_w = _box_child(b, sb[0], sb[1], b"co64"), 8
         if not sz or not sc or not co:
             return None
         # stsz → per-sample sizes (uniform and table forms)
@@ -1351,12 +1372,14 @@ def extract_mp4_samples(batches):
             if first < 1 or spc < 1 or (runs and first <= runs[-1][0]):
                 return None  # first_chunk must be ≥1 and increasing
             runs.append((first, spc))
-        # stco → chunk offsets (bounded, increasing, in-file)
+        # stco/co64 → chunk offsets (bounded, increasing, in-file)
         n_chunks = int.from_bytes(b[co[0] + 4 : co[0] + 8], "big")
-        if n_chunks > (co[1] - co[0] - 8) // 4:
+        if n_chunks > (co[1] - co[0] - 8) // co_w:
             return None
         offs = [
-            int.from_bytes(b[co[0] + 8 + 4 * k : co[0] + 12 + 4 * k], "big")
+            int.from_bytes(
+                b[co[0] + 8 + co_w * k : co[0] + 8 + co_w * (k + 1)], "big"
+            )
             for k in range(n_chunks)
         ]
         if offs != sorted(set(offs)) or any(o >= file_len for o in offs):

@@ -770,6 +770,28 @@ def test_sample_extract_matches_plant():
                 p0 += sz
 
 
+def test_sample_tables_use_co64_on_planted_quarter():
+    """doc_id % 4 == 0 plants 64-bit co64 chunk offsets on the audio
+    track (the >4 GiB-file form a real video corpus is full of): the
+    box must actually be co64, and BOTH kernels must recover identical
+    stats/digests through it."""
+    from pg_bifrost_spark.operators.multimodal import (
+        decode_mp4_samples,
+        extract_mp4_samples,
+    )
+
+    built = _mp4_for([8, 9])  # 8 → co64 audio; 9 → stco audio
+    p8 = bytes(built["payload"][0])
+    p9 = bytes(built["payload"][1])
+    assert b"co64" in p8 and b"co64" not in p9
+    [dec] = list(decode_mp4_samples(iter([built])))
+    assert sorted(zip(dec["doc_id"], dec["track_id"])) == [
+        (8, 1), (8, 2), (9, 1), (9, 2),
+    ]  # the co64 track decodes, not dropped
+    [ext] = list(extract_mp4_samples(iter([built])))
+    assert set(ext[ext["doc_id"] == 8]["track_id"]) == {1, 2}
+
+
 def _minimal_mp4(sizes, stsc_runs, chunk_offsets, payload):
     """Hand-rolled single-track MP4 with an ARBITRARY stsc run map —
     the builder only emits one (1, 2, 1) run, so the general
