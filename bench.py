@@ -140,6 +140,7 @@ HEADLINE = [
     # driver loop, which _run_once's build+exec timing captures
     "multimodal_sample_extract",
     "bpe_learn_merges",
+    "bpe_train_encode",
     "cdc_lineitem_roundtrip",
 ]
 

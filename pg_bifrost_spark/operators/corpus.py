@@ -894,6 +894,58 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+@register(
+    "bpe_train_encode",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, CAST(doc_id % {BPE_LEARN_MOD} AS INT) AS fam
+      FROM documents
+    ),
+    c AS (
+      SELECT fam, CAST(sum(CAST(pow(2, 15 - fam) AS BIGINT)) AS BIGINT) AS w
+      FROM f GROUP BY fam
+    ),
+    r AS (
+      SELECT fam, row_number() OVER (ORDER BY w DESC, fam) AS rnk FROM c
+    )
+    SELECT f.doc_id,
+           chr(97 + f.fam) || chr(65 + f.fam) AS word,
+           CAST(CASE WHEN r.rnk <= {BPE_LEARN_STEPS} THEN 1 ELSE 2 END AS INT)
+             AS n_tokens
+    FROM f JOIN r USING (fam)
+    ORDER BY f.doc_id
+    """,
+)
+def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→encode capstone: the merge table LEARNED by the
+    distributed trainer is applied back to every document's planted
+    word through the same greedy fold the encoder uses — proving the
+    training output actually drives tokenization end-to-end (the
+    composed-capstone pattern of training_set_build). On the plant,
+    exactly the top-{BPE_LEARN_STEPS} families' words collapse to one
+    token (their merge was learned) and the rest stay two — the oracle
+    restates that from the family ranking alone. Corpus-sized output:
+    one row per document."""
+    docs = table(spark, sf_dir, "documents")
+    fam = f"cast(doc_id % {BPE_LEARN_MOD} as int)"
+    word = F.expr(f"char(97 + {fam}) || char(65 + {fam})")
+    words = docs.select(
+        word.alias("word"),
+        F.expr(f"cast(pow(2, 15 - {fam}) as bigint)").alias("weight"),
+    )
+    merges = learn_bpe_merges(words, BPE_LEARN_STEPS)
+    col = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    for _, a, b, _ in merges:
+        col = _merge_fold(col, a, b, m=a + b)
+    return (
+        docs.select("doc_id", word.alias("word"))
+        .withColumn("n_tokens", F.size(col).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # bigram LM quality scoring (r7) — the next rung above the unigram LM
 # --------------------------------------------------------------------------

@@ -232,7 +232,12 @@ GATE_PRIORITY: list[str] = [
     # dedup_embedding_cosine (4 straight greens) yields to the NEW r6
     # embedding_drift_report; the embedding family keeps
     # semantic_dedup_srp + ann_batch_topk + leakage_safe_split in gate
-    "embedding_drift_report",
+    # r10 rotation: embedding_drift_report (4 straight greens r6-r9)
+    # yields to the NEW r10 bpe_train_encode (the train→encode
+    # composition capstone over the learned merge table); embedding
+    # evidence stays via ann_radius_search + ann_hard_negatives, and
+    # the op stays oracle-backed + rehearsed every round
+    "bpe_train_encode",
     # r10 rotation: semantic_dedup_srp (5 straight greens r5-r9) yields
     # to the NEW r10 bpe_learn_merges (distributed BPE merge training —
     # the learning leg of the tokenizer family next to
