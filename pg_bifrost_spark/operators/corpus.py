@@ -760,19 +760,27 @@ BPE_LEARN_MOD = 16  # divides gen_sf's STRIDE=10^8 (fixture invariant)
 BPE_LEARN_STEPS = 10
 
 
+def _bpe_char_split(col: str = "word"):
+    """word → array of its characters — the symbol alphabet both the
+    trainer's vocabulary and the encoder fold start from (one shared
+    expression so they cannot drift)."""
+    return F.expr(
+        f"transform(sequence(1, length({col})), i -> substring({col}, i, 1))"
+    )
+
+
 def _bpe_vocab(words: DataFrame) -> DataFrame:
     """(word, weight) → distinct-word symbol relation: ONE map-side
     combined word-count groupBy (the only corpus-sized pass of the
-    trainer), symbols = the word's characters."""
+    trainer), symbols = the word's characters. Empty words are dropped
+    up front: Spark's ``sequence(1, 0)`` is the DESCENDING ``[1, 0]``,
+    so splitting '' would yield two ''-symbols and a phantom ('','')
+    pair that could outrank every real merge candidate."""
     return (
-        words.groupBy("word")
+        words.filter(F.length("word") > 0)
+        .groupBy("word")
         .agg(F.sum("weight").cast("bigint").alias("weight"))
-        .select(
-            F.expr(
-                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-            ).alias("syms"),
-            "weight",
-        )
+        .select(_bpe_char_split().alias("syms"), "weight")
     )
 
 
@@ -843,6 +851,24 @@ def learn_bpe_merges(words: DataFrame, steps: int) -> list[tuple[int, str, str, 
     return merges
 
 
+_BPE_FAM = f"cast(doc_id % {BPE_LEARN_MOD} as int)"
+
+
+def _bpe_planted_word():
+    """Each doc's planted training word — disjoint two-char alphabet
+    per family (see ``bpe_learn_merges``). Shared by the trainer entry
+    and the train→encode capstone so the plants cannot drift."""
+    return F.expr(f"char(97 + {_BPE_FAM}) || char(65 + {_BPE_FAM})")
+
+
+def _bpe_planted_words(docs: DataFrame) -> DataFrame:
+    """(word, weight) training relation over the planted corpus."""
+    return docs.select(
+        _bpe_planted_word().alias("word"),
+        F.expr(f"cast(pow(2, 15 - {_BPE_FAM}) as bigint)").alias("weight"),
+    )
+
+
 @register(
     "bpe_learn_merges",
     oracle=f"""
@@ -883,12 +909,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned against an independent single-node trainer in
     ``tests/test_bpe_learn.py``."""
     docs = table(spark, sf_dir, "documents")
-    fam = f"cast(doc_id % {BPE_LEARN_MOD} as int)"
-    words = docs.select(
-        F.expr(f"char(97 + {fam}) || char(65 + {fam})").alias("word"),
-        F.expr(f"cast(pow(2, 15 - {fam}) as bigint)").alias("weight"),
-    )
-    merges = learn_bpe_merges(words, BPE_LEARN_STEPS)
+    merges = learn_bpe_merges(_bpe_planted_words(docs), BPE_LEARN_STEPS)
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count bigint"
     ).orderBy("step")
@@ -927,20 +948,12 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     restates that from the family ranking alone. Corpus-sized output:
     one row per document."""
     docs = table(spark, sf_dir, "documents")
-    fam = f"cast(doc_id % {BPE_LEARN_MOD} as int)"
-    word = F.expr(f"char(97 + {fam}) || char(65 + {fam})")
-    words = docs.select(
-        word.alias("word"),
-        F.expr(f"cast(pow(2, 15 - {fam}) as bigint)").alias("weight"),
-    )
-    merges = learn_bpe_merges(words, BPE_LEARN_STEPS)
-    col = F.expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-    )
+    merges = learn_bpe_merges(_bpe_planted_words(docs), BPE_LEARN_STEPS)
+    col = _bpe_char_split()
     for _, a, b, _ in merges:
         col = _merge_fold(col, a, b, m=a + b)
     return (
-        docs.select("doc_id", word.alias("word"))
+        docs.select("doc_id", _bpe_planted_word().alias("word"))
         .withColumn("n_tokens", F.size(col).cast("int"))
         .orderBy("doc_id")
     )

@@ -1105,6 +1105,50 @@ def _box_child(b: bytes, start: int, end: int, btype: bytes):
     return None
 
 
+def _parse_stsz(b: bytes, sb):
+    """stbl → (sample_size, n_samples, sizes) from stsz, both forms.
+    Uniform form returns sizes=None (the caller decides whether a
+    size-list materialization is safe); table form capacity-bounds the
+    declared count before looping (bounded-declared-counts rule).
+    None = malformed, drop the track. ONE parser for both kernels so
+    the decoder and the extractor cannot drift on accepted payloads."""
+    sz = _box_child(b, sb[0], sb[1], b"stsz")
+    if not sz:
+        return None
+    sample_size = int.from_bytes(b[sz[0] + 4 : sz[0] + 8], "big")
+    n_samples = int.from_bytes(b[sz[0] + 8 : sz[0] + 12], "big")
+    if sample_size:
+        return sample_size, n_samples, None
+    if n_samples > (sz[1] - sz[0] - 12) // 4:
+        return None  # table form claims more entries than fit
+    return 0, n_samples, [
+        int.from_bytes(b[sz[0] + 12 + 4 * k : sz[0] + 16 + 4 * k], "big")
+        for k in range(n_samples)
+    ]
+
+
+def _parse_chunk_offsets(b: bytes, sb, file_len: int):
+    """stbl → validated chunk-offset list: 4-byte stco or the
+    >4 GiB-file 8-byte co64, declared count capacity-bounded before
+    looping, offsets strictly increasing and in-file. None = malformed
+    (or neither box present), drop the track. Shared by both kernels."""
+    co, co_w = _box_child(b, sb[0], sb[1], b"stco"), 4
+    if not co:
+        co, co_w = _box_child(b, sb[0], sb[1], b"co64"), 8
+    if not co:
+        return None
+    n_chunks = int.from_bytes(b[co[0] + 4 : co[0] + 8], "big")
+    if n_chunks > (co[1] - co[0] - 8) // co_w:
+        return None  # claims more offsets than the box holds
+    offs = [
+        int.from_bytes(b[co[0] + 8 + co_w * k : co[0] + 8 + co_w * (k + 1)], "big")
+        for k in range(n_chunks)
+    ]
+    if offs != sorted(set(offs)) or any(o >= file_len for o in offs):
+        return None
+    return offs
+
+
 def decode_mp4_samples(batches):
     """mapInPandas DECODER kernel: a generic ISO-BMFF box walk —
     discover moov/trak/mdia/minf/stbl from size/type headers alone,
@@ -1140,12 +1184,7 @@ def decode_mp4_samples(batches):
             return None
         # stts → duration + total sample count
         st = child(b, sb[0], sb[1], b"stts")
-        sz = child(b, sb[0], sb[1], b"stsz")
-        # chunk offsets: 4-byte stco or the >4 GiB-file 8-byte co64
-        co, co_w = child(b, sb[0], sb[1], b"stco"), 4
-        if not co:
-            co, co_w = child(b, sb[0], sb[1], b"co64"), 8
-        if not st or not sz or not co:
+        if not st:
             return None
         # every declared entry count is bounded by its box's CAPACITY
         # before looping (code-review r9): a tampered 0xFFFFFFFF count
@@ -1161,34 +1200,23 @@ def decode_mp4_samples(batches):
             delta = int.from_bytes(b[at + 4 : at + 8], "big")
             ticks_n += cnt
             dur += cnt * delta
-        # stsz → sample count + byte sum (uniform and table forms)
-        sample_size = int.from_bytes(b[sz[0] + 4 : sz[0] + 8], "big")
-        n_samples = int.from_bytes(b[sz[0] + 8 : sz[0] + 12], "big")
-        if sample_size:
+        # stsz → sample count + byte sum (shared parser, both forms)
+        stsz = _parse_stsz(b, sb)
+        if stsz is None:
+            return None
+        sample_size, n_samples, sizes = stsz
+        if sizes is None:
             sum_bytes = sample_size * n_samples
             if sum_bytes >= 1 << 63:
                 return None  # would overflow the BIGINT output column
-        elif n_samples > (sz[1] - sz[0] - 12) // 4:
-            return None  # table form claims more entries than fit
         else:
-            sum_bytes = sum(
-                int.from_bytes(b[sz[0] + 12 + 4 * k : sz[0] + 16 + 4 * k], "big")
-                for k in range(n_samples)
-            )
+            sum_bytes = sum(sizes)
         if ticks_n != n_samples:
             return None  # stts and stsz disagree — corrupt table
-        # stco/co64 → chunk count; offsets must increase, stay in-file
-        n_chunks = int.from_bytes(b[co[0] + 4 : co[0] + 8], "big")
-        if n_chunks > (co[1] - co[0] - 8) // co_w:
-            return None  # claims more offsets than the box holds
-        offs = [
-            int.from_bytes(
-                b[co[0] + 8 + co_w * k : co[0] + 8 + co_w * (k + 1)], "big"
-            )
-            for k in range(n_chunks)
-        ]
-        if offs != sorted(set(offs)) or any(o >= file_len for o in offs):
+        offs = _parse_chunk_offsets(b, sb, file_len)
+        if offs is None:
             return None
+        n_chunks = len(offs)
         return (
             track_id,
             handler,
@@ -1338,29 +1366,23 @@ def extract_mp4_samples(batches):
         sb = _box_child(b, mi[0], mi[1], b"stbl")
         if not sb:
             return None
-        sz = _box_child(b, sb[0], sb[1], b"stsz")
         sc = _box_child(b, sb[0], sb[1], b"stsc")
-        # chunk offsets: 4-byte stco or the >4 GiB-file 8-byte co64
-        co, co_w = _box_child(b, sb[0], sb[1], b"stco"), 4
-        if not co:
-            co, co_w = _box_child(b, sb[0], sb[1], b"co64"), 8
-        if not sz or not sc or not co:
+        if not sc:
             return None
-        # stsz → per-sample sizes (uniform and table forms)
-        sample_size = int.from_bytes(b[sz[0] + 4 : sz[0] + 8], "big")
-        n_samples = int.from_bytes(b[sz[0] + 8 : sz[0] + 12], "big")
-        if sample_size:
+        # stsz → per-sample sizes (shared parser, both forms)
+        stsz = _parse_stsz(b, sb)
+        if stsz is None:
+            return None
+        sample_size, n_samples, sizes = stsz
+        if sizes is None:
             if sample_size * n_samples > file_len:
                 return None  # cannot possibly fit — tampered count
             sizes = [sample_size] * n_samples
-        elif n_samples > (sz[1] - sz[0] - 12) // 4:
-            return None  # table form claims more entries than fit
-        else:
-            sizes = [
-                int.from_bytes(b[sz[0] + 12 + 4 * k : sz[0] + 16 + 4 * k], "big")
-                for k in range(n_samples)
-            ]
-        # stsc → run-length sample→chunk map
+        # stsc → run-length sample→chunk map. ISO-BMFF requires the
+        # FIRST entry to cover chunk 1 (code-review r10): without that
+        # check a table starting at chunk 3 would still be expanded
+        # from chunk 1 below, slicing bytes at positions the table
+        # never defined — malformed must mean "emit nothing"
         n_sc = int.from_bytes(b[sc[0] + 4 : sc[0] + 8], "big")
         if n_sc == 0 or n_sc > (sc[1] - sc[0] - 8) // 12:
             return None
@@ -1372,18 +1394,12 @@ def extract_mp4_samples(batches):
             if first < 1 or spc < 1 or (runs and first <= runs[-1][0]):
                 return None  # first_chunk must be ≥1 and increasing
             runs.append((first, spc))
-        # stco/co64 → chunk offsets (bounded, increasing, in-file)
-        n_chunks = int.from_bytes(b[co[0] + 4 : co[0] + 8], "big")
-        if n_chunks > (co[1] - co[0] - 8) // co_w:
+        if runs[0][0] != 1:
             return None
-        offs = [
-            int.from_bytes(
-                b[co[0] + 8 + co_w * k : co[0] + 8 + co_w * (k + 1)], "big"
-            )
-            for k in range(n_chunks)
-        ]
-        if offs != sorted(set(offs)) or any(o >= file_len for o in offs):
+        offs = _parse_chunk_offsets(b, sb, file_len)
+        if offs is None:
             return None
+        n_chunks = len(offs)
         # expand: walk chunks in order, taking the applicable run's
         # samples-per-chunk; inner loop bounded by the REMAINING
         # declared samples, so a tampered spc cannot buy iterations

@@ -505,7 +505,12 @@ class LiveTransport:
         return probe_xlogpos(**self._kwargs)
 
     # --------------------------------------------------------------- ack
-    def ack(self, lsn: int) -> None:
+    def ack(self, lsn: int, seq: int | None = None) -> None:
+        """``seq`` is accepted for transport-interface parity and
+        ignored: StandbyStatusUpdate positions are LSN-granular (the
+        walsender protocol has no sub-LSN cursor), so a reconnect may
+        re-deliver an equal-LSN run head — at-least-once, deduped
+        downstream by time_based_key (W4)."""
         from .pgwire import WireError
 
         self._acked = max(self._acked, lsn)
@@ -669,8 +674,14 @@ class PgCdcSimpleReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         """Micro-batch durably committed → ack the contiguous prefix
-        upstream (StandbyStatusUpdate, W1/X12)."""
-        self.transport.ack(_Offset.from_dict(end).lsn)
+        upstream (StandbyStatusUpdate, W1/X12). The sub-LSN seq rides
+        along: a replay resume via ``acked_pos`` must not skip the
+        tail of an equal-LSN run when the batch cap cut inside one
+        (same data-loss class the parallel reader's commit fixed,
+        ADVICE r9); the live transport accepts and ignores it — the
+        wire ack is LSN-granular by protocol."""
+        off = _Offset.from_dict(end)
+        self.transport.ack(off.lsn, off.seq)
 
 
 # ---------------------------------------------------------------------------

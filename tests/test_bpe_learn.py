@@ -101,3 +101,16 @@ def test_saturation_stops_early(spark):
     returns fewer merges than requested instead of looping."""
     got = _distributed(spark, {"a": 3, "b": 2}, BPE_LEARN_STEPS)
     assert got == []
+
+
+def test_empty_words_are_ignored(spark):
+    """Spark's ``sequence(1, 0)`` is the DESCENDING ``[1, 0]``, so a
+    naive char-split of '' yields two ''-symbols and a phantom
+    ('','') pair (code-review r10). An empty word — however heavy —
+    must contribute nothing, matching the reference trainer, which
+    produces no pairs for it."""
+    corpus = {"": 10_000, "ab": 3, "ac": 2}
+    got = _distributed(spark, corpus, 4)
+    want = reference_bpe(corpus, 4)
+    assert got == want, f"\n got={got}\nwant={want}"
+    assert all(a and b for _, a, b, _ in got)

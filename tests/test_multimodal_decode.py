@@ -881,6 +881,10 @@ def test_sample_extract_drops_malformed():
     assert n_rows(_minimal_mp4(sizes, [(2, 1), (2, 1)], [len(probe)], bytes(30))) == 0
     # (d) one chunk of one sample cannot cover two declared samples
     assert n_rows(_minimal_mp4(sizes, [(1, 1)], [len(probe)], bytes(30))) == 0
+    # (e) first run must cover chunk 1 (ISO-BMFF; code-review r10) —
+    # a table starting at chunk 3 defines no mapping for chunks 1-2,
+    # so expanding it anyway would slice undefined byte positions
+    assert n_rows(_minimal_mp4(sizes, [(3, 2)], [len(probe)], bytes(30))) == 0
 
 
 @_settings(max_examples=150, deadline=None)

@@ -428,3 +428,31 @@ def test_replay_transport_position_fetch(tmp_path):
     assert t.acked_pos() == (100, 2)
     t.ack(108)  # legacy form still round-trips
     assert t.acked_pos() == (108, None)
+
+
+def test_simple_reader_commit_acks_sub_lsn_seq(tmp_path):
+    """Code-review r10: commit() must ack the sub-LSN seq, not just
+    the LSN — a replay resume via acked_pos() after a batch boundary
+    inside an equal-LSN run would otherwise skip the run's tail (the
+    transaction's first DML), the exact class the parallel reader's
+    commit was fixed for."""
+    wal_dir = str(tmp_path / "wal")
+    os.makedirs(wal_dir)
+    with open(os.path.join(wal_dir, "000.jsonl"), "w") as f:
+        for lsn, line in [
+            (1000, "BEGIN 900"),
+            (1000, "table public.t: INSERT: id[integer]:7"),
+            (1008, "COMMIT 900"),
+        ]:
+            f.write(json.dumps({"wal_start": lsn, "server_time_ms": 1, "line": line}) + "\n")
+
+    reader = PgCdcSimpleReader({"wal_dir": wal_dir, "max_msgs_per_batch": "1"})
+    rows, off = reader.read(reader.initialOffset())
+    assert [r[4].split(" ")[0] for r in rows] == ["BEGIN"]
+    reader.commit(off)  # batch boundary landed inside the lsn=1000 run
+    assert reader.transport.acked_pos() == (1000, 1)
+    # a fresh transport resuming from the ack record sees the DML
+    t = ReplayTransport(wal_dir)
+    lsn0, seq0 = t.acked_pos()
+    resumed = t.fetch(lsn0, 10, after_seq=seq0)
+    assert [m[2].split(" ")[0] for m in resumed] == ["table", "COMMIT"]
