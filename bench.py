@@ -141,6 +141,12 @@ HEADLINE = [
     "multimodal_sample_extract",
     "bpe_learn_merges",
     "bpe_train_encode",
+    # r10 second batch (still BEFORE the end-of-round refresh): image
+    # resize and audio features are Python-kernel ops (mandatory rows
+    # per the spread() lesson); winnowing adds a posting-list join
+    "multimodal_image_resize",
+    "multimodal_audio_features",
+    "dedup_winnowing_fingerprint",
     "cdc_lineitem_roundtrip",
 ]
 

@@ -1877,3 +1877,175 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (r10) — the MOSS selection algorithm
+# (Schleimer, Wilkerson & Aiken, SIGMOD'03): k-gram rolling hashes,
+# then the RIGHTMOST MINIMUM of every w-hash window is selected as a
+# fingerprint. Guarantees every shared substring of length ≥ k+w−1 is
+# caught by at least one shared fingerprint, at ~2/(w+1) the density
+# of full shingling — the classic signature-size/recall dial the
+# inverted-shingle-index op doesn't have.
+# --------------------------------------------------------------------------
+
+WINNOW_K = 16         # k-gram length (characters) — a shared
+#                       fingerprint means a ≥ k+w−1 = 19-char exact
+#                       substring match (MOSS-typical noise threshold;
+#                       k=8 saturated partner counts on organic text)
+WINNOW_W = 4          # window (in hash positions)
+WINNOW_PREFIX = 256   # chars fingerprinted per doc (documented cap —
+#                       pos must fit the 2^20 tie-break field, and
+#                       prefix fingerprinting is standard practice;
+#                       cf. dedup_prefix_truncation)
+WINNOW_MOD = 1_000_000_007
+# 257^j mod WINNOW_MOD for j = 0..15 — literal in BOTH engines so the
+# polynomial k-gram hash is bit-identical by construction
+_WINNOW_POW = [
+    1, 257, 66049, 16974593, 362470373, 154885210, 805498697, 13163680,
+    383065739, 447894237, 108818104, 966252539, 326900787, 13501671,
+    469929426, 771861642,
+]
+WINNOW_HOT = 32       # posting-list cutoff: fingerprints shared by
+#                       more docs are stop-grams, dropped from partner
+#                       counting (bounds every join fan-out at scale)
+
+# selection key: h·2^20 + (2^20−1−pos0). min(key) over a window IS the
+# rightmost minimum (min h; ties → max pos), decoded by key div 2^20.
+_WINNOW_POSB = 1 << 20
+
+
+def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_kgrams, fps array<bigint>) — the
+    whole selection is ONE Catalyst HOF projection (transform /
+    slice / array_min), zero Python, zero shuffle: per-row cost only,
+    at any corpus scale."""
+    t = F.substring(F.lower(F.col("text")), 1, WINNOW_PREFIX)
+    hash_terms = " + ".join(
+        f"ascii(substring(t, p + {j}, 1)) * {_WINNOW_POW[j]}L"
+        for j in range(WINNOW_K)
+    )
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .withColumn(
+            "m", F.greatest(F.length("t") - (WINNOW_K - 1), F.lit(0))
+        )
+        .withColumn(
+            "ks",
+            F.expr(
+                f"transform(sequence(1, m), p -> "
+                f"(({hash_terms}) % {WINNOW_MOD}L) * {_WINNOW_POSB}L"
+                f" + ({_WINNOW_POSB - 1}L - (p - 1)))"
+            ),
+        )
+        .withColumn(
+            "fps",
+            F.when(
+                F.col("m") >= WINNOW_W,
+                F.expr(
+                    f"array_distinct(transform(sequence(1, m - {WINNOW_W - 1}), "
+                    f"s -> array_min(slice(ks, s, {WINNOW_W})) "
+                    f"div {_WINNOW_POSB}L))"
+                ),
+            ).otherwise(F.expr("cast(array() as array<bigint>)")),
+        )
+        .select("doc_id", F.col("m").alias("n_kgrams"), "fps")
+    )
+
+
+_WINNOW_ORACLE_HASH = " + ".join(
+    f"CAST(ascii(substr(t, i + {j}, 1)) AS BIGINT) * {_WINNOW_POW[j]}"
+    for j in range(WINNOW_K)
+)
+
+@register(
+    "dedup_winnowing_fingerprint",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, substr(lower(text), 1, {WINNOW_PREFIX}) AS t
+      FROM documents
+    ),
+    keys AS (
+      SELECT doc_id, i,
+             (({_WINNOW_ORACLE_HASH}) % {WINNOW_MOD}) * {_WINNOW_POSB}
+               + ({_WINNOW_POSB - 1} - (i - 1)) AS key
+      FROM d, LATERAL (SELECT unnest(range(1, len(t) - {WINNOW_K - 1} + 1)) AS i)
+      WHERE len(t) >= {WINNOW_K}
+    ),
+    wins AS (
+      SELECT doc_id, min(key) OVER w AS wkey, count(*) OVER w AS wn
+      FROM keys
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, wkey // {_WINNOW_POSB} AS fp
+      FROM wins WHERE wn = {WINNOW_W}
+    ),
+    kept AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING count(*) >= 2 AND count(*) <= {WINNOW_HOT}
+    ),
+    partners AS (
+      SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_dup_partners
+      FROM fps a JOIN kept USING (fp) JOIN fps b USING (fp)
+      WHERE b.doc_id <> a.doc_id
+      GROUP BY a.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(greatest(len(d.t) - {WINNOW_K - 1}, 0) AS INT) AS n_kgrams,
+           CAST((SELECT count(*) FROM fps f WHERE f.doc_id = d.doc_id) AS INT)
+             AS n_fingerprints,
+           CAST(COALESCE(p.n_dup_partners, 0) AS INT) AS n_dup_partners
+    FROM d LEFT JOIN partners p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints + candidate-partner counts.
+
+    Selection: polynomial k-gram hash (k={WINNOW_K}, base 257 mod
+    1e9+7 — 8 literal power constants shared with the oracle, so the
+    hash is bit-identical by construction, the crc32-partitioner
+    trick), then rightmost-minimum-per-window encoded as ONE integer
+    min (h·2^20 + inverted position) — no struct ordering, no
+    engine-specific tie-break.
+
+    100-TB posture: fingerprint selection is a pure per-row HOF
+    projection (no shuffle); partner counting explodes each doc's
+    ~2·prefix/(w+1) fingerprints, drops stop-gram fingerprints shared
+    by >{WINNOW_HOT} docs (every posting list ≤{WINNOW_HOT} ⇒ join
+    fan-out bounded, the dedup_ngram_jaccard hotset rule), and joins
+    posting lists — never all-pairs."""
+    docs = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    sigs = tracked_cache(_winnow_fingerprints(docs))
+    fp_doc = sigs.select("doc_id", F.explode("fps").alias("fp"))
+    kept = (
+        fp_doc.groupBy("fp")
+        .agg(F.count("*").alias("nf"))
+        .filter((F.col("nf") >= 2) & (F.col("nf") <= WINNOW_HOT))
+        .select("fp")
+    )
+    partners = (
+        fp_doc.join(kept, "fp")
+        .alias("a")
+        .join(fp_doc.alias("b"), "fp")
+        .filter(F.col("b.doc_id") != F.col("a.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count_distinct(F.col("b.doc_id")).alias("n_dup_partners"))
+    )
+    out = (
+        sigs.join(partners, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_kgrams").cast("int").alias("n_kgrams"),
+            F.size("fps").cast("int").alias("n_fingerprints"),
+            F.coalesce(F.col("n_dup_partners"), F.lit(0))
+            .cast("int")
+            .alias("n_dup_partners"),
+        )
+        .orderBy("doc_id")
+    )
+    return out

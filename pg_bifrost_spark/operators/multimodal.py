@@ -588,120 +588,112 @@ def build_png_payloads(batches):
         yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
-def decode_png_pixels(batches):
-    """mapInPandas DECODER kernel: a real PNG decoder for grayscale
-    8-bit — chunk walk (CRC-verified), IDAT concat, zlib inflate, the
-    spec's five scanline unfilters — emitting exact-integer pixel
-    stats. Non-PNG / corrupt payloads → fmt 'unknown' / 'bad_crc' with
-    null stats (a mixed corpus streams through, never errors)."""
+def _png_decode_gray(b: bytes):
+    """Real PNG decode for grayscale 8-bit: chunk walk (CRC-verified),
+    IDAT concat, output-bounded zlib inflate, the spec's five scanline
+    unfilters. Returns (fmt, w, h, pixels) where pixels is the full
+    row-major pixel buffer on success and None otherwise; fmt is
+    'png' (decoded, or a valid-PNG-but-not-gray8 header with w/h/pixels
+    None), 'bad_crc', or 'unknown'. ONE decoder for the stats and
+    resize kernels so they cannot drift on accepted payloads.
+
+    Malformed-but-CRC-valid payloads (no IDAT, garbage deflate stream,
+    dims exceeding the data, truncated IHDR, adversarially huge dims)
+    DEGRADE to 'unknown', never raise — the mixed-corpus contract. The
+    pixel-count cap bounds the decode loop independently of what the
+    header claims, and the inflate is output-bounded: a CRC-valid
+    deflate bomb (1 MB → GBs) must not allocate its full expansion
+    before the cap check runs (code-review r8 #2)."""
     import zlib
 
-    import pandas as pd
-
-    def paeth(a: int, b: int, c: int) -> int:
-        p = a + b - c
-        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    def paeth(a: int, b_: int, c: int) -> int:
+        p = a + b_ - c
+        pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
         if pa <= pb and pa <= pc:
             return a
-        return b if pb <= pc else c
+        return b_ if pb <= pc else c
+
+    if b[:8] != _PNG_SIG:
+        return "unknown", None, None, None
+    i, idat, ihdr = 8, b"", None
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        crc = int.from_bytes(b[i + 8 + ln : i + 12 + ln], "big")
+        if zlib.crc32(ctype + data) != crc:
+            return "bad_crc", None, None, None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or ihdr[8] != 8 or ihdr[9] != 0:
+        return "png", None, None, None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    raw = None
+    if 0 < w and 0 < h and w * h <= _PNG_MAX_PIXELS:
+        want = h * (w + 1)
+        try:
+            dobj = zlib.decompressobj()
+            raw = dobj.decompress(idat, want)
+            if (
+                len(raw) != want
+                or dobj.decompress(dobj.unconsumed_tail, 1)
+                or not dobj.eof
+            ):
+                raw = None
+        except zlib.error:
+            raw = None
+    if raw is None:
+        return "unknown", None, None, None
+    prior = bytes(w)
+    pixels = bytearray(w * h)
+    for y in range(h):
+        ft = raw[y * (w + 1)]
+        line = raw[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+        rec = bytearray(w)
+        for x in range(w):
+            left = rec[x - 1] if x else 0
+            up = prior[x]
+            ul = prior[x - 1] if x else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] + left
+            elif ft == 2:
+                v = line[x] + up
+            elif ft == 3:
+                v = line[x] + (left + up) // 2
+            else:  # Paeth
+                v = line[x] + paeth(left, up, ul)
+            rec[x] = v % 256
+        pixels[y * w : (y + 1) * w] = rec
+        prior = bytes(rec)
+    return "png", w, h, pixels
+
+
+def decode_png_pixels(batches):
+    """mapInPandas DECODER kernel over ``_png_decode_gray`` — emits
+    exact-integer pixel stats. Non-PNG / corrupt payloads → fmt
+    'unknown' / 'bad_crc' with null stats (a mixed corpus streams
+    through, never errors)."""
+    import pandas as pd
 
     for pdf in batches:
         out = {k: [] for k in (
             "doc_id", "fmt", "width", "height", "n_pixels", "sum_pix", "wsum_pix"
         )}
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-            fmt, w, h, npx, s, ws = "unknown", None, None, None, None, None
-            if b[:8] == _PNG_SIG:
-                fmt = "png"
-                i, idat, ihdr = 8, b"", None
-                while i + 8 <= len(b):
-                    ln = int.from_bytes(b[i : i + 4], "big")
-                    ctype = b[i + 4 : i + 8]
-                    data = b[i + 8 : i + 8 + ln]
-                    crc = int.from_bytes(b[i + 8 + ln : i + 12 + ln], "big")
-                    if zlib.crc32(ctype + data) != crc:
-                        fmt = "bad_crc"
-                        break
-                    if ctype == b"IHDR":
-                        ihdr = data
-                    elif ctype == b"IDAT":
-                        idat += data
-                    elif ctype == b"IEND":
-                        break
-                    i += 12 + ln
-                # malformed-but-CRC-valid payloads (no IDAT, garbage
-                # deflate stream, dims exceeding the data, truncated
-                # IHDR, adversarially huge dims) must DEGRADE to
-                # fmt='unknown', never kill the task — the mixed-corpus
-                # contract. The pixel-count cap also bounds the decode
-                # loop independently of what the header claims.
-                ok = (
-                    fmt == "png"
-                    and ihdr is not None
-                    and len(ihdr) >= 13
-                    and ihdr[8] == 8
-                    and ihdr[9] == 0
-                )
-                if ok:
-                    w = int.from_bytes(ihdr[0:4], "big")
-                    h = int.from_bytes(ihdr[4:8], "big")
-                    raw = None
-                    # dims are validated BEFORE inflating and the
-                    # inflate itself is output-bounded: a CRC-valid
-                    # deflate bomb (1 MB → GBs) must not allocate its
-                    # full expansion before the cap check runs
-                    # (code-review r8 #2). decompressobj(max_length)
-                    # stops at the expected raw size; any unconsumed
-                    # tail or short output marks the payload malformed.
-                    if 0 < w and 0 < h and w * h <= _PNG_MAX_PIXELS:
-                        want = h * (w + 1)
-                        try:
-                            dobj = zlib.decompressobj()
-                            raw = dobj.decompress(idat, want)
-                            if (
-                                len(raw) != want
-                                or dobj.decompress(dobj.unconsumed_tail, 1)
-                                or not dobj.eof
-                            ):
-                                raw = None
-                        except zlib.error:
-                            raw = None
-                    if raw is None:
-                        fmt, w, h = "unknown", None, None
-                        out["doc_id"].append(doc_id)
-                        out["fmt"].append(fmt)
-                        out["width"].append(w)
-                        out["height"].append(h)
-                        out["n_pixels"].append(None)
-                        out["sum_pix"].append(None)
-                        out["wsum_pix"].append(None)
-                        continue
-                    prior = bytes(w)
-                    s = ws = npx = 0
-                    for y in range(h):
-                        ft = raw[y * (w + 1)]
-                        line = raw[y * (w + 1) + 1 : (y + 1) * (w + 1)]
-                        rec = bytearray(w)
-                        for x in range(w):
-                            left = rec[x - 1] if x else 0
-                            up = prior[x]
-                            ul = prior[x - 1] if x else 0
-                            if ft == 0:
-                                v = line[x]
-                            elif ft == 1:
-                                v = line[x] + left
-                            elif ft == 2:
-                                v = line[x] + up
-                            elif ft == 3:
-                                v = line[x] + (left + up) // 2
-                            else:  # Paeth
-                                v = line[x] + paeth(left, up, ul)
-                            rec[x] = v % 256
-                            idx = y * w + x
-                            s += rec[x]
-                            ws += idx * rec[x]
-                            npx += 1
-                        prior = bytes(rec)
+            fmt, w, h, pixels = _png_decode_gray(b)
+            npx = s = ws = None
+            if pixels is not None:
+                npx = w * h
+                s = sum(pixels)
+                ws = sum(i * p for i, p in enumerate(pixels))
             out["doc_id"].append(doc_id)
             out["fmt"].append(fmt)
             out["width"].append(w)
@@ -742,6 +734,113 @@ def multimodal_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     built = docs.mapInPandas(build_png_payloads, schema="doc_id bigint, payload binary")
     return built.mapInPandas(decode_png_pixels, schema=PIXEL_SCHEMA_DDL).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# image RESIZE (r10): the named multimodal mandate op still missing —
+# a 2× box-filter downsample over REAL decoded PNG pixels. The kernel
+# is the production shape (decode → numpy block-mean → stats); the
+# planted gradient makes every output pixel a closed-form integer mean
+# the oracle restates, so a single mis-averaged block breaks the hash.
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA_DDL = (
+    "doc_id bigint, fmt string, rs_width int, rs_height int, "
+    "n_pixels int, sum_pix bigint, wsum_pix bigint"
+)
+
+
+def resize_png_pixels(batches):
+    """mapInPandas kernel: PNG payload → ``_png_decode_gray`` → 2×
+    box-filter downsample (each output pixel = integer mean of its
+    ≤2×2 source block; odd right/bottom edges average the 2×1 / 1×2 /
+    1×1 remainder, matching how a production thumbnailer handles odd
+    dims) → exact-integer stats over the RESIZED image. Vectorized
+    (four strided numpy views summed into the block grid), so a
+    capped-size 16 M-pixel image costs numpy time, not Python loops.
+    Undecodable payloads pass through with null stats."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "fmt", "rs_width", "rs_height",
+            "n_pixels", "sum_pix", "wsum_pix",
+        )}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            fmt, w, h, pixels = _png_decode_gray(b)
+            rw = rh = npx = s = ws = None
+            if pixels is not None:
+                arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
+                arr = arr.reshape(h, w).astype(np.int64)
+                rw, rh = (w + 1) // 2, (h + 1) // 2
+                sums = np.zeros((rh, rw), dtype=np.int64)
+                cnts = np.zeros((rh, rw), dtype=np.int64)
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        sl = arr[dy::2, dx::2]
+                        sums[: sl.shape[0], : sl.shape[1]] += sl
+                        cnts[: sl.shape[0], : sl.shape[1]] += 1
+                rs = sums // cnts
+                idx = np.arange(rw * rh, dtype=np.int64).reshape(rh, rw)
+                npx = rw * rh
+                s = int(rs.sum())
+                ws = int((idx * rs).sum())
+            out["doc_id"].append(doc_id)
+            out["fmt"].append(fmt)
+            out["rs_width"].append(rw)
+            out["rs_height"].append(rh)
+            out["n_pixels"].append(npx)
+            out["sum_pix"].append(s)
+            out["wsum_pix"].append(ws)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+             i % (8 + doc_id % 8) AS x, i // (8 + doc_id % 8) AS y,
+             (doc_id * 7 + i * 3) % 256 AS v
+      FROM documents,
+           LATERAL (SELECT unnest(range(0,
+               (8 + doc_id % 8) * (4 + doc_id % 4))) AS i)
+    ),
+    blk AS (
+      SELECT doc_id, w, h, x // 2 AS bx, y // 2 AS by,
+             sum(v) // count(*) AS v
+      FROM px GROUP BY doc_id, w, h, x // 2, y // 2
+    )
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST((w + 1) // 2 AS INT) AS rs_width,
+           CAST((h + 1) // 2 AS INT) AS rs_height,
+           CAST(count(*) AS INT) AS n_pixels,
+           CAST(sum(v) AS BIGINT) AS sum_pix,
+           CAST(sum((by * ((w + 1) // 2) + bx) * v) AS BIGINT) AS wsum_pix
+    FROM blk GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize over REAL compressed pixels: render → deflate →
+    decode → 2× box downsample → exact-integer stats, oracle-verified
+    (the oracle recomputes every block mean from the planted gradient).
+    Plan: two chained Arrow kernels over a spread() scan — map-side
+    only, zero shuffle before the final orderBy; payloads are bounded
+    (≤15×7 gray pixels/doc), so cost is O(rows) at any corpus scale,
+    and the kernel itself is numpy-vectorized for capped-size real
+    images (16 M pixels)."""
+    from .dedup import spread
+
+    docs = spread(
+        table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    built = docs.mapInPandas(build_png_payloads, schema="doc_id bigint, payload binary")
+    return built.mapInPandas(resize_png_pixels, schema=RESIZE_SCHEMA_DDL).orderBy(
         "doc_id"
     )
 
@@ -796,11 +895,44 @@ def pcm_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.unhex(wav_hex).alias("payload"))
 
 
-def decode_pcm_samples(batches):
-    """mapInPandas kernel: RIFF/fmt walk, then the data chunk as a
-    numpy little-endian int16 view → exact-integer sample stats.
-    Non-WAV / non-16-bit payloads → fmt='unknown', null stats."""
+def _parse_wav_pcm16(b: bytes):
+    """RIFF/fmt walk → (sample_rate, int64 numpy sample array), or
+    None if the payload is not a decodable integer-PCM 16-bit WAV.
+    'fmt ' and 'data' are located by tag, not assumed at fixed
+    offsets — canonical files commonly carry a LIST/INFO chunk between
+    them, and a fixed-44-byte read would parse metadata bytes as
+    samples while still labeling the row fmt='wav' (code-review r8
+    finding). ONE parser for the stats and feature kernels so they
+    cannot drift on accepted payloads."""
     import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, pcm16, found_rate, data = 12, False, None, None
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        ln = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + ln]
+        if len(body) < ln:
+            break  # truncated chunk — stop, leave unknown
+        if tag == b"fmt " and ln >= 16:
+            code = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            pcm16 = code == 1 and bits == 16
+            found_rate = int.from_bytes(body[4:8], "little")
+        elif tag == b"data":
+            data = body
+            break
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if not pcm16 or data is None or len(data) % 2:
+        return None
+    return found_rate, np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
+def decode_pcm_samples(batches):
+    """mapInPandas kernel over ``_parse_wav_pcm16`` → exact-integer
+    sample stats. Non-WAV / non-16-bit payloads → fmt='unknown',
+    null stats."""
     import pandas as pd
 
     for pdf in batches:
@@ -810,39 +942,15 @@ def decode_pcm_samples(batches):
         )}
         for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
             fmt, rate, n, s, lo, hi, sq = "unknown", None, None, None, None, None, None
-            if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                # REAL chunk walk: 'fmt ' and 'data' are located by
-                # tag, not assumed at fixed offsets — canonical files
-                # commonly carry a LIST/INFO chunk between them, and a
-                # fixed-44-byte read would parse metadata bytes as
-                # samples while still labeling the row fmt='wav'
-                # (code-review r8 finding). Format code is checked too:
-                # only integer PCM (1) 16-bit is decoded here.
-                i, pcm16, found_rate, data = 12, False, None, None
-                while i + 8 <= len(b):
-                    tag = b[i : i + 4]
-                    ln = int.from_bytes(b[i + 4 : i + 8], "little")
-                    body = b[i + 8 : i + 8 + ln]
-                    if len(body) < ln:
-                        break  # truncated chunk — stop, leave unknown
-                    if tag == b"fmt " and ln >= 16:
-                        code = int.from_bytes(body[0:2], "little")
-                        bits = int.from_bytes(body[14:16], "little")
-                        pcm16 = code == 1 and bits == 16
-                        found_rate = int.from_bytes(body[4:8], "little")
-                    elif tag == b"data":
-                        data = body
-                        break
-                    i += 8 + ln + (ln & 1)  # chunks are word-aligned
-                if pcm16 and data is not None and len(data) % 2 == 0:
-                    fmt = "wav"
-                    rate = found_rate
-                    arr = np.frombuffer(data, dtype="<i2").astype(np.int64)
-                    n = int(arr.size)
-                    s = int(arr.sum())
-                    lo = int(arr.min()) if n else None
-                    hi = int(arr.max()) if n else None
-                    sq = int((arr * arr).sum())
+            parsed = _parse_wav_pcm16(b)
+            if parsed is not None:
+                fmt = "wav"
+                rate, arr = parsed
+                n = int(arr.size)
+                s = int(arr.sum())
+                lo = int(arr.min()) if n else None
+                hi = int(arr.max()) if n else None
+                sq = int((arr * arr).sum())
             out["doc_id"].append(doc_id)
             out["fmt"].append(fmt)
             out["sample_rate"].append(rate)
@@ -888,6 +996,102 @@ def multimodal_audio_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pcm_payloads(docs)
         .mapInPandas(decode_pcm_samples, schema=SAMPLES_SCHEMA_DDL)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio FEATURE EXTRACTION (r10): the named multimodal mandate op —
+# the waveform-shape features an audio-curation pipeline filters on
+# (zero-crossing rate proxies pitch/noisiness, clipping count flags
+# distorted recordings, peak amplitude gates silence) computed over
+# REAL decoded PCM, restated sample-by-sample by the oracle via lag().
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA_DDL = (
+    "doc_id bigint, fmt string, sample_rate int, n_samples int, "
+    "zero_crossings int, n_clipped int, peak int"
+)
+
+
+def audio_feature_kernel(batches):
+    """mapInPandas kernel over ``_parse_wav_pcm16`` → waveform
+    features: zero crossings (sign flips between adjacent samples,
+    s ≥ 0 vs s < 0), clipped-sample count (int16 rails ±32767/−32768),
+    peak |amplitude|. All exact integers, numpy-vectorized.
+    Undecodable payloads pass through with null features."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "fmt", "sample_rate", "n_samples",
+            "zero_crossings", "n_clipped", "peak",
+        )}
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            fmt, rate, n, zc, ncl, peak = "unknown", None, None, None, None, None
+            parsed = _parse_wav_pcm16(b)
+            if parsed is not None:
+                fmt = "wav"
+                rate, arr = parsed
+                n = int(arr.size)
+                nonneg = arr >= 0
+                zc = int((nonneg[1:] != nonneg[:-1]).sum())
+                ncl = int(((arr == 32767) | (arr == -32768)).sum())
+                peak = int(np.abs(arr).max()) if n else None
+            out["doc_id"].append(doc_id)
+            out["fmt"].append(fmt)
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(n)
+            out["zero_crossings"].append(zc)
+            out["n_clipped"].append(ncl)
+            out["peak"].append(peak)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH sm AS (
+      SELECT doc_id, i,
+             CASE WHEN (doc_id * 997 + i * 7919) % 65536 >= 32768
+                  THEN (doc_id * 997 + i * 7919) % 65536 - 65536
+                  ELSE (doc_id * 997 + i * 7919) % 65536 END AS s
+      FROM documents,
+           LATERAL (SELECT unnest(range(0, 40 + doc_id % 24)) AS i)
+    ),
+    lagd AS (
+      SELECT doc_id, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM sm
+    )
+    SELECT doc_id,
+           'wav' AS fmt,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(count(*) AS INT) AS n_samples,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                         AND ((s >= 0) <> (prev >= 0))
+                    THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+           CAST(sum(CASE WHEN s = 32767 OR s = -32768
+                    THEN 1 ELSE 0 END) AS INT) AS n_clipped,
+           CAST(max(abs(s)) AS INT) AS peak
+    FROM lagd GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform feature extraction over REAL decoded PCM: JVM-built
+    int16 WAV bytes → shared RIFF parse → vectorized zero-crossing /
+    clipping / peak features, oracle-verified adjacent-pair by
+    adjacent-pair (the oracle's lag() window restates every sign
+    flip). Plan: one HOF-assembled payload projection + one Arrow
+    kernel over a spread() scan — map-side, O(rows · samples/clip) at
+    any corpus scale, no shuffle before the final orderBy."""
+    from .dedup import spread
+
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    return (
+        pcm_payloads(docs)
+        .mapInPandas(audio_feature_kernel, schema=AUDIO_FEATURES_SCHEMA_DDL)
         .orderBy("doc_id")
     )
 

@@ -202,7 +202,13 @@ GATE_PRIORITY: list[str] = [
     # digest semantics inside the gate (dedup_normalized carried the
     # planted-duplicate-anchor role r6-r7; r8 hands it to
     # dedup_soft_reweight below)
-    "training_set_build",
+    # r10 second rotation: training_set_build (4 straight greens
+    # r6-r9) yields to the NEW r10 dedup_winnowing_fingerprint (the
+    # MOSS selection algorithm — guaranteed-recall fingerprinting at
+    # ~2/(w+1) shingle density, the signature-size dial the inverted
+    # index lacks); capstone evidence stays via refinery_pipeline +
+    # corpus_health_report, and the op stays oracle-backed + rehearsed
+    "dedup_winnowing_fingerprint",
     # r8 rotation: dedup_normalized (3 straight greens r5-r7) yields
     # to the NEW r8 dedup_soft_reweight, which keeps the
     # planted-duplicate-anchor role (plant_duplicates + exact text
@@ -296,7 +302,13 @@ GATE_PRIORITY: list[str] = [
     # repeated-span operator (ExactSubstr-style, planted license
     # footer); quality evidence stays via quality_gopher_rules +
     # text_repetition_stats
-    "dedup_repeated_spans",
+    # r10 second rotation: dedup_repeated_spans (4 straight greens
+    # r6-r9) yields to the NEW r10 multimodal_image_resize (2× box
+    # downsample over REAL decoded PNG pixels — the named multimodal
+    # mandate op); span evidence stays via the scale-FAMILY row + the
+    # ExactSubstr pytest pins, and the op stays oracle-backed +
+    # rehearsed every round
+    "multimodal_image_resize",
     # r9 rotation: dedup_incremental_batch (3 straight greens r6-r8)
     # yields to the NEW r9 multimodal_jpeg_pixels (baseline JPEG
     # entropy decode — the last delegated-codec caveat, closed for the
@@ -389,7 +401,13 @@ GATE_PRIORITY: list[str] = [
     # corpus_mixture_report (3 straight greens) yields to the NEW r6
     # BM25 retrieval operator; mixture evidence stays via
     # domain_cap_sample + token_budget_sample
-    "bm25_retrieval",
+    # r10 second rotation: bm25_retrieval (4 straight greens r6-r9)
+    # yields to the NEW r10 multimodal_audio_features (zero-crossing /
+    # clipping / peak waveform features over REAL decoded PCM — the
+    # audio feature-extraction mandate op); retrieval evidence stays
+    # via dsir_importance_score + pmi_top_bigrams and the in-suite
+    # oracle rehearsal
+    "multimodal_audio_features",
     # r9 rotation: repeated_span_removal (3 straight greens r6-r8)
     # yields to the NEW r9 multimodal_video_samples (MP4 stsz/stco/
     # stts sample-table decode — VERDICT r8 ask #4); the ExactSubstr

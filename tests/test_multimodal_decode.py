@@ -911,3 +911,77 @@ def test_mp4_and_jpeg_decoders_never_raise_on_arbitrary_bytes(data):
                 kernel(iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})]))
             )
             assert len(out) >= 0  # reaching here == no raise
+
+
+def test_png_resize_matches_direct_block_means():
+    """The resize kernel's 2× box downsample equals the direct
+    per-block integer mean over the planted gradient, including odd
+    right/bottom edges (2×1 / 1×2 / 1×1 remainder blocks)."""
+    from pg_bifrost_spark.operators.multimodal import (
+        build_png_payloads,
+        resize_png_pixels,
+    )
+
+    ids = [0, 1, 5, 13, 77]  # covers odd and even w/h
+    [built] = list(build_png_payloads(iter([pd.DataFrame({"doc_id": ids})])))
+    [rs] = list(resize_png_pixels(iter([built])))
+    for doc_id in ids:
+        w, h = 8 + doc_id % 8, 4 + doc_id % 4
+        px = [(doc_id * 7 + i * 3) % 256 for i in range(w * h)]
+        rw, rh = (w + 1) // 2, (h + 1) // 2
+        exp = []
+        for yy in range(rh):
+            for xx in range(rw):
+                block = [
+                    px[y * w + x]
+                    for y in range(2 * yy, min(2 * yy + 2, h))
+                    for x in range(2 * xx, min(2 * xx + 2, w))
+                ]
+                exp.append(sum(block) // len(block))
+        row = rs[rs.doc_id == doc_id].iloc[0]
+        assert (row.rs_width, row.rs_height) == (rw, rh)
+        assert row.sum_pix == sum(exp)
+        assert row.wsum_pix == sum(i * v for i, v in enumerate(exp))
+
+
+def test_png_resize_degrades_like_decoder():
+    """Undecodable payloads pass through the resize kernel with the
+    same fmt labels as the stats kernel and null features."""
+    from pg_bifrost_spark.operators.multimodal import resize_png_pixels
+
+    [out] = list(
+        resize_png_pixels(
+            iter([pd.DataFrame({"doc_id": [1, 2], "payload": [b"junk", b""]})])
+        )
+    )
+    assert list(out["fmt"]) == ["unknown", "unknown"]
+    assert out["rs_width"].isna().all() and out["sum_pix"].isna().all()
+
+
+def test_audio_features_signs_clipping_peak():
+    """Zero crossings count sign flips (s≥0 vs s<0, zero is
+    non-negative), clipping counts both int16 rails, peak is the max
+    |amplitude| — checked against a hand-built waveform."""
+    import struct
+
+    from pg_bifrost_spark.operators.multimodal import audio_feature_kernel
+
+    def wav(samples, rate=8000):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    samples = [5, -3, 0, -1, 32767, -32768, 100]
+    [out] = list(
+        audio_feature_kernel(
+            iter([pd.DataFrame({"doc_id": [9, 10], "payload": [wav(samples), b"x"]})])
+        )
+    )
+    r = out.iloc[0]
+    # flips: 5→-3, -3→0, 0→-1, -1→32767, 32767→-32768, -32768→100
+    assert r.zero_crossings == 6
+    assert r.n_clipped == 2 and r.peak == 32768 and r.n_samples == 7
+    assert out.iloc[1].fmt == "unknown" and pd.isna(out.iloc[1].peak)

@@ -927,3 +927,58 @@ def test_sample_extract_map_only_chained_kernels(spark):
         k for k, l in enumerate(lines) if l.startswith("MapInPandas extract_mp4")
     )
     assert lines[i + 1].startswith("MapInPandas build_mp4"), lines[i : i + 2]
+
+
+def test_image_resize_map_only_chained_kernels(spark):
+    """Same contract as the other multimodal round-trips: PNG builder
+    and resize kernels fuse back-to-back with no exchange between them
+    (pixels never cross the wire); the only exchanges are spread()'s
+    explicit repartition and the output sort."""
+    import re
+
+    text = plan_of(spark, "multimodal_image_resize")
+    assert text.count("MapInPandas") == 2
+    exchanges = re.findall(
+        r"Exchange (\w+)partitioning.*?(ENSURE_REQUIREMENTS|REPARTITION_BY_NUM)", text
+    )
+    assert sorted(exchanges) == [
+        ("hash", "REPARTITION_BY_NUM"),
+        ("range", "ENSURE_REQUIREMENTS"),
+    ], exchanges
+    lines = [l.strip("+- ") for l in text.splitlines()]
+    i = next(k for k, l in enumerate(lines) if l.startswith("MapInPandas resize_png"))
+    assert lines[i + 1].startswith("MapInPandas build_png"), lines[i : i + 2]
+
+
+def test_audio_features_single_kernel_no_shuffle(spark):
+    """The audio-feature op is ONE Arrow kernel over a JVM-assembled
+    payload projection: exactly one MapInPandas, and no exchange other
+    than spread()'s explicit repartition and the output sort."""
+    import re
+
+    text = plan_of(spark, "multimodal_audio_features")
+    assert text.count("MapInPandas") == 1
+    exchanges = re.findall(
+        r"Exchange (\w+)partitioning.*?(ENSURE_REQUIREMENTS|REPARTITION_BY_NUM)", text
+    )
+    assert sorted(exchanges) == [
+        ("hash", "REPARTITION_BY_NUM"),
+        ("range", "ENSURE_REQUIREMENTS"),
+    ], exchanges
+
+
+def test_winnowing_selection_is_pure_projection(spark):
+    """Winnowing fingerprint SELECTION must be a per-row HOF
+    projection: no Python, no Join, no Window, no aggregate — the
+    selection step costs zero shuffles at any corpus size (the
+    partner-counting joins downstream are posting-list joins, bounded
+    by the hot-fingerprint cutoff)."""
+    from pg_bifrost_spark.operators.dedup import _winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    text = _winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Join", "Window", "MapInPandas", "BatchEvalPython", "HashAggregate"):
+        assert bad not in text, f"{bad} in winnowing selection plan:\n{text}"

@@ -64,6 +64,10 @@ FAMILY = [
     # groupBy; iterations run on the vocabulary relation, which grows
     # with the per-replica token-suffix vocab, not with corpus rows
     "bpe_learn_merges",
+    # r10 second batch: winnowing's partner join is the quadratic-risk
+    # shape (posting lists), bounded by the WINNOW_HOT cutoff — the
+    # cutoff must keep candidate fan-out linear at 10x
+    "dedup_winnowing_fingerprint",
 ]
 
 

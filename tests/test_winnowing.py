@@ -1,0 +1,78 @@
+"""Pin the winnowing fingerprint selection against an independent
+single-node implementation written from the MOSS paper's definition
+(Schleimer, Wilkerson & Aiken, SIGMOD'03): k-gram polynomial hashes,
+window of w consecutive hashes, select the RIGHTMOST MINIMUM of each
+window. The gate oracle restates the same algorithm in SQL; this test
+proves the integer-key encoding (h·2^20 + inverted position) actually
+implements rightmost-minimum, including ties."""
+
+from __future__ import annotations
+
+from pg_bifrost_spark.operators.dedup import (
+    WINNOW_K,
+    WINNOW_MOD,
+    WINNOW_PREFIX,
+    WINNOW_W,
+    _WINNOW_POW,
+    _winnow_fingerprints,
+)
+
+
+def reference_winnow(text: str) -> tuple[int, set[int]]:
+    """(n_kgrams, selected fingerprint set) per the paper: for every
+    window of WINNOW_W consecutive k-gram hashes, select the minimum,
+    breaking ties by RIGHTMOST position."""
+    t = text.lower()[:WINNOW_PREFIX]
+    m = max(len(t) - (WINNOW_K - 1), 0)
+    hashes = [
+        sum(ord(t[p + j]) * _WINNOW_POW[j] for j in range(WINNOW_K)) % WINNOW_MOD
+        for p in range(m)
+    ]
+    selected: set[int] = set()
+    for s in range(m - WINNOW_W + 1):
+        window = hashes[s : s + WINNOW_W]
+        mn = min(window)
+        # rightmost position achieving the minimum
+        r = max(i for i, h in enumerate(window) if h == mn)
+        selected.add(window[r])
+    return m, selected
+
+
+def _spark_winnow(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    rows = _winnow_fingerprints(df).collect()
+    return {r["doc_id"]: (r["n_kgrams"], set(r["fps"])) for r in rows}
+
+
+def test_selection_matches_reference_on_fixture_text(spark):
+    import duckdb
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT text FROM '/root/testdata/sf0.001/documents.parquet' LIMIT 40"
+        ).fetchall()
+    ]
+    got = _spark_winnow(spark, texts)
+    for i, t in enumerate(texts):
+        m, want = reference_winnow(t)
+        assert got[i] == (m, want), f"doc {i}"
+
+
+def test_rightmost_tie_break_and_short_docs(spark):
+    """A repeated k-gram inside one window forces an exact hash tie —
+    the rightmost occurrence must win (one fingerprint, not a
+    left-biased different selection); docs shorter than k+w-1 chars
+    yield zero fingerprints but still report their k-gram count."""
+    rep = "abcdefghijklmnop"  # one full k-gram (k=16)
+    tie_doc = rep + rep + rep  # hash sequence has exact repeats
+    short = "tiny"
+    kgram_only = "x" * (WINNOW_K + WINNOW_W - 2)  # m = w-1: no full window
+    got = _spark_winnow(spark, [tie_doc, short, kgram_only])
+    for i, t in enumerate([tie_doc, short, kgram_only]):
+        m, want = reference_winnow(t)
+        assert got[i] == (m, want), f"case {i}"
+    assert got[1] == (0, set())
+    assert got[2][0] > 0 and got[2][1] == set()
