@@ -147,6 +147,8 @@ HEADLINE = [
     "multimodal_image_resize",
     "multimodal_audio_features",
     "dedup_winnowing_fingerprint",
+    "privacy_t_closeness_report",
+    "cdc_schema_evolution",
     "cdc_lineitem_roundtrip",
 ]
 

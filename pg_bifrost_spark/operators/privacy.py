@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans import register, table
+from ..plans import register, table, tracked_cache
 
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 PHONE_RE = "[0-9]{3}-[0-9]{4}"
@@ -403,3 +403,113 @@ def privacy_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l")
     )
+
+
+# t-closeness (the trio's third leg): a class can satisfy k AND l yet
+# still leak — when its sensitive-value DISTRIBUTION diverges from the
+# corpus-wide one, observing the class updates an attacker's prior
+# (skewness attack). Each quasi-ID class's distribution must stay
+# within distance T of the global distribution (Li, Li &
+# Venkatasubramanian, ICDE'07, public literature); for a categorical
+# sensitive attribute the distance is total variation:
+#   TVD(c) = ½ Σ_s |n_cs/n_c − N_s/N|
+# Everything below stays in EXACT integers: the per-class audit emits
+# the TVD as a numerator/denominator pair (cross-multiplied, absent
+# sensitive values folded in via N − Σ_present N_s), and the verdict
+# compares 2·num > n_c·N ⟺ TVD > 1/4 — no float division anywhere,
+# so Spark and DuckDB agree bit-for-bit by construction.
+T_CLOSE_NUM, T_CLOSE_DEN = 1, 4  # T = 0.25 splits the fixture:
+#                                  sf0.01 classes span TVD 0.06..0.58
+
+
+@register(
+    "privacy_t_closeness_report",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n_cs
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    gl AS (SELECT s, CAST(sum(n_cs) AS BIGINT) AS n_s FROM cls GROUP BY s),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM gl),
+    nc AS (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(n_cs) AS BIGINT) AS n_c
+      FROM cls GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             sum(abs(c.n_cs * t.n - g.n_s * x.n_c)) AS present,
+             sum(g.n_s) AS present_ns,
+             any_value(x.n_c) AS n_c, any_value(t.n) AS n
+      FROM cls c JOIN gl g USING (s)
+                 JOIN nc x USING (c_nationkey, c_mktsegment), tot t
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(n_c AS BIGINT) AS class_size,
+           CAST(present + (n - present_ns) * n_c AS BIGINT) AS tvd_num,
+           CAST(2 * n_c * n AS BIGINT) AS tvd_den,
+           CAST(CASE WHEN {T_CLOSE_DEN} * (present + (n - present_ns) * n_c)
+                          > {2 * T_CLOSE_NUM} * n_c * n
+                THEN 1 ELSE 0 END AS INT) AS violates_t
+    FROM per ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class total-variation distance between the class's
+    sensitive-value distribution and the corpus-wide one, with a
+    T=1/4 verdict — run as the third audit next to
+    ``privacy_k_anonymity_report`` (re-identification) and
+    ``privacy_l_diversity_report`` (homogeneity): t-closeness bounds
+    the skewness attack l-diversity misses.
+
+    Plan: ONE corpus-sized pass — the (quasi-ID, sensitive) groupBy —
+    then everything else re-aggregates that class×band relation
+    (|classes|·|bands| rows: the global marginal, the total, the class
+    sizes), joined back broadcast-small. The absent-value TVD terms
+    (a band the class never hits still contributes N_s·n_c) fold in
+    arithmetically via (N − Σ_present N_s)·n_c instead of a dense
+    class×band grid. At 100 TB the audit costs one map-side-combined
+    shuffle on (quasi-IDs, band) plus tiny-relation joins."""
+    cls = (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("s"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_cs"))
+    )
+    cls = tracked_cache(cls)
+    gl = cls.groupBy("s").agg(F.sum("n_cs").alias("n_s"))
+    tot = gl.agg(F.sum("n_s").alias("n"))
+    nc = cls.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_cs").alias("n_c")
+    )
+    per = (
+        cls.join(F.broadcast(gl), "s")
+        .join(F.broadcast(nc), ["c_nationkey", "c_mktsegment"])
+        .join(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum(F.abs(F.col("n_cs") * F.col("n") - F.col("n_s") * F.col("n_c")))
+            .alias("present"),
+            F.sum("n_s").alias("present_ns"),
+            F.first("n_c").alias("n_c"),
+            F.first("n").alias("n"),
+        )
+    )
+    tvd_num = F.col("present") + (F.col("n") - F.col("present_ns")) * F.col("n_c")
+    return per.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_c").cast("bigint").alias("class_size"),
+        tvd_num.cast("bigint").alias("tvd_num"),
+        (2 * F.col("n_c") * F.col("n")).cast("bigint").alias("tvd_den"),
+        (
+            T_CLOSE_DEN * tvd_num > 2 * T_CLOSE_NUM * F.col("n_c") * F.col("n")
+        )
+        .cast("int")
+        .alias("violates_t"),
+    ).orderBy("c_nationkey", "c_mktsegment")

@@ -365,8 +365,21 @@ GATE_PRIORITY: list[str] = [
     # NEW r7: the bigram rung of the LM-quality ladder, per-doc token
     # entropy, and the top-K vocabulary OOV-coverage report
     "quality_bigram_logprob",
-    "text_token_entropy",
-    "tokenizer_vocab_coverage",
+    # r10 second rotation: text_token_entropy (3 straight greens
+    # r7-r9) yields to the NEW r10 cdc_schema_evolution (ALTER TABLE
+    # mid-stream: union-schema snapshot materialization over
+    # self-describing test_decoding envelopes — the CDC consumer's
+    # second gate row next to the flagship); entropy evidence stays
+    # via quality_bigram_logprob + corpus_distinct_ngram_rate, and the
+    # op stays oracle-backed + rehearsed every round
+    "cdc_schema_evolution",
+    # r10 second rotation: tokenizer_vocab_coverage (3 straight greens
+    # r7-r9) yields to the NEW r10 privacy_t_closeness_report (the
+    # trio's third audit — exact-integer total-variation distance,
+    # skewness-attack bound); tokenizer evidence stays via
+    # bpe_learn_merges + bpe_train_encode + tokenizer_fertility_by_lang
+    # in this gate, and the op stays oracle-backed + rehearsed
+    "privacy_t_closeness_report",
     # corpus-wide passes (r3 additions — first gate rotation)
     # vocab_top_tokens (3 straight greens) yields to the NEW r7
     # first-occurrence n-gram novelty pass; vocab evidence stays via

@@ -324,3 +324,68 @@ def cdc_partition_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.groupBy("partition_key").agg(F.count("*").alias("n")).orderBy("partition_key")
+
+
+@register(
+    "cdc_schema_evolution",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0
+                THEN 'EVOLVED-' || n_nationkey ELSE n_name END AS n_name,
+           CASE WHEN n_nationkey % 2 = 0
+                THEN CAST(n_regionkey AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS n_region_code
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE mid-stream: the table gains a column while changes
+    are flowing, and the consumer must materialize a snapshot under
+    the UNION schema without choking on either vintage. test_decoding
+    lines are self-describing (every tuple carries its own
+    name[type]:value cells — the property the reference's parser
+    relies on, parser.go), so the pipeline needs NO schema registry:
+    pre-ALTER envelopes simply lack the new cell, and the snapshot
+    projection reads it as NULL.
+
+    Plant: INSERT all nation rows with the 2-column schema, then
+    UPDATE the evens with a 3-column schema (new ``n_region_code``
+    column + an EVOLVED- name, later LSNs). Last-write-wins
+    materialization via the same apply path as ``cdc_apply_snapshot``;
+    the oracle restates the final per-vintage column values, NULLs
+    included — a consumer that dropped pre-ALTER rows or defaulted the
+    missing cell to anything but NULL breaks the hash."""
+    from ..sinks.table_apply import (
+        apply_changes,
+        changes_to_upserts,
+        snapshot_as_columns,
+    )
+
+    nation = table(spark, sf_dir, "nation")
+    inserts = wal_lines_from_table(
+        nation,
+        "public.nation",
+        {"n_nationkey": "bigint", "n_name": "text"},
+        seq_expr="n_nationkey",
+    )
+    evolved = wal_lines_from_table(
+        nation.filter(F.col("n_nationkey") % 2 == 0).select(
+            "n_nationkey",
+            F.concat(F.lit("EVOLVED-"), F.col("n_nationkey").cast("string")).alias(
+                "n_name"
+            ),
+            F.col("n_regionkey").cast("bigint").alias("n_region_code"),
+        ),
+        "public.nation",
+        {"n_nationkey": "bigint", "n_name": "text", "n_region_code": "bigint"},
+        seq_expr=F.col("n_nationkey") + 10_000,
+        operation="UPDATE",
+    )
+    raw = inserts.unionByName(evolved)
+    marshalled = run_pipeline(raw, PipelineConfig())
+    upserts = changes_to_upserts(marshalled, pk="n_nationkey")
+    snapshot = apply_changes(None, upserts, pk="n_nationkey")
+    return snapshot_as_columns(
+        snapshot,
+        {"n_nationkey": "bigint", "n_name": "string", "n_region_code": "bigint"},
+    ).orderBy("n_nationkey")

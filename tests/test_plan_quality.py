@@ -982,3 +982,20 @@ def test_winnowing_selection_is_pure_projection(spark):
     text = _winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
     for bad in ("Join", "Window", "MapInPandas", "BatchEvalPython", "HashAggregate"):
         assert bad not in text, f"{bad} in winnowing selection plan:\n{text}"
+
+
+def test_t_closeness_single_corpus_pass_broadcast_reaggs(spark):
+    """t-closeness must scan the corpus ONCE (the (quasi-ID, band)
+    groupBy); the global marginal, total, and class sizes are
+    re-aggregations of that class×band relation joined back broadcast
+    — a second corpus scan or a shuffle join would double the audit's
+    cost for no reason."""
+    text = plan_of(spark, "privacy_t_closeness_report")
+    # every consumer (the per-class join's probe + the three tiny
+    # re-aggs) reads the CACHED class×band relation, whose embedded
+    # description is where each "Scan parquet" string comes from —
+    # the corpus itself is scanned once into that cache
+    assert text.count("InMemoryTableScan") == text.count("Scan parquet") == 4
+    assert "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
+    assert "SortMergeJoin" not in text and "ShuffledHashJoin" not in text
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text

@@ -60,6 +60,9 @@ FAMILY = [
     # corpora, so the audit must stay two cheap exchanges at 10x
     "privacy_k_anonymity_report",
     "privacy_l_diversity_report",
+    # r10 second batch: the trio's third audit — one corpus-sized
+    # (quasi-ID, band) groupBy, everything else tiny-relation re-aggs
+    "privacy_t_closeness_report",
     # r10: BPE merge learning — the corpus-sized pass is ONE word-count
     # groupBy; iterations run on the vocabulary relation, which grows
     # with the per-replica token-suffix vocab, not with corpus rows
