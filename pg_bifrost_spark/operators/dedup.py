@@ -1931,12 +1931,19 @@ def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
             "m", F.greatest(F.length("t") - (WINNOW_K - 1), F.lit(0))
         )
         .withColumn(
+            # gated on m > 0: Spark's sequence(1, 0) is the DESCENDING
+            # [1, 0] (the same pitfall _bpe_vocab guards), which would
+            # mint two phantom position keys per short doc — harmless
+            # today only because fps gates on m >= WINNOW_W
             "ks",
-            F.expr(
-                f"transform(sequence(1, m), p -> "
-                f"(({hash_terms}) % {WINNOW_MOD}L) * {_WINNOW_POSB}L"
-                f" + ({_WINNOW_POSB - 1}L - (p - 1)))"
-            ),
+            F.when(
+                F.col("m") > 0,
+                F.expr(
+                    f"transform(sequence(1, m), p -> "
+                    f"(({hash_terms}) % {WINNOW_MOD}L) * {_WINNOW_POSB}L"
+                    f" + ({_WINNOW_POSB - 1}L - (p - 1)))"
+                ),
+            ).otherwise(F.expr("cast(array() as array<bigint>)")),
         )
         .withColumn(
             "fps",
@@ -2004,17 +2011,17 @@ _WINNOW_ORACLE_HASH = " + ".join(
 def dedup_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints + candidate-partner counts.
 
-    Selection: polynomial k-gram hash (k={WINNOW_K}, base 257 mod
-    1e9+7 — 8 literal power constants shared with the oracle, so the
-    hash is bit-identical by construction, the crc32-partitioner
-    trick), then rightmost-minimum-per-window encoded as ONE integer
-    min (h·2^20 + inverted position) — no struct ordering, no
-    engine-specific tie-break.
+    Selection: polynomial k-gram hash (k=16, base 257 mod 1e9+7 — 16
+    literal power constants shared with the oracle, so the hash is
+    bit-identical by construction, the crc32-partitioner trick), then
+    rightmost-minimum-per-window encoded as ONE integer min (h·2^20 +
+    inverted position) — no struct ordering, no engine-specific
+    tie-break.
 
     100-TB posture: fingerprint selection is a pure per-row HOF
     projection (no shuffle); partner counting explodes each doc's
     ~2·prefix/(w+1) fingerprints, drops stop-gram fingerprints shared
-    by >{WINNOW_HOT} docs (every posting list ≤{WINNOW_HOT} ⇒ join
+    by more than WINNOW_HOT=32 docs (every posting list ≤32 ⇒ join
     fan-out bounded, the dedup_ngram_jaccard hotset rule), and joins
     posting lists — never all-pairs."""
     docs = spread(
