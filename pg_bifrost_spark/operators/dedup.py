@@ -1915,48 +1915,59 @@ WINNOW_HOT = 32       # posting-list cutoff: fingerprints shared by
 _WINNOW_POSB = 1 << 20
 
 
+def _winnow_kernel(batches):
+    """mapInPandas kernel: (doc_id, t) → (doc_id, n_kgrams, fps) —
+    the whole selection vectorized per doc: k-gram hashes as ONE
+    numpy GEMV over a sliding-window view, selection keys h·2^20 +
+    inverted position, window minima via a second sliding view, fps =
+    unique(key div 2^20). Exact int64 throughout (max term
+    0x10FFFF·1e9·16 < 2^63). ``t`` is lowercased/truncated JVM-SIDE so
+    locale-sensitive lowercasing stays identical to the SQL oracle —
+    the kernel only does integer math on codepoints."""
+    import numpy as np
+    import pandas as pd
+
+    pows = np.array(_WINNOW_POW, dtype=np.int64)
+    swv = np.lib.stride_tricks.sliding_window_view
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_kgrams": [], "fps": []}
+        for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+            t = t or ""
+            cs = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+            m = max(len(cs) - (WINNOW_K - 1), 0)
+            fps: list = []
+            if m >= WINNOW_W:
+                h = (swv(cs, WINNOW_K)[:m] * pows).sum(axis=1) % WINNOW_MOD
+                keys = h * _WINNOW_POSB + (_WINNOW_POSB - 1 - np.arange(m))
+                wmin = swv(keys, WINNOW_W).min(axis=1)
+                # divide the position field out BEFORE unique: the same
+                # hash selected at two positions is ONE fingerprint
+                fps = np.unique(wmin // _WINNOW_POSB).tolist()
+            out["doc_id"].append(int(doc_id))
+            out["n_kgrams"].append(m)
+            out["fps"].append(fps)
+        yield pd.DataFrame(out)
+
+
 def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, n_kgrams, fps array<bigint>) — the
-    whole selection is ONE Catalyst HOF projection (transform /
-    slice / array_min), zero Python, zero shuffle: per-row cost only,
-    at any corpus scale."""
-    t = F.substring(F.lower(F.col("text")), 1, WINNOW_PREFIX)
-    hash_terms = " + ".join(
-        f"ascii(substring(t, p + {j}, 1)) * {_WINNOW_POW[j]}L"
-        for j in range(WINNOW_K)
-    )
-    return (
-        docs.select("doc_id", t.alias("t"))
-        .withColumn(
-            "m", F.greatest(F.length("t") - (WINNOW_K - 1), F.lit(0))
-        )
-        .withColumn(
-            # gated on m > 0: Spark's sequence(1, 0) is the DESCENDING
-            # [1, 0] (the same pitfall _bpe_vocab guards), which would
-            # mint two phantom position keys per short doc — harmless
-            # today only because fps gates on m >= WINNOW_W
-            "ks",
-            F.when(
-                F.col("m") > 0,
-                F.expr(
-                    f"transform(sequence(1, m), p -> "
-                    f"(({hash_terms}) % {WINNOW_MOD}L) * {_WINNOW_POSB}L"
-                    f" + ({_WINNOW_POSB - 1}L - (p - 1)))"
-                ),
-            ).otherwise(F.expr("cast(array() as array<bigint>)")),
-        )
-        .withColumn(
-            "fps",
-            F.when(
-                F.col("m") >= WINNOW_W,
-                F.expr(
-                    f"array_distinct(transform(sequence(1, m - {WINNOW_W - 1}), "
-                    f"s -> array_min(slice(ks, s, {WINNOW_W})) "
-                    f"div {_WINNOW_POSB}L))"
-                ),
-            ).otherwise(F.expr("cast(array() as array<bigint>)")),
-        )
-        .select("doc_id", F.col("m").alias("n_kgrams"), "fps")
+    """(doc_id, text) → (doc_id, n_kgrams, fps array<bigint>) — ONE
+    Arrow kernel over a JVM lower/truncate projection: map-side only,
+    zero shuffle, per-row cost only at any corpus scale.
+
+    Why a kernel and not Catalyst HOFs: the selection is a nested-HOF
+    shape (per-position polynomial hash, then per-window array min)
+    that Spark evaluates INTERPRETED — measured 20 s for 5 000 docs at
+    sf0.1 even with the char-array form (and 112 s with naive
+    substring(t, p+j, 1), an O(p) UTF-8 scan per call). The numpy
+    sliding-window form computes identical integers in ~2 s for the
+    same corpus. unique() also sorts, so fps ordering is deterministic."""
+    return docs.select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, WINNOW_PREFIX).alias("t"),
+    ).mapInPandas(
+        _winnow_kernel,
+        schema="doc_id bigint, n_kgrams int, fps array<bigint>",
     )
 
 

@@ -967,12 +967,14 @@ def test_audio_features_single_kernel_no_shuffle(spark):
     ], exchanges
 
 
-def test_winnowing_selection_is_pure_projection(spark):
-    """Winnowing fingerprint SELECTION must be a per-row HOF
-    projection: no Python, no Join, no Window, no aggregate — the
-    selection step costs zero shuffles at any corpus size (the
-    partner-counting joins downstream are posting-list joins, bounded
-    by the hot-fingerprint cutoff)."""
+def test_winnowing_selection_is_one_mapside_kernel(spark):
+    """Winnowing fingerprint SELECTION must be ONE Arrow kernel over a
+    JVM lower/truncate projection: no Join, no Window, no aggregate,
+    no exchange — the selection step costs zero shuffles at any corpus
+    size (the partner-counting joins downstream are posting-list
+    joins, bounded by the hot-fingerprint cutoff). A nested-HOF
+    Catalyst form is interpreted (no codegen) and measured 10× slower
+    — don't regress to it without re-measuring."""
     from pg_bifrost_spark.operators.dedup import _winnow_fingerprints
 
     docs = spark.createDataFrame(
@@ -980,7 +982,8 @@ def test_winnowing_selection_is_pure_projection(spark):
         "doc_id bigint, text string",
     )
     text = _winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
-    for bad in ("Join", "Window", "MapInPandas", "BatchEvalPython", "HashAggregate"):
+    assert text.count("MapInPandas") == 1
+    for bad in ("Join", "Window", "HashAggregate", "Exchange", "BatchEvalPython"):
         assert bad not in text, f"{bad} in winnowing selection plan:\n{text}"
 
 

@@ -43,6 +43,12 @@ def _spark_winnow(spark, texts):
         [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
     )
     rows = _winnow_fingerprints(df).collect()
+    for r in rows:
+        # the fps ARRAY itself must be duplicate-free: n_fingerprints
+        # is size(fps), and a same-hash-two-positions selection that
+        # dedupes only as a set inflates it (caught live in r10 when
+        # the kernel uniqued keys before dividing the position out)
+        assert len(r["fps"]) == len(set(r["fps"])), r
     return {r["doc_id"]: (r["n_kgrams"], set(r["fps"])) for r in rows}
 
 
