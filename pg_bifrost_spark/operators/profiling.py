@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans import register, table
+from ..plans import register, table, tracked_cache
 
 SKEW_TOP_K = 10
 HIST_BUCKET_TOKENS = 16
@@ -459,4 +459,91 @@ def events_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (r10): the missing analytics primitive
+# next to the MAD/histogram-median ops — discrete p50/p95/p99 per
+# segment, EXACT (the selected element, not an interpolation), via the
+# histogram-cumsum formulation that survives 100 TB: the per-segment
+# window runs over the VALUE HISTOGRAM (segments × distinct cents),
+# never over corpus rows — a naive row_number over raw events would
+# funnel each segment's full data through one sort task.
+# ---------------------------------------------------------------------------
+
+QUANTILE_PCTS = (50, 95, 99)
+
+
+@register(
+    "events_exact_quantiles",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(user_id % 8 AS BIGINT) AS seg,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    hist AS (
+      SELECT seg, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY seg, cents
+    ),
+    cum AS (
+      SELECT seg, cents,
+             CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY cents) AS BIGINT)
+               AS cum_cnt
+      FROM hist
+    ),
+    seg_n AS (SELECT seg, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY seg),
+    q AS (SELECT unnest(ARRAY{list(QUANTILE_PCTS)}) AS pct)
+    SELECT c.seg, CAST(q.pct AS INT) AS pct, s.n,
+           CAST(min(c.cents) AS BIGINT) AS cents,
+           min(c.cents) / 100.0 AS value
+    FROM cum c JOIN seg_n s USING (seg), q
+    WHERE c.cum_cnt >= (q.pct * s.n + 99) // 100
+    GROUP BY c.seg, q.pct, s.n
+    ORDER BY seg, pct
+    """,
+)
+def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete per-segment quantiles (p50/p95/p99 of event
+    value): the selected element is the smallest value whose
+    cumulative count reaches rank ceil(pct·n/100) — pure BIGINT
+    arithmetic on cent-quantized values, so Spark and DuckDB agree
+    bit-for-bit (rank = (pct·n + 99) div 100; no interpolation, no
+    float comparisons until the final deterministic cents/100.0).
+
+    100-TB plan: ONE map-side-combined corpus groupBy builds the
+    (segment, cents) histogram; the cumulative-sum window and the
+    rank probe run over that HISTOGRAM (|segments|·|price domain|
+    rows), and the 3-row percentile relation joins in broadcast — the
+    segment-partitioned sort never sees corpus rows, which is what
+    makes exact quantiles viable where a row_number-over-raw-events
+    formulation would serialize each segment through one task."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 8).cast("bigint").alias("seg"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    hist = ev.groupBy("seg", "cents").agg(F.count("*").cast("bigint").alias("cnt"))
+    hist = tracked_cache(hist)
+    w = Window.partitionBy("seg").orderBy("cents")
+    cum = hist.withColumn("cum_cnt", F.sum("cnt").over(w).cast("bigint"))
+    seg_n = hist.groupBy("seg").agg(F.sum("cnt").cast("bigint").alias("n"))
+    pcts = spark.createDataFrame([(p,) for p in QUANTILE_PCTS], "pct int")
+    rank = F.expr("(pct * n + 99) div 100")  # integral div: exact at any n
+    return (
+        cum.join(F.broadcast(seg_n), "seg")
+        .join(F.broadcast(pcts))
+        .filter(F.col("cum_cnt") >= rank)
+        .groupBy("seg", "pct", "n")
+        .agg(F.min("cents").alias("cents"))
+        .select(
+            "seg",
+            F.col("pct").cast("int").alias("pct"),
+            "n",
+            F.col("cents").cast("bigint").alias("cents"),
+            (F.col("cents") / 100.0).alias("value"),
+        )
+        .orderBy("seg", "pct")
     )

@@ -319,7 +319,13 @@ GATE_PRIORITY: list[str] = [
     # text_repetition_stats (3 straight greens) yields to the NEW r7
     # exactly-k-per-group deterministic reservoir; repetition evidence
     # stays via quality_gopher_rules + quality_c4_rules + text_token_entropy
-    "reservoir_per_group_sample",
+    # r10 third rotation: reservoir_per_group_sample (3 straight
+    # greens r7-r9) yields to the NEW r10 events_exact_quantiles
+    # (exact discrete p50/p95/p99 per segment via the histogram-cumsum
+    # formulation — the analytics primitive next to the MAD/median
+    # ops); sampling evidence stays via temperature_mixture_sample +
+    # token_budget_sample, and the op stays oracle-backed + rehearsed
+    "events_exact_quantiles",
     # quality_gopher_rules (3 straight greens r4-r6) yields to the NEW
     # r7 DSIR hashed-ngram importance score; Gopher evidence stays via
     # quality_c4_rules + the capstone's reused gopher_keep_parts stage

@@ -1002,3 +1002,18 @@ def test_t_closeness_single_corpus_pass_broadcast_reaggs(spark):
     assert "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
     assert "SortMergeJoin" not in text and "ShuffledHashJoin" not in text
     assert "MapInPandas" not in text and "BatchEvalPython" not in text
+
+
+def test_exact_quantiles_window_runs_over_histogram(spark):
+    """Exact quantiles must window over the (segment, cents) HISTOGRAM,
+    never raw events: the corpus contributes ONE map-side-combined
+    groupBy into a cached relation, every downstream consumer reads
+    that cache, the percentile relation joins broadcast, and no
+    sort-merge join appears. A row_number-over-raw-rows formulation
+    would funnel each segment's full data through one sort task."""
+    text = plan_of(spark, "events_exact_quantiles")
+    # the histogram cache is the only place the parquet scan appears
+    assert text.count("InMemoryTableScan") == text.count("Scan parquet") >= 2
+    assert "Window" in text
+    assert "SortMergeJoin" not in text and "ShuffledHashJoin" not in text
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text
