@@ -1921,9 +1921,14 @@ def _winnow_kernel(batches):
     numpy GEMV over a sliding-window view, selection keys h·2^20 +
     inverted position, window minima via a second sliding view, fps =
     unique(key div 2^20). Exact int64 throughout (max term
-    0x10FFFF·1e9·16 < 2^63). ``t`` is lowercased/truncated JVM-SIDE so
-    locale-sensitive lowercasing stays identical to the SQL oracle —
-    the kernel only does integer math on codepoints."""
+    0x10FFFF·1e9·16 < 2^63). ``t`` is case-folded/truncated JVM-SIDE
+    via an explicit ASCII ``translate`` (not ``lower()``: JVM and
+    DuckDB lower() verifiably disagree on locale-sensitive codepoints
+    — U+0130 'İ' lowers to TWO codepoints in Java/Python and ONE in
+    DuckDB — so translate with a literal A-Z→a-z table is the only
+    form that is bit-identical across engines by construction; the
+    same rule as the hash's literal power constants). The kernel only
+    does integer math on codepoints."""
     import numpy as np
     import pandas as pd
 
@@ -1952,7 +1957,7 @@ def _winnow_kernel(batches):
 
 def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, n_kgrams, fps array<bigint>) — ONE
-    Arrow kernel over a JVM lower/truncate projection: map-side only,
+    Arrow kernel over a JVM case-fold/truncate projection: map-side only,
     zero shuffle, per-row cost only at any corpus scale.
 
     Why a kernel and not Catalyst HOFs: the selection is a nested-HOF
@@ -1964,7 +1969,9 @@ def _winnow_fingerprints(docs: DataFrame) -> DataFrame:
     same corpus. unique() also sorts, so fps ordering is deterministic."""
     return docs.select(
         "doc_id",
-        F.substring(F.lower(F.col("text")), 1, WINNOW_PREFIX).alias("t"),
+        F.substring(
+            F.translate(F.col("text"), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), 1, WINNOW_PREFIX
+        ).alias("t"),
     ).mapInPandas(
         _winnow_kernel,
         schema="doc_id bigint, n_kgrams int, fps array<bigint>",
@@ -1980,7 +1987,9 @@ _WINNOW_ORACLE_HASH = " + ".join(
     "dedup_winnowing_fingerprint",
     oracle=f"""
     WITH d AS (
-      SELECT doc_id, substr(lower(text), 1, {WINNOW_PREFIX}) AS t
+      SELECT doc_id,
+             substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                              'abcdefghijklmnopqrstuvwxyz'), 1, {WINNOW_PREFIX}) AS t
       FROM documents
     ),
     keys AS (

@@ -481,7 +481,7 @@ QUANTILE_PCTS = (50, 95, 99)
     WITH ev AS (
       SELECT CAST(user_id % 8 AS BIGINT) AS seg,
              CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     hist AS (
       SELECT seg, cents, CAST(count(*) AS BIGINT) AS cnt
@@ -521,9 +521,16 @@ def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation would serialize each segment through one task."""
     from pyspark.sql import Window
 
-    ev = table(spark, sf_dir, "events").select(
-        (F.col("user_id") % 8).cast("bigint").alias("seg"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    # NULL values are excluded on BOTH sides (code-review r10): a NULL
+    # histogram bucket sorts NULLS FIRST in Spark's window but NULLS
+    # LAST in DuckDB's, silently shifting every cumulative count
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 8).cast("bigint").alias("seg"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
     )
     hist = ev.groupBy("seg", "cents").agg(F.count("*").cast("bigint").alias("cnt"))
     hist = tracked_cache(hist)

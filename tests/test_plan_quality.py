@@ -969,7 +969,7 @@ def test_audio_features_single_kernel_no_shuffle(spark):
 
 def test_winnowing_selection_is_one_mapside_kernel(spark):
     """Winnowing fingerprint SELECTION must be ONE Arrow kernel over a
-    JVM lower/truncate projection: no Join, no Window, no aggregate,
+    JVM case-fold/truncate projection: no Join, no Window, no aggregate,
     no exchange — the selection step costs zero shuffles at any corpus
     size (the partner-counting joins downstream are posting-list
     joins, bounded by the hot-fingerprint cutoff). A nested-HOF

@@ -22,7 +22,13 @@ def reference_winnow(text: str) -> tuple[int, set[int]]:
     """(n_kgrams, selected fingerprint set) per the paper: for every
     window of WINNOW_W consecutive k-gram hashes, select the minimum,
     breaking ties by RIGHTMOST position."""
-    t = text.lower()[:WINNOW_PREFIX]
+    # ASCII-only case fold, mirroring the op's explicit translate —
+    # full lower() is locale-sensitive and differs across engines
+    t = text.translate(
+        str.maketrans(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+        )
+    )[:WINNOW_PREFIX]
     m = max(len(t) - (WINNOW_K - 1), 0)
     hashes = [
         sum(ord(t[p + j]) * _WINNOW_POW[j] for j in range(WINNOW_K)) % WINNOW_MOD
@@ -82,3 +88,31 @@ def test_rightmost_tie_break_and_short_docs(spark):
         assert got[i] == (m, want), f"case {i}"
     assert got[1] == (0, set())
     assert got[2][0] > 0 and got[2][1] == set()
+
+
+def test_non_ascii_casefold_matches_oracle_semantics(spark):
+    """Locale trap pinned (code-review r10): JVM/Python lower() turns
+    U+0130 'İ' into TWO codepoints while DuckDB lower() yields ONE —
+    so the op case-folds via an explicit ASCII translate in BOTH
+    engines. A doc containing 'İ' must fingerprint identically to the
+    reference (which uses the same ASCII-only fold), with the 'İ'
+    passing through un-lowered."""
+    base = "The Quick Brown Fox Jumps Over The Lazy Dog Again"
+    doc = "İstanbul DEDUP corpus İİ " + base
+    got = _spark_winnow(spark, [doc])
+    m, want = reference_winnow(doc)
+    assert got[0] == (m, want)
+    # and DuckDB's translate produces the exact same folded string —
+    # the cross-engine parity lower() cannot give on this input
+    import duckdb
+
+    folded = duckdb.sql(
+        "SELECT translate(?, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " 'abcdefghijklmnopqrstuvwxyz')",
+        params=[doc],
+    ).fetchone()[0]
+    py_folded = doc.translate(
+        str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+    )
+    assert folded == py_folded and "İ" in folded
+    assert duckdb.sql("SELECT length(lower('İ'))").fetchone()[0] == 1  # the trap
