@@ -834,20 +834,32 @@ def learn_bpe_merges(words: DataFrame, steps: int) -> list[tuple[int, str, str, 
     """
     vocab = tracked_cache(_bpe_vocab(words))
     merges: list[tuple[int, str, str, int]] = []
+    prev = None  # parent cache, released one step LATE (see below)
     for step in range(1, steps + 1):
         pairs = _bpe_pair_counts(vocab)
+        # ONE job per iteration: this collect reads vocab fully, so it
+        # also materializes vocab's cache — the explicit nxt.count()
+        # materialization job this loop used to run is redundant as
+        # long as the PARENT cache outlives the collect that fills the
+        # child (deferred-unpersist: release prev only after the next
+        # collect, else the fold lineage re-folds the whole chain).
+        # Halves the trainer's driver round-trips (2·steps → steps+1),
+        # the dominant cost of this latency-bound op.
         top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if prev is not None:
+            prev.unpersist()
         if not top:
+            prev = None
             break  # every word is a single symbol — vocabulary saturated
         a, b, c = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merges.append((step, a, b, c))
         nxt = tracked_cache(
             vocab.withColumn("syms", _merge_fold(F.col("syms"), a, b, m=a + b))
         )
-        nxt.count()  # materialize BEFORE releasing the parent cache,
-        vocab.unpersist()  # else the next iteration re-folds the whole chain
-        vocab = nxt
+        prev, vocab = vocab, nxt
     vocab.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return merges
 
 
