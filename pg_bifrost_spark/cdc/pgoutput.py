@@ -1,0 +1,470 @@
+"""pgoutput logical-decoding support: decode the in-core binary plugin
+into the engine's canonical event form (test_decoding text lines).
+
+The reference consumes ONLY the ``test_decoding`` plugin
+(``utils/utils.go:50`` hardcodes the plugin name), which Postgres ships
+as a demo and whose text output costs a render+reparse on every change.
+Real deployments run ``pgoutput`` — the in-core plugin behind native
+logical replication (``CREATE PUBLICATION``/``CREATE SUBSCRIPTION``) —
+so a drop-in engine must speak it. Message layout follows the public
+PostgreSQL protocol documentation (protocol-logicalrep-message-formats;
+Begin 'B', Commit 'C', Origin 'O', Relation 'R', Type 'Y', Insert 'I',
+Update 'U', Delete 'D', Truncate 'T', Message 'M', and TupleData cell
+kinds 'n'/'u'/'t'/'b').
+
+Design: the decoder CANONICALIZES each binary frame into the exact
+test_decoding line the rest of the engine already parses, filters,
+partitions and marshals (``cdc/parser.py`` grammar; rendering shares
+``cdc/fixtures.py``'s quoting rule, itself derived from test_decoding's
+own output). That keeps ONE downstream pipeline for both plugins — the
+same envelopes, goldens, filters and sinks — instead of a parallel
+binary path that could drift. The render+parse round trip costs O(line)
+once per change in the sequential reader, the same place transaction
+assembly already runs; all heavy lifting stays in executors either way.
+
+Statefulness: pgoutput tuples carry NO column metadata — a Relation
+('R') frame declares (name, type-oid, typmod) per column and is re-sent
+whenever the schema changes. The decoder keeps that registry per
+connection, exactly like the transaction-assembly state the protocol
+already forces into the sequential reader (client.go:487-545 analog);
+the downstream stays schema-registry-free because every canonical line
+is self-describing.
+
+Hardening (repo standard, same class as the MP4/JPEG kernels): every
+declared count/length is validated against the remaining buffer BEFORE
+any allocation or loop, so a tampered 0xFFFFFFFF column count degrades
+to ``PgOutputError`` (callers count + drop — the reference's own
+response to undecodable frames, client.go:470-482), never a 4-billion
+iteration loop; a fuzz property pins "arbitrary bytes never raise
+anything but PgOutputError" (tests/test_pgoutput.py).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections import Counter
+from dataclasses import dataclass, field
+
+from .fixtures import fmt_value
+
+__all__ = [
+    "PgOutputError",
+    "PgOutputDecoder",
+    "Relation",
+    "type_name",
+    "encode_begin",
+    "encode_commit",
+    "encode_relation",
+    "encode_insert",
+    "encode_update",
+    "encode_delete",
+    "encode_truncate",
+    "encode_origin",
+    "encode_logical_message",
+]
+
+
+class PgOutputError(ValueError):
+    """Malformed pgoutput frame (truncated, bad declared count, unknown
+    message/cell kind). Callers drop the frame and count it."""
+
+
+# ---------------------------------------------------------------------------
+# Type-OID rendering (pg_catalog OIDs are stable public ABI)
+# ---------------------------------------------------------------------------
+_TYPE_NAMES: dict[int, str] = {
+    16: "boolean",
+    17: "bytea",
+    18: "char",
+    19: "name",
+    20: "bigint",
+    21: "smallint",
+    23: "integer",
+    25: "text",
+    26: "oid",
+    114: "json",
+    700: "real",
+    701: "double precision",
+    1042: "character",
+    1043: "character varying",
+    1082: "date",
+    1083: "time without time zone",
+    1114: "timestamp without time zone",
+    1184: "timestamp with time zone",
+    1186: "interval",
+    1266: "time with time zone",
+    1700: "numeric",
+    2950: "uuid",
+    3802: "jsonb",
+    # common array types (test_decoding renders them with [] suffix)
+    1000: "boolean[]",
+    1005: "smallint[]",
+    1007: "integer[]",
+    1009: "text[]",
+    1016: "bigint[]",
+    1015: "character varying[]",
+    1021: "real[]",
+    1022: "double precision[]",
+    1231: "numeric[]",
+}
+
+_TYPMOD_TYPES = {1042, 1043}  # character(n) / character varying(n)
+
+
+def type_name(oid: int, typmod: int = -1) -> str:
+    """Postgres type-OID → the name test_decoding renders inside
+    ``col[type]:`` cells. varchar/bpchar carry their length typmod
+    (``character varying(255)``); numeric carries (precision, scale).
+    Unknown OIDs render as ``oid:<n>`` — still a valid cell type token
+    for the parser, and honest about the gap."""
+    base = _TYPE_NAMES.get(oid)
+    if base is None:
+        return f"oid:{oid}"
+    if typmod is not None and typmod >= 4:
+        if oid in _TYPMOD_TYPES:
+            return f"{base}({typmod - 4})"
+        if oid == 1700:  # numeric: (precision << 16) | scale, offset 4
+            m = typmod - 4
+            return f"{base}({(m >> 16) & 0xFFFF},{m & 0xFFFF})"
+    return base
+
+
+# ---------------------------------------------------------------------------
+# Bounds-checked binary reader
+# ---------------------------------------------------------------------------
+class _Reader:
+    __slots__ = ("buf", "i")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.i = 0
+
+    def _need(self, n: int) -> None:
+        if n < 0 or self.i + n > len(self.buf):
+            raise PgOutputError(
+                f"truncated frame: need {n} bytes at offset {self.i}, "
+                f"have {len(self.buf) - self.i}"
+            )
+
+    def u8(self) -> int:
+        self._need(1)
+        v = self.buf[self.i]
+        self.i += 1
+        return v
+
+    def u16(self) -> int:
+        self._need(2)
+        (v,) = struct.unpack_from(">H", self.buf, self.i)
+        self.i += 2
+        return v
+
+    def u32(self) -> int:
+        self._need(4)
+        (v,) = struct.unpack_from(">I", self.buf, self.i)
+        self.i += 4
+        return v
+
+    def i32(self) -> int:
+        self._need(4)
+        (v,) = struct.unpack_from(">i", self.buf, self.i)
+        self.i += 4
+        return v
+
+    def u64(self) -> int:
+        self._need(8)
+        (v,) = struct.unpack_from(">Q", self.buf, self.i)
+        self.i += 8
+        return v
+
+    def take(self, n: int) -> bytes:
+        self._need(n)
+        v = self.buf[self.i : self.i + n]
+        self.i += n
+        return v
+
+    def cstr(self) -> str:
+        end = self.buf.find(b"\x00", self.i)
+        if end < 0:
+            raise PgOutputError("unterminated string in frame")
+        v = self.buf[self.i : end]
+        self.i = end + 1
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise PgOutputError(f"non-UTF-8 identifier: {exc}") from None
+
+    def remaining(self) -> int:
+        return len(self.buf) - self.i
+
+
+# ---------------------------------------------------------------------------
+# Relation registry
+# ---------------------------------------------------------------------------
+@dataclass
+class Relation:
+    namespace: str
+    name: str
+    replica_identity: int
+    # (column name, type oid, typmod, part-of-key flag)
+    columns: list[tuple[str, int, int, bool]]
+
+    @property
+    def relation(self) -> str:
+        # pg_catalog tables arrive with empty namespace per the docs
+        return f"{self.namespace or 'pg_catalog'}.{self.name}"
+
+    def cell_types(self) -> list[str]:
+        return [type_name(oid, typmod) for _, oid, typmod, _ in self.columns]
+
+
+_TOAST = object()  # sentinel: 'u' cell kind (unchanged TOAST datum)
+
+
+@dataclass
+class PgOutputDecoder:
+    """Stateful per-connection decoder: binary pgoutput frame →
+    canonical test_decoding line, or None for registry/metadata frames
+    (Relation / Type / Origin / logical Message) which produce no
+    downstream event. xid continuity mirrors the loop's transaction
+    stamping: pgoutput's Commit carries no xid, so the decoder renders
+    ``COMMIT <xid-of-last-BEGIN>`` exactly as test_decoding does."""
+
+    relations: dict[int, Relation] = field(default_factory=dict)
+    xid: int | None = None
+    stats: Counter = field(default_factory=Counter)
+
+    # ------------------------------------------------------------ tuples
+    def _tuple(self, r: _Reader, rel: Relation) -> list[tuple[str, str, object]]:
+        ncols = r.u16()
+        if ncols > r.remaining():  # every cell costs >= 1 byte
+            raise PgOutputError(f"declared {ncols} cells, {r.remaining()} bytes left")
+        if ncols != len(rel.columns):
+            raise PgOutputError(
+                f"tuple has {ncols} cells but relation {rel.relation} "
+                f"declares {len(rel.columns)} columns"
+            )
+        cells: list[tuple[str, str, object]] = []
+        for name, oid, typmod, _key in rel.columns:
+            kind = r.take(1)
+            t = type_name(oid, typmod)
+            if kind == b"n":
+                cells.append((name, t, None))
+            elif kind == b"u":
+                cells.append((name, t, _TOAST))
+            elif kind == b"t":
+                n = r.u32()
+                raw = r.take(n)
+                try:
+                    cells.append((name, t, raw.decode("utf-8")))
+                except UnicodeDecodeError as exc:
+                    raise PgOutputError(f"non-UTF-8 text cell: {exc}") from None
+            elif kind == b"b":
+                # binary cell (server sends only when the subscriber
+                # asked for binary mode); render as bytea text form so
+                # the canonical line stays self-describing
+                n = r.u32()
+                cells.append((name, t, "\\x" + r.take(n).hex()))
+            else:
+                raise PgOutputError(f"unknown tuple cell kind {kind!r}")
+        return cells
+
+    @staticmethod
+    def _cells_text(cells: list[tuple[str, str, object]]) -> str:
+        parts = []
+        for name, t, v in cells:
+            if v is _TOAST:
+                # test_decoding renders the sentinel unquoted
+                # (marshaller.go:276-283 matches it by value)
+                parts.append(f"{name}[{t}]:unchanged-toast-datum")
+            else:
+                parts.append(f"{name}[{t}]:{fmt_value(v, t)}")
+        return " ".join(parts)
+
+    def _rel(self, relid: int) -> Relation:
+        rel = self.relations.get(relid)
+        if rel is None:
+            raise PgOutputError(f"tuple for unknown relation id {relid}")
+        return rel
+
+    # ------------------------------------------------------------ decode
+    def decode(self, frame: bytes) -> str | None:
+        """One XLogData payload → canonical line or None. Raises
+        PgOutputError on any malformed frame; never anything else."""
+        if not frame:
+            raise PgOutputError("empty frame")
+        r = _Reader(frame)
+        tag = r.take(1)
+        try:
+            if tag == b"B":  # Begin: final_lsn, commit_ts, xid
+                r.u64()
+                r.u64()
+                self.xid = r.u32()
+                return f"BEGIN {self.xid}"
+            if tag == b"C":  # Commit: flags, commit_lsn, end_lsn, ts
+                r.u8()
+                r.u64()
+                r.u64()
+                r.u64()
+                xid = self.xid if self.xid is not None else 0
+                return f"COMMIT {xid}"
+            if tag == b"R":  # Relation: registry update, no event
+                relid = r.u32()
+                ns = r.cstr()
+                name = r.cstr()
+                ident = r.u8()
+                ncols = r.u16()
+                if ncols * 10 > r.remaining():  # each column costs >= 10 bytes
+                    raise PgOutputError(
+                        f"declared {ncols} relation columns, {r.remaining()} bytes left"
+                    )
+                cols = []
+                for _ in range(ncols):
+                    flags = r.u8()
+                    cname = r.cstr()
+                    oid = r.u32()
+                    typmod = r.i32()
+                    cols.append((cname, oid, typmod, bool(flags & 1)))
+                self.relations[relid] = Relation(ns, name, ident, cols)
+                self.stats["relations"] += 1
+                return None
+            if tag == b"I":  # Insert: relid, 'N', new tuple
+                rel = self._rel(r.u32())
+                if r.take(1) != b"N":
+                    raise PgOutputError("INSERT without new-tuple marker")
+                cells = self._tuple(r, rel)
+                return f"table {rel.relation}: INSERT: {self._cells_text(cells)}"
+            if tag == b"U":  # Update: relid, ['K'|'O' old]?, 'N' new
+                rel = self._rel(r.u32())
+                marker = r.take(1)
+                old = None
+                if marker in (b"K", b"O"):
+                    old = self._tuple(r, rel)
+                    marker = r.take(1)
+                if marker != b"N":
+                    raise PgOutputError(f"UPDATE with unexpected marker {marker!r}")
+                cells = self._tuple(r, rel)
+                if old is not None:
+                    return (
+                        f"table {rel.relation}: UPDATE: old-key: "
+                        f"{self._cells_text(old)} new-tuple: {self._cells_text(cells)}"
+                    )
+                return f"table {rel.relation}: UPDATE: {self._cells_text(cells)}"
+            if tag == b"D":  # Delete: relid, 'K'|'O' old tuple
+                rel = self._rel(r.u32())
+                if r.take(1) not in (b"K", b"O"):
+                    raise PgOutputError("DELETE without key/old marker")
+                cells = self._tuple(r, rel)
+                # test_decoding renders the key/old cells as the line's
+                # only cells; the marshaller emits them as old values
+                # (DELETE branch, marshaller.go:269-271)
+                return f"table {rel.relation}: DELETE: {self._cells_text(cells)}"
+            if tag == b"T":  # Truncate: nrels, options, relids
+                nrels = r.u32()
+                opts = r.u8()
+                if nrels * 4 > r.remaining():
+                    raise PgOutputError(
+                        f"declared {nrels} truncated relations, {r.remaining()} bytes left"
+                    )
+                rels = [self._rel(r.u32()).relation for _ in range(nrels)]
+                flags = {0: "(no-flags)", 1: "cascade", 2: "restart_seqs", 3: "restart_seqs cascade"}[
+                    opts & 3
+                ]
+                return f"table {', '.join(rels)}: TRUNCATE: {flags}"
+            if tag in (b"O", b"Y", b"M"):  # Origin / Type / Message
+                self.stats["metadata_frames"] += 1
+                return None
+            raise PgOutputError(f"unknown pgoutput message tag {tag!r}")
+        except struct.error as exc:  # pragma: no cover — _need guards first
+            raise PgOutputError(str(exc)) from None
+
+
+# ---------------------------------------------------------------------------
+# Encoder — spec-symmetric, used by the fake walsender, the batch replay
+# fixture, and the decoder's own round-trip tests.
+# ---------------------------------------------------------------------------
+def _cstr(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def encode_begin(xid: int, final_lsn: int = 0, commit_ts: int = 0) -> bytes:
+    return b"B" + struct.pack(">QQI", final_lsn, commit_ts, xid)
+
+
+def encode_commit(commit_lsn: int = 0, end_lsn: int = 0, ts: int = 0) -> bytes:
+    return b"C" + struct.pack(">BQQQ", 0, commit_lsn, end_lsn, ts)
+
+
+def encode_relation(
+    relid: int,
+    namespace: str,
+    name: str,
+    columns: list[tuple[str, int, int]],
+    replica_identity: int = ord("d"),
+    key_cols: set[str] | None = None,
+) -> bytes:
+    out = [b"R", struct.pack(">I", relid), _cstr(namespace), _cstr(name)]
+    out.append(struct.pack(">BH", replica_identity, len(columns)))
+    for cname, oid, typmod in columns:
+        flags = 1 if key_cols and cname in key_cols else 0
+        out.append(struct.pack(">B", flags))
+        out.append(_cstr(cname))
+        out.append(struct.pack(">Ii", oid, typmod))
+    return b"".join(out)
+
+
+def _encode_tuple(values: list) -> bytes:
+    """values: str (text cell) | None (NULL) | Ellipsis (TOAST 'u') |
+    bytes (binary cell)."""
+    out = [struct.pack(">H", len(values))]
+    for v in values:
+        if v is None:
+            out.append(b"n")
+        elif v is Ellipsis:
+            out.append(b"u")
+        elif isinstance(v, bytes):
+            out.append(b"b" + struct.pack(">I", len(v)) + v)
+        else:
+            enc = str(v).encode("utf-8")
+            out.append(b"t" + struct.pack(">I", len(enc)) + enc)
+    return b"".join(out)
+
+
+def encode_insert(relid: int, values: list) -> bytes:
+    return b"I" + struct.pack(">I", relid) + b"N" + _encode_tuple(values)
+
+
+def encode_update(relid: int, new: list, old: list | None = None, key: bool = False) -> bytes:
+    out = [b"U", struct.pack(">I", relid)]
+    if old is not None:
+        out.append(b"K" if key else b"O")
+        out.append(_encode_tuple(old))
+    out.append(b"N")
+    out.append(_encode_tuple(new))
+    return b"".join(out)
+
+
+def encode_delete(relid: int, old: list, key: bool = True) -> bytes:
+    return b"D" + struct.pack(">I", relid) + (b"K" if key else b"O") + _encode_tuple(old)
+
+
+def encode_truncate(relids: list[int], cascade: bool = False, restart_seqs: bool = False) -> bytes:
+    opts = (1 if cascade else 0) | (2 if restart_seqs else 0)
+    return (
+        b"T"
+        + struct.pack(">IB", len(relids), opts)
+        + b"".join(struct.pack(">I", rid) for rid in relids)
+    )
+
+
+def encode_origin(lsn: int = 0, name: str = "origin") -> bytes:
+    return b"O" + struct.pack(">Q", lsn) + _cstr(name)
+
+
+def encode_logical_message(prefix: str, content: bytes, lsn: int = 0) -> bytes:
+    return (
+        b"M"
+        + struct.pack(">BQ", 0, lsn)
+        + _cstr(prefix)
+        + struct.pack(">I", len(content))
+        + content
+    )

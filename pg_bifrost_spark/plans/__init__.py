@@ -503,6 +503,7 @@ def load_all() -> None:
     gate-priority order (see GATE_PRIORITY)."""
     from . import tpch, tpch2, tpch3, tpch4, events, functions_suite, windows_suite  # noqa: F401
     from . import cdc_bridge  # noqa: F401
+    from . import pgoutput_bridge  # noqa: F401
     from ..operators import (  # noqa: F401
         bloom,
         cleaning,

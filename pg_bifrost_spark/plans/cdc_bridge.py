@@ -53,6 +53,15 @@ def _env_once(out: DataFrame) -> DataFrame:
     return opt_barrier(env.select("env"))
 
 
+def _env_once_with_lsn(out: DataFrame) -> DataFrame:
+    """``_env_once`` keeping the message's ``wal_start`` alongside the
+    parsed envelope — for consumers that order versions by LSN."""
+    env = out.filter(F.col("json").isNotNull()).withColumn(
+        "env", F.from_json("json", _ENVELOPE_DDL)
+    )
+    return opt_barrier(env.select("env", "wal_start"))
+
+
 def _lineitem_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     # unique data-derived txn seq (l_linenumber is 1..7 in TPC-H) — no
@@ -306,6 +315,103 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_as_columns(
         snapshot, {"n_nationkey": "bigint", "n_name": "string"}
     ).orderBy("n_nationkey")
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    WITH changes AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+               n_name,
+               CAST(1000 + n_nationkey * 24 + 8 AS BIGINT) AS lsn
+        FROM nation
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT),
+               'V2-' || n_nationkey,
+               CAST(1000 + (n_nationkey + 10000) * 24 + 8 AS BIGINT)
+        FROM nation WHERE n_nationkey % 2 = 0
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT),
+               'V3-' || n_nationkey,
+               CAST(1000 + (n_nationkey + 20000) * 24 + 8 AS BIGINT)
+        FROM nation WHERE n_nationkey % 4 = 0
+    )
+    SELECT n_nationkey, n_name,
+           row_number() OVER w AS version,
+           lsn AS valid_from_lsn,
+           lead(lsn) OVER w AS valid_to_lsn,
+           (lead(lsn) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY n_nationkey ORDER BY lsn)
+    ORDER BY n_nationkey, version
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → slowly-changing-dimension Type 2: instead of last-write-
+    wins (``cdc_apply_snapshot``), KEEP every version of each key as a
+    validity interval [valid_from_lsn, valid_to_lsn) with an
+    ``is_current`` flag — the standard warehouse consumption pattern
+    for a dimension fed by a change stream (the reference hands its
+    envelopes to exactly such consumers; this op is the consumer).
+
+    Plant: INSERT all nation rows (v1), UPDATE the evens (v2, later
+    LSNs), UPDATE the multiples of 4 (v3, latest) — so keys carry 1, 2
+    or 3 versions and the interval chaining is exercised at every
+    depth. Versioning is ONE window keyed by the dimension key and
+    ordered by wal_start (row_number + lead share the single sort) —
+    at 100 TB the shuffle is keyed on the dimension key, no global
+    ordering anywhere; the final orderBy is presentation-only. The
+    oracle restates the fixture's deterministic LSN arithmetic
+    (``wal_lines_from_table``: dml_lsn = 1000 + seq*24 + 8) and chains
+    intervals with SQL lead() — a consumer that dropped a version,
+    mis-ordered updates, or left two rows current breaks the hash."""
+    from pyspark.sql import Window
+
+    nation = table(spark, sf_dir, "nation")
+    types = {"n_nationkey": "bigint", "n_name": "text"}
+    key = F.col("n_nationkey")
+    v1 = wal_lines_from_table(nation, "public.nation", types, seq_expr="n_nationkey")
+    v2 = wal_lines_from_table(
+        nation.filter(key % 2 == 0).select(
+            "n_nationkey",
+            F.concat(F.lit("V2-"), key.cast("string")).alias("n_name"),
+        ),
+        "public.nation",
+        types,
+        seq_expr=key + 10_000,
+        operation="UPDATE",
+    )
+    v3 = wal_lines_from_table(
+        nation.filter(key % 4 == 0).select(
+            "n_nationkey",
+            F.concat(F.lit("V3-"), key.cast("string")).alias("n_name"),
+        ),
+        "public.nation",
+        types,
+        seq_expr=key + 20_000,
+        operation="UPDATE",
+    )
+    raw = v1.unionByName(v2).unionByName(v3)
+    env = _env_once_with_lsn(run_pipeline(raw, PipelineConfig()))
+    cols = F.col("env.columns")
+
+    def v(name: str) -> F.Column:
+        return F.element_at(F.element_at(cols, name), "new")["v"]
+
+    versions = env.select(
+        v("n_nationkey").cast("bigint").alias("n_nationkey"),
+        v("n_name").alias("n_name"),
+        F.col("wal_start").alias("valid_from_lsn"),
+    )
+    w = Window.partitionBy("n_nationkey").orderBy("valid_from_lsn")
+    return versions.select(
+        "n_nationkey",
+        "n_name",
+        F.row_number().over(w).alias("version"),
+        "valid_from_lsn",
+        F.lead("valid_from_lsn").over(w).alias("valid_to_lsn"),
+        F.lead("valid_from_lsn").over(w).isNull().alias("is_current"),
+    ).orderBy("n_nationkey", "version")
 
 
 @register(

@@ -1,0 +1,164 @@
+"""pgoutput bridge query: replay a parquet table as BINARY pgoutput
+frames, decode them distributed (per-stream sequential, streams
+parallel), and push the canonical lines through the FULL existing
+pipeline — proving the binary plugin path end-to-end against a plain
+SQL oracle, the same gate shape as ``cdc_lineitem_roundtrip``.
+
+Scale posture: both the encoder and the decoder are Arrow
+``mapInPandas`` kernels (no per-row Python UDFs); the decode's only
+exchange is the per-stream repartition that transaction assembly needs
+anyway — the relation registry is per-stream state, exactly as it is
+per-connection state on the live path (cdc/pgoutput.py docstring), so
+streams decode independently on every core at any corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register, table
+from ..cdc.pipeline import PipelineConfig, data_messages, run_pipeline
+from .cdc_bridge import _env_once
+
+N_STREAMS = 64
+RELID = 4711
+# (name, type oid, typmod): o_orderkey bigint, o_orderstatus text,
+# o_totalprice double precision
+ORDERS_COLS = [("o_orderkey", 20, -1), ("o_orderstatus", 25, -1), ("o_totalprice", 701, -1)]
+
+
+def pgoutput_frames_from_orders(orders: DataFrame, n_streams: int = N_STREAMS) -> DataFrame:
+    """Each source row → BEGIN + INSERT + COMMIT binary pgoutput frames
+    with the bridge's deterministic LSN arithmetic (lsn0 = 1000 +
+    seq*24), sharded into ``n_streams`` independent streams with the
+    per-stream Relation frame at wal_start 0 — the registry prefix a
+    real session always receives before a relation's first tuple."""
+    import pandas as pd
+
+    from ..cdc.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_relation,
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"stream_id": [], "wal_start": [], "frame": []}
+
+            def emit(sid: int, lsn: int, frame: bytes) -> None:
+                out["stream_id"].append(sid)
+                out["wal_start"].append(lsn)
+                out["frame"].append(frame)
+
+            for key, status, price in zip(
+                pdf["o_orderkey"], pdf["o_orderstatus"], pdf["o_totalprice"]
+            ):
+                seq = int(key)
+                sid = seq % n_streams
+                lsn0 = 1000 + seq * 24
+                emit(sid, lsn0, encode_begin(seq))
+                emit(
+                    sid,
+                    lsn0 + 8,
+                    encode_insert(RELID, [str(seq), str(status), f"{float(price):.2f}"]),
+                )
+                emit(sid, lsn0 + 16, encode_commit())
+            yield pd.DataFrame(out)
+
+    n_par = orders.sparkSession.sparkContext.defaultParallelism
+    frames = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").repartition(
+        n_par
+    ).mapInPandas(gen, "stream_id int, wal_start long, frame binary")
+
+    relation_frame = encode_relation(
+        RELID, "public", "orders", ORDERS_COLS, key_cols={"o_orderkey"}
+    )
+    heads = orders.sparkSession.range(n_streams).select(
+        F.col("id").cast("int").alias("stream_id"),
+        F.lit(0).cast("long").alias("wal_start"),
+        F.lit(relation_frame).alias("frame"),
+    )
+    return heads.unionByName(frames)
+
+
+def decode_pgoutput_frames(frames: DataFrame) -> DataFrame:
+    """Binary frames → RAW_LINE_SCHEMA canonical lines. Streams are
+    co-located (repartition on stream_id) and decoded in wal_start
+    order with one PgOutputDecoder per stream — Relation frames feed
+    the registry and emit nothing, every other frame renders its
+    test_decoding line. Malformed frames are dropped and counted,
+    matching the live adapter (client.go:470-482 analog)."""
+    import pandas as pd
+
+    from ..cdc.pgoutput import PgOutputDecoder, PgOutputError
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        decoders: dict[int, PgOutputDecoder] = {}
+        for pdf in batches:
+            out = {"wal_start": [], "server_wal_end": [], "server_time_ms": [], "stream_id": [], "line": []}
+            for sid, lsn, frame in zip(pdf["stream_id"], pdf["wal_start"], pdf["frame"]):
+                d = decoders.get(sid)
+                if d is None:
+                    d = decoders[sid] = PgOutputDecoder()
+                try:
+                    line = d.decode(bytes(frame))
+                except PgOutputError:
+                    d.stats["invalid_msgs"] += 1
+                    continue
+                if line is None:
+                    continue
+                out["wal_start"].append(int(lsn))
+                out["server_wal_end"].append(int(lsn) + 8)
+                out["server_time_ms"].append(0)
+                out["stream_id"].append(int(sid))
+                out["line"].append(line)
+            yield pd.DataFrame(out)
+
+    n_par = frames.sparkSession.sparkContext.defaultParallelism
+    return (
+        frames.repartition(n_par, "stream_id")
+        .sortWithinPartitions("stream_id", "wal_start")
+        .mapInPandas(
+            decode,
+            "wal_start long, server_wal_end long, server_time_ms long, "
+            "stream_id int, line string",
+        )
+    )
+
+
+@register(
+    "cdc_pgoutput_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every orders row → binary pgoutput frames → distributed decode →
+    canonical lines → the SAME parse/filter/partition/marshal pipeline
+    as the test_decoding path → envelope values cast back. Hash-match
+    against the source table proves the binary plugin path end to end:
+    encoder, registry handling, tuple decode, canonical rendering, and
+    the shared pipeline — one gate, zero plugin-specific downstream
+    code. The live-wire variant of the same path is pinned by
+    tests/test_pgoutput.py::test_live_transport_pgoutput_end_to_end."""
+    orders = table(spark, sf_dir, "orders")
+    frames = pgoutput_frames_from_orders(orders)
+    raw = decode_pgoutput_frames(frames)
+    out = data_messages(run_pipeline(raw, PipelineConfig()))
+    env = _env_once(out)
+    cols = F.col("env.columns")
+
+    def v(name: str) -> F.Column:
+        return F.element_at(F.element_at(cols, name), "new")["v"]
+
+    return env.select(
+        v("o_orderkey").cast("bigint").alias("o_orderkey"),
+        v("o_orderstatus").alias("o_orderstatus"),
+        F.round(v("o_totalprice").cast("double"), 2).alias("totalprice"),
+    ).orderBy("o_orderkey")

@@ -259,12 +259,22 @@ class LiveTransport:
         fetch_budget_s: float = 30.0,
         max_connect_attempts: int = 5,
         reconnect_backoff_s: float = 0.5,
+        plugin: str = "test_decoding",
+        publication_names: str = "pgbifrost",
     ):
         from .pgwire import parse_dsn
 
+        if plugin not in ("test_decoding", "pgoutput"):
+            raise ValueError(f"unsupported logical-decoding plugin {plugin!r}")
         self._kwargs = parse_dsn(dsn)
         self.slot = slot
         self._create_slot = create_slot
+        # pgoutput (the in-core plugin behind native logical
+        # replication) streams BINARY frames; a PgOutputConnAdapter
+        # canonicalizes them to test_decoding lines so the loop and
+        # every downstream stage stay plugin-agnostic (cdc/pgoutput.py)
+        self.plugin = plugin
+        self.publication_names = publication_names
         self.receive_timeout_s = receive_timeout_s
         # per-batch wall-clock bound (ADVICE r8): during a long replay
         # of already-acked WAL every frame is filtered by after_lsn —
@@ -347,8 +357,19 @@ class LiveTransport:
             try:
                 conn = WireConnection(**self._kwargs).connect()
                 if self._create_slot:
-                    conn.create_slot(self.slot)  # idempotent on 42710
-                conn.start_replication(self.slot, start_lsn)
+                    conn.create_slot(self.slot, plugin=self.plugin)  # idempotent on 42710
+                if self.plugin == "pgoutput":
+                    conn.start_replication(
+                        self.slot,
+                        start_lsn,
+                        options={
+                            "proto_version": "1",
+                            "publication_names": self.publication_names,
+                        },
+                        binary_payload=True,
+                    )
+                else:
+                    conn.start_replication(self.slot, start_lsn)
             except (WireError, ServerError, OSError) as exc:
                 last_exc = exc
                 self.stats["transport_errors"] += 1
@@ -356,8 +377,16 @@ class LiveTransport:
                     conn.close()  # never leak a half-set-up walsender backend
                 continue
             self._conn = conn
+            loop_conn = conn
+            if self.plugin == "pgoutput":
+                # fresh adapter per connection: the relation registry is
+                # session state (the server re-sends Relation frames on
+                # a new session before each relation's first use)
+                from .protocol import PgOutputConnAdapter
+
+                loop_conn = PgOutputConnAdapter(conn)
             self._loop = ReplicationClientLoop(
-                conn, receive_timeout_s=self.receive_timeout_s
+                loop_conn, receive_timeout_s=self.receive_timeout_s
             )
             self._loop.ack(self._acked)
             self.stats["connects"] += 1
@@ -606,7 +635,12 @@ class PgCdcSimpleReader(SimpleDataSourceStreamReader):
             dsn, slot = options.get("dsn"), options.get("slot", "pg_bifrost_spark")
             if not dsn:
                 raise ValueError("pgcdc requires option wal_dir=<replay dir> or dsn=<postgres dsn>")
-            self.transport = LiveTransport(dsn, slot)
+            self.transport = LiveTransport(
+                dsn,
+                slot,
+                plugin=options.get("plugin", "test_decoding"),
+                publication_names=options.get("publication_names", "pgbifrost"),
+            )
         else:
             self.transport = ReplayTransport(wal_dir)
         # backpressure bound — reference client buffer (main.go:647-652)

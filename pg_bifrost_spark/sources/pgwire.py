@@ -160,6 +160,7 @@ class WireConnection:
         self._sock: socket.socket | None = None
         self._buf = b""
         self._in_copy = False
+        self._binary_payload = False
         self.tls = False
         self.server_params: dict[str, str] = {}
         self.connect_timeout_s = connect_timeout_s
@@ -371,14 +372,28 @@ class WireConnection:
         self.simple_query(f"DROP_REPLICATION_SLOT {slot} WAIT")
 
     # --------------------------------------------------------- replication
-    def start_replication(self, slot: str, start_lsn: int = 0) -> None:
-        self._send(
-            self._msg(
-                b"Q",
-                f"START_REPLICATION SLOT {slot} LOGICAL {int_to_lsn(start_lsn)}".encode()
-                + b"\x00",
+    def start_replication(
+        self,
+        slot: str,
+        start_lsn: int = 0,
+        options: dict[str, str] | None = None,
+        binary_payload: bool = False,
+    ) -> None:
+        """``options`` renders the plugin-option clause — pgoutput
+        requires at least ``proto_version`` and ``publication_names``
+        (protocol docs, START_REPLICATION ... LOGICAL). With
+        ``binary_payload`` the XLogData payload is NOT utf-8 text:
+        frames surface with ``raw`` set for a PgOutputConnAdapter to
+        canonicalize."""
+        cmd = f"START_REPLICATION SLOT {slot} LOGICAL {int_to_lsn(start_lsn)}"
+        if options:
+            opts = ", ".join(
+                '"{}" \'{}\''.format(k, str(v).replace("'", "''"))
+                for k, v in options.items()
             )
-        )
+            cmd += f" ({opts})"
+        self._binary_payload = binary_payload
+        self._send(self._msg(b"Q", cmd.encode() + b"\x00"))
         mtype, body = self._read_message()
         if mtype == b"E":
             raise ServerError(_parse_error_fields(body))
@@ -413,10 +428,20 @@ class WireConnection:
             return Keepalive(server_wal_end=wal_end, reply_requested=reply)
         if kind == b"w":
             wal_start, _wal_end, ts = struct.unpack(">qqq", body[1:25])
+            server_time_ms = (ts // 1000) + PG_EPOCH_UNIX_S * 1000
+            if self._binary_payload:
+                # pgoutput frames are binary — hand the payload to the
+                # PgOutputConnAdapter undecoded
+                return XLogData(
+                    wal_start=wal_start,
+                    line="",
+                    server_time_ms=server_time_ms,
+                    raw=body[25:],
+                )
             return XLogData(
                 wal_start=wal_start,
                 line=body[25:].decode(),
-                server_time_ms=(ts // 1000) + PG_EPOCH_UNIX_S * 1000,
+                server_time_ms=server_time_ms,
             )
         raise WireError(f"unexpected CopyData kind {kind!r}")
 

@@ -52,11 +52,15 @@ class Keepalive:
 class XLogData:
     """XLogData frame carrying one test_decoding line.
     ``server_time_ms`` is the frame's send timestamp (unix ms) — the
-    wire transport fills it; scripted test fakes may leave 0."""
+    wire transport fills it; scripted test fakes may leave 0.
+    ``raw`` carries the undecoded payload when the connection streams a
+    BINARY plugin (pgoutput) — ``line`` is empty then and a
+    ``PgOutputConnAdapter`` must sit between the conn and this loop."""
 
     wal_start: int
     line: str
     server_time_ms: int = 0
+    raw: bytes | None = None
 
 
 @dataclass
@@ -233,3 +237,54 @@ class ReplicationClientLoop:
             self.stats["error_responses"] += 1
             return self.recover_from_error()
         raise RuntimeError(f"unexpected protocol message: {msg!r}")
+
+
+class PgOutputConnAdapter:
+    """Connection wrapper that canonicalizes a pgoutput (binary) stream
+    into the test_decoding lines ``ReplicationClientLoop`` speaks — the
+    loop, transaction assembly, duplicate accounting and every
+    downstream stage stay plugin-agnostic (cdc/pgoutput.py module
+    docstring for the design rationale).
+
+    Frames that produce no event (Relation/Type/Origin/Message) are
+    swallowed and the read continues within the caller's timeout
+    budget; undecodable frames are counted and dropped — the
+    reference's response to invalid messages (client.go:470-482), and
+    the engine's own fuzz-pinned bomb-guard posture. The decoder's
+    relation registry is per-connection state: a reconnect builds a
+    fresh adapter, matching the server's re-send of Relation frames on
+    a new session."""
+
+    def __init__(self, conn):
+        from ..cdc.pgoutput import PgOutputDecoder
+
+        self.conn = conn
+        self.decoder = PgOutputDecoder()
+        self.stats: Counter = Counter()
+
+    def receive(self, timeout_s: float):
+        from ..cdc.pgoutput import PgOutputError
+
+        deadline = time.monotonic() + timeout_s
+        while True:
+            remaining = deadline - time.monotonic()
+            msg = self.conn.receive(max(remaining, 0.001))
+            if not (isinstance(msg, XLogData) and msg.raw is not None):
+                return msg
+            try:
+                line = self.decoder.decode(msg.raw)
+            except PgOutputError:
+                self.stats["invalid_msgs"] += 1
+                continue
+            if line is None:  # registry/metadata frame — no event
+                continue
+            return XLogData(
+                wal_start=msg.wal_start,
+                line=line,
+                server_time_ms=msg.server_time_ms,
+            )
+
+    # everything else (send_status/close/current_server_lsn/...) is the
+    # wrapped connection's own surface
+    def __getattr__(self, name):
+        return getattr(self.conn, name)

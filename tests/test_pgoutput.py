@@ -1,0 +1,339 @@
+"""pgoutput binary-plugin support (cdc/pgoutput.py + the conn adapter).
+
+Strategy mirrors the engine's other decoders: encoder/decoder round
+trips per message type, declared-count bomb guards, a hypothesis fuzz
+property ("arbitrary bytes never raise anything but PgOutputError"),
+adapter semantics over a scripted conn, and the full wire path — a
+FakeWalsender speaking real pgoutput bytes over a localhost socket
+through LiveTransport(plugin="pgoutput").
+
+Reference contrast: the reference consumes only test_decoding
+(utils/utils.go:50); pgoutput is the in-core plugin real deployments
+use, so this is an engine extension, canonicalized into the same
+event form the reference's parser grammar defines.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pg_bifrost_spark.cdc.parser import parse_line
+from pg_bifrost_spark.cdc.pgoutput import (
+    PgOutputDecoder,
+    PgOutputError,
+    encode_begin,
+    encode_commit,
+    encode_delete,
+    encode_insert,
+    encode_logical_message,
+    encode_origin,
+    encode_relation,
+    encode_truncate,
+    encode_update,
+    type_name,
+)
+from pg_bifrost_spark.sources.protocol import (
+    Keepalive,
+    PgOutputConnAdapter,
+    ReplicationClientLoop,
+    Timeout,
+    XLogData,
+)
+
+REL = [("id", 23, -1), ("name", 1043, 259), ("note", 25, -1)]
+
+
+def _decoder_with_rel(relid: int = 1) -> PgOutputDecoder:
+    d = PgOutputDecoder()
+    assert d.decode(encode_relation(relid, "public", "t", REL, key_cols={"id"})) is None
+    return d
+
+
+# ---------------------------------------------------------------------------
+# type-OID rendering
+# ---------------------------------------------------------------------------
+def test_type_names_and_typmods():
+    assert type_name(23) == "integer"
+    assert type_name(20) == "bigint"
+    assert type_name(1043, 259) == "character varying(255)"
+    assert type_name(1042, 14) == "character(10)"
+    # numeric(10,2): ((10 << 16) | 2) + 4
+    assert type_name(1700, ((10 << 16) | 2) + 4) == "numeric(10,2)"
+    assert type_name(1700) == "numeric"
+    assert type_name(1184) == "timestamp with time zone"
+    assert type_name(1007) == "integer[]"
+    assert type_name(999999) == "oid:999999"  # honest about unknown OIDs
+
+
+# ---------------------------------------------------------------------------
+# per-message decode → canonical line → existing parser
+# ---------------------------------------------------------------------------
+def test_begin_commit_carry_xid():
+    d = PgOutputDecoder()
+    assert d.decode(encode_begin(707)) == "BEGIN 707"
+    # pgoutput Commit has no xid — the decoder carries the BEGIN's
+    assert d.decode(encode_commit()) == "COMMIT 707"
+
+
+def test_insert_renders_quoting_null_and_escapes():
+    d = _decoder_with_rel()
+    line = d.decode(encode_insert(1, ["1", "it's", None]))
+    assert line == (
+        "table public.t: INSERT: id[integer]:1 "
+        "name[character varying(255)]:'it''s' note[text]:null"
+    )
+    pm = parse_line(line)
+    assert pm.error is None
+    assert pm.columns["id"] == ("1", "integer", False)
+    assert pm.columns["name"] == ("it's", "character varying(255)", True)
+    assert pm.columns["note"] == ("null", "text", False)
+
+
+def test_update_with_old_tuple_and_toast_sentinel():
+    d = _decoder_with_rel()
+    line = d.decode(encode_update(1, ["1", "x", Ellipsis], old=["1", "old", None]))
+    pm = parse_line(line)
+    assert pm.operation == "UPDATE" and pm.error is None
+    assert pm.old_columns["name"] == ("old", "character varying(255)", True)
+    # 'u' cell kind → the unquoted sentinel the marshaller substitutes
+    # (marshaller.go:276-283)
+    assert pm.columns["note"] == ("unchanged-toast-datum", "text", False)
+
+
+def test_update_without_old_tuple():
+    d = _decoder_with_rel()
+    pm = parse_line(d.decode(encode_update(1, ["2", "y", "z"])))
+    assert pm.operation == "UPDATE" and not pm.old_columns and pm.error is None
+
+
+def test_delete_renders_key_cells():
+    d = _decoder_with_rel()
+    pm = parse_line(d.decode(encode_delete(1, ["9", None, None])))
+    assert pm.operation == "DELETE" and pm.error is None
+    assert pm.columns["id"] == ("9", "integer", False)
+
+
+def test_truncate_flags_render_like_test_decoding():
+    d = _decoder_with_rel()
+    d.decode(encode_relation(2, "public", "u", REL))
+    assert d.decode(encode_truncate([1])) == "table public.t: TRUNCATE: (no-flags)"
+    assert (
+        d.decode(encode_truncate([1, 2], cascade=True, restart_seqs=True))
+        == "table public.t, public.u: TRUNCATE: restart_seqs cascade"
+    )
+    pm = parse_line(d.decode(encode_truncate([1], cascade=True)))
+    assert pm.operation == "TRUNCATE" and pm.error is None
+
+
+def test_metadata_frames_produce_no_event():
+    d = _decoder_with_rel()
+    assert d.decode(encode_origin()) is None
+    assert d.decode(encode_logical_message("p", b"x")) is None
+    assert d.stats["metadata_frames"] == 2
+
+
+def test_binary_cell_renders_bytea_hex():
+    d = PgOutputDecoder()
+    d.decode(encode_relation(1, "public", "b", [("id", 23, -1), ("payload", 17, -1)]))
+    pm = parse_line(d.decode(encode_insert(1, ["1", b"\x00\xff"])))
+    assert pm.columns["payload"] == ("\\x00ff", "bytea", False)
+
+
+def test_relation_resend_evolves_schema():
+    """ALTER TABLE mid-stream: a re-sent Relation frame replaces the
+    registry entry and subsequent tuples decode under the new shape —
+    the pgoutput analog of cdc_schema_evolution."""
+    d = _decoder_with_rel()
+    d.decode(encode_relation(1, "public", "t", REL + [("extra", 20, -1)]))
+    line = d.decode(encode_insert(1, ["1", "a", "b", "42"]))
+    pm = parse_line(line)
+    assert pm.columns["extra"] == ("42", "bigint", False)
+
+
+# ---------------------------------------------------------------------------
+# malformed frames: every declared count is capacity-checked up front
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "frame",
+    [
+        b"",  # empty
+        b"Z",  # unknown tag
+        b"B\x00\x00",  # truncated begin
+        b"I" + b"\x00\x00\x00\x01" + b"N" + b"\xff\xff",  # 65535 cells declared
+        b"R" + b"\x00\x00\x00\x01" + b"p\x00t\x00d" + b"\xff\xff",  # 65535 cols
+        b"T" + b"\xff\xff\xff\xff" + b"\x00",  # 4 G truncated relations
+        b"I" + b"\x00\x00\x00\x63" + b"N\x00\x00",  # unknown relation id
+    ],
+)
+def test_malformed_frames_raise_pgoutput_error_fast(frame):
+    d = _decoder_with_rel()
+    with pytest.raises(PgOutputError):
+        d.decode(frame)
+
+
+def test_cell_count_must_match_relation():
+    d = _decoder_with_rel()
+    with pytest.raises(PgOutputError):
+        d.decode(encode_insert(1, ["1", "2"]))  # relation declares 3
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_fuzz_decoder_never_raises_other_exceptions(data):
+    """Arbitrary bytes → PgOutputError or a decoded result, never
+    anything else (the MP4/JPEG decoder standard)."""
+    d = _decoder_with_rel()
+    try:
+        d.decode(data)
+    except PgOutputError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.just(Ellipsis),
+            st.text(max_size=20),
+            st.binary(max_size=20),
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_fuzz_encode_decode_roundtrip_parses(values):
+    """Any encodable tuple decodes to a line the parser accepts."""
+    cols = [(f"c{i}", 25, -1) for i in range(len(values))]
+    d = PgOutputDecoder()
+    d.decode(encode_relation(5, "public", "r", cols))
+    line = d.decode(encode_insert(5, values))
+    pm = parse_line(line)
+    assert pm.error is None and pm.operation == "INSERT"
+    assert len(pm.columns) == len(values)
+
+
+# ---------------------------------------------------------------------------
+# conn adapter
+# ---------------------------------------------------------------------------
+class _ScriptConn:
+    def __init__(self, msgs):
+        self.msgs = list(msgs)
+        self.statuses: list[int] = []
+
+    def receive(self, timeout_s):
+        if not self.msgs:
+            raise Timeout()
+        return self.msgs.pop(0)
+
+    def send_status(self, lsn):
+        self.statuses.append(lsn)
+
+    def close(self):
+        pass
+
+    def current_server_lsn(self):
+        return 0
+
+
+def _raw(lsn: int, payload: bytes) -> XLogData:
+    return XLogData(wal_start=lsn, line="", raw=payload)
+
+
+def test_adapter_swallows_metadata_and_canonicalizes():
+    conn = _ScriptConn(
+        [
+            _raw(10, encode_relation(1, "public", "t", REL)),
+            _raw(10, encode_begin(5)),
+            _raw(11, encode_insert(1, ["1", "a", None])),
+            Keepalive(server_wal_end=12),
+            _raw(12, encode_commit()),
+        ]
+    )
+    ad = PgOutputConnAdapter(conn)
+    m1 = ad.receive(1.0)  # relation swallowed, begin surfaces
+    assert isinstance(m1, XLogData) and m1.line == "BEGIN 5" and m1.raw is None
+    m2 = ad.receive(1.0)
+    assert m2.line.startswith("table public.t: INSERT:")
+    assert isinstance(ad.receive(1.0), Keepalive)  # passthrough
+    assert ad.receive(1.0).line == "COMMIT 5"
+    with pytest.raises(Timeout):
+        ad.receive(0.01)
+
+
+def test_adapter_drops_invalid_frames_and_counts():
+    conn = _ScriptConn(
+        [
+            _raw(10, b"\x99garbage"),
+            _raw(10, encode_begin(5)),
+        ]
+    )
+    ad = PgOutputConnAdapter(conn)
+    assert ad.receive(1.0).line == "BEGIN 5"
+    assert ad.stats["invalid_msgs"] == 1
+
+
+def test_adapter_feeds_client_loop_end_to_end():
+    """The loop's transaction stamping works unchanged over
+    canonicalized pgoutput frames — time_based_key, xid, dup
+    accounting all plugin-agnostic."""
+    conn = _ScriptConn(
+        [
+            _raw(100, encode_relation(1, "public", "t", REL)),
+            _raw(100, encode_begin(42)),
+            _raw(101, encode_insert(1, ["7", "n", None])),
+            _raw(102, encode_commit()),
+        ]
+    )
+    loop = ReplicationClientLoop(PgOutputConnAdapter(conn), receive_timeout_s=0.1)
+    msgs = []
+    for _ in range(3):
+        msgs.extend(loop.step())
+    assert [m.line.split(" ")[0] for m in msgs] == ["BEGIN", "table", "COMMIT"]
+    assert all(m.xid == "42" for m in msgs)
+    assert all(m.time_based_key == "42-100" for m in msgs)
+    assert loop.stats["txns"] == 1 and loop.stats["txns_dup"] == 0
+
+
+# ---------------------------------------------------------------------------
+# full wire path: FakeWalsender speaking pgoutput bytes → LiveTransport
+# ---------------------------------------------------------------------------
+def test_live_transport_pgoutput_end_to_end():
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+    from tests.test_pgwire import DB, USER, FakeWalsender
+
+    frames = [
+        ("xlog_raw", 100, encode_relation(1, "public", "t", REL, key_cols={"id"})),
+        ("xlog_raw", 100, encode_begin(9)),
+        ("xlog_raw", 108, encode_insert(1, ["1", "alpha", None])),
+        ("xlog_raw", 116, encode_update(1, ["1", "beta", Ellipsis], old=["1", "alpha", None])),
+        ("xlog_raw", 124, encode_commit()),
+    ]
+    srv = FakeWalsender(frames=frames)
+    try:
+        t = LiveTransport(
+            f"postgresql://{USER}@127.0.0.1:{srv.port}/{DB}",
+            "s1",
+            plugin="pgoutput",
+            publication_names="mypub",
+            receive_timeout_s=0.3,
+            max_connect_attempts=1,
+        )
+        rows = t.fetch(0, 10)
+        lines = [r[2] for r in rows]
+        assert lines[0] == "BEGIN 9"
+        assert lines[1].startswith("table public.t: INSERT:")
+        assert "old-key:" in lines[2] and "unchanged-toast-datum" in lines[2]
+        assert lines[3] == "COMMIT 9"
+        assert [r[0] for r in rows] == [100, 108, 116, 124]
+        # the START_REPLICATION command carried the pgoutput options
+        cmd = srv.start_commands[0]
+        assert '"proto_version" \'1\'' in cmd
+        assert '"publication_names" \'mypub\'' in cmd
+        # and the slot was created with the pgoutput plugin
+        assert any("LOGICAL pgoutput" in c for c in srv.create_commands)
+        t.close()
+    finally:
+        srv.close()

@@ -83,6 +83,8 @@ class FakeWalsender:
         self.failures: list[str] = []
         self.received_status_lsns: list[int] = []
         self.start_lsns: list[int] = []  # LSN of each START_REPLICATION
+        self.start_commands: list[str] = []  # full SQL incl. plugin options
+        self.create_commands: list[str] = []  # full CREATE_REPLICATION_SLOT SQL
         self.saw_replication_param = False
         self.created_slots: list[str] = []
         self._srv = socket.socket()
@@ -266,6 +268,7 @@ class FakeWalsender:
                 conn.sendall(_msg(b"C", b"IDENTIFY_SYSTEM\x00"))
                 self._rfq(conn)
             elif sql.startswith("CREATE_REPLICATION_SLOT"):
+                self.create_commands.append(sql)
                 slot = sql.split()[1]
                 if slot in self.created_slots:
                     conn.sendall(
@@ -287,7 +290,11 @@ class FakeWalsender:
                     )
                     self._rfq(conn)
                     continue  # client will close and retry on a new conn
-                self.start_lsns.append(lsn_to_int(sql.split()[-1]))
+                self.start_commands.append(sql)
+                # token 4 is the LSN: `START_REPLICATION SLOT <slot>
+                # LOGICAL <lsn> [(options...)]` — [-1] would grab the
+                # options clause when one is present (pgoutput)
+                self.start_lsns.append(lsn_to_int(sql.split()[4]))
                 conn.sendall(_msg(b"W", struct.pack(">BH", 0, 0)))
                 if self.frames_per_conn is not None:
                     script = (
@@ -322,6 +329,13 @@ class FakeWalsender:
                 body = b"w" + struct.pack(
                     ">qqq", lsn, lsn, pgwire.pg_now_us()
                 ) + line.encode()
+                conn.sendall(_msg(b"d", body))
+            elif kind == "xlog_raw":
+                # binary plugin payload (pgoutput) — bytes, not text
+                _, lsn, payload = item
+                body = b"w" + struct.pack(
+                    ">qqq", lsn, lsn, pgwire.pg_now_us()
+                ) + payload
                 conn.sendall(_msg(b"d", body))
             elif kind == "keepalive":
                 _, lsn, reply = item
