@@ -587,3 +587,108 @@ def quality_rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_src")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Fill-in-the-middle (FIM) transform (infilling-objective examples)
+# --------------------------------------------------------------------------
+# The standard code-pretraining transform: split each document into
+# (prefix, middle, suffix) and re-serialize with sentinel tokens so an
+# autoregressive model learns to infill. Two canonical orderings:
+# PSM  <fim_prefix> prefix <fim_suffix> suffix <fim_middle> middle
+# SPM  <fim_suffix> suffix <fim_prefix> prefix <fim_middle> middle
+# As with t5_span_corruption, the split points and the PSM/SPM choice
+# must be DETERMINISTIC (shard retries must rebuild byte-identical
+# examples), so both come from the oracle-mirrored md5 primitive: with
+# n whitespace tokens, i = H(doc:fa) % (n+1) and j = i + H(doc:fb) %
+# (n-i+1) give 0 <= i <= j <= n (empty segments legal, as in the
+# real transform), and H(doc:fm) % 2 picks the ordering ~50/50.
+_FIM_H = (
+    "pmod(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':{salt}')), 1, 8), "
+    "16, 10) AS BIGINT), {mod})"
+)
+_FIM_H_DUCK = (
+    "CAST(CONCAT('0x', substr(md5(doc_id || ':{salt}'), 1, 8)) AS BIGINT) % ({mod})"
+)
+
+
+@register(
+    "fim_transform",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id, toks, n,
+             {_FIM_H_DUCK.format(salt='fa', mod='n + 1')} AS i,
+             {_FIM_H_DUCK.format(salt='fm', mod='2')} AS m
+      FROM tok
+    ),
+    split2 AS (
+      SELECT doc_id, toks, n, i, m,
+             i + ({_FIM_H_DUCK.format(salt='fb', mod='n - i + 1')}) AS j
+      FROM split
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(i AS BIGINT) AS split_i,
+           CAST(j AS BIGINT) AS split_j,
+           CASE WHEN m = 0 THEN 'PSM' ELSE 'SPM' END AS mode,
+           array_to_string(CASE WHEN m = 0 THEN
+             list_concat(list_concat(list_concat(list_concat(list_concat(
+               ['<fim_prefix>'], list_slice(toks, 1, i)),
+               ['<fim_suffix>']), list_slice(toks, j + 1, n)),
+               ['<fim_middle>']), list_slice(toks, i + 1, j))
+           ELSE
+             list_concat(list_concat(list_concat(list_concat(list_concat(
+               ['<fim_suffix>'], list_slice(toks, j + 1, n)),
+               ['<fim_prefix>']), list_slice(toks, 1, i)),
+               ['<fim_middle>']), list_slice(toks, i + 1, j))
+           END, ' ') AS fim_text
+    FROM split2 ORDER BY doc_id
+    """,
+)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic FIM (fill-in-the-middle) examples per document:
+    md5-derived split points, md5-derived PSM/SPM ordering, sentinel-
+    joined re-serialization.
+
+    Plan: pure per-row array algebra (tokenize once, two hash-derived
+    integers, slice/concat/array_join) — ZERO shuffles before the
+    presentation sort, zero Python, so the transform runs at parquet
+    scan speed on any corpus size and rebuilds byte-identically on
+    shard retry. The oracle restates every step 1:1 in DuckDB list
+    algebra (list_slice is start..end inclusive; Spark slice is
+    start+length — the two formulations are mirrored per segment)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens())
+        .withColumn("n", F.size("toks"))
+        .withColumn("i", F.expr(_FIM_H.format(salt="fa", mod="n + 1")))
+        .withColumn("m", F.expr(_FIM_H.format(salt="fm", mod="2")))
+        .withColumn("j", F.expr("i + " + _FIM_H.format(salt="fb", mod="n - i + 1")))
+    )
+    prefix = "slice(toks, 1, CAST(i AS INT))"
+    middle = "slice(toks, CAST(i + 1 AS INT), CAST(j - i AS INT))"
+    suffix = "slice(toks, CAST(j + 1 AS INT), CAST(n - j AS INT))"
+    psm = (
+        f"concat(array('<fim_prefix>'), {prefix}, array('<fim_suffix>'), "
+        f"{suffix}, array('<fim_middle>'), {middle})"
+    )
+    spm = (
+        f"concat(array('<fim_suffix>'), {suffix}, array('<fim_prefix>'), "
+        f"{prefix}, array('<fim_middle>'), {middle})"
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("i").cast("bigint").alias("split_i"),
+        F.col("j").cast("bigint").alias("split_j"),
+        F.when(F.col("m") == 0, F.lit("PSM")).otherwise(F.lit("SPM")).alias("mode"),
+        F.expr(
+            f"array_join(CASE WHEN m = 0 THEN {psm} ELSE {spm} END, ' ')"
+        ).alias("fim_text"),
+    ).orderBy("doc_id")

@@ -862,3 +862,103 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Readability scores (Flesch Reading Ease / Flesch-Kincaid grade)
+# --------------------------------------------------------------------------
+# The classic curriculum/quality signals, computed float-free so the
+# decision path hashes identically in both engines: words = whitespace
+# tokens; sentences = [.!?]+ runs with a floor of 1 (headline-style
+# fragments count as one sentence); syllables = vowel-group runs
+# ([aeiouy]+) with the standard >=1-per-word floor applied at the
+# document level (greatest(words, vowel_groups) — the per-word floor
+# and the corpus-level floor agree unless a token is vowel-free).
+# FRE = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words) and
+# FK grade = 0.39*(w/s) + 11.8*(syl/w) - 15.59, both carried in
+# milli-points over ppm-precision ratios: positive BIGINT DIV
+# truncates identically in Spark and DuckDB, so bucket edges can never
+# drift between the engines.
+@register(
+    "text_readability_scores",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+             greatest(len(string_split_regex(lower(trim(text)), '\\s+')),
+                      len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS n_syll
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_words, n_sentences, n_syll,
+             n_words * 1000000 // n_sentences AS wps_ppm,
+             n_syll * 1000000 // greatest(n_words, 1) AS spw_ppm
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           CAST(206835 - (1015 * wps_ppm) // 1000000
+                       - (84600 * spw_ppm) // 1000000 AS BIGINT) AS fre_milli,
+           CAST((390 * wps_ppm) // 1000000
+                + (11800 * spw_ppm) // 1000000 - 15590 AS BIGINT) AS grade_milli,
+           CASE WHEN 206835 - (1015 * wps_ppm) // 1000000
+                           - (84600 * spw_ppm) // 1000000 >= 90000 THEN 'very_easy'
+                WHEN 206835 - (1015 * wps_ppm) // 1000000
+                           - (84600 * spw_ppm) // 1000000 >= 60000 THEN 'standard'
+                WHEN 206835 - (1015 * wps_ppm) // 1000000
+                           - (84600 * spw_ppm) // 1000000 >= 30000 THEN 'difficult'
+                ELSE 'very_confusing' END AS level
+    FROM r ORDER BY doc_id
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document, with a
+    four-bucket level label — the standard readability-based quality/
+    curriculum signal over the documents table.
+
+    Plan: three regexp counts and integer arithmetic per row — zero
+    shuffles before the presentation sort, zero Python, all inside
+    whole-stage codegen; runs at parquet scan speed at any corpus
+    size. All ratios are ppm-precision BIGINTs (positive DIV truncates
+    identically in both engines), so the scores AND the bucket edges
+    hash-match the oracle exactly."""
+    m = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(r"size(split(lower(trim(text)), '\\s+'))").alias("n_words"),
+        F.expr("greatest(1, size(regexp_extract_all(text, '[.!?]+', 0)))").alias(
+            "n_sentences"
+        ),
+        F.expr(
+            r"greatest(size(split(lower(trim(text)), '\\s+')), "
+            r"size(regexp_extract_all(lower(text), '[aeiouy]+', 0)))"
+        ).alias("n_syll"),
+    )
+    r = m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syll",
+        F.expr("n_words * 1000000 DIV n_sentences").alias("wps_ppm"),
+        F.expr("n_syll * 1000000 DIV greatest(n_words, 1)").alias("spw_ppm"),
+    )
+    fre = "206835 - (1015 * wps_ppm) DIV 1000000 - (84600 * spw_ppm) DIV 1000000"
+    return r.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_syll").cast("bigint").alias("n_syllables"),
+        F.expr(f"CAST({fre} AS BIGINT)").alias("fre_milli"),
+        F.expr(
+            "CAST((390 * wps_ppm) DIV 1000000 + (11800 * spw_ppm) DIV 1000000 "
+            "- 15590 AS BIGINT)"
+        ).alias("grade_milli"),
+        F.expr(
+            f"CASE WHEN {fre} >= 90000 THEN 'very_easy' "
+            f"WHEN {fre} >= 60000 THEN 'standard' "
+            f"WHEN {fre} >= 30000 THEN 'difficult' "
+            "ELSE 'very_confusing' END"
+        ).alias("level"),
+    ).orderBy("doc_id")
