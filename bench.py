@@ -149,6 +149,16 @@ HEADLINE = [
     "dedup_winnowing_fingerprint",
     "privacy_t_closeness_report",
     "cdc_schema_evolution",
+    # r10 third batch (BEFORE the end-of-round refresh, same freeze
+    # discipline): the pgoutput binary-plugin roundtrip runs two Arrow
+    # kernels (encode + per-stream decode) ahead of the shared
+    # pipeline — a mandatory Python-kernel row; SCD2 adds the
+    # key-partitioned versioning window; FIM and readability are pure
+    # codegen rows that keep the perf gate's eye on the new surface
+    "cdc_pgoutput_roundtrip",
+    "cdc_scd2_history",
+    "fim_transform",
+    "text_readability_scores",
     "cdc_lineitem_roundtrip",
 ]
 

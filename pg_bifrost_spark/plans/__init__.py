@@ -330,15 +330,22 @@ GATE_PRIORITY: list[str] = [
     # r7 DSIR hashed-ngram importance score; Gopher evidence stays via
     # quality_c4_rules + the capstone's reused gopher_keep_parts stage
     "dsir_importance_score",
+    # r10-late rotation: temperature_mixture_sample (3 straight greens
+    # r7-r9) yields to the NEW r10 cdc_pgoutput_roundtrip (the binary
+    # in-core plugin path end to end: encode → distributed decode →
+    # shared pipeline → envelope values); temperature-mixture evidence
+    # stays pytest-pinned (test_mixture.py) with its recorded greens
+    "cdc_pgoutput_roundtrip",
     # NEW r7: the C4 cleaning recipe next to Gopher (planted line
     # structure; pii_redact_customers at 3 straight greens yields its
     # slot — PII evidence stays via pii_scan_documents)
     "quality_c4_rules",
-    # r7-late coverage-first swap: bpe_pair_merges (green r5+r6,
-    # plant-independent; the BPE family stays pinned by the
-    # bpe_apply_merges exactness tests) yields to the never-checked
-    # tokenizer_fertility_by_lang
-    "tokenizer_fertility_by_lang",
+    # r10-late rotation: tokenizer_fertility_by_lang (3 straight
+    # greens r7-r9) yields to the NEW r10 cdc_scd2_history (SCD
+    # Type-2 validity intervals over the change stream); fertility
+    # evidence stays via the tokenizer family's bpe_learn_merges /
+    # bpe_train_encode gate rows and the in-suite oracle rehearsal
+    "cdc_scd2_history",
     # r8 rotation: paragraph_dedup (3 straight greens r5-r7) yields to
     # the NEW r8 dedup_cluster_size_histogram (the data-card panel over
     # the same planted exact clusters); paragraph/line structure stays
@@ -438,14 +445,15 @@ GATE_PRIORITY: list[str] = [
     # r7 contrastive hard-negative miner; budgeted-mixture evidence
     # stays via temperature_mixture_sample + its greens
     "ann_hard_negatives",
-    # r7-late coverage-first swap: events_funnel (green r5+r6,
-    # plant-independent) yields to the never-checked zipf_rank_slope
-    "zipf_rank_slope",
-    # profiling / diagnostics (r3 additions — first gate rotation)
-    # join_skew_report (3 straight greens) yields to the NEW r7
-    # alpha-temperature mixture resample; skew evidence stays pinned
-    # by test_aqe_skew + salted_skew_join's recorded greens
-    "temperature_mixture_sample",
+    # r10-late rotation: zipf_rank_slope (3 straight greens r7-r9)
+    # yields to the NEW r10 text_readability_scores (Flesch/FK
+    # milli-point scores + level buckets); corpus-stats evidence stays
+    # via corpus_distinct_ngram_rate and the in-suite rehearsal
+    "text_readability_scores",
+    # r10-late rotation: temperature_mixture_sample's slot (held since
+    # r7; 3 straight greens r7-r9) moved to cdc_pgoutput_roundtrip
+    # above — see that entry's comment; sampling evidence stays via
+    # reservoir_per_group_sample + test_mixture.py
     # corpus_length_histogram (3 straight greens r4-r6) yields to the
     # NEW r7 robust median/MAD outlier detector (all-BIGINT decision
     # path); histogram evidence stays via ccnet_perplexity_buckets +
@@ -490,11 +498,14 @@ GATE_PRIORITY: list[str] = [
     # windowed-stats path stays pinned by the streaming pytest suite
     # and its six recorded gate greens
     "quality_code_detect",
-    # scalar_function_suite (SIX straight greens r1-r6) yields to the
-    # NEW r7 deterministic T5 span-corruption example builder; the
-    # scalar-function surface stays oracle-backed, pytest-rehearsed,
-    # and partially re-exercised inside every cdc_* envelope row
-    "t5_span_corruption",
+    # scalar_function_suite (SIX straight greens r1-r6) yielded to the
+    # T5 span-corruption builder in r7; r10-late rotation:
+    # t5_span_corruption (3 straight greens r7-r9) yields to the NEW
+    # r10 fim_transform — the SAME objective-example-builder family
+    # (deterministic md5 split points, sentinel re-serialization), so
+    # family coverage is a like-for-like swap; T5 evidence stays via
+    # the in-suite rehearsal and its recorded greens
+    "fim_transform",
 ]
 
 

@@ -71,6 +71,15 @@ FAMILY = [
     # shape (posting lists), bounded by the WINNOW_HOT cutoff — the
     # cutoff must keep candidate fan-out linear at 10x
     "dedup_winnowing_fingerprint",
+    # r10 third batch: the pgoutput binary roundtrip chains two Arrow
+    # kernels (encode, per-stream decode) ahead of the shared parse
+    # pipeline — per-stream decode state must stay O(1) per frame so
+    # the whole path is O(rows) at any corpus size
+    "cdc_pgoutput_roundtrip",
+    # FIM is pure per-row array algebra (zero exchanges before the
+    # presentation sort) — the gate pins that no hidden shuffle creeps
+    # into the objective-builder family
+    "fim_transform",
 ]
 
 
