@@ -223,15 +223,42 @@ _TOAST = object()  # sentinel: 'u' cell kind (unchanged TOAST datum)
 @dataclass
 class PgOutputDecoder:
     """Stateful per-connection decoder: binary pgoutput frame →
-    canonical test_decoding line, or None for registry/metadata frames
-    (Relation / Type / Origin / logical Message) which produce no
-    downstream event. xid continuity mirrors the loop's transaction
+    canonical test_decoding line(s), or none for registry/metadata
+    frames (Relation / Type / Origin / logical Message) which produce
+    no downstream event. xid continuity mirrors the loop's transaction
     stamping: pgoutput's Commit carries no xid, so the decoder renders
-    ``COMMIT <xid-of-last-BEGIN>`` exactly as test_decoding does."""
+    ``COMMIT <xid-of-last-BEGIN>`` exactly as test_decoding does.
+
+    ``proto_version >= 2`` additionally speaks STREAMED in-progress
+    transactions (Stream Start 'S' / Stop 'E' / Commit 'c' / Abort
+    'A'; data messages inside a stream segment carry a leading xid).
+    The decoder does what a real apply worker does: buffer each
+    streamed transaction's canonical lines per TOPLEVEL xid (tagged
+    with the message's own sub-xid), filter aborted subtransactions
+    out on Stream Abort, and on Stream Commit replay the whole
+    transaction as ``BEGIN xid … COMMIT xid`` — downstream sees the
+    identical sequential shape test_decoding emits, so transaction
+    assembly, the ledger and every sink stay stream-agnostic.
+
+    ``max_streamed_lines`` is the memory safety valve: a transaction
+    whose buffered lines exceed it raises ``PgOutputError`` at commit
+    (LOUD failure, the engine's bomb-guard posture) rather than
+    silently truncating — the reference's equal-LSN lesson (VERDICT
+    r9) is that silent data loss at a boundary is the worst failure
+    mode a CDC path can have. A real deployment sizes it to executor
+    memory or spills; the default bounds a runaway txn at ~100 MB of
+    line text."""
 
     relations: dict[int, Relation] = field(default_factory=dict)
     xid: int | None = None
+    proto_version: int = 1
+    max_streamed_lines: int = 1_000_000
     stats: Counter = field(default_factory=Counter)
+    # v2 streaming state: current segment's toplevel xid; per-toplevel
+    # buffered (sub_xid, line) pairs; toplevels that blew the cap
+    _stream_xid: int | None = None
+    _stream_buf: dict[int, list[tuple[int, str]]] = field(default_factory=dict)
+    _stream_overflow: set[int] = field(default_factory=set)
 
     # ------------------------------------------------------------ tuples
     def _tuple(self, r: _Reader, rel: Relation) -> list[tuple[str, str, object]]:
@@ -288,8 +315,25 @@ class PgOutputDecoder:
 
     # ------------------------------------------------------------ decode
     def decode(self, frame: bytes) -> str | None:
-        """One XLogData payload → canonical line or None. Raises
-        PgOutputError on any malformed frame; never anything else."""
+        """v1 single-event convenience: one payload → one canonical
+        line or None. Streamed-transaction replay (v2 Stream Commit)
+        yields MANY lines — use ``decode_events`` there; this wrapper
+        refuses rather than silently dropping the tail."""
+        events = self.decode_events(frame)
+        if not events:
+            return None
+        if len(events) > 1:
+            raise PgOutputError(
+                "frame produced multiple events (streamed transaction) — "
+                "use decode_events()"
+            )
+        return events[0]
+
+    def decode_events(self, frame: bytes) -> list[str]:
+        """One XLogData payload → canonical test_decoding lines (0, 1,
+        or — for a v2 Stream Commit replay — a whole transaction).
+        Raises PgOutputError on any malformed frame; never anything
+        else."""
         if not frame:
             raise PgOutputError("empty frame")
         r = _Reader(frame)
@@ -299,83 +343,165 @@ class PgOutputDecoder:
                 r.u64()
                 r.u64()
                 self.xid = r.u32()
-                return f"BEGIN {self.xid}"
+                return [f"BEGIN {self.xid}"]
             if tag == b"C":  # Commit: flags, commit_lsn, end_lsn, ts
                 r.u8()
                 r.u64()
                 r.u64()
                 r.u64()
                 xid = self.xid if self.xid is not None else 0
-                return f"COMMIT {xid}"
-            if tag == b"R":  # Relation: registry update, no event
-                relid = r.u32()
-                ns = r.cstr()
-                name = r.cstr()
-                ident = r.u8()
-                ncols = r.u16()
-                if ncols * 10 > r.remaining():  # each column costs >= 10 bytes
-                    raise PgOutputError(
-                        f"declared {ncols} relation columns, {r.remaining()} bytes left"
-                    )
-                cols = []
-                for _ in range(ncols):
-                    flags = r.u8()
-                    cname = r.cstr()
-                    oid = r.u32()
-                    typmod = r.i32()
-                    cols.append((cname, oid, typmod, bool(flags & 1)))
-                self.relations[relid] = Relation(ns, name, ident, cols)
-                self.stats["relations"] += 1
-                return None
-            if tag == b"I":  # Insert: relid, 'N', new tuple
-                rel = self._rel(r.u32())
-                if r.take(1) != b"N":
-                    raise PgOutputError("INSERT without new-tuple marker")
-                cells = self._tuple(r, rel)
-                return f"table {rel.relation}: INSERT: {self._cells_text(cells)}"
-            if tag == b"U":  # Update: relid, ['K'|'O' old]?, 'N' new
-                rel = self._rel(r.u32())
-                marker = r.take(1)
-                old = None
-                if marker in (b"K", b"O"):
-                    old = self._tuple(r, rel)
-                    marker = r.take(1)
-                if marker != b"N":
-                    raise PgOutputError(f"UPDATE with unexpected marker {marker!r}")
-                cells = self._tuple(r, rel)
-                if old is not None:
-                    return (
-                        f"table {rel.relation}: UPDATE: old-key: "
-                        f"{self._cells_text(old)} new-tuple: {self._cells_text(cells)}"
-                    )
-                return f"table {rel.relation}: UPDATE: {self._cells_text(cells)}"
-            if tag == b"D":  # Delete: relid, 'K'|'O' old tuple
-                rel = self._rel(r.u32())
-                if r.take(1) not in (b"K", b"O"):
-                    raise PgOutputError("DELETE without key/old marker")
-                cells = self._tuple(r, rel)
-                # test_decoding renders the key/old cells as the line's
-                # only cells; the marshaller emits them as old values
-                # (DELETE branch, marshaller.go:269-271)
-                return f"table {rel.relation}: DELETE: {self._cells_text(cells)}"
-            if tag == b"T":  # Truncate: nrels, options, relids
-                nrels = r.u32()
-                opts = r.u8()
-                if nrels * 4 > r.remaining():
-                    raise PgOutputError(
-                        f"declared {nrels} truncated relations, {r.remaining()} bytes left"
-                    )
-                rels = [self._rel(r.u32()).relation for _ in range(nrels)]
-                flags = {0: "(no-flags)", 1: "cascade", 2: "restart_seqs", 3: "restart_seqs cascade"}[
-                    opts & 3
-                ]
-                return f"table {', '.join(rels)}: TRUNCATE: {flags}"
-            if tag in (b"O", b"Y", b"M"):  # Origin / Type / Message
-                self.stats["metadata_frames"] += 1
-                return None
-            raise PgOutputError(f"unknown pgoutput message tag {tag!r}")
+                return [f"COMMIT {xid}"]
+            if tag in (b"S", b"E", b"c", b"A"):
+                return self._stream_control(tag, r)
+            # inside a stream segment, v2 data/metadata messages carry
+            # the (sub)transaction xid right after the tag
+            msg_xid: int | None = None
+            if self._stream_xid is not None and tag in (
+                b"R", b"Y", b"I", b"U", b"D", b"T", b"M",
+            ):
+                msg_xid = r.u32()
+            line = self._decode_body(tag, r)
+            if line is None:
+                return []
+            if self._stream_xid is not None and tag in (b"I", b"U", b"D", b"T"):
+                self._buffer_streamed(
+                    self._stream_xid,
+                    msg_xid if msg_xid is not None else self._stream_xid,
+                    line,
+                )
+                return []
+            return [line]
         except struct.error as exc:  # pragma: no cover — _need guards first
             raise PgOutputError(str(exc)) from None
+
+    # ----------------------------------------------- v2 streamed txns
+    def _stream_control(self, tag: bytes, r: _Reader) -> list[str]:
+        if self.proto_version < 2:
+            raise PgOutputError(
+                f"stream message {tag!r} on proto_version {self.proto_version}"
+            )
+        if tag == b"S":  # Stream Start: xid, first-segment flag
+            xid = r.u32()
+            r.u8()
+            self._stream_xid = xid
+            self.stats["stream_segments"] += 1
+            return []
+        if tag == b"E":  # Stream Stop — segment ends, txn still open
+            self._stream_xid = None
+            return []
+        if tag == b"c":  # Stream Commit: xid, flags, lsns, ts → replay
+            xid = r.u32()
+            r.u8()
+            r.u64()
+            r.u64()
+            r.u64()
+            if xid in self._stream_overflow:
+                self._stream_overflow.discard(xid)
+                raise PgOutputError(
+                    f"streamed transaction {xid} exceeded max_streamed_lines="
+                    f"{self.max_streamed_lines}; refusing to emit a silently "
+                    "truncated transaction"
+                )
+            buf = self._stream_buf.pop(xid, [])
+            self.stats["stream_commits"] += 1
+            return [f"BEGIN {xid}", *[line for _, line in buf], f"COMMIT {xid}"]
+        # Stream Abort: toplevel xid + aborted sub-xid; sub == top
+        # aborts the whole transaction, otherwise only that
+        # subtransaction's buffered lines are filtered out
+        xid = r.u32()
+        sub = r.u32()
+        self.stats["stream_aborts"] += 1
+        if sub == xid:
+            self._stream_buf.pop(xid, None)
+            self._stream_overflow.discard(xid)
+        else:
+            buf = self._stream_buf.get(xid)
+            if buf is not None:
+                self._stream_buf[xid] = [(sx, ln) for sx, ln in buf if sx != sub]
+        return []
+
+    def _buffer_streamed(self, top: int, msg_xid: int, line: str) -> None:
+        if top in self._stream_overflow:
+            self.stats["stream_overflow_dropped"] += 1
+            return
+        buf = self._stream_buf.setdefault(top, [])
+        if len(buf) >= self.max_streamed_lines:
+            # free the memory now; the commit raises loudly (docstring)
+            self._stream_buf.pop(top, None)
+            self._stream_overflow.add(top)
+            self.stats["stream_overflow"] += 1
+            return
+        buf.append((msg_xid, line))
+
+    # ------------------------------------------------- per-tag bodies
+    def _decode_body(self, tag: bytes, r: _Reader) -> str | None:
+        if tag == b"R":  # Relation: registry update, no event
+            relid = r.u32()
+            ns = r.cstr()
+            name = r.cstr()
+            ident = r.u8()
+            ncols = r.u16()
+            if ncols * 10 > r.remaining():  # each column costs >= 10 bytes
+                raise PgOutputError(
+                    f"declared {ncols} relation columns, {r.remaining()} bytes left"
+                )
+            cols = []
+            for _ in range(ncols):
+                flags = r.u8()
+                cname = r.cstr()
+                oid = r.u32()
+                typmod = r.i32()
+                cols.append((cname, oid, typmod, bool(flags & 1)))
+            self.relations[relid] = Relation(ns, name, ident, cols)
+            self.stats["relations"] += 1
+            return None
+        if tag == b"I":  # Insert: relid, 'N', new tuple
+            rel = self._rel(r.u32())
+            if r.take(1) != b"N":
+                raise PgOutputError("INSERT without new-tuple marker")
+            cells = self._tuple(r, rel)
+            return f"table {rel.relation}: INSERT: {self._cells_text(cells)}"
+        if tag == b"U":  # Update: relid, ['K'|'O' old]?, 'N' new
+            rel = self._rel(r.u32())
+            marker = r.take(1)
+            old = None
+            if marker in (b"K", b"O"):
+                old = self._tuple(r, rel)
+                marker = r.take(1)
+            if marker != b"N":
+                raise PgOutputError(f"UPDATE with unexpected marker {marker!r}")
+            cells = self._tuple(r, rel)
+            if old is not None:
+                return (
+                    f"table {rel.relation}: UPDATE: old-key: "
+                    f"{self._cells_text(old)} new-tuple: {self._cells_text(cells)}"
+                )
+            return f"table {rel.relation}: UPDATE: {self._cells_text(cells)}"
+        if tag == b"D":  # Delete: relid, 'K'|'O' old tuple
+            rel = self._rel(r.u32())
+            if r.take(1) not in (b"K", b"O"):
+                raise PgOutputError("DELETE without key/old marker")
+            cells = self._tuple(r, rel)
+            # test_decoding renders the key/old cells as the line's
+            # only cells; the marshaller emits them as old values
+            # (DELETE branch, marshaller.go:269-271)
+            return f"table {rel.relation}: DELETE: {self._cells_text(cells)}"
+        if tag == b"T":  # Truncate: nrels, options, relids
+            nrels = r.u32()
+            opts = r.u8()
+            if nrels * 4 > r.remaining():
+                raise PgOutputError(
+                    f"declared {nrels} truncated relations, {r.remaining()} bytes left"
+                )
+            rels = [self._rel(r.u32()).relation for _ in range(nrels)]
+            flags = {0: "(no-flags)", 1: "cascade", 2: "restart_seqs", 3: "restart_seqs cascade"}[
+                opts & 3
+            ]
+            return f"table {', '.join(rels)}: TRUNCATE: {flags}"
+        if tag in (b"O", b"Y", b"M"):  # Origin / Type / Message
+            self.stats["metadata_frames"] += 1
+            return None
+        raise PgOutputError(f"unknown pgoutput message tag {tag!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -468,3 +594,38 @@ def encode_logical_message(prefix: str, content: bytes, lsn: int = 0) -> bytes:
         + struct.pack(">I", len(content))
         + content
     )
+
+
+# ------------------------------------------------------- v2 streaming
+def _xid_prefix(frame: bytes, stream_xid: int | None) -> bytes:
+    """v2 data/metadata messages inside a stream segment carry the
+    (sub)transaction xid right after the tag byte."""
+    if stream_xid is None:
+        return frame
+    return frame[:1] + struct.pack(">I", stream_xid) + frame[1:]
+
+
+def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:
+    return b"S" + struct.pack(">IB", xid, 1 if first_segment else 0)
+
+
+def encode_stream_stop() -> bytes:
+    return b"E"
+
+
+def encode_stream_commit(
+    xid: int, commit_lsn: int = 0, end_lsn: int = 0, ts: int = 0
+) -> bytes:
+    return b"c" + struct.pack(">IBQQQ", xid, 0, commit_lsn, end_lsn, ts)
+
+
+def encode_stream_abort(xid: int, sub_xid: int | None = None) -> bytes:
+    return b"A" + struct.pack(">II", xid, sub_xid if sub_xid is not None else xid)
+
+
+def encode_streamed(frame: bytes, stream_xid: int) -> bytes:
+    """Wrap a v1-encoded data/metadata frame as its in-stream v2 form
+    (leading xid). Valid for R/Y/I/U/D/T/M frames."""
+    if frame[:1] not in (b"R", b"Y", b"I", b"U", b"D", b"T", b"M"):
+        raise ValueError(f"tag {frame[:1]!r} cannot appear inside a stream")
+    return _xid_prefix(frame, stream_xid)

@@ -261,11 +261,19 @@ class LiveTransport:
         reconnect_backoff_s: float = 0.5,
         plugin: str = "test_decoding",
         publication_names: str = "pgbifrost",
+        pgoutput_proto_version: int = 1,
     ):
         from .pgwire import parse_dsn
 
         if plugin not in ("test_decoding", "pgoutput"):
             raise ValueError(f"unsupported logical-decoding plugin {plugin!r}")
+        if pgoutput_proto_version not in (1, 2):
+            # v2 adds streamed in-progress transactions; v3/v4 (two-
+            # phase, parallel apply) change apply-worker semantics this
+            # engine does not need — refuse rather than mis-decode
+            raise ValueError(
+                f"unsupported pgoutput proto_version {pgoutput_proto_version}"
+            )
         self._kwargs = parse_dsn(dsn)
         self.slot = slot
         self._create_slot = create_slot
@@ -275,6 +283,7 @@ class LiveTransport:
         # every downstream stage stay plugin-agnostic (cdc/pgoutput.py)
         self.plugin = plugin
         self.publication_names = publication_names
+        self.pgoutput_proto_version = pgoutput_proto_version
         self.receive_timeout_s = receive_timeout_s
         # per-batch wall-clock bound (ADVICE r8): during a long replay
         # of already-acked WAL every frame is filtered by after_lsn —
@@ -359,13 +368,16 @@ class LiveTransport:
                 if self._create_slot:
                     conn.create_slot(self.slot, plugin=self.plugin)  # idempotent on 42710
                 if self.plugin == "pgoutput":
+                    options = {
+                        "proto_version": str(self.pgoutput_proto_version),
+                        "publication_names": self.publication_names,
+                    }
+                    if self.pgoutput_proto_version >= 2:
+                        options["streaming"] = "on"
                     conn.start_replication(
                         self.slot,
                         start_lsn,
-                        options={
-                            "proto_version": "1",
-                            "publication_names": self.publication_names,
-                        },
+                        options=options,
                         binary_payload=True,
                     )
                 else:
@@ -384,7 +396,9 @@ class LiveTransport:
                 # a new session before each relation's first use)
                 from .protocol import PgOutputConnAdapter
 
-                loop_conn = PgOutputConnAdapter(conn)
+                loop_conn = PgOutputConnAdapter(
+                    conn, proto_version=self.pgoutput_proto_version
+                )
             self._loop = ReplicationClientLoop(
                 loop_conn, receive_timeout_s=self.receive_timeout_s
             )
@@ -640,6 +654,9 @@ class PgCdcSimpleReader(SimpleDataSourceStreamReader):
                 slot,
                 plugin=options.get("plugin", "test_decoding"),
                 publication_names=options.get("publication_names", "pgbifrost"),
+                pgoutput_proto_version=int(
+                    options.get("pgoutput_proto_version", "1")
+                ),
             )
         else:
             self.transport = ReplayTransport(wal_dir)

@@ -255,16 +255,28 @@ class PgOutputConnAdapter:
     fresh adapter, matching the server's re-send of Relation frames on
     a new session."""
 
-    def __init__(self, conn):
+    def __init__(self, conn, proto_version: int = 1):
+        from collections import deque
+
         from ..cdc.pgoutput import PgOutputDecoder
 
         self.conn = conn
-        self.decoder = PgOutputDecoder()
+        self.decoder = PgOutputDecoder(proto_version=proto_version)
         self.stats: Counter = Counter()
+        # a v2 Stream Commit replays a whole buffered transaction from
+        # ONE frame; receive() hands lines out one at a time (they all
+        # carry the commit frame's wal_start — the loop's equal-LSN run
+        # index k disambiguates positions downstream)
+        self._pending = deque()
 
     def receive(self, timeout_s: float):
         from ..cdc.pgoutput import PgOutputError
 
+        if self._pending:
+            wal_start, server_time_ms, line = self._pending.popleft()
+            return XLogData(
+                wal_start=wal_start, line=line, server_time_ms=server_time_ms
+            )
         deadline = time.monotonic() + timeout_s
         while True:
             remaining = deadline - time.monotonic()
@@ -272,15 +284,17 @@ class PgOutputConnAdapter:
             if not (isinstance(msg, XLogData) and msg.raw is not None):
                 return msg
             try:
-                line = self.decoder.decode(msg.raw)
+                events = self.decoder.decode_events(msg.raw)
             except PgOutputError:
                 self.stats["invalid_msgs"] += 1
                 continue
-            if line is None:  # registry/metadata frame — no event
+            if not events:  # registry/metadata/stream-segment frame
                 continue
+            for line in events[1:]:
+                self._pending.append((msg.wal_start, msg.server_time_ms, line))
             return XLogData(
                 wal_start=msg.wal_start,
-                line=line,
+                line=events[0],
                 server_time_ms=msg.server_time_ms,
             )
 

@@ -337,3 +337,204 @@ def test_live_transport_pgoutput_end_to_end():
         t.close()
     finally:
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# protocol v2: streamed in-progress transactions
+# ---------------------------------------------------------------------------
+from pg_bifrost_spark.cdc.pgoutput import (  # noqa: E402
+    encode_stream_abort,
+    encode_stream_commit,
+    encode_stream_start,
+    encode_stream_stop,
+    encode_streamed,
+)
+
+
+def _v2_decoder() -> PgOutputDecoder:
+    d = PgOutputDecoder(proto_version=2)
+    assert d.decode_events(encode_relation(1, "public", "t", REL)) == []
+    return d
+
+
+def _ins(d, xid, val):
+    return d.decode_events(
+        encode_streamed(encode_insert(1, [str(val), "x", None]), xid)
+    )
+
+
+def test_stream_commit_replays_whole_txn_in_order():
+    d = _v2_decoder()
+    assert d.decode_events(encode_stream_start(700)) == []
+    assert _ins(d, 700, 1) == []
+    assert _ins(d, 700, 2) == []
+    assert d.decode_events(encode_stream_stop()) == []
+    # second segment of the same txn
+    assert d.decode_events(encode_stream_start(700, first_segment=False)) == []
+    assert _ins(d, 700, 3) == []
+    assert d.decode_events(encode_stream_stop()) == []
+    events = d.decode_events(encode_stream_commit(700))
+    assert events[0] == "BEGIN 700" and events[-1] == "COMMIT 700"
+    assert [parse_line(e).columns["id"][0] for e in events[1:-1]] == ["1", "2", "3"]
+    assert d.stats["stream_commits"] == 1
+
+
+def test_interleaved_streams_commit_independently():
+    """Two large transactions stream segment-interleaved (the reason
+    the feature exists); each commit replays only its own lines."""
+    d = _v2_decoder()
+    d.decode_events(encode_stream_start(10))
+    _ins(d, 10, 100)
+    d.decode_events(encode_stream_stop())
+    d.decode_events(encode_stream_start(20))
+    _ins(d, 20, 200)
+    d.decode_events(encode_stream_stop())
+    d.decode_events(encode_stream_start(10, first_segment=False))
+    _ins(d, 10, 101)
+    d.decode_events(encode_stream_stop())
+    # commit order reversed vs start order
+    e20 = d.decode_events(encode_stream_commit(20))
+    assert [parse_line(x).columns["id"][0] for x in e20[1:-1]] == ["200"]
+    e10 = d.decode_events(encode_stream_commit(10))
+    assert [parse_line(x).columns["id"][0] for x in e10[1:-1]] == ["100", "101"]
+
+
+def test_stream_abort_toplevel_drops_everything():
+    d = _v2_decoder()
+    d.decode_events(encode_stream_start(30))
+    _ins(d, 30, 1)
+    d.decode_events(encode_stream_stop())
+    assert d.decode_events(encode_stream_abort(30)) == []
+    # a later commit of the same xid replays an EMPTY transaction
+    events = d.decode_events(encode_stream_commit(30))
+    assert events == ["BEGIN 30", "COMMIT 30"]
+
+
+def test_stream_abort_subxact_filters_only_its_lines():
+    d = _v2_decoder()
+    d.decode_events(encode_stream_start(40))
+    _ins(d, 40, 1)      # toplevel's own line
+    _ins(d, 41, 2)      # subtransaction 41
+    _ins(d, 40, 3)
+    d.decode_events(encode_stream_stop())
+    assert d.decode_events(encode_stream_abort(40, sub_xid=41)) == []
+    events = d.decode_events(encode_stream_commit(40))
+    assert [parse_line(x).columns["id"][0] for x in events[1:-1]] == ["1", "3"]
+    assert d.stats["stream_aborts"] == 1
+
+
+def test_stream_relation_inside_segment_updates_registry():
+    d = _v2_decoder()
+    d.decode_events(encode_stream_start(50))
+    new_rel = encode_relation(2, "public", "u", [("k", 20, -1)])
+    assert d.decode_events(encode_streamed(new_rel, 50)) == []
+    assert (
+        d.decode_events(encode_streamed(encode_insert(2, ["7"]), 50)) == []
+    )
+    d.decode_events(encode_stream_stop())
+    events = d.decode_events(encode_stream_commit(50))
+    assert parse_line(events[1]).relation == "public.u"
+
+
+def test_stream_overflow_raises_loudly_at_commit():
+    """Exceeding the buffer cap must NEVER emit a silently truncated
+    transaction — the commit raises and the frame is counted/dropped
+    by the adapter (at-least-once, the reconnect replays)."""
+    d = _v2_decoder()
+    d.max_streamed_lines = 3
+    d.decode_events(encode_stream_start(60))
+    for i in range(5):
+        _ins(d, 60, i)
+    d.decode_events(encode_stream_stop())
+    assert d.stats["stream_overflow"] == 1
+    with pytest.raises(PgOutputError, match="exceeded max_streamed_lines"):
+        d.decode_events(encode_stream_commit(60))
+
+
+def test_stream_messages_rejected_on_v1():
+    d = _decoder_with_rel()
+    with pytest.raises(PgOutputError, match="proto_version"):
+        d.decode_events(encode_stream_start(1))
+
+
+def test_decode_wrapper_refuses_multi_event_frames():
+    d = _v2_decoder()
+    d.decode_events(encode_stream_start(70))
+    _ins(d, 70, 1)
+    d.decode_events(encode_stream_stop())
+    with pytest.raises(PgOutputError, match="decode_events"):
+        d.decode(encode_stream_commit(70))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_fuzz_v2_decoder_never_raises_other_exceptions(data):
+    d = PgOutputDecoder(proto_version=2)
+    d.decode_events(encode_relation(1, "public", "t", REL))
+    d.decode_events(encode_stream_start(9))  # fuzz WITH stream state open
+    try:
+        d.decode_events(data)
+    except PgOutputError:
+        pass
+
+
+def test_adapter_hands_out_streamed_replay_one_line_at_a_time():
+    conn = _ScriptConn(
+        [
+            _raw(10, encode_relation(1, "public", "t", REL)),
+            _raw(10, encode_stream_start(80)),
+            _raw(11, encode_streamed(encode_insert(1, ["1", "a", None]), 80)),
+            _raw(12, encode_streamed(encode_insert(1, ["2", "b", None]), 80)),
+            _raw(13, encode_stream_stop()),
+            _raw(20, encode_stream_commit(80)),
+            Keepalive(server_wal_end=21),
+        ]
+    )
+    ad = PgOutputConnAdapter(conn, proto_version=2)
+    lines = [ad.receive(1.0).line for _ in range(4)]
+    assert lines == [
+        "BEGIN 80",
+        "table public.t: INSERT: id[integer]:1 name[character varying(255)]:'a' note[text]:null",
+        "table public.t: INSERT: id[integer]:2 name[character varying(255)]:'b' note[text]:null",
+        "COMMIT 80",
+    ]
+    # all four carry the commit frame's LSN (k disambiguates downstream)
+    assert isinstance(ad.receive(1.0), Keepalive)
+
+
+def test_live_transport_pgoutput_v2_streamed_end_to_end():
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+    from tests.test_pgwire import DB, USER, FakeWalsender
+
+    frames = [
+        ("xlog_raw", 100, encode_relation(1, "public", "t", REL)),
+        ("xlog_raw", 100, encode_stream_start(91)),
+        ("xlog_raw", 108, encode_streamed(encode_insert(1, ["1", "a", None]), 91)),
+        ("xlog_raw", 116, encode_stream_stop()),
+        ("xlog_raw", 124, encode_stream_start(91, first_segment=False)),
+        ("xlog_raw", 132, encode_streamed(encode_insert(1, ["2", "b", None]), 91)),
+        ("xlog_raw", 140, encode_stream_stop()),
+        ("xlog_raw", 148, encode_stream_commit(91)),
+    ]
+    srv = FakeWalsender(frames=frames)
+    try:
+        t = LiveTransport(
+            f"postgresql://{USER}@127.0.0.1:{srv.port}/{DB}",
+            "s2",
+            plugin="pgoutput",
+            pgoutput_proto_version=2,
+            receive_timeout_s=0.3,
+            max_connect_attempts=1,
+        )
+        rows = t.fetch(0, 10)
+        lines = [r[2] for r in rows]
+        assert lines[0] == "BEGIN 91" and lines[-1] == "COMMIT 91"
+        assert len(lines) == 4
+        # replayed lines share the commit LSN; per-frame k indexes them
+        assert [r[0] for r in rows] == [148, 148, 148, 148]
+        assert [r[3] for r in rows] == [0, 1, 2, 3]
+        cmd = srv.start_commands[0]
+        assert '"proto_version" \'2\'' in cmd and '"streaming" \'on\'' in cmd
+        t.close()
+    finally:
+        srv.close()
