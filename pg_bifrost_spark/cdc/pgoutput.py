@@ -45,8 +45,6 @@ import struct
 from collections import Counter
 from dataclasses import dataclass, field
 
-from .fixtures import fmt_value
-
 __all__ = [
     "PgOutputError",
     "PgOutputDecoder",
@@ -67,6 +65,15 @@ __all__ = [
 class PgOutputError(ValueError):
     """Malformed pgoutput frame (truncated, bad declared count, unknown
     message/cell kind). Callers drop the frame and count it."""
+
+
+class PgOutputOverflow(PgOutputError):
+    """A streamed transaction exceeded ``max_streamed_lines``. MUST
+    surface to the caller (never drop-and-count like a malformed
+    frame): emitting or skipping a silently truncated transaction is
+    the data-loss class this engine refuses — the conn adapter
+    re-raises it so the streaming query fails loudly with the cap in
+    the message (code-review r10-late #3)."""
 
 
 # ---------------------------------------------------------------------------
@@ -109,6 +116,43 @@ _TYPE_NAMES: dict[int, str] = {
 }
 
 _TYPMOD_TYPES = {1042, 1043}  # character(n) / character varying(n)
+
+# Types whose PG text output can never need quoting in a canonical
+# line (no spaces/quotes in any value). EVERYTHING else is quoted:
+# bpchar is ALWAYS space-padded ('ab' arrives as 'ab        '),
+# interval renders '1 day', json/jsonb and arrays embed arbitrary
+# text — an unquoted space-containing cell corrupts the line and the
+# parser then drops the WHOLE row as a parse error, i.e. silent data
+# loss on the pgoutput path (code-review r10-late #1, reproduced).
+# The fixture generator's narrower _QUOTED_PG_TYPES list is a
+# rendering choice for its OWN known-safe values; the decoder cannot
+# assume that about arbitrary server data, so it quotes defensively —
+# the parser strips quotes, so downstream values are identical either
+# way.
+_UNQUOTED_TYPE_PREFIXES = (
+    "smallint",
+    "integer",
+    "bigint",
+    "real",
+    "double precision",
+    "numeric",
+    "boolean",
+    "oid",
+    "bytea",  # \xHEX — no spaces or quotes by construction
+)
+
+
+def _render_value(v: object, type_name_str: str) -> str:
+    if v is None:
+        return "null"
+    s = str(v)
+    # array types ('integer[]') share the scalar prefix but their text
+    # form ('{"a b",...}') can embed anything — always quoted
+    if "[" not in type_name_str and any(
+        type_name_str.startswith(p) for p in _UNQUOTED_TYPE_PREFIXES
+    ):
+        return s
+    return "'" + s.replace("'", "''") + "'"
 
 
 def type_name(oid: int, typmod: int = -1) -> str:
@@ -304,7 +348,7 @@ class PgOutputDecoder:
                 # (marshaller.go:276-283 matches it by value)
                 parts.append(f"{name}[{t}]:unchanged-toast-datum")
             else:
-                parts.append(f"{name}[{t}]:{fmt_value(v, t)}")
+                parts.append(f"{name}[{t}]:{_render_value(v, t)}")
         return " ".join(parts)
 
     def _rel(self, relid: int) -> Relation:
@@ -397,7 +441,7 @@ class PgOutputDecoder:
             r.u64()
             if xid in self._stream_overflow:
                 self._stream_overflow.discard(xid)
-                raise PgOutputError(
+                raise PgOutputOverflow(
                     f"streamed transaction {xid} exceeded max_streamed_lines="
                     f"{self.max_streamed_lines}; refusing to emit a silently "
                     "truncated transaction"

@@ -925,16 +925,27 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. All ratios are ppm-precision BIGINTs (positive DIV truncates
     identically in both engines), so the scores AND the bucket edges
     hash-match the oracle exactly."""
+    # counts are cast to BIGINT BEFORE the ppm multiplies: size() is
+    # 32-bit and a >2147-token document would wrap n_words * 1000000
+    # (the module's own documented hazard at lexical_diversity_ppm —
+    # code-review r10-late #2); _tokens() is the canonical tokenizer,
+    # shared so a future tokenization change cannot desynchronize word
+    # counts from the rest of the suite
+    toks = _tokens()
     m = table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.expr(r"size(split(lower(trim(text)), '\\s+'))").alias("n_words"),
-        F.expr("greatest(1, size(regexp_extract_all(text, '[.!?]+', 0)))").alias(
-            "n_sentences"
-        ),
-        F.expr(
-            r"greatest(size(split(lower(trim(text)), '\\s+')), "
-            r"size(regexp_extract_all(lower(text), '[aeiouy]+', 0)))"
-        ).alias("n_syll"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0))
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.greatest(
+            F.size(toks),
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)),
+        )
+        .cast("bigint")
+        .alias("n_syll"),
     )
     r = m.select(
         "doc_id",

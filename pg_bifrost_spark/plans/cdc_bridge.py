@@ -49,13 +49,15 @@ def _env_once(out: DataFrame) -> DataFrame:
     site — k copies per row. Measured on cdc_lineitem_roundtrip at
     sf0.1: ~18 s → ~8 s with the barrier (same class of regression the
     parse-stage barrier fixed in round 2, one layer up)."""
-    env = out.withColumn("env", F.from_json("json", _ENVELOPE_DDL))
-    return opt_barrier(env.select("env"))
+    return _env_once_with_lsn(out).select("env")
 
 
 def _env_once_with_lsn(out: DataFrame) -> DataFrame:
     """``_env_once`` keeping the message's ``wal_start`` alongside the
-    parsed envelope — for consumers that order versions by LSN."""
+    parsed envelope — for consumers that order versions by LSN. ONE
+    definition of the envelope-extraction pipeline (filter + from_json
+    + barrier); ``_env_once`` projects the LSN away above the barrier,
+    which cannot re-trigger CollapseProject through it."""
     env = out.filter(F.col("json").isNotNull()).withColumn(
         "env", F.from_json("json", _ENVELOPE_DDL)
     )

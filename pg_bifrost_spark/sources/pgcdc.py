@@ -509,6 +509,15 @@ class LiveTransport:
                             hwm, hwm_k = m.wal_start, k
                         out.append((m.wal_start, m.server_time_ms, m.line, k))
                 if self._loop.stats.get("receive_timeouts", 0) > timeouts_at_start:
+                    if getattr(self._loop.conn, "mid_stream", False):
+                        # the pgoutput adapter's deadline fired while a
+                        # v2 streamed transaction is still buffering —
+                        # the stream is BUSY, not idle: an under-cap
+                        # batch here proves nothing about the backlog,
+                        # so it must flag truncation like every other
+                        # non-idle exit (code-review r10-late #4)
+                        truncated = budget_spent = True
+                        break
                     return out[:limit]  # stream idle — micro-batch done
                 if not self._connected():
                     # the LOOP closed the conn deliberately

@@ -269,8 +269,18 @@ class PgOutputConnAdapter:
         # index k disambiguates positions downstream)
         self._pending = deque()
 
+    @property
+    def mid_stream(self) -> bool:
+        """True while a v2 streamed transaction is open (segment active
+        or lines buffered awaiting Stream Commit). The transport uses
+        this to tell 'stream idle' apart from 'deadline expired while
+        buffering a streamed transaction' — the latter must flag
+        truncation, not end a drain (code-review r10-late #4)."""
+        d = self.decoder
+        return d._stream_xid is not None or bool(d._stream_buf)
+
     def receive(self, timeout_s: float):
-        from ..cdc.pgoutput import PgOutputError
+        from ..cdc.pgoutput import PgOutputError, PgOutputOverflow
 
         if self._pending:
             wal_start, server_time_ms, line = self._pending.popleft()
@@ -280,11 +290,26 @@ class PgOutputConnAdapter:
         deadline = time.monotonic() + timeout_s
         while True:
             remaining = deadline - time.monotonic()
-            msg = self.conn.receive(max(remaining, 0.001))
+            if remaining <= 0:
+                # frames may be arriving back-to-back (a large streamed
+                # transaction buffers for its whole duration) — without
+                # this the caller's receive deadline, and with it the
+                # transport's per-batch budget, would never fire
+                # (code-review r10-late #4). Decoder state persists, so
+                # the next receive continues buffering where we left
+                # off; the transport checks ``mid_stream`` to avoid
+                # mistaking this for an idle stream.
+                raise Timeout()
+            msg = self.conn.receive(remaining)
             if not (isinstance(msg, XLogData) and msg.raw is not None):
                 return msg
             try:
                 events = self.decoder.decode_events(msg.raw)
+            except PgOutputOverflow:
+                # NEVER drop-and-count: a capped streamed transaction
+                # must fail the query loudly, not vanish while the ack
+                # advances past its commit (code-review r10-late #3)
+                raise
             except PgOutputError:
                 self.stats["invalid_msgs"] += 1
                 continue

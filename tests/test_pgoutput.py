@@ -538,3 +538,87 @@ def test_live_transport_pgoutput_v2_streamed_end_to_end():
         t.close()
     finally:
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# code-review r10-late regressions
+# ---------------------------------------------------------------------------
+def test_space_bearing_types_are_quoted_and_survive_the_parser():
+    """bpchar is space-padded, interval renders '1 day', jsonb embeds
+    arbitrary text: unquoted they corrupt the canonical line and the
+    parser DROPS the row (reproduced in review) — the decoder must
+    quote every non-numeric type defensively."""
+    d = PgOutputDecoder()
+    cols = [("id", 23, -1), ("code", 1042, 14), ("dur", 1186, -1), ("meta", 3802, -1)]
+    d.decode(encode_relation(1, "public", "s", cols))
+    line = d.decode(
+        encode_insert(1, ["7", "ab        ", "1 day", '{"k": "v v"}'])
+    )
+    pm = parse_line(line)
+    assert pm.error is None
+    assert pm.columns["code"] == ("ab        ", "character(10)", True)
+    assert pm.columns["dur"] == ("1 day", "interval", True)
+    assert pm.columns["meta"] == ('{"k": "v v"}', "jsonb", True)
+    assert pm.columns["id"] == ("7", "integer", False)  # numerics stay bare
+
+
+def test_array_values_are_quoted():
+    d = PgOutputDecoder()
+    d.decode(encode_relation(1, "public", "a", [("xs", 1009, -1)]))
+    pm = parse_line(d.decode(encode_insert(1, ['{"a b","c"}'])))
+    assert pm.error is None
+    assert pm.columns["xs"] == ('{"a b","c"}', "text[]", True)
+
+
+def test_adapter_propagates_stream_overflow_loudly():
+    """A capped streamed transaction must FAIL the query, not become a
+    silent invalid_msgs bump while the ack advances past its commit."""
+    from pg_bifrost_spark.cdc.pgoutput import PgOutputOverflow
+
+    conn = _ScriptConn(
+        [
+            _raw(10, encode_relation(1, "public", "t", REL)),
+            _raw(10, encode_stream_start(95)),
+            _raw(11, encode_streamed(encode_insert(1, ["1", "a", None]), 95)),
+            _raw(12, encode_streamed(encode_insert(1, ["2", "b", None]), 95)),
+            _raw(13, encode_stream_stop()),
+            _raw(20, encode_stream_commit(95)),
+        ]
+    )
+    ad = PgOutputConnAdapter(conn, proto_version=2)
+    ad.decoder.max_streamed_lines = 1
+    with pytest.raises(PgOutputOverflow, match="exceeded max_streamed_lines"):
+        ad.receive(1.0)
+    assert ad.stats["invalid_msgs"] == 0  # not laundered into a counter
+
+
+def test_adapter_deadline_fires_while_stream_is_busy():
+    """Back-to-back no-event frames must not let one receive() call
+    outlive its timeout (the transport's per-batch budget depends on
+    it); mid_stream distinguishes this from a genuinely idle stream."""
+
+    class _FirehoseConn:
+        """Always has another in-segment frame ready instantly."""
+
+        def __init__(self):
+            self.d_rel = encode_relation(1, "public", "t", REL)
+            self.frames = [self.d_rel, encode_stream_start(99)]
+            self.n = 0
+
+        def receive(self, timeout_s):
+            if self.frames:
+                return _raw(10, self.frames.pop(0))
+            self.n += 1
+            return _raw(
+                10 + self.n,
+                encode_streamed(encode_insert(1, [str(self.n), "x", None]), 99),
+            )
+
+    ad = PgOutputConnAdapter(_FirehoseConn(), proto_version=2)
+    import time as _t
+
+    t0 = _t.monotonic()
+    with pytest.raises(Timeout):
+        ad.receive(0.2)
+    assert _t.monotonic() - t0 < 5.0  # bounded, not a spin-forever
+    assert ad.mid_stream  # busy, NOT idle — fetch flags truncation
