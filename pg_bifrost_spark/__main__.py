@@ -83,6 +83,24 @@ def main(argv: list[str] | None = None) -> int:
     rep.add_argument("--wal-dir", help="replay-transport WAL directory")
     rep.add_argument("--dsn", help="postgres DSN for the live transport")
     rep.add_argument("--slot", default="pg_bifrost_spark")
+    rep.add_argument(
+        "--plugin",
+        choices=["test_decoding", "pgoutput"],
+        default="test_decoding",
+        help="logical-decoding plugin (pgoutput = in-core native replication)",
+    )
+    rep.add_argument(
+        "--publication-names",
+        default="pgbifrost",
+        help="pgoutput publication list (ignored for test_decoding)",
+    )
+    rep.add_argument(
+        "--pgoutput-proto-version",
+        type=int,
+        choices=[1, 2],
+        default=1,
+        help="pgoutput protocol version (2 = streamed in-progress txns)",
+    )
     rep.add_argument("--checkpoint", required=True, help="checkpointLocation")
     rep.add_argument("--out", help="s3/file sink output path")
     rep.add_argument("--stream-name", help="kinesis stream name")
@@ -112,18 +130,22 @@ def main(argv: list[str] | None = None) -> int:
         c = sub.add_parser(name, help=f"{name} the replication slot")
         c.add_argument("--dsn", required=True)
         c.add_argument("--slot", default="pg_bifrost_spark")
+        c.add_argument(
+            "--plugin",
+            choices=["test_decoding", "pgoutput"],
+            default="test_decoding",
+            help="plugin the slot decodes with (create only)",
+        )
 
     args = p.parse_args(argv)
 
     if args.cmd in ("create", "drop"):
         from .sources.pgcdc import LiveTransport
 
-        fn = (
-            LiveTransport.create_slot_ddl
-            if args.cmd == "create"
-            else LiveTransport.drop_slot_ddl
-        )
-        fn(args.dsn, args.slot)
+        if args.cmd == "create":
+            LiveTransport.create_slot_ddl(args.dsn, args.slot, plugin=args.plugin)
+        else:
+            LiveTransport.drop_slot_ddl(args.dsn, args.slot)
         return 0
 
     cli_layer = {
@@ -146,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.dsn:
         source_options["dsn"] = args.dsn
         source_options["slot"] = args.slot
+        source_options["plugin"] = args.plugin
+        source_options["publication_names"] = args.publication_names
+        source_options["pgoutput_proto_version"] = str(args.pgoutput_proto_version)
     source_options["max_msgs_per_batch"] = str(cfg.client_buffer_size)
 
     workers = cfg.workers if cfg.routing_method == "partition" else None

@@ -137,7 +137,6 @@ _UNQUOTED_TYPE_PREFIXES = (
     "double precision",
     "numeric",
     "boolean",
-    "oid",
     "bytea",  # \xHEX — no spaces or quotes by construction
 )
 
@@ -147,9 +146,13 @@ def _render_value(v: object, type_name_str: str) -> str:
         return "null"
     s = str(v)
     # array types ('integer[]') share the scalar prefix but their text
-    # form ('{"a b",...}') can embed anything — always quoted
-    if "[" not in type_name_str and any(
-        type_name_str.startswith(p) for p in _UNQUOTED_TYPE_PREFIXES
+    # form ('{"a b",...}') can embed anything — always quoted. 'oid'
+    # must be an EXACT match: unknown OIDs render as 'oid:<n>' and
+    # their values are arbitrary — prefix-matching them unquoted would
+    # reintroduce the data-loss bug for every unmapped type
+    if type_name_str == "oid" or (
+        "[" not in type_name_str
+        and any(type_name_str.startswith(p) for p in _UNQUOTED_TYPE_PREFIXES)
     ):
         return s
     return "'" + s.replace("'", "''") + "'"

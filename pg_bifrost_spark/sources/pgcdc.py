@@ -586,17 +586,19 @@ class LiveTransport:
 
     # ---------------------------------------------------- slot DDL (CLI)
     @staticmethod
-    def create_slot_ddl(dsn: str, slot: str) -> bool:
-        """CREATE_REPLICATION_SLOT <slot> LOGICAL test_decoding over
-        the wire (idempotent on SQLSTATE 42710) — utils/utils.go:38-56.
-        The retry/idempotency policy layer lives in sources/slots.py;
-        a psycopg-based adapter (``slots.psycopg_factory``) remains for
-        deployments that prefer a driver-managed connection."""
+    def create_slot_ddl(dsn: str, slot: str, plugin: str = "test_decoding") -> bool:
+        """CREATE_REPLICATION_SLOT <slot> LOGICAL <plugin> over the
+        wire (idempotent on SQLSTATE 42710) — utils/utils.go:38-56; the
+        reference hardcodes test_decoding (utils.go:50), this engine
+        also creates pgoutput slots. The retry/idempotency policy layer
+        lives in sources/slots.py; a psycopg-based adapter
+        (``slots.psycopg_factory``) remains for deployments that
+        prefer a driver-managed connection."""
         from .pgwire import WireConnection, parse_dsn
 
         conn = WireConnection(**parse_dsn(dsn)).connect()
         try:
-            return conn.create_slot(slot)
+            return conn.create_slot(slot, plugin=plugin)
         finally:
             conn.close()
 

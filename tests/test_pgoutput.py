@@ -622,3 +622,14 @@ def test_adapter_deadline_fires_while_stream_is_busy():
         ad.receive(0.2)
     assert _t.monotonic() - t0 < 5.0  # bounded, not a spin-forever
     assert ad.mid_stream  # busy, NOT idle — fetch flags truncation
+
+
+def test_unknown_oid_values_are_quoted():
+    """'oid:<n>' types carry arbitrary values — they must quote (only
+    the exact 'oid' type is numeric-safe); a space-bearing value of an
+    unmapped type must survive the parser."""
+    d = PgOutputDecoder()
+    d.decode(encode_relation(1, "public", "x", [("v", 600, -1)]))  # point type
+    pm = parse_line(d.decode(encode_insert(1, ["(1.5, 2.5)"])))
+    assert pm.error is None
+    assert pm.columns["v"] == ("(1.5, 2.5)", "oid:600", True)
