@@ -531,6 +531,7 @@ def load_all() -> None:
         structure,
         text,
         unigram,
+        webarchive,
     )
 
     missing = [n for n in GATE_PRIORITY if n not in QUERIES]
