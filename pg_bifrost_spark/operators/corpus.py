@@ -2139,3 +2139,155 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney interpolated trigram LM (r10) — top rung of the LM ladder
+# --------------------------------------------------------------------------
+# The CCNet/KenLM-style quality signal uses a SMOOTHED n-gram LM, not
+# MLE: interpolated Kneser-Ney with absolute discount D backs each
+# level off to CONTINUATION counts (how many distinct contexts a word
+# completes), the distribution that makes "Francisco" rare outside
+# "San _". Every quantity is an exact integer count, so the composed
+# probability is one fixed-shape double expression both engines
+# evaluate identically; the per-trigram-type log is integer-quantized
+# before any order-dependent sum (the standing hash-stability trick).
+KN_DISCOUNT = 0.75
+
+
+@register(
+    "quality_kn_trigram",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+      WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+    ),
+    tg AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks)-2]) AS w1,
+             unnest(toks[2:len(toks)-1]) AS w2,
+             unnest(toks[3:len(toks)])   AS w3
+      FROM toked
+    ),
+    c3 AS (SELECT w1, w2, w3, count(*) AS c FROM tg GROUP BY w1, w2, w3),
+    c2 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS ctx_c,
+                  CAST(count(*) AS BIGINT) AS n1f3
+           FROM c3 GROUP BY w1, w2),
+    cont2 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS k2
+              FROM c3 GROUP BY w2, w3),
+    mid AS (SELECT w2, CAST(sum(k2) AS BIGINT) AS mid_den,
+                   CAST(count(*) AS BIGINT) AS n1f2
+            FROM cont2 GROUP BY w2),
+    cont1 AS (SELECT w3, CAST(count(*) AS BIGINT) AS k1
+              FROM cont2 GROUP BY w3),
+    btot AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM cont2),
+    lp AS (
+      SELECT c3.w1, c3.w2, c3.w3,
+             CAST(floor(ln(
+               (greatest(c3.c - {KN_DISCOUNT}, 0)
+                + {KN_DISCOUNT} * c2.n1f3
+                  * ((greatest(cont2.k2 - {KN_DISCOUNT}, 0)
+                      + {KN_DISCOUNT} * mid.n1f2 * (cont1.k1 / btot.bb))
+                     / mid.mid_den))
+               / c2.ctx_c) * {LOGPROB_SCALE}) AS BIGINT) AS micro_nats
+      FROM c3
+      JOIN c2 USING (w1, w2) JOIN cont2 USING (w2, w3)
+      JOIN mid USING (w2) JOIN cont1 USING (w3) CROSS JOIN btot
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(l.micro_nats) AS BIGINT) AS sum_micro_nats,
+           CAST(sum(l.micro_nats) AS BIGINT)
+             / CAST(count(*) * {LOGPROB_SCALE} AS DOUBLE) AS avg_nats
+    FROM tg t JOIN lp l USING (w1, w2, w3)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def quality_kn_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram log-probability per document:
+
+      P(w3|w1 w2) = (max(c(w1w2w3)-D, 0) + D·N1+(w1w2·)·P(w3|w2)) / c(w1w2·)
+      P(w3|w2)    = (max(N1+(·w2w3)-D, 0) + D·N1+(w2·)·P(w3)) / N1+(·w2·)
+      P(w3)       = N1+(·w3) / N1+(··)
+
+    with all N1+ counts read off the distinct-trigram table: c3 rows
+    per (w2,w3) ARE the distinct-left-context count, cont2 rows per w3
+    ARE the distinct-completed-bigram count — no separate distinct
+    aggregations.
+
+    Hash stability: every input to the probability is an exact BIGINT;
+    the composed expression is written with the identical tree on both
+    engines (each IEEE op correctly rounded ⇒ bit-identical), then
+    quantized per trigram TYPE (floor(ln·1e6) BIGINT) before the
+    order-free per-document sum.
+
+    Plan: explode → four map-side-combined groupBys over n-gram TYPE
+    tables (c3 → c2/cont2 → mid/cont1, each strictly smaller), a
+    1-row broadcast for N1+(··), the model-assembly joins on token
+    keys, and ONE corpus-sized scoring join on (w1,w2,w3) — the same
+    scale shape as quality_bigram_logprob one rung down. Zipf skew is
+    absorbed by partial aggregation; nothing is collected."""
+    toked = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    tg = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2, "
+                "element_at(toks, i + 2) AS w3))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w1", "t.w2", "t.w3")
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c"))
+    c2 = c3.groupBy("w1", "w2").agg(
+        F.sum("c").cast("bigint").alias("ctx_c"),
+        F.count("*").cast("bigint").alias("n1f3"),
+    )
+    cont2 = c3.groupBy("w2", "w3").agg(F.count("*").cast("bigint").alias("k2"))
+    mid = cont2.groupBy("w2").agg(
+        F.sum("k2").cast("bigint").alias("mid_den"),
+        F.count("*").cast("bigint").alias("n1f2"),
+    )
+    cont1 = cont2.groupBy("w3").agg(F.count("*").cast("bigint").alias("k1"))
+    btot = cont2.agg(F.count("*").cast("bigint").alias("bb"))
+    d = F.lit(KN_DISCOUNT)
+    p1 = F.col("k1") / F.col("bb")
+    p2 = (F.greatest(F.col("k2") - d, F.lit(0)) + d * F.col("n1f2") * p1) / F.col(
+        "mid_den"
+    )
+    p3 = (F.greatest(F.col("c") - d, F.lit(0)) + d * F.col("n1f3") * p2) / F.col(
+        "ctx_c"
+    )
+    lp = (
+        c3.join(c2, ["w1", "w2"])
+        .join(cont2, ["w2", "w3"])
+        .join(mid, ["w2"])
+        .join(cont1, ["w3"])
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1", "w2", "w3",
+            F.floor(F.log(p3) * LOGPROB_SCALE).cast("bigint").alias("micro_nats"),
+        )
+    )
+    return (
+        tg.join(lp, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.sum("micro_nats").cast("bigint").alias("sum_micro_nats"),
+        )
+        .select(
+            "doc_id", "n_trigrams", "sum_micro_nats",
+            (
+                F.col("sum_micro_nats")
+                / (F.col("n_trigrams") * F.lit(LOGPROB_SCALE)).cast("double")
+            ).alias("avg_nats"),
+        )
+        .orderBy("doc_id")
+    )
