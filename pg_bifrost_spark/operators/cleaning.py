@@ -7,7 +7,7 @@ formula equivalence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans import register, table
@@ -95,4 +95,181 @@ def boilerplate_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.count(F.when(F.col("docs") >= 10, 1)).alias("boilerplate_lines"),
         F.max("docs").alias("max_doc_freq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# jusText-style context-sensitive boilerplate classification (r10)
+# --------------------------------------------------------------------------
+# The line-DF detector above catches EXACT recurring boilerplate; the
+# jusText algorithm (Pomikálek 2011 — the cleaner behind many web
+# corpora) classifies each BLOCK from its own features (link density,
+# stopword density, length) and then lets undecided blocks inherit
+# from their nearest decided neighbor — navigation fragments between
+# two content paragraphs survive context-free scoring but not the
+# context pass. Thresholds are INTEGER cross-multiplications (3·links
+# ≥ tokens, 6·stops ≥ tokens) so the class decision never touches a
+# float. Blocks are 12-token windows (the fixture corpus has no
+# sentence punctuation); a production run blocks on HTML paragraph
+# boundaries with the same classifier.
+BLOCK_TOKS = 12
+SHORT_CHARS = 40
+_NAV_BLOCK = "home <a>about</a> <a>contact</a> <a>login</a> <a>terms</a>"
+
+
+@register(
+    "boilerplate_justext_blocks",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id,
+             unnest(range(1, CAST(ceil(len(toks) / {BLOCK_TOKS}.0) AS BIGINT) + 1))
+               AS block_idx,
+             toks
+      FROM toked
+    ),
+    planted AS (
+      SELECT doc_id, block_idx,
+             CASE (doc_id * 31 + block_idx) % 5
+               WHEN 0 THEN '{_NAV_BLOCK}'
+               WHEN 1 THEN array_to_string(
+                 toks[(block_idx-1)*{BLOCK_TOKS}+1 : (block_idx-1)*{BLOCK_TOKS}+2], ' ')
+               ELSE array_to_string(
+                 toks[(block_idx-1)*{BLOCK_TOKS}+1 : block_idx*{BLOCK_TOKS}], ' ')
+             END AS block
+      FROM blocks
+    ),
+    feats AS (
+      SELECT doc_id, block_idx, block,
+             len(string_split(block, ' ')) AS n_toks,
+             len(list_filter(string_split(block, ' '),
+                             t -> t LIKE '<a>%')) AS n_links,
+             len(list_filter(string_split(block, ' '),
+                             t -> t = 'the' OR t = 'a')) AS n_stop,
+             strlen(block) AS n_chars
+      FROM planted
+    ),
+    cf AS (
+      SELECT *, CASE
+               WHEN 3 * n_links >= n_toks THEN 'bad'
+               WHEN n_chars < {SHORT_CHARS} THEN 'maybe'
+               WHEN 6 * n_stop >= n_toks THEN 'good'
+               ELSE 'bad' END AS cls_cf
+      FROM feats
+    ),
+    ctx AS (
+      SELECT *,
+             last_value(CASE WHEN cls_cf <> 'maybe' THEN cls_cf END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY block_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_cls,
+             first_value(CASE WHEN cls_cf <> 'maybe' THEN cls_cf END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY block_idx
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_cls
+      FROM cf
+    )
+    SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx,
+           cls_cf,
+           CASE WHEN cls_cf <> 'maybe' THEN cls_cf
+                WHEN prev_cls = 'good' OR next_cls = 'good' THEN 'good'
+                ELSE 'bad' END AS cls_final,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           CAST(n_links AS BIGINT) AS n_links,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM ctx ORDER BY doc_id, block_idx
+    """,
+)
+def boilerplate_justext_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText block classification: context-free class from link
+    density / length / stopword density (integer cross-multiplied
+    thresholds), then the context pass — 'maybe' blocks become good
+    iff their nearest DECIDED neighbor on either side is good.
+
+    The plant rewrites every (31·doc+idx)%5==0 block into a linky nav
+    fragment and %5==1 into a 2-token stub, so all three context-free
+    classes and both context outcomes occur (stubs next to content
+    inherit good; stubs next to nav inherit bad).
+
+    Plan: map-side block explode + per-row feature math (codegen), two
+    doc-keyed window passes (last/first IGNORE NULLS — ONE shuffle on
+    doc_id shared by both since partitioning matches), presentation
+    sort. No joins; block count per doc is bounded, so window state
+    stays small at any corpus size.
+
+    Here too the tokenizer is the shared whitespace `_tokens()`; the
+    classifier re-splits each block's own TEXT (it sees exactly what a
+    production cleaner would see, not the plant's internals)."""
+    from .text import _tokens
+
+    toked = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens().alias("toks")
+    )
+    blocks = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, CAST(ceil(size(toks) / {BLOCK_TOKS}.0) AS BIGINT)), "
+                f"b -> struct(b AS block_idx, "
+                f"array_join(slice(toks, CAST((b-1)*{BLOCK_TOKS}+1 AS INT), {BLOCK_TOKS}), ' ') AS full_block, "
+                f"array_join(slice(toks, CAST((b-1)*{BLOCK_TOKS}+1 AS INT), 2), ' ') AS stub_block))"
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        F.col("b.block_idx").alias("block_idx"),
+        F.when(
+            (F.col("doc_id") * 31 + F.col("b.block_idx")) % 5 == 0, F.lit(_NAV_BLOCK)
+        )
+        .when((F.col("doc_id") * 31 + F.col("b.block_idx")) % 5 == 1, F.col("b.stub_block"))
+        .otherwise(F.col("b.full_block"))
+        .alias("block"),
+    )
+    feats = blocks.select(
+        "doc_id",
+        "block_idx",
+        F.expr("size(split(block, ' '))").alias("n_toks"),
+        F.expr("size(filter(split(block, ' '), t -> t LIKE '<a>%'))").alias("n_links"),
+        F.expr("size(filter(split(block, ' '), t -> t = 'the' OR t = 'a'))").alias(
+            "n_stop"
+        ),
+        F.length("block").alias("n_chars"),
+    )
+    cls_cf = (
+        F.when(3 * F.col("n_links") >= F.col("n_toks"), F.lit("bad"))
+        .when(F.col("n_chars") < SHORT_CHARS, F.lit("maybe"))
+        .when(6 * F.col("n_stop") >= F.col("n_toks"), F.lit("good"))
+        .otherwise(F.lit("bad"))
+    )
+    cf = feats.withColumn("cls_cf", cls_cf)
+    decided = F.when(F.col("cls_cf") != "maybe", F.col("cls_cf"))
+    w = Window.partitionBy("doc_id").orderBy("block_idx")
+    prev_cls = F.last(decided, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_cls = F.first(decided, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        cf.withColumn("prev_cls", prev_cls)
+        .withColumn("next_cls", next_cls)
+        .select(
+            "doc_id",
+            F.col("block_idx").cast("bigint").alias("block_idx"),
+            "cls_cf",
+            F.when(F.col("cls_cf") != "maybe", F.col("cls_cf"))
+            .when(
+                (F.col("prev_cls") == "good") | (F.col("next_cls") == "good"),
+                F.lit("good"),
+            )
+            .otherwise(F.lit("bad"))
+            .alias("cls_final"),
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            F.col("n_links").cast("bigint").alias("n_links"),
+            F.col("n_stop").cast("bigint").alias("n_stop"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id", "block_idx")
     )
