@@ -101,6 +101,12 @@ def main(argv: list[str] | None = None) -> int:
         default=1,
         help="pgoutput protocol version (2 = streamed in-progress txns)",
     )
+    rep.add_argument(
+        "--skip-origins",
+        default="",
+        help="comma-separated replication-origin names to drop "
+        "(bidirectional loop prevention; pgoutput only)",
+    )
     rep.add_argument("--checkpoint", required=True, help="checkpointLocation")
     rep.add_argument("--out", help="s3/file sink output path")
     rep.add_argument("--stream-name", help="kinesis stream name")
@@ -171,6 +177,8 @@ def main(argv: list[str] | None = None) -> int:
         source_options["plugin"] = args.plugin
         source_options["publication_names"] = args.publication_names
         source_options["pgoutput_proto_version"] = str(args.pgoutput_proto_version)
+        if args.skip_origins:
+            source_options["skip_origins"] = args.skip_origins
     source_options["max_msgs_per_batch"] = str(cfg.client_buffer_size)
 
     workers = cfg.workers if cfg.routing_method == "partition" else None

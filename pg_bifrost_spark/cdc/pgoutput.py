@@ -158,14 +158,20 @@ def _render_value(v: object, type_name_str: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def type_name(oid: int, typmod: int = -1) -> str:
+def type_name(oid: int, typmod: int = -1, custom: dict[int, str] | None = None) -> str:
     """Postgres type-OID → the name test_decoding renders inside
     ``col[type]:`` cells. varchar/bpchar carry their length typmod
     (``character varying(255)``); numeric carries (precision, scale).
-    Unknown OIDs render as ``oid:<n>`` — still a valid cell type token
-    for the parser, and honest about the gap."""
+    ``custom`` is a decoder's Type-message ('Y') registry: names the
+    SERVER declared for non-builtin types, rendered namespace-
+    qualified (``public.citext``) — the qualifier guarantees no
+    collision with the unquoted-type whitelist, so custom-type values
+    always stay quoted. Unknown OIDs render as ``oid:<n>`` — still a
+    valid cell type token for the parser, and honest about the gap."""
     base = _TYPE_NAMES.get(oid)
     if base is None:
+        if custom and oid in custom:
+            return custom[oid]
         return f"oid:{oid}"
     if typmod is not None and typmod >= 4:
         if oid in _TYPMOD_TYPES:
@@ -267,6 +273,22 @@ class Relation:
 _TOAST = object()  # sentinel: 'u' cell kind (unchanged TOAST datum)
 
 
+@dataclass(frozen=True)
+class LogicalMessage:
+    """A decoded 'M' frame (``pg_logical_emit_message``): the generic
+    WAL side-channel applications use for markers, schema-migration
+    fences, and outbox events. test_decoding only renders these with
+    its non-default ``include-message`` option and the reference never
+    enables it, so messages do NOT join the canonical line stream —
+    they surface through ``PgOutputDecoder.drain_messages()``."""
+
+    transactional: bool
+    lsn: int
+    prefix: str
+    content: bytes
+    xid: int | None  # enclosing txn's xid (None for non-transactional)
+
+
 @dataclass
 class PgOutputDecoder:
     """Stateful per-connection decoder: binary pgoutput frame →
@@ -301,11 +323,39 @@ class PgOutputDecoder:
     proto_version: int = 1
     max_streamed_lines: int = 1_000_000
     stats: Counter = field(default_factory=Counter)
+    # Type ('Y') registry: non-builtin type names as the server
+    # declared them, namespace-qualified (see type_name)
+    types: dict[int, str] = field(default_factory=dict)
+    # Logical-message ('M') buffer — bounded, drop-NEWEST with a loud
+    # counter (drop-oldest would silently lose the earliest marker,
+    # the one a migration fence cares about); drained via
+    # drain_messages()
+    messages: list[LogicalMessage] = field(default_factory=list)
+    max_buffered_messages: int = 10_000
+    # Origin filtering: replication-origin names whose transactions
+    # are dropped wholesale (loop prevention in bidirectional setups —
+    # the client-side mirror of pgoutput's server-side ``origin``
+    # option, for slots created without it). Non-empty set switches
+    # BEGIN emission to DEFERRED: the Origin frame arrives after
+    # Begin, so BEGIN is held until the first surviving DML (or
+    # Commit) decides the transaction's fate.
+    skip_origins: frozenset[str] = field(default_factory=frozenset)
+    last_origin: str | None = None
+    _pending_begin: str | None = None
+    _skip_txn: bool = False
     # v2 streaming state: current segment's toplevel xid; per-toplevel
     # buffered (sub_xid, line) pairs; toplevels that blew the cap
     _stream_xid: int | None = None
     _stream_buf: dict[int, list[tuple[int, str]]] = field(default_factory=dict)
     _stream_overflow: set[int] = field(default_factory=set)
+
+    def drain_messages(self) -> list[LogicalMessage]:
+        """Return and clear the buffered 'M' messages (arrival order).
+        ``stats['messages_dropped']`` counts any that overflowed
+        ``max_buffered_messages`` since the last drain."""
+        out = self.messages
+        self.messages = []
+        return out
 
     # ------------------------------------------------------------ tuples
     def _tuple(self, r: _Reader, rel: Relation) -> list[tuple[str, str, object]]:
@@ -320,7 +370,7 @@ class PgOutputDecoder:
         cells: list[tuple[str, str, object]] = []
         for name, oid, typmod, _key in rel.columns:
             kind = r.take(1)
-            t = type_name(oid, typmod)
+            t = type_name(oid, typmod, custom=self.types)
             if kind == b"n":
                 cells.append((name, t, None))
             elif kind == b"u":
@@ -390,6 +440,14 @@ class PgOutputDecoder:
                 r.u64()
                 r.u64()
                 self.xid = r.u32()
+                self.last_origin = None
+                self._skip_txn = False
+                if self.skip_origins:
+                    # deferred mode: the Origin frame (if any) arrives
+                    # AFTER Begin — hold the line until a survivor
+                    # forces emission (docstring at skip_origins)
+                    self._pending_begin = f"BEGIN {self.xid}"
+                    return []
                 return [f"BEGIN {self.xid}"]
             if tag == b"C":  # Commit: flags, commit_lsn, end_lsn, ts
                 r.u8()
@@ -397,6 +455,17 @@ class PgOutputDecoder:
                 r.u64()
                 r.u64()
                 xid = self.xid if self.xid is not None else 0
+                if self._skip_txn:
+                    self._skip_txn = False
+                    self._pending_begin = None
+                    self.stats["origin_txns_skipped"] += 1
+                    return []
+                if self._pending_begin is not None:
+                    # empty local transaction under deferred mode:
+                    # emit the same BEGIN/COMMIT pair the plain path
+                    # would, so downstream txn accounting is identical
+                    begin, self._pending_begin = self._pending_begin, None
+                    return [begin, f"COMMIT {xid}"]
                 return [f"COMMIT {xid}"]
             if tag in (b"S", b"E", b"c", b"A"):
                 return self._stream_control(tag, r)
@@ -407,7 +476,7 @@ class PgOutputDecoder:
                 b"R", b"Y", b"I", b"U", b"D", b"T", b"M",
             ):
                 msg_xid = r.u32()
-            line = self._decode_body(tag, r)
+            line = self._decode_body(tag, r, msg_xid)
             if line is None:
                 return []
             if self._stream_xid is not None and tag in (b"I", b"U", b"D", b"T"):
@@ -417,6 +486,12 @@ class PgOutputDecoder:
                     line,
                 )
                 return []
+            if self._skip_txn:
+                self.stats["origin_lines_filtered"] += 1
+                return []
+            if self._pending_begin is not None:
+                begin, self._pending_begin = self._pending_begin, None
+                return [begin, line]
             return [line]
         except struct.error as exc:  # pragma: no cover — _need guards first
             raise PgOutputError(str(exc)) from None
@@ -481,7 +556,9 @@ class PgOutputDecoder:
         buf.append((msg_xid, line))
 
     # ------------------------------------------------- per-tag bodies
-    def _decode_body(self, tag: bytes, r: _Reader) -> str | None:
+    def _decode_body(
+        self, tag: bytes, r: _Reader, msg_xid: int | None = None
+    ) -> str | None:
         if tag == b"R":  # Relation: registry update, no event
             relid = r.u32()
             ns = r.cstr()
@@ -545,8 +622,45 @@ class PgOutputDecoder:
                 opts & 3
             ]
             return f"table {', '.join(rels)}: TRUNCATE: {flags}"
-        if tag in (b"O", b"Y", b"M"):  # Origin / Type / Message
-            self.stats["metadata_frames"] += 1
+        if tag == b"O":  # Origin: commit LSN on the origin, name
+            r.u64()
+            self.last_origin = r.cstr()
+            self.stats["origins"] += 1
+            if self.last_origin in self.skip_origins:
+                self._skip_txn = True
+            return None
+        if tag == b"Y":  # Type: declares a non-builtin type's name
+            oid = r.u32()
+            ns = r.cstr()
+            name = r.cstr()
+            self.types[oid] = f"{ns or 'pg_catalog'}.{name}"
+            self.stats["types"] += 1
+            return None
+        if tag == b"M":  # Message: pg_logical_emit_message side-channel
+            flags = r.u8()
+            lsn = r.u64()
+            prefix = r.cstr()
+            n = r.u32()
+            if n > r.remaining():
+                raise PgOutputError(
+                    f"declared {n} message content bytes, {r.remaining()} left"
+                )
+            content = r.take(n)
+            self.stats["messages"] += 1
+            if len(self.messages) >= self.max_buffered_messages:
+                self.stats["messages_dropped"] += 1
+            else:
+                self.messages.append(
+                    LogicalMessage(
+                        transactional=bool(flags & 1),
+                        lsn=lsn,
+                        prefix=prefix,
+                        content=content,
+                        xid=msg_xid
+                        if msg_xid is not None
+                        else (self.xid if flags & 1 else None),
+                    )
+                )
             return None
         raise PgOutputError(f"unknown pgoutput message tag {tag!r}")
 
@@ -633,14 +747,20 @@ def encode_origin(lsn: int = 0, name: str = "origin") -> bytes:
     return b"O" + struct.pack(">Q", lsn) + _cstr(name)
 
 
-def encode_logical_message(prefix: str, content: bytes, lsn: int = 0) -> bytes:
+def encode_logical_message(
+    prefix: str, content: bytes, lsn: int = 0, transactional: bool = False
+) -> bytes:
     return (
         b"M"
-        + struct.pack(">BQ", 0, lsn)
+        + struct.pack(">BQ", 1 if transactional else 0, lsn)
         + _cstr(prefix)
         + struct.pack(">I", len(content))
         + content
     )
+
+
+def encode_type(oid: int, namespace: str, name: str) -> bytes:
+    return b"Y" + struct.pack(">I", oid) + _cstr(namespace) + _cstr(name)
 
 
 # ------------------------------------------------------- v2 streaming

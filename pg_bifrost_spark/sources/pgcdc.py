@@ -262,6 +262,7 @@ class LiveTransport:
         plugin: str = "test_decoding",
         publication_names: str = "pgbifrost",
         pgoutput_proto_version: int = 1,
+        skip_origins: str = "",
     ):
         from .pgwire import parse_dsn
 
@@ -284,6 +285,14 @@ class LiveTransport:
         self.plugin = plugin
         self.publication_names = publication_names
         self.pgoutput_proto_version = pgoutput_proto_version
+        # comma-separated replication-origin names whose transactions
+        # the decoder drops wholesale (bidirectional-replication loop
+        # prevention; pgoutput only)
+        self.skip_origins = frozenset(
+            o.strip() for o in skip_origins.split(",") if o.strip()
+        )
+        if self.skip_origins and plugin != "pgoutput":
+            raise ValueError("skip_origins requires the pgoutput plugin")
         self.receive_timeout_s = receive_timeout_s
         # per-batch wall-clock bound (ADVICE r8): during a long replay
         # of already-acked WAL every frame is filtered by after_lsn —
@@ -397,7 +406,9 @@ class LiveTransport:
                 from .protocol import PgOutputConnAdapter
 
                 loop_conn = PgOutputConnAdapter(
-                    conn, proto_version=self.pgoutput_proto_version
+                    conn,
+                    proto_version=self.pgoutput_proto_version,
+                    skip_origins=self.skip_origins,
                 )
             self._loop = ReplicationClientLoop(
                 loop_conn, receive_timeout_s=self.receive_timeout_s
@@ -668,6 +679,7 @@ class PgCdcSimpleReader(SimpleDataSourceStreamReader):
                 pgoutput_proto_version=int(
                     options.get("pgoutput_proto_version", "1")
                 ),
+                skip_origins=options.get("skip_origins", ""),
             )
         else:
             self.transport = ReplayTransport(wal_dir)

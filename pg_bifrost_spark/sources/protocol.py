@@ -255,13 +255,15 @@ class PgOutputConnAdapter:
     fresh adapter, matching the server's re-send of Relation frames on
     a new session."""
 
-    def __init__(self, conn, proto_version: int = 1):
+    def __init__(self, conn, proto_version: int = 1, skip_origins=frozenset()):
         from collections import deque
 
         from ..cdc.pgoutput import PgOutputDecoder
 
         self.conn = conn
-        self.decoder = PgOutputDecoder(proto_version=proto_version)
+        self.decoder = PgOutputDecoder(
+            proto_version=proto_version, skip_origins=frozenset(skip_origins)
+        )
         self.stats: Counter = Counter()
         # a v2 Stream Commit replays a whole buffered transaction from
         # ONE frame; receive() hands lines out one at a time (they all

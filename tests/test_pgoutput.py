@@ -131,7 +131,8 @@ def test_metadata_frames_produce_no_event():
     d = _decoder_with_rel()
     assert d.decode(encode_origin()) is None
     assert d.decode(encode_logical_message("p", b"x")) is None
-    assert d.stats["metadata_frames"] == 2
+    assert d.stats["origins"] == 1 and d.stats["messages"] == 1
+    assert d.last_origin == "origin"
 
 
 def test_binary_cell_renders_bytea_hex():
@@ -633,3 +634,91 @@ def test_unknown_oid_values_are_quoted():
     pm = parse_line(d.decode(encode_insert(1, ["(1.5, 2.5)"])))
     assert pm.error is None
     assert pm.columns["v"] == ("(1.5, 2.5)", "oid:600", True)
+
+
+# ---------------------------------------------------------------------------
+# r10-late protocol depth: Type registry, logical messages, origin filter
+# ---------------------------------------------------------------------------
+from pg_bifrost_spark.cdc.pgoutput import (  # noqa: E402
+    encode_type,
+)
+
+
+def test_type_message_names_custom_oids_and_stays_quoted():
+    """'Y' declares a non-builtin type's name; values of that type are
+    rendered with the declared (namespace-qualified) name and ALWAYS
+    quoted — a custom type named like a numeric builtin must not slip
+    through the unquoted whitelist."""
+    d = PgOutputDecoder()
+    assert d.decode(encode_type(60000, "public", "citext")) is None
+    assert d.decode(encode_type(60001, "ext", "integer")) is None  # adversarial name
+    d.decode(encode_relation(1, "public", "x",
+                             [("a", 60000, -1), ("b", 60001, -1)]))
+    pm = parse_line(d.decode(encode_insert(1, ["Hello World", "1 2"])))
+    assert pm.error is None
+    assert pm.columns["a"] == ("Hello World", "public.citext", True)
+    assert pm.columns["b"] == ("1 2", "ext.integer", True)
+
+
+def test_logical_messages_buffered_and_drained():
+    d = _decoder_with_rel()
+    d.decode(encode_logical_message("outbox", b"non-txn payload"))
+    d.decode(encode_begin(9, 500))
+    d.decode(encode_logical_message("fence", b"migration-7", lsn=600,
+                                    transactional=True))
+    msgs = d.drain_messages()
+    assert [(m.prefix, m.content, m.transactional, m.xid) for m in msgs] == [
+        ("outbox", b"non-txn payload", False, None),
+        ("fence", b"migration-7", True, 9),
+    ]
+    assert msgs[1].lsn == 600
+    assert d.drain_messages() == []  # drained
+
+
+def test_logical_message_buffer_bounded_drop_newest():
+    d = PgOutputDecoder(max_buffered_messages=2)
+    for i in range(4):
+        d.decode(encode_logical_message("p", bytes([i])))
+    msgs = d.drain_messages()
+    assert [m.content for m in msgs] == [b"\x00", b"\x01"]  # oldest kept
+    assert d.stats["messages_dropped"] == 2
+
+
+def test_logical_message_declared_length_bounded():
+    frame = encode_logical_message("p", b"abc")
+    bomb = frame.replace(b"\x00\x00\x00\x03", b"\x7f\xff\xff\xff")
+    with pytest.raises(PgOutputError, match="message content bytes"):
+        PgOutputDecoder().decode(bomb)
+
+
+def test_origin_filter_drops_foreign_txn_wholesale():
+    d = PgOutputDecoder(skip_origins=frozenset({"upstream_b"}))
+    d.decode(encode_relation(1, "public", "t", REL, key_cols={"id"}))
+    # foreign transaction: BEGIN deferred, origin matches, all dropped
+    assert d.decode_events(encode_begin(7, 100)) == []
+    assert d.decode_events(encode_origin(90, "upstream_b")) == []
+    assert d.decode_events(encode_insert(1, ["1", "x", None])) == []
+    assert d.decode_events(encode_commit(110)) == []
+    assert d.stats["origin_txns_skipped"] == 1
+    assert d.stats["origin_lines_filtered"] == 1
+    # local transaction right after: emitted with deferred BEGIN intact
+    assert d.decode_events(encode_begin(8, 200)) == []
+    ev = d.decode_events(encode_insert(1, ["2", "y", None]))
+    assert len(ev) == 2 and ev[0] == "BEGIN 8" and "INSERT" in ev[1]
+    assert d.decode_events(encode_commit(210)) == ["COMMIT 8"]
+
+
+def test_origin_filter_nonmatching_origin_passes():
+    d = PgOutputDecoder(skip_origins=frozenset({"upstream_b"}))
+    d.decode(encode_relation(1, "public", "t", REL, key_cols={"id"}))
+    assert d.decode_events(encode_begin(7, 100)) == []
+    assert d.decode_events(encode_origin(90, "upstream_a")) == []
+    ev = d.decode_events(encode_insert(1, ["1", "x", None]))
+    assert ev[0] == "BEGIN 7"
+    assert d.last_origin == "upstream_a"
+
+
+def test_origin_filter_empty_local_txn_emits_pair():
+    d = PgOutputDecoder(skip_origins=frozenset({"b"}))
+    assert d.decode_events(encode_begin(5, 100)) == []
+    assert d.decode_events(encode_commit(110)) == ["BEGIN 5", "COMMIT 5"]
