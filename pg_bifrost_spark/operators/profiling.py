@@ -554,3 +554,149 @@ def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "pct")
     )
+
+
+# --------------------------------------------------------------------------
+# column-level table profile (r10) — the data-quality audit table
+# --------------------------------------------------------------------------
+# Per-column null count, exact distinct count, numeric min/max and
+# string mean length in ONE corpus scan: rows are melted to
+# (col, val_s, val_num, len) and aggregated twice — the first groupBy
+# collapses to distinct (col, value) pairs (map-side combined, so the
+# shuffle carries at most |columns|·|distinct values| rows), the
+# second reads every profile stat off that type table. Doubles keep
+# their numeric identity end-to-end (min/max surface as DOUBLE;
+# distinctness is decided by grouping, never by string formatting —
+# engine float-to-string repr is the documented hash trap). The
+# NULL plant (l_tax on orderkey%97, l_returnflag on %89) makes the
+# null accounting non-vacuous on the fixture.
+_PROFILE_NULL_TAX_MOD = 97
+_PROFILE_NULL_FLAG_MOD = 89
+
+# (column, kind) — kind drives the melt arms on both engines
+_LINEITEM_PROFILE_COLS = [
+    ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+    ("l_linenumber", "int"), ("l_quantity", "num"),
+    ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+    ("l_returnflag", "str"), ("l_linestatus", "str"), ("l_shipdate", "ts"),
+]
+
+
+def _profile_oracle() -> str:
+    arms = []
+    for c, kind in _LINEITEM_PROFILE_COLS:
+        if kind == "int":
+            vs, vn, ln = f"CAST({c} AS VARCHAR)", f"CAST({c} AS DOUBLE)", "NULL"
+        elif kind == "num":
+            vs, vn, ln = "NULL", f"CAST({c} AS DOUBLE)", "NULL"
+        elif kind == "str":
+            vs, vn, ln = c, "NULL", f"length({c})"
+        else:  # ts
+            vs, vn, ln = "NULL", f"CAST(epoch_us({c}) AS DOUBLE)", "NULL"
+        arms.append(
+            f"SELECT '{c}' AS col, CAST({vs} AS VARCHAR) AS val_s, "
+            f"CAST({vn} AS DOUBLE) AS val_num, CAST({ln} AS BIGINT) AS len "
+            f"FROM planted"
+        )
+    melted = " UNION ALL ".join(arms)
+    return f"""
+    WITH planted AS (
+      SELECT * REPLACE (
+        CASE WHEN l_orderkey % {_PROFILE_NULL_TAX_MOD} = 0 THEN NULL
+             ELSE l_tax END AS l_tax,
+        CASE WHEN l_orderkey % {_PROFILE_NULL_FLAG_MOD} = 0 THEN NULL
+             ELSE l_returnflag END AS l_returnflag)
+      FROM lineitem
+    ),
+    melted AS ({melted}),
+    g1 AS (
+      SELECT col, val_s, val_num,
+             count(*) AS cnt, CAST(sum(len) AS BIGINT) AS sum_len
+      FROM melted GROUP BY col, val_s, val_num
+    )
+    SELECT col,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN val_s IS NULL AND val_num IS NULL
+                                  THEN cnt END), 0) AS BIGINT) AS n_nulls,
+           CAST(count(CASE WHEN val_s IS NOT NULL OR val_num IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_distinct,
+           min(val_num) AS min_num,
+           max(val_num) AS max_num,
+           CASE WHEN sum(CASE WHEN val_s IS NOT NULL THEN cnt END) > 0
+                THEN CAST(sum(sum_len) AS BIGINT)
+                     / CAST(sum(CASE WHEN val_s IS NOT NULL THEN cnt END)
+                            AS DOUBLE) END AS avg_len
+    FROM g1 GROUP BY col ORDER BY col
+    """
+
+
+def profile_columns(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
+    """Generic profiler: melt ``(name, kind)`` columns of ``df`` (kind
+    in int/num/str/ts) and aggregate the per-column profile. Library
+    surface — any table, one scan, two map-side-combined shuffles."""
+    arms = []
+    for c, kind in cols:
+        if kind == "int":
+            vs, vn, ln = f"CAST({c} AS STRING)", f"CAST({c} AS DOUBLE)", "CAST(NULL AS BIGINT)"
+        elif kind == "num":
+            vs, vn, ln = "CAST(NULL AS STRING)", f"CAST({c} AS DOUBLE)", "CAST(NULL AS BIGINT)"
+        elif kind == "str":
+            vs, vn, ln = c, "CAST(NULL AS DOUBLE)", f"CAST(length({c}) AS BIGINT)"
+        elif kind == "ts":
+            # NTZ parquet timestamps reject unix_micros; the session is
+            # pinned UTC (plans._ensure_session_conf) so the LTZ cast
+            # is value-preserving and matches DuckDB's naive epoch_us
+            vs, vn, ln = (
+                "CAST(NULL AS STRING)",
+                f"CAST(unix_micros(CAST({c} AS TIMESTAMP)) AS DOUBLE)",
+                "CAST(NULL AS BIGINT)",
+            )
+        else:
+            raise ValueError(f"unknown profile kind {kind!r} for {c}")
+        arms.extend([f"'{c}'", vs, vn, ln])
+    melted = df.selectExpr(
+        f"stack({len(cols)}, {', '.join(arms)}) AS (col, val_s, val_num, len)"
+    )
+    g1 = melted.groupBy("col", "val_s", "val_num").agg(
+        F.count("*").alias("cnt"), F.sum("len").cast("bigint").alias("sum_len")
+    )
+    null_grp = F.col("val_s").isNull() & F.col("val_num").isNull()
+    n_str = F.sum(F.when(F.col("val_s").isNotNull(), F.col("cnt")))
+    return g1.groupBy("col").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum(F.when(null_grp, F.col("cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count(F.when(~null_grp, F.lit(1))).cast("bigint").alias("n_distinct"),
+        F.min("val_num").alias("min_num"),
+        F.max("val_num").alias("max_num"),
+        F.when(
+            n_str > 0, F.sum("sum_len").cast("bigint") / n_str.cast("double")
+        ).alias("avg_len"),
+    )
+
+
+@register("table_profile", oracle=_profile_oracle())
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of lineitem (nulls planted on two columns
+    so the null accounting is exercised): one row per column with
+    exact distinct counts and type-aware min/max/length stats.
+
+    Plan: scan once → stack() melt (map-side, |cols|× rows but narrow)
+    → groupBy(col, value) with map-side combine → tiny groupBy(col).
+    No per-column countDistinct (which would Expand the scan |cols|×
+    INSIDE the aggregate); the melt shape is the scalable exact-
+    distinct profile at any table width."""
+    li = table(spark, sf_dir, "lineitem")
+    planted = li.withColumn(
+        "l_tax",
+        F.when(F.col("l_orderkey") % _PROFILE_NULL_TAX_MOD == 0, None).otherwise(
+            F.col("l_tax")
+        ),
+    ).withColumn(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % _PROFILE_NULL_FLAG_MOD == 0, None).otherwise(
+            F.col("l_returnflag")
+        ),
+    )
+    return profile_columns(planted, _LINEITEM_PROFILE_COLS).orderBy("col")
