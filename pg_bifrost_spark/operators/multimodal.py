@@ -2191,3 +2191,266 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return built.mapInPandas(
         decode_jpeg_pixels, schema=PIXEL_SCHEMA_DDL
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PDF text extraction (r10) — document-format capstone
+# ---------------------------------------------------------------------------
+# Web corpora carry a long PDF tail (Common Crawl: ~1% of captures,
+# heavily over-represented in book/paper text), so a training pipeline
+# needs PDF → text as a first-class kernel next to the image/audio/
+# video decoders. The plant assembles a REAL single-page PDF 1.4 per
+# document — catalog / pages / page / content-stream objects, a
+# byte-accurate xref table, trailer, startxref — entirely in JVM
+# column expressions; the Arrow kernel is an honest parser: it reads
+# startxref, validates every xref entry's byte offset against the
+# actual "N 0 obj" positions, follows Root→Pages→Kids→Contents,
+# checks /Length against the real stream span, and extracts text by
+# walking the content stream's (…) Tj operators with PDF string
+# UN-escaping. The oracle restates the xref offset arithmetically
+# (strlen of the same constructed prefix — one misplaced byte in the
+# builder OR a parser that trusts declared offsets without walking
+# them mismatches every row) and the extracted text exactly.
+PDF_SCHEMA_DDL = (
+    "doc_id bigint, n_objects int, xref_offset bigint, "
+    "page_count int, text string"
+)
+
+_PDF_HEAD = "%PDF-1.4\n"
+_PDF_OBJ1 = "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+_PDF_OBJ2 = "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+_PDF_OBJ3 = (
+    "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+    "/Contents 4 0 R >>\nendobj\n"
+)
+
+
+def pdf_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload BINARY): one real single-page PDF per document.
+    The content stream draws the document text plus an '(id N)' suffix
+    — the suffix's parentheses are PDF-escaped in the stream, so every
+    row exercises the string-escape path the extractor must undo."""
+    # fixture text has no \ ( ) — the escaped '(id N)' suffix carries
+    # them, so every row exercises the extractor's un-escape path
+    stream = F.concat(
+        F.lit("BT /F1 12 Tf 72 720 Td ("), F.col("text"),
+        F.lit(") Tj 0 -14 Td (\\(id "), F.col("doc_id").cast("string"),
+        F.lit("\\) ) Tj ET"),
+    )
+    obj4 = F.concat(
+        F.lit("4 0 obj\n<< /Length "),
+        F.octet_length(stream).cast("string"),
+        F.lit(" >>\nstream\n"), stream, F.lit("\nendstream\nendobj\n"),
+    )
+    o1 = len(_PDF_HEAD.encode())
+    o2 = o1 + len(_PDF_OBJ1.encode())
+    o3 = o2 + len(_PDF_OBJ2.encode())
+    o4 = o3 + len(_PDF_OBJ3.encode())
+    xref_off = F.lit(o4) + F.octet_length(obj4)
+    body = F.concat(
+        F.lit(_PDF_HEAD + _PDF_OBJ1 + _PDF_OBJ2 + _PDF_OBJ3), obj4,
+        F.lit("xref\n0 5\n0000000000 65535 f \n"),
+        F.lit(f"{o1:010d} 00000 n \n{o2:010d} 00000 n \n{o3:010d} 00000 n \n"),
+        F.lpad(F.lit(o4).cast("string"), 10, "0"), F.lit(" 00000 n \n"),
+        F.lit("trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n"),
+        xref_off.cast("string"), F.lit("\n%%EOF\n"),
+    )
+    return docs.select("doc_id", F.encode(body, "UTF-8").alias("payload"))
+
+
+class PdfFormatError(ValueError):
+    pass
+
+
+def _pdf_unescape(s: bytes) -> str:
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != 0x5C:  # backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            raise PdfFormatError("dangling escape in PDF string")
+        e = s[i]
+        mapped = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}.get(e)
+        if mapped is not None:
+            out.append(mapped)
+            i += 1
+        elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+            j = i
+            while j < n and j - i < 3 and 0x30 <= s[j] <= 0x37:
+                j += 1
+            out.append(int(s[i:j], 8) & 0xFF)
+            i = j
+        else:  # \\ \( \) and any other: literal next char
+            out.append(e)
+            i += 1
+    return out.decode("utf-8")
+
+
+def _pdf_string_spans(stream: bytes):
+    """Yield the raw bytes of every balanced (…) string followed by a
+    Tj operator."""
+    i = 0
+    while True:
+        i = stream.find(b"(", i)
+        if i < 0:
+            return
+        depth, j = 1, i + 1
+        while j < len(stream) and depth:
+            c = stream[j]
+            if c == 0x5C:
+                j += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+            j += 1
+        if depth:
+            raise PdfFormatError("unbalanced PDF string")
+        tail = stream[j:].lstrip()
+        if tail.startswith(b"Tj"):
+            yield stream[i + 1 : j - 1]
+        i = j
+
+
+def parse_pdf_text(b: bytes) -> tuple[int, int, int, str]:
+    """(n_objects, xref_offset, page_count, text) — raises
+    PdfFormatError on ANY malformed input (the repo's decoder
+    contract: hostile bytes yield the one format error, never a crash
+    class; every declared count is capacity-checked before use)."""
+    try:
+        return _parse_pdf_text(b)
+    except PdfFormatError:
+        raise
+    except (ValueError, KeyError, IndexError) as exc:
+        # int() on junk, dict-walk on hostile xref shapes, .index miss
+        raise PdfFormatError(f"malformed PDF structure: {exc}") from None
+
+
+def _parse_pdf_text(b: bytes) -> tuple[int, int, int, str]:
+    if not b.startswith(b"%PDF-"):
+        raise PdfFormatError("missing %PDF header")
+    t = b.rfind(b"startxref")
+    if t < 0:
+        raise PdfFormatError("missing startxref")
+    try:
+        xref_off = int(b[t + 9 :].split()[0])
+    except (IndexError, ValueError):
+        raise PdfFormatError("bad startxref offset")
+    if not 0 <= xref_off < len(b) or b[xref_off : xref_off + 4] != b"xref":
+        raise PdfFormatError("startxref does not point at an xref table")
+    # subsection header: "0 N"
+    line_end = b.index(b"\n", xref_off)
+    hdr_end = b.index(b"\n", line_end + 1)
+    first, count = b[line_end + 1 : hdr_end].split()
+    if first != b"0":
+        raise PdfFormatError("xref subsection must start at object 0")
+    n_objects = int(count)
+    if n_objects <= 0 or hdr_end + 20 * n_objects > len(b):
+        raise PdfFormatError(f"xref declares {n_objects} entries, file too small")
+    offsets: dict[int, int] = {}
+    for k in range(n_objects):
+        e = b[hdr_end + 1 + 20 * k : hdr_end + 1 + 20 * (k + 1)]
+        off, _gen, kind = e.split()[:3]
+        if kind == b"n":
+            o = int(off)
+            prefix = b"%d 0 obj" % k
+            if b[o : o + len(prefix)] != prefix:
+                raise PdfFormatError(f"xref entry {k} points at {o}: not the object")
+            offsets[k] = o
+
+    def obj_span(num: int) -> bytes:
+        o = offsets[num]
+        end = b.index(b"endobj", o)
+        return b[o:end]
+
+    def ref_after(span: bytes, key: bytes) -> int:
+        i = span.index(key)
+        return int(span[i + len(key) :].split()[0])
+
+    trailer = b.index(b"trailer", hdr_end)
+    root = ref_after(b[trailer:], b"/Root")
+    pages = ref_after(obj_span(root), b"/Pages")
+    pages_span = obj_span(pages)
+    page_count = ref_after(pages_span, b"/Count")
+    kid = int(pages_span[pages_span.index(b"/Kids") :].split(b"[")[1].split()[0])
+    contents = ref_after(obj_span(kid), b"/Contents")
+    cspan_off = offsets[contents]
+    cspan = b[cspan_off : b.index(b"endstream", cspan_off)]
+    length = ref_after(cspan, b"/Length")
+    s = cspan.index(b"stream\n") + 7
+    stream = cspan[s:]
+    # the EOL before 'endstream' is a delimiter, not stream data
+    if stream.endswith(b"\r\n"):
+        stream = stream[:-2]
+    elif stream.endswith(b"\n"):
+        stream = stream[:-1]
+    if len(stream) != length:
+        raise PdfFormatError(
+            f"/Length {length} != actual stream span {len(stream)}"
+        )
+    text = "".join(_pdf_unescape(raw) for raw in _pdf_string_spans(stream))
+    return n_objects, xref_off, page_count, text
+
+
+def extract_pdf_text_kernel(batches):
+    """mapInPandas kernel over (doc_id BIGINT, payload BINARY)."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_objects": [], "xref_offset": [],
+               "page_count": [], "text": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            n, xo, pc, text = parse_pdf_text(bytes(blob))
+            out["doc_id"].append(int(doc_id))
+            out["n_objects"].append(n)
+            out["xref_offset"].append(xo)
+            out["page_count"].append(pc)
+            out["text"].append(text)
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_pdf_text",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             'BT /F1 12 Tf 72 720 Td (' || text || ') Tj 0 -14 Td (\\(id '
+               || doc_id::VARCHAR || '\\) ) Tj ET' AS stream
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, text,
+             strlen('4 0 obj\n<< /Length ' || strlen(stream)::VARCHAR
+                    || ' >>\nstream\n' || stream
+                    || '\nendstream\nendobj\n') AS obj4_len
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(5 AS INT) AS n_objects,
+           CAST({len((_PDF_HEAD + _PDF_OBJ1 + _PDF_OBJ2 + _PDF_OBJ3).encode())}
+                + obj4_len AS BIGINT) AS xref_offset,
+           CAST(1 AS INT) AS page_count,
+           text || '(id ' || doc_id::VARCHAR || ') ' AS text
+    FROM o ORDER BY doc_id
+    """,
+)
+def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF → text round-trip: build a real single-page PDF per
+    document JVM-side, parse it back with the strict xref-walking
+    extractor, emit structure facts + the un-escaped text.
+
+    Plan: scan → column-expression payload build (codegen, zero
+    shuffle) → map-only Arrow kernel → presentation sort. Payloads are
+    O(doc) bytes; at corpus scale the same kernel runs over
+    binaryFile-scanned real PDFs — the fixture build is the only
+    synthetic stage."""
+    parsed = pdf_payloads(table(spark, sf_dir, "documents")).mapInPandas(
+        extract_pdf_text_kernel, PDF_SCHEMA_DDL
+    )
+    return parsed.orderBy("doc_id")
