@@ -159,6 +159,16 @@ HEADLINE = [
     "cdc_scd2_history",
     "fim_transform",
     "text_readability_scores",
+    # r10 fourth batch (BEFORE the end-of-round refresh): WARC ingest
+    # and PDF extraction are Python-kernel ops (mandatory rows); the
+    # KN trigram is the widest n-gram shuffle in the LM family; the
+    # jusText classifier adds the doc-keyed double-window pass; the
+    # table profiler is the melt + exact-distinct double groupBy
+    "warc_ingest_records",
+    "multimodal_pdf_text",
+    "quality_kn_trigram",
+    "boilerplate_justext_blocks",
+    "table_profile",
     "cdc_lineitem_roundtrip",
 ]
 

@@ -377,7 +377,11 @@ GATE_PRIORITY: list[str] = [
     "pmi_top_bigrams",
     # NEW r7: the bigram rung of the LM-quality ladder, per-doc token
     # entropy, and the top-K vocabulary OOV-coverage report
-    "quality_bigram_logprob",
+    # r10-late rotation: quality_bigram_logprob (3 straight greens
+    # r7-r9) hands its LM-ladder slot UP to the NEW interpolated
+    # Kneser-Ney trigram — the same family one rung higher (the bigram
+    # op stays oracle-backed + rehearsed every round)
+    "quality_kn_trigram",
     # r10 second rotation: text_token_entropy (3 straight greens
     # r7-r9) yields to the NEW r10 cdc_schema_evolution (ALTER TABLE
     # mid-stream: union-schema snapshot materialization over
@@ -397,7 +401,12 @@ GATE_PRIORITY: list[str] = [
     # vocab_top_tokens (3 straight greens) yields to the NEW r7
     # first-occurrence n-gram novelty pass; vocab evidence stays via
     # tokenizer_vocab_coverage + tfidf_top_terms
-    "ngram_novelty",
+    # r10-late rotation: ngram_novelty (3 straight greens r7-r9)
+    # yields to the NEW warc_ingest_records — the crawl-source ingest
+    # capstone whose oracle hash-checks byte offsets; gram-machinery
+    # evidence stays via source_ngram_overlap +
+    # corpus_distinct_ngram_rate in-gate
+    "warc_ingest_records",
     # tfidf_top_terms (3 straight greens) yields to the NEW r7
     # per-paragraph language-mixture classifier; term-ranking evidence
     # stays via tokenizer_vocab_coverage + bm25_retrieval
@@ -410,7 +419,11 @@ GATE_PRIORITY: list[str] = [
     # document_chunking (3 straight greens) yields to the NEW r7
     # exact cosine radius search (the range half of the ANN API);
     # chunking evidence stays pytest-pinned with its r4-r6 greens
-    "ann_radius_search",
+    # r10-late rotation: ann_radius_search (3 straight greens r7-r9)
+    # yields to the NEW table_profile (melt-shaped exact-distinct
+    # column audit); ANN evidence stays via ann_hard_negatives in-gate
+    # and the recall suites
+    "table_profile",
     # rare_token_score (3 straight greens) yields to the NEW r7
     # hashing-trick featurizer; term-scoring evidence stays via
     # bm25_retrieval + tokenizer_vocab_coverage
@@ -470,7 +483,12 @@ GATE_PRIORITY: list[str] = [
     # r5+r6, plant-independent; video keeps the container-decode
     # family in the gate) yields to the never-checked
     # session_dialog_examples (order-preserving group collect)
-    "session_dialog_examples",
+    # r10-late rotation: session_dialog_examples (3 straight greens
+    # r7-r9) yields to the NEW boilerplate_justext_blocks (context-
+    # sensitive block classification — the cleaning family's window
+    # leg); example-builder evidence stays via preference_pair_build +
+    # fim_transform in-gate
+    "boilerplate_justext_blocks",
     # r7-late coverage-first swap: retention_cohorts (green r5+r6,
     # plant-independent) yields to the never-checked
     # preference_pair_build
@@ -497,7 +515,12 @@ GATE_PRIORITY: list[str] = [
     # NEW r7 code-vs-prose detector (planted pseudo-code docs); the
     # windowed-stats path stays pinned by the streaming pytest suite
     # and its six recorded gate greens
-    "quality_code_detect",
+    # r10-late rotation: quality_code_detect (3 straight greens
+    # r7-r9) yields to the NEW multimodal_pdf_text (xref-walking PDF
+    # extraction — the document-format kernel next to the image/audio/
+    # video decoders); quality evidence stays via quality_c4_rules +
+    # quality_rank_calibration + quality_classifier_filter in-gate
+    "multimodal_pdf_text",
     # scalar_function_suite (SIX straight greens r1-r6) yielded to the
     # T5 span-corruption builder in r7; r10-late rotation:
     # t5_span_corruption (3 straight greens r7-r9) yields to the NEW

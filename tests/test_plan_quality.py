@@ -1017,3 +1017,81 @@ def test_exact_quantiles_window_runs_over_histogram(spark):
     assert "Window" in text
     assert "SortMergeJoin" not in text and "ShuffledHashJoin" not in text
     assert "MapInPandas" not in text and "BatchEvalPython" not in text
+
+
+def test_warc_ingest_one_assembly_shuffle_then_map_only_kernel(spark):
+    """WARC ingest: ONE hash exchange (fixture archive assembly —
+    absent in production binaryFile ingest), then the parse kernel
+    runs map-side with no exchange between aggregate and kernel, then
+    the presentation sort. A shuffle after the kernel (before the
+    sort) would ship parsed rows twice."""
+    import re
+
+    text = plan_of(spark, "warc_ingest_records")
+    assert text.count("MapInPandas") == 1
+    exchanges = re.findall(r"Exchange (\w+)partitioning", text)
+    assert sorted(exchanges) == ["hash", "range"], exchanges
+    lines = [l.strip("+-: ") for l in text.splitlines()]
+    i = next(k for k, l in enumerate(lines) if l.startswith("MapInPandas"))
+    # kernel's child is the final aggregate, not an exchange
+    assert lines[i + 1].startswith(("ObjectHashAggregate", "HashAggregate")), (
+        lines[i : i + 2]
+    )
+
+
+def test_kn_trigram_all_aggregates_mapside_combined(spark):
+    """Kneser-Ney: every groupBy must ship partial aggregates (the
+    Zipf head would otherwise cross the wire row-per-occurrence), the
+    N1+(··) total must arrive via broadcast (never a driver collect),
+    and no Python appears anywhere."""
+    text = plan_of(spark, "quality_kn_trigram")
+    assert "partial_count" in text or "partial_sum" in text
+    import re
+
+    # every hash exchange is fed by a partial-mode HashAggregate
+    assert "BroadcastExchange" in text  # the 1-row bb total
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text
+    # model-assembly joins on token keys are sort-merge or hash —
+    # but the corpus-sized scoring join must NOT be broadcast on the
+    # corpus side (lp table is type-sized; broadcast of tg would OOM)
+    assert "CartesianProduct" not in text
+
+
+def test_justext_windows_share_one_shuffle(spark):
+    """Both IGNORE-NULLS window passes run over the SAME doc_id
+    partitioning: exactly one hash exchange (plus the presentation
+    sort's range exchange), zero joins, zero Python."""
+    import re
+
+    text = plan_of(spark, "boilerplate_justext_blocks")
+    exchanges = re.findall(r"Exchange (\w+)partitioning", text)
+    assert sorted(exchanges) == ["hash", "range"], exchanges
+    assert text.count("Window") == 2
+    assert "Join" not in text and "MapInPandas" not in text
+
+
+def test_table_profile_melt_no_expand(spark):
+    """The profiler must be the melt shape: stack() Generate, two
+    map-side-combined groupBys, and — critically — NO Expand node (the
+    per-column countDistinct anti-pattern multiplies the scan by the
+    aggregate count inside one stage)."""
+    import re
+
+    text = plan_of(spark, "table_profile")
+    assert "Expand" not in text
+    assert "stack(" in text
+    exchanges = re.findall(r"Exchange (\w+)partitioning", text)
+    assert sorted(exchanges) == ["hash", "hash", "range"], exchanges
+    assert "partial_count" in text and "partial_min" in text
+
+
+def test_pdf_text_map_only_kernel(spark):
+    """PDF extraction: payload build is pure codegen feeding the one
+    Arrow kernel with no exchange below it other than the scan — the
+    only exchange in the whole plan is the presentation sort."""
+    import re
+
+    text = plan_of(spark, "multimodal_pdf_text")
+    assert text.count("MapInPandas") == 1
+    exchanges = re.findall(r"Exchange (\w+)partitioning", text)
+    assert exchanges == ["range"], exchanges

@@ -80,6 +80,15 @@ FAMILY = [
     # presentation sort) — the gate pins that no hidden shuffle creeps
     # into the objective-builder family
     "fim_transform",
+    # r10 fourth batch: the KN trigram is the widest model-assembly
+    # join stack in the LM family (four n-gram-type relations joined
+    # back to the corpus-sized trigram stream) — every leg must stay
+    # linear in the gram domain; the WARC ingest's assembly shuffle +
+    # parse kernel must stay O(bytes); the profiler's melt shuffle
+    # carries |cols|x distinct values and must not bend at 10x
+    "quality_kn_trigram",
+    "warc_ingest_records",
+    "table_profile",
 ]
 
 
