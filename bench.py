@@ -169,6 +169,7 @@ HEADLINE = [
     "quality_kn_trigram",
     "boilerplate_justext_blocks",
     "table_profile",
+    "text_mojibake_repair",
     "cdc_lineitem_roundtrip",
 ]
 

@@ -273,3 +273,79 @@ def boilerplate_justext_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "block_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# mojibake repair (r10) — ftfy's core fix as a JVM charset round-trip
+# --------------------------------------------------------------------------
+# The classic web-corpus corruption: UTF-8 bytes decoded as Latin-1
+# somewhere upstream ('café №42' → 'cafÃ© â„–42'). The repair is the
+# inverse round-trip — re-encode the mojibake as Latin-1 (recovering
+# the original UTF-8 bytes) and decode as UTF-8 — applied only when
+# (a) the signature lead bytes ('Ã', 'Â', 'â') appear and (b) the
+# round-trip decodes cleanly (no U+FFFD), ftfy's "fix only what
+# un-breaks losslessly" rule. Everything is F.encode/F.decode Column
+# ops: zero Python, zero shuffle, runs at scan speed on any corpus.
+_MOJI_MARKER = " café №42"  # 2-byte and 3-byte UTF-8 sequences
+_MOJI_PLANT_MOD = 3
+
+
+@register(
+    "text_mojibake_repair",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % {_MOJI_PLANT_MOD} = 0 THEN 1 ELSE 0 END
+                AS INT) AS was_mojibake,
+           CASE WHEN doc_id % {_MOJI_PLANT_MOD} = 0
+                THEN text || '{_MOJI_MARKER}' ELSE text END AS repaired
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and repair UTF-8-as-Latin-1 double encoding.
+
+    The plant appends a non-ASCII marker to every {_MOJI_PLANT_MOD}rd
+    document and CORRUPTS it with the real fault (decode the UTF-8
+    bytes as Latin-1); the operator sees only the corrupted string and
+    must (1) flag it via the signature heuristic, (2) undo it with the
+    byte-exact inverse, (3) leave clean rows untouched. The oracle
+    states the expected REPAIRED text independently — a repair that
+    mangles one byte, or fires on a clean row, hash-mismatches.
+
+    At 100 TB this matters because the fix must be a column expression
+    (scan-speed, codegen), not a Python pass; U+FFFD-guarded so a
+    string that merely LOOKS like mojibake is never corrupted by an
+    overeager round-trip."""
+    docs = table(spark, sf_dir, "documents")
+    planted_orig = F.concat(F.col("text"), F.lit(_MOJI_MARKER))
+    moji = F.decode(F.encode(planted_orig, "UTF-8"), "ISO-8859-1")
+    observed = F.when(
+        F.col("doc_id") % _MOJI_PLANT_MOD == 0, moji
+    ).otherwise(F.col("text"))
+    docs = docs.select("doc_id", observed.alias("obs"))
+    fix, candidate = mojibake_fix_expr(F.col("obs"))
+    return docs.select(
+        "doc_id",
+        fix.cast("int").alias("was_mojibake"),
+        F.when(fix, candidate).otherwise(F.col("obs")).alias("repaired"),
+    ).orderBy("doc_id")
+
+
+def mojibake_fix_expr(c: F.Column) -> tuple[F.Column, F.Column]:
+    """(should_fix, repaired_candidate) for a string column. Fix fires
+    only when (1) the mojibake signature appears, (2) every char is
+    ≤ U+00FF (true mojibake always is — it was DECODED from Latin-1;
+    Spark 4's ANSI encode raises on anything else, so this guard is
+    also what keeps the job alive on clean docs containing '№â'), and
+    (3) the recovered bytes are valid UTF-8 — legitimate accented text
+    whose lone 0xE2/0xC3 bytes are invalid UTF-8 leads is refused.
+    Both encode/decode sit INSIDE the conditionals (lazy CASE arms),
+    so they only ever run on strings the guards proved safe."""
+    suspicious = c.contains("Ã") | c.contains("Â") | c.contains("â")
+    latin1able = c.rlike("^[\\x00-\\xff]*$")
+    fix = F.when(
+        suspicious & latin1able,
+        F.call_function("is_valid_utf8", F.encode(c, "ISO-8859-1")),
+    ).otherwise(F.lit(False))
+    candidate = F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
+    return fix, candidate

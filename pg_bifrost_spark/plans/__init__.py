@@ -432,7 +432,12 @@ GATE_PRIORITY: list[str] = [
     # r7-late coverage-first swap: corpus_snapshot_diff (green r5+r6,
     # DIFF-mod plants untouched by the PLANT_MOD change) yields to the
     # never-checked canary_extraction_scan
-    "canary_extraction_scan",
+    # r10-late rotation (6th slot): canary_extraction_scan (3 straight
+    # greens r7-r9) yields to the NEW text_mojibake_repair (charset
+    # round-trip repair with the Latin-1/UTF-8-validity double guard);
+    # privacy evidence stays via the k-anonymity/l-diversity/
+    # t-closeness trio in-gate
+    "text_mojibake_repair",
     # sequence_packing (3 straight greens) yields to the NEW r7
     # CCNet perplexity-bucket report; packing evidence stays pinned in
     # pytest and its r4-r6 gate greens
