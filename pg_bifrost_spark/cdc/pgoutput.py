@@ -141,7 +141,7 @@ _UNQUOTED_TYPE_PREFIXES = (
 )
 
 
-def _render_value(v: object, type_name_str: str) -> str:
+def _render_value(v: object, type_name_str: str, force_quote: bool = False) -> str:
     if v is None:
         return "null"
     s = str(v)
@@ -149,7 +149,16 @@ def _render_value(v: object, type_name_str: str) -> str:
     # form ('{"a b",...}') can embed anything — always quoted. 'oid'
     # must be an EXACT match: unknown OIDs render as 'oid:<n>' and
     # their values are arbitrary — prefix-matching them unquoted would
-    # reintroduce the data-loss bug for every unmapped type
+    # reintroduce the data-loss bug for every unmapped type. The same
+    # goes for Type-registry names: the whitelist below is matched by
+    # PREFIX (numeric(10,2) etc.), so a custom type whose rendered
+    # name merely STARTS like a numeric builtin ('realtime.citext' vs
+    # 'real') must never reach it — callers pass force_quote=True for
+    # every non-builtin OID (code-review r10-late-2 #1, reproduced:
+    # an unquoted space-bearing value desyncs the line and the parser
+    # drops the whole row).
+    if force_quote:
+        return "'" + s.replace("'", "''") + "'"
     if type_name_str == "oid" or (
         "[" not in type_name_str
         and any(type_name_str.startswith(p) for p in _UNQUOTED_TYPE_PREFIXES)
@@ -164,10 +173,12 @@ def type_name(oid: int, typmod: int = -1, custom: dict[int, str] | None = None) 
     (``character varying(255)``); numeric carries (precision, scale).
     ``custom`` is a decoder's Type-message ('Y') registry: names the
     SERVER declared for non-builtin types, rendered namespace-
-    qualified (``public.citext``) — the qualifier guarantees no
-    collision with the unquoted-type whitelist, so custom-type values
-    always stay quoted. Unknown OIDs render as ``oid:<n>`` — still a
-    valid cell type token for the parser, and honest about the gap."""
+    qualified (``public.citext``). Quoting safety does NOT come from
+    the qualifier (the whitelist is prefix-matched, and a schema named
+    'realtime' would prefix-match 'real') — it comes from the tuple
+    decoder passing force_quote for every non-builtin OID. Unknown
+    OIDs render as ``oid:<n>`` — still a valid cell type token for the
+    parser, and honest about the gap."""
     base = _TYPE_NAMES.get(oid)
     if base is None:
         if custom and oid in custom:
@@ -344,15 +355,20 @@ class PgOutputDecoder:
     _pending_begin: str | None = None
     _skip_txn: bool = False
     # v2 streaming state: current segment's toplevel xid; per-toplevel
-    # buffered (sub_xid, line) pairs; toplevels that blew the cap
+    # buffered (sub_xid, line) pairs; toplevels that blew the cap;
+    # toplevels whose Origin matched skip_origins (checked at buffer
+    # time AND at Stream Commit — streamed transactions are exactly
+    # the bulk writes loop prevention exists for, code-review
+    # r10-late-2 #2)
     _stream_xid: int | None = None
     _stream_buf: dict[int, list[tuple[int, str]]] = field(default_factory=dict)
     _stream_overflow: set[int] = field(default_factory=set)
+    _stream_skip: set[int] = field(default_factory=set)
 
     def drain_messages(self) -> list[LogicalMessage]:
         """Return and clear the buffered 'M' messages (arrival order).
-        ``stats['messages_dropped']`` counts any that overflowed
-        ``max_buffered_messages`` since the last drain."""
+        ``stats['messages_dropped']`` is the CUMULATIVE count of
+        messages that overflowed ``max_buffered_messages``."""
         out = self.messages
         self.messages = []
         return out
@@ -367,41 +383,43 @@ class PgOutputDecoder:
                 f"tuple has {ncols} cells but relation {rel.relation} "
                 f"declares {len(rel.columns)} columns"
             )
-        cells: list[tuple[str, str, object]] = []
+        cells: list[tuple[str, str, object, bool]] = []
         for name, oid, typmod, _key in rel.columns:
             kind = r.take(1)
             t = type_name(oid, typmod, custom=self.types)
+            quote = oid not in _TYPE_NAMES  # non-builtin: always quote
             if kind == b"n":
-                cells.append((name, t, None))
+                cells.append((name, t, None, quote))
             elif kind == b"u":
-                cells.append((name, t, _TOAST))
+                cells.append((name, t, _TOAST, quote))
             elif kind == b"t":
                 n = r.u32()
                 raw = r.take(n)
                 try:
-                    cells.append((name, t, raw.decode("utf-8")))
+                    cells.append((name, t, raw.decode("utf-8"), quote))
                 except UnicodeDecodeError as exc:
                     raise PgOutputError(f"non-UTF-8 text cell: {exc}") from None
             elif kind == b"b":
                 # binary cell (server sends only when the subscriber
                 # asked for binary mode); render as bytea text form so
-                # the canonical line stays self-describing
+                # the canonical line stays self-describing (\xHEX has
+                # no spaces/quotes, so builtin quoting rules hold)
                 n = r.u32()
-                cells.append((name, t, "\\x" + r.take(n).hex()))
+                cells.append((name, t, "\\x" + r.take(n).hex(), quote))
             else:
                 raise PgOutputError(f"unknown tuple cell kind {kind!r}")
         return cells
 
     @staticmethod
-    def _cells_text(cells: list[tuple[str, str, object]]) -> str:
+    def _cells_text(cells: list[tuple[str, str, object, bool]]) -> str:
         parts = []
-        for name, t, v in cells:
+        for name, t, v, force_quote in cells:
             if v is _TOAST:
                 # test_decoding renders the sentinel unquoted
                 # (marshaller.go:276-283 matches it by value)
                 parts.append(f"{name}[{t}]:unchanged-toast-datum")
             else:
-                parts.append(f"{name}[{t}]:{_render_value(v, t)}")
+                parts.append(f"{name}[{t}]:{_render_value(v, t, force_quote)}")
         return " ".join(parts)
 
     def _rel(self, relid: int) -> Relation:
@@ -517,6 +535,12 @@ class PgOutputDecoder:
             r.u64()
             r.u64()
             r.u64()
+            if xid in self._stream_skip:
+                self._stream_skip.discard(xid)
+                self._stream_buf.pop(xid, None)
+                self._stream_overflow.discard(xid)
+                self.stats["origin_txns_skipped"] += 1
+                return []
             if xid in self._stream_overflow:
                 self._stream_overflow.discard(xid)
                 raise PgOutputOverflow(
@@ -536,6 +560,7 @@ class PgOutputDecoder:
         if sub == xid:
             self._stream_buf.pop(xid, None)
             self._stream_overflow.discard(xid)
+            self._stream_skip.discard(xid)
         else:
             buf = self._stream_buf.get(xid)
             if buf is not None:
@@ -543,6 +568,9 @@ class PgOutputDecoder:
         return []
 
     def _buffer_streamed(self, top: int, msg_xid: int, line: str) -> None:
+        if top in self._stream_skip:
+            self.stats["origin_lines_filtered"] += 1
+            return
         if top in self._stream_overflow:
             self.stats["stream_overflow_dropped"] += 1
             return
@@ -627,7 +655,10 @@ class PgOutputDecoder:
             self.last_origin = r.cstr()
             self.stats["origins"] += 1
             if self.last_origin in self.skip_origins:
-                self._skip_txn = True
+                if self._stream_xid is not None:
+                    self._stream_skip.add(self._stream_xid)
+                else:
+                    self._skip_txn = True
             return None
         if tag == b"Y":  # Type: declares a non-builtin type's name
             oid = r.u32()
@@ -647,6 +678,16 @@ class PgOutputDecoder:
                 )
             content = r.take(n)
             self.stats["messages"] += 1
+            if (flags & 1) and (
+                self._skip_txn
+                or (self._stream_xid is not None
+                    and self._stream_xid in self._stream_skip)
+            ):
+                # transactional message inside an origin-skipped txn:
+                # outbox/fence events are exactly what loop prevention
+                # must not re-surface (code-review r10-late-2 #5)
+                self.stats["origin_messages_filtered"] += 1
+                return None
             if len(self.messages) >= self.max_buffered_messages:
                 self.stats["messages_dropped"] += 1
             else:

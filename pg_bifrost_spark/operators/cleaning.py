@@ -149,7 +149,7 @@ _NAV_BLOCK = "home <a>about</a> <a>contact</a> <a>login</a> <a>terms</a>"
                              t -> t LIKE '<a>%')) AS n_links,
              len(list_filter(string_split(block, ' '),
                              t -> t = 'the' OR t = 'a')) AS n_stop,
-             strlen(block) AS n_chars
+             length(block) AS n_chars
       FROM planted
     ),
     cf AS (

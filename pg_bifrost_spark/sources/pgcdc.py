@@ -307,6 +307,10 @@ class LiveTransport:
             )
         self.max_connect_attempts = max_connect_attempts
         self.reconnect_backoff_s = reconnect_backoff_s
+        # transport-level 'M' message buffer (drained from the decoder
+        # each batch; bounded drop-newest like the decoder's own)
+        self.messages: list = []
+        self.max_buffered_messages = 10_000
         self._conn = None
         self._loop = None
         self._acked = 0
@@ -529,7 +533,10 @@ class LiveTransport:
                         # non-idle exit (code-review r10-late #4)
                         truncated = budget_spent = True
                         break
-                    return out[:limit]  # stream idle — micro-batch done
+                    # stream idle — micro-batch done (drain here too:
+                    # this early return must not skip the 'M' sweep)
+                    self._drain_decoder_messages()
+                    return out[:limit]
                 if not self._connected():
                     # the LOOP closed the conn deliberately
                     # (incomplete-txn defense / error recovery): end
@@ -558,7 +565,39 @@ class LiveTransport:
         # the last two previously returned unflagged)
         if truncated or len(out) < limit:
             self._mark_truncated()
+        self._drain_decoder_messages()
         return out[:limit]
+
+    # -------------------------------------------- logical messages (M)
+    def _drain_decoder_messages(self) -> None:
+        """Move the pgoutput decoder's buffered 'M' messages into the
+        transport-level buffer after every batch, so the per-connection
+        decoder never accumulates across batches (code-review
+        r10-late-2 #6: nothing drained the decoder on the live path —
+        the buffer grew to its cap and then dropped forever)."""
+        loop = self._loop
+        decoder = getattr(getattr(loop, "conn", None), "decoder", None)
+        if decoder is None:
+            return
+        for m in decoder.drain_messages():
+            if len(self.messages) >= self.max_buffered_messages:
+                self.stats["messages_dropped"] = (
+                    self.stats.get("messages_dropped", 0) + 1
+                )
+            else:
+                self.messages.append(m)
+
+    def drain_messages(self) -> list:
+        """Return and clear the buffered ``LogicalMessage``s
+        (``pg_logical_emit_message`` side-channel — outbox events,
+        migration fences). In-process consumers (replay drains, the
+        CLI --once path, tests) read these directly; across the
+        PySpark data-source worker boundary only the stats counters
+        travel (the same process-boundary limitation as
+        ``truncation_events``, documented there)."""
+        out = self.messages
+        self.messages = []
+        return out
 
     def current_end(self) -> int:
         from .pgwire import probe_xlogpos

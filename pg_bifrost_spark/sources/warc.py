@@ -83,6 +83,11 @@ def iter_warc_records(
             clen = int(headers["content-length"])
         except KeyError:
             raise WarcFormatError(f"record @ {pos} lacks Content-Length")
+        except ValueError:
+            raise WarcFormatError(
+                f"record @ {pos}: non-numeric Content-Length "
+                f"{headers['content-length']!r}"
+            ) from None
         if clen < 0 or p + clen > n:
             raise WarcFormatError(f"truncated payload @ {pos} (len {clen})")
         payload = buf[p : p + clen]
@@ -104,7 +109,12 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
     parts = head_lines[0].split(b" ", 2)
     if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
         raise WarcFormatError(f"bad HTTP status line {head_lines[0][:64]!r}")
-    status = int(parts[1])
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise WarcFormatError(
+            f"non-numeric HTTP status {parts[1][:16]!r}"
+        ) from None
     headers: dict[str, str] = {}
     for line in head_lines[1:]:
         key, sep, val = line.partition(b":")

@@ -722,3 +722,98 @@ def test_origin_filter_empty_local_txn_emits_pair():
     d = PgOutputDecoder(skip_origins=frozenset({"b"}))
     assert d.decode_events(encode_begin(5, 100)) == []
     assert d.decode_events(encode_commit(110)) == ["BEGIN 5", "COMMIT 5"]
+
+
+def test_custom_type_prefix_collision_stays_quoted():
+    """code-review r10-late-2 #1: a schema named like a numeric
+    builtin prefix ('realtime' vs 'real') must not defeat quoting —
+    the decision rides the OID's builtin-ness, not the rendered
+    name."""
+    d = PgOutputDecoder()
+    d.decode(encode_type(60010, "realtime", "citext"))
+    d.decode(encode_type(60011, "integers", "pair"))
+    d.decode(encode_relation(1, "public", "x",
+                             [("a", 60010, -1), ("b", 60011, -1)]))
+    pm = parse_line(d.decode(encode_insert(1, ["Hello World", "1 2"])))
+    assert pm.error is None
+    assert pm.columns["a"] == ("Hello World", "realtime.citext", True)
+    assert pm.columns["b"] == ("1 2", "integers.pair", True)
+
+
+def test_origin_filter_applies_to_streamed_txns():
+    """code-review r10-late-2 #2: a PROTO-V2 streamed foreign
+    transaction (the bulk-write case loop prevention exists for) must
+    be dropped wholesale at Stream Commit, not replayed."""
+    from pg_bifrost_spark.cdc.pgoutput import (
+        encode_stream_commit, encode_stream_start, encode_stream_stop,
+        encode_streamed,
+    )
+
+    d = PgOutputDecoder(proto_version=2, skip_origins=frozenset({"peer_b"}))
+    d.decode(encode_relation(1, "public", "t", REL, key_cols={"id"}))
+    assert d.decode_events(encode_stream_start(77)) == []
+    assert d.decode_events(encode_origin(90, "peer_b")) == []
+    assert d.decode_events(encode_streamed(encode_insert(1, ["1", "x", None]), 77)) == []
+    assert d.decode_events(encode_stream_stop()) == []
+    assert d.decode_events(encode_stream_commit(77)) == []
+    assert d.stats["origin_txns_skipped"] == 1
+    assert d.stats["origin_lines_filtered"] == 1
+    assert not d._stream_buf and not d._stream_skip
+    # a local streamed txn right after replays normally
+    assert d.decode_events(encode_stream_start(78)) == []
+    d.decode_events(encode_streamed(encode_insert(1, ["2", "y", None]), 78))
+    d.decode_events(encode_stream_stop())
+    ev = d.decode_events(encode_stream_commit(78))
+    assert ev[0] == "BEGIN 78" and ev[-1] == "COMMIT 78" and len(ev) == 3
+
+
+def test_transactional_message_in_skipped_txn_not_surfaced():
+    """code-review r10-late-2 #5: foreign outbox/fence messages must
+    not leak through the side-channel."""
+    d = PgOutputDecoder(skip_origins=frozenset({"peer_b"}))
+    d.decode_events(encode_begin(7, 100))
+    d.decode_events(encode_origin(90, "peer_b"))
+    d.decode_events(encode_logical_message("outbox", b"evt", transactional=True))
+    d.decode_events(encode_commit(110))
+    assert d.drain_messages() == []
+    assert d.stats["origin_messages_filtered"] == 1
+    # non-transactional messages are connection-level, not txn-scoped:
+    # they still surface (flags bit 0 unset)
+    d.decode_events(encode_logical_message("heartbeat", b"hb"))
+    assert [m.prefix for m in d.drain_messages()] == ["heartbeat"]
+
+
+def test_live_transport_drains_messages_per_batch():
+    """code-review r10-late-2 #6: the live path must DRAIN the
+    decoder's 'M' buffer each fetch into the transport-level surface —
+    before this fix nothing ever drained it, so a long-lived
+    connection pinned 10k payloads then dropped forever."""
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+    from tests.test_pgwire import DB, USER, FakeWalsender
+
+    frames = [
+        ("xlog_raw", 100, encode_relation(1, "public", "t", REL, key_cols={"id"})),
+        ("xlog_raw", 100, encode_begin(9)),
+        ("xlog_raw", 104, encode_logical_message("fence", b"m-7", transactional=True)),
+        ("xlog_raw", 108, encode_insert(1, ["1", "alpha", None])),
+        ("xlog_raw", 124, encode_commit()),
+    ]
+    srv = FakeWalsender(frames=frames)
+    try:
+        t = LiveTransport(
+            f"postgresql://{USER}@127.0.0.1:{srv.port}/{DB}",
+            "s1",
+            plugin="pgoutput",
+            receive_timeout_s=0.3,
+            max_connect_attempts=1,
+        )
+        rows = t.fetch(0, 10)
+        assert len(rows) == 3  # BEGIN/INSERT/COMMIT; M is side-channel
+        msgs = t.drain_messages()
+        assert [(m.prefix, m.content, m.xid) for m in msgs] == [("fence", b"m-7", 9)]
+        assert t.drain_messages() == []
+        # and the decoder's own buffer was emptied by the per-batch drain
+        assert t._loop.conn.decoder.messages == []
+        t.close()
+    finally:
+        srv.close()

@@ -106,3 +106,15 @@ def _rebuild(rec) -> bytes:
             )
             head += canon.encode() + b": " + hdrs[k].encode() + CRLF
     return head + CRLF + payload + CRLF + CRLF
+
+
+def test_non_numeric_lengths_raise_format_error():
+    """int() failures must surface as WarcFormatError, not bare
+    ValueError — quarantine-by-exception-class callers depend on it
+    (code-review r10-late-2 #3/#4)."""
+    bad_cl = (b"WARC/1.0" + CRLF + b"WARC-Type: resource" + CRLF
+              + b"Content-Length: abc" + CRLF + CRLF)
+    with pytest.raises(WarcFormatError, match="non-numeric Content-Length"):
+        list(iter_warc_records(bad_cl))
+    with pytest.raises(WarcFormatError, match="non-numeric HTTP status"):
+        parse_http_response(b"HTTP/1.1 OK fine" + CRLF + CRLF + b"x")
