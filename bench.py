@@ -170,6 +170,7 @@ HEADLINE = [
     "boilerplate_justext_blocks",
     "table_profile",
     "text_mojibake_repair",
+    "weighted_sample_es",
     "cdc_lineitem_roundtrip",
 ]
 

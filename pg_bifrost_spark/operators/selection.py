@@ -692,3 +692,75 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"array_join(CASE WHEN m = 0 THEN {psm} ELSE {spm} END, ' ')"
         ).alias("fim_text"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (r10) — Efraimidis-Spirakis A-ES
+# --------------------------------------------------------------------------
+# THE distributed algorithm for "sample k docs per group, probability
+# proportional to weight, in one pass": each item draws u ~ U(0,1]
+# and keeps key = u^(1/w); the k largest keys per group are exactly a
+# weighted sample without replacement (Efraimidis & Spirakis 2006).
+# Here u is md5-derived (shard-retry deterministic, the repo's
+# sampling convention), the key is compared in log space
+# (ln(u)/w — monotone in u^(1/w)), and both the ORDERING and the
+# surfaced key are the integer-quantized micro-nats value, so the
+# per-group top-k is decided by exact BIGINT comparisons on both
+# engines — no raw-double ordering anywhere.
+WES_PER_GROUP = 5
+
+
+@register(
+    "weighted_sample_es",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, doc_id,
+             CAST(n_chars AS BIGINT) AS wt,
+             CAST(floor(ln(
+               (CAST(CONCAT('0x', substr(md5(doc_id || ':ws'), 1, 8)) AS BIGINT)
+                + 1) / 4294967296.0) / n_chars * 1000000) AS BIGINT) AS micro_key
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY micro_key DESC, doc_id) AS rnk
+      FROM w
+    )
+    SELECT source, doc_id, wt, micro_key, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {WES_PER_GROUP}
+    ORDER BY source, rnk
+    """,
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample without replacement: top-
+    {WES_PER_GROUP} documents by the A-ES key, weight = n_chars (long
+    documents proportionally likelier — the standard length-weighted
+    corpus subsample).
+
+    Plan: per-row hash/ln/quantize (codegen) → ONE window shuffle on
+    source → filter rnk ≤ k → presentation sort. At 100 TB the window
+    state per group is O(rows-in-group) streamed, and a heavy-hitter
+    group is still one partition's sort — for extreme cardinality the
+    same key feeds a groupBy-TopK (partial aggregation) instead; the
+    algorithm (and this key column) is unchanged."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h32 = (
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':ws')), 1, 8), "
+        "16, 10) AS BIGINT)"
+    )
+    micro_key = F.expr(
+        f"CAST(floor(ln(({h32} + 1) / 4294967296.0) / n_chars * 1000000) AS BIGINT)"
+    )
+    w = docs.select(
+        "source", "doc_id",
+        F.col("n_chars").cast("bigint").alias("wt"),
+        micro_key.alias("micro_key"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("micro_key").desc(), F.col("doc_id")
+    )
+    return (
+        w.withColumn("rnk", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rnk") <= WES_PER_GROUP)
+        .orderBy("source", "rnk")
+    )

@@ -427,7 +427,13 @@ GATE_PRIORITY: list[str] = [
     # rare_token_score (3 straight greens) yields to the NEW r7
     # hashing-trick featurizer; term-scoring evidence stays via
     # bm25_retrieval + tokenizer_vocab_coverage
-    "feature_hashing_bow",
+    # r10-late rotation (7th slot): feature_hashing_bow (3 straight
+    # greens r7-r9) yields to the NEW weighted_sample_es (Efraimidis-
+    # Spirakis one-pass weighted sampling — the sampling family's
+    # first gate row); hashed-BOW evidence stays in-gate via
+    # quality_classifier_filter, which scores through the same
+    # md5_bucket feature map
+    "weighted_sample_es",
     # curation / mixture planning
     # r7-late coverage-first swap: corpus_snapshot_diff (green r5+r6,
     # DIFF-mod plants untouched by the PLANT_MOD change) yields to the
