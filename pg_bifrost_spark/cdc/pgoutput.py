@@ -619,6 +619,13 @@ class PgOutputDecoder:
             old = None
             if marker in (b"K", b"O"):
                 old = self._tuple(r, rel)
+                if marker == b"K":
+                    # a key tuple carries 'n' cells at every non-key
+                    # position ("not sent", not SQL NULL — identity
+                    # columns are non-nullable); test_decoding prints
+                    # only the identity cells, so the canonical line
+                    # must too
+                    old = [c for c in old if c[2] is not None]
                 marker = r.take(1)
             if marker != b"N":
                 raise PgOutputError(f"UPDATE with unexpected marker {marker!r}")
@@ -631,9 +638,13 @@ class PgOutputDecoder:
             return f"table {rel.relation}: UPDATE: {self._cells_text(cells)}"
         if tag == b"D":  # Delete: relid, 'K'|'O' old tuple
             rel = self._rel(r.u32())
-            if r.take(1) not in (b"K", b"O"):
+            marker = r.take(1)
+            if marker not in (b"K", b"O"):
                 raise PgOutputError("DELETE without key/old marker")
             cells = self._tuple(r, rel)
+            if marker == b"K":
+                # same key-tuple semantics as UPDATE old-key above
+                cells = [c for c in cells if c[2] is not None]
             # test_decoding renders the key/old cells as the line's
             # only cells; the marshaller emits them as old values
             # (DELETE branch, marshaller.go:269-271)
@@ -837,3 +848,145 @@ def encode_streamed(frame: bytes, stream_xid: int) -> bytes:
     if frame[:1] not in (b"R", b"Y", b"I", b"U", b"D", b"T", b"M"):
         raise ValueError(f"tag {frame[:1]!r} cannot appear inside a stream")
     return _xid_prefix(frame, stream_xid)
+
+
+# ---------------------------------------------------------------------------
+# Inverse path: canonical test_decoding lines → pgoutput binary frames.
+# Replay/fixture utility — lets any committed text WAL corpus (the
+# reference's own itest fixtures) drive the BINARY plugin path, so
+# golden parity can be asserted through pgoutput end to end.
+# ---------------------------------------------------------------------------
+_NAME_TO_OID = {v: k for k, v in _TYPE_NAMES.items()}
+_TYPMOD_RE = None  # lazy-compiled
+
+
+def _oid_for_type(tname: str) -> tuple[int, int]:
+    """Rendered type name → (oid, typmod); inverse of type_name for
+    the builtin map plus the typmod forms it produces."""
+    global _TYPMOD_RE
+    if tname in _NAME_TO_OID:
+        return _NAME_TO_OID[tname], -1
+    import re as _re
+
+    if _TYPMOD_RE is None:
+        _TYPMOD_RE = (
+            _re.compile(r"^(character varying|character)\((\d+)\)$"),
+            _re.compile(r"^numeric\((\d+),(\d+)\)$"),
+        )
+    m = _TYPMOD_RE[0].match(tname)
+    if m:
+        oid = 1043 if m.group(1) == "character varying" else 1042
+        return oid, int(m.group(2)) + 4
+    m = _TYPMOD_RE[1].match(tname)
+    if m:
+        return 1700, ((int(m.group(1)) << 16) | int(m.group(2))) + 4
+    raise ValueError(f"cannot reverse-map type name {tname!r} to an OID")
+
+
+def _cell_value(v: str, quoted: bool):
+    if not quoted and v == "null":
+        return None
+    if not quoted and v == "unchanged-toast-datum":
+        return Ellipsis
+    return v
+
+
+def frames_from_lines(lines) -> list[bytes]:
+    """See ``frames_with_lsns`` for the (lsn, line) variant used by the
+    wire-replay tests."""
+    return [f for _lsn, f in frames_with_lsns(
+        (i, ln) for i, ln in enumerate(lines))]
+
+
+def frames_with_lsns(items) -> list[tuple[int, bytes]]:
+    """Convert a test_decoding line sequence into the pgoutput frames a
+    walsender would send for the same changes: Relation frames emitted
+    on first use and on shape change, key tuples ('K') reconstructed
+    for old-key/DELETE cells (non-identity positions sent as 'n',
+    exactly what the decoder's key-tuple omission undoes), TRUNCATE
+    flags re-encoded. frames_from_lines∘decode is identity on the
+    canonical form — pinned by the itest golden twin."""
+    from .parser import parse_line
+
+    registry: dict[str, tuple[int, tuple]] = {}  # table -> (relid, shape)
+    out: list[bytes] = []
+    next_relid = 1
+
+    def ensure_relation(table: str, shape: tuple, key_names) -> int:
+        nonlocal next_relid
+        relid, known = registry.get(table, (None, None))
+        if relid is None:
+            relid = next_relid
+            next_relid += 1
+        if known != shape:
+            cols = [(n, *_oid_for_type(t)) for n, t in shape]
+            out.append((cur_lsn, encode_relation(
+                relid, *table.split(".", 1), cols, key_cols=set(key_names)
+            )))
+            registry[table] = (relid, shape)
+        return relid
+
+    for cur_lsn, line in items:
+        pm = parse_line(line)
+        if pm.error:
+            raise ValueError(f"unparseable line {line[:80]!r}: {pm.error}")
+        if pm.operation == "BEGIN":
+            out.append((cur_lsn, encode_begin(int(pm.transaction))))
+            continue
+        if pm.operation == "COMMIT":
+            out.append((cur_lsn, encode_commit()))
+            continue
+        if pm.operation == "TRUNCATE":
+            tables = [t.strip() for t in pm.relation.split(",")]
+            flags = line.rsplit("TRUNCATE: ", 1)[1]
+            relids = [
+                ensure_relation(t, registry.get(t, (None, ()))[1] or (), ())
+                if t not in registry
+                else registry[t][0]
+                for t in tables
+            ]
+            out.append((cur_lsn, encode_truncate(
+                relids,
+                cascade="cascade" in flags,
+                restart_seqs="restart_seqs" in flags,
+            )))
+            continue
+        table = pm.relation
+        new_shape = tuple((n, t) for n, (_v, t, _q) in pm.columns.items())
+        if pm.operation == "INSERT":
+            relid = ensure_relation(table, new_shape, ())
+            out.append((cur_lsn, encode_insert(
+                relid,
+                [_cell_value(v, q) for v, _t, q in pm.columns.values()],
+            )))
+        elif pm.operation == "UPDATE":
+            relid = ensure_relation(table, new_shape, pm.old_columns.keys())
+            new_vals = [_cell_value(v, q) for v, _t, q in pm.columns.values()]
+            old = None
+            full = set(pm.old_columns) == {n for n, _t in new_shape}
+            if pm.old_columns:
+                # identity-FULL old rows cover every column (marker
+                # 'O', real NULLs preserved); identity-default covers
+                # a subset (marker 'K', non-identity positions 'n')
+                old = [
+                    _cell_value(*pm.old_columns[n][::2])
+                    if n in pm.old_columns
+                    else None
+                    for n, _t in new_shape
+                ]
+            out.append((cur_lsn, encode_update(relid, new_vals, old=old, key=not full)))
+        elif pm.operation == "DELETE":
+            # the line's cells ARE the identity cells; non-identity
+            # columns (known from a prior shape, if any) become 'n'
+            relid, known = registry.get(table, (None, None))
+            shape = known or new_shape
+            relid = ensure_relation(table, shape, pm.columns.keys())
+            old = [
+                _cell_value(*pm.columns[n][::2]) if n in pm.columns else None
+                for n, _t in shape
+            ]
+            full = set(pm.columns) == {n for n, _t in shape}
+            out.append((cur_lsn, encode_delete(relid, old, key=not full)))
+        else:
+            raise ValueError(f"unsupported operation {pm.operation!r}")
+    return out

@@ -504,3 +504,59 @@ def test_basic_golden_passes_verify_via_live_wire_transport(spark, tmp_path):
         assert srv.failures == [], srv.failures
     finally:
         srv.close()
+
+
+def test_basic_golden_passes_verify_via_pgoutput_wire_transport(spark, tmp_path):
+    """The SAME reference-golden parity check, but through the BINARY
+    plugin path: test_basic's committed text WAL is converted to real
+    pgoutput frames (frames_with_lsns — Relation frames emitted on
+    first use, key/full old-tuple markers reconstructed), served as
+    binary XLogData by the fake walsender, decoded by the conn adapter
+    behind LiveTransport(plugin='pgoutput'), and the output must clear
+    the full verify stage (golden diff + confirmed-LSN + ledger-empty).
+    Proves a pgoutput deployment produces byte-identical envelopes to
+    the test_decoding deployment on the reference's own fixture."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pgwire import DB, USER, FakeWalsender
+
+    from pg_bifrost_spark.cdc.pgoutput import frames_with_lsns
+    from pg_bifrost_spark.cdc.pipeline import PipelineConfig
+    from pg_bifrost_spark.sinks.writers import exactly_once_ndjson
+    from pg_bifrost_spark.streaming.core import drain_cdc_query
+
+    test_dir = os.path.join(ITESTS, "tests", "base", "test_basic")
+    lines = []
+    wal_dir = os.path.join(test_dir, "wal")
+    for name in sorted(n for n in os.listdir(wal_dir) if n.endswith(".jsonl")):
+        with open(os.path.join(wal_dir, name)) as f:
+            for ln in f:
+                if ln.strip():
+                    m = json.loads(ln)
+                    if "error" not in m:
+                        lines.append((m["wal_start"], m["line"]))
+    frames = [("xlog_raw", lsn, fr) for lsn, fr in frames_with_lsns(lines)]
+    srv = FakeWalsender(frames=frames)
+    try:
+        out_dir, ck_dir = str(tmp_path / "out"), str(tmp_path / "ck")
+
+        def sink(df, epoch):
+            return exactly_once_ndjson(df.orderBy("wal_start"), epoch, out_dir)
+
+        drain_cdc_query(
+            spark,
+            sink,
+            ck_dir,
+            cfg=PipelineConfig(),
+            source_options={
+                "dsn": f"postgres://{USER}@127.0.0.1:{srv.port}/{DB}",
+                "slot": "itest_pgoutput",
+                "plugin": "pgoutput",
+            },
+        )
+        problems = runner.verify(test_dir, out_dir, ck_dir)
+        assert problems == [], problems
+        assert srv.failures == [], srv.failures
+    finally:
+        srv.close()
