@@ -817,3 +817,66 @@ def test_live_transport_drains_messages_per_batch():
         t.close()
     finally:
         srv.close()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_fuzz_v2_origin_decoder_never_raises_other_exceptions(data):
+    """The v1 fuzz property, repeated for the maximal-state decoder
+    (proto v2 + origin filtering): arbitrary bytes still yield only
+    PgOutputError."""
+    d = PgOutputDecoder(proto_version=2, skip_origins=frozenset({"x"}))
+    d.decode(encode_relation(1, "public", "t", REL, key_cols={"id"}))
+    try:
+        d.decode_events(data)
+    except PgOutputError:
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["begin", "commit", "origin_skip", "origin_pass", "insert",
+             "msg_txn", "sstart", "sstop", "sins", "scommit", "sabort"]
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_fuzz_frame_order_state_machine(ops):
+    """Valid frames in ARBITRARY order (walsenders never interleave
+    like this, but the decoder's state machine must stay total):
+    never raises outside PgOutputError, and every emitted line is
+    parseable canonical form with BEGIN/COMMIT alternation preserved
+    per emission batch."""
+    from pg_bifrost_spark.cdc.pgoutput import (
+        encode_stream_abort, encode_stream_commit, encode_stream_start,
+        encode_stream_stop, encode_streamed,
+    )
+
+    d = PgOutputDecoder(proto_version=2, skip_origins=frozenset({"skipme"}))
+    d.decode(encode_relation(1, "public", "t", REL, key_cols={"id"}))
+    frame = {
+        "begin": lambda: encode_begin(7, 10),
+        "commit": lambda: encode_commit(20),
+        "origin_skip": lambda: encode_origin(1, "skipme"),
+        "origin_pass": lambda: encode_origin(1, "other"),
+        "insert": lambda: encode_insert(1, ["1", "x", None]),
+        "msg_txn": lambda: encode_logical_message("p", b"c", transactional=True),
+        "sstart": lambda: encode_stream_start(9),
+        "sstop": lambda: encode_stream_stop(),
+        "sins": lambda: encode_streamed(encode_insert(1, ["2", "y", None]), 9),
+        "scommit": lambda: encode_stream_commit(9),
+        "sabort": lambda: encode_stream_abort(9),
+    }
+    for op in ops:
+        try:
+            events = d.decode_events(frame[op]())
+        except PgOutputError:
+            continue
+        for line in events:
+            pm = parse_line(line)
+            assert pm.error is None, (op, line, pm.error)
+    # terminal state invariants: no unbounded growth markers left over
+    assert len(d._stream_buf) <= 1 and len(d._stream_skip) <= 1
