@@ -171,6 +171,12 @@ HEADLINE = [
     "table_profile",
     "text_mojibake_repair",
     "weighted_sample_es",
+    # r10 fifth batch (final, immediately before the END-OF-ROUND
+    # refresh): the jsonl.gz round trip chains two Arrow kernels
+    # (mandatory rows per the spread() lesson); the Luhn scan is pure
+    # higher-order digit arithmetic in codegen
+    "ndjson_gz_ingest",
+    "pii_luhn_cards",
     "cdc_lineitem_roundtrip",
 ]
 

@@ -513,3 +513,119 @@ def privacy_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("violates_t"),
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Luhn-validated card-number detection (r10) — checksum-gated PII
+# --------------------------------------------------------------------------
+# Pattern-only card detection drowns in false positives (order ids,
+# timestamps, phone numbers all match \d{13,19}); production scanners
+# gate on the Luhn checksum (ISO/IEC 7812), which rejects ~90% of
+# random digit strings. The checksum is pure digit arithmetic —
+# double every second digit from the right, subtract 9 when > 9, sum
+# ≡ 0 (mod 10) — expressible as an aggregate over the digit array on
+# both engines, so the whole detector stays JVM-side Column ops.
+# The plant injects one VALID card (real check digit computed from the
+# doc's own digits) into every %4==0 document and one INVALID card
+# (same body, check digit +5 mod 10 — never accidentally valid) into
+# every %4==1 document.
+_LUHN_BODY = "lpad(CAST(doc_id * 7919 % 1000000000000000 AS STRING), 15, '0')"
+_LUHN_BODY_DUCK = "lpad((doc_id * 7919 % 1000000000000000)::VARCHAR, 15, '0')"
+
+# Luhn sum of a DIGIT-STRING column expression (Spark SQL): positions
+# counted from the RIGHT of body || check; for a 15-digit body the
+# check digit is position 1 (never doubled), body digit i (1-based
+# from left) sits at even distance -> doubled when (16 - i) is even.
+def _luhn_sum_spark(expr: str) -> str:
+    return (
+        f"aggregate(transform(split(reverse({expr}), ''), "
+        "(d, i) -> CASE WHEN i % 2 = 1 THEN "
+        "  CASE WHEN CAST(d AS INT) * 2 > 9 THEN CAST(d AS INT) * 2 - 9 "
+        "       ELSE CAST(d AS INT) * 2 END "
+        "ELSE CAST(d AS INT) END), 0, (acc, x) -> acc + x)"
+    )
+
+
+def _luhn_sum_duck(expr: str) -> str:
+    return (
+        f"list_sum(list_transform(string_split(reverse({expr}), ''), "
+        "(d, i) -> CASE WHEN i % 2 = 0 THEN "
+        "  CASE WHEN d::INT * 2 > 9 THEN d::INT * 2 - 9 ELSE d::INT * 2 END "
+        "ELSE d::INT END))"
+    )
+
+
+@register(
+    "pii_luhn_cards",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN text || ' card ' || {_LUHN_BODY_DUCK} ||
+                 ((10 - ({_luhn_sum_duck(_LUHN_BODY_DUCK + " || '0'")}) % 10) % 10)::VARCHAR
+               WHEN 1 THEN text || ' ref ' || {_LUHN_BODY_DUCK} ||
+                 (((10 - ({_luhn_sum_duck(_LUHN_BODY_DUCK + " || '0'")}) % 10) % 10 + 5) % 10)::VARCHAR
+               ELSE text END AS text
+      FROM documents
+    ),
+    cands AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '[0-9]{{13,19}}') AS cands
+      FROM planted
+    ),
+    judged AS (
+      SELECT doc_id, text, cands,
+             list_filter(cands, c -> ({_luhn_sum_duck('c')}) % 10 = 0) AS valid
+      FROM cands
+    )
+    SELECT doc_id,
+           CAST(len(cands) AS BIGINT) AS n_candidates,
+           CAST(len(valid) AS BIGINT) AS n_valid_cards,
+           CASE WHEN len(valid) > 0
+                THEN replace(text, valid[1], '<CARD>') ELSE text END AS redacted
+    FROM judged ORDER BY doc_id
+    """,
+)
+def pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Card-number PII scan with checksum validation: extract 13-19
+    digit candidates, keep only Luhn-valid ones, redact them. On the
+    plant, %4==0 docs yield exactly one valid card (redacted), %4==1
+    docs yield one candidate that FAILS the checksum (kept — the false
+    positive a pattern-only scanner would have redacted), others none.
+
+    Plan: map-only regexp + digit-array arithmetic (codegen; the Luhn
+    fold is a higher-order aggregate over ≤19 ints) + presentation
+    sort — zero shuffles, zero Python, scan-speed at any corpus
+    size."""
+    body = _LUHN_BODY
+    body_plus_zero = f"concat({body}, '0')"
+    check = f"((10 - ({_luhn_sum_spark(body_plus_zero)}) % 10) % 10)"
+    planted_text = (
+        f"CASE doc_id % 4 "
+        f"WHEN 0 THEN concat(text, ' card ', {body}, CAST({check} AS STRING)) "
+        f"WHEN 1 THEN concat(text, ' ref ', {body}, "
+        f"  CAST(({check} + 5) % 10 AS STRING)) "
+        f"ELSE text END"
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(planted_text).alias("text")
+    )
+    judged = docs.select(
+        "doc_id",
+        "text",
+        F.expr("regexp_extract_all(text, '[0-9]{13,19}', 0)").alias("cands"),
+    ).withColumn(
+        "valid",
+        F.expr(f"filter(cands, c -> ({_luhn_sum_spark('c')}) % 10 = 0)"),
+    )
+    return judged.select(
+        "doc_id",
+        F.size("cands").cast("bigint").alias("n_candidates"),
+        F.size("valid").cast("bigint").alias("n_valid_cards"),
+        F.when(
+            F.size("valid") > 0,
+            F.expr("replace(text, valid[0], '<CARD>')"),
+        )
+        .otherwise(F.col("text"))
+        .alias("redacted"),
+    ).orderBy("doc_id")

@@ -168,3 +168,130 @@ def warc_ingest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id", "rec_index")
     )
+
+
+# --------------------------------------------------------------------------
+# compressed NDJSON shard ingest (r10) — the jsonl.gz corpus path
+# --------------------------------------------------------------------------
+# The other dominant training-corpus interchange format next to WARC:
+# newline-delimited JSON in compressed shards (The Pile, RedPajama,
+# most HF datasets ship *.jsonl.{gz,zst}). The fixture builds real
+# multi-member shards — docs grouped, one JSON object per line, the
+# whole shard gzip-compressed in the builder kernel — and the ingest
+# kernel does the honest inverse: gzip-decompress, split lines, parse
+# each JSON object, surface fields + the per-line byte accounting the
+# oracle can restate from `documents` alone (compressed sizes are
+# codec-dependent and deliberately NOT surfaced).
+_NDJSON_DOCS_PER_SHARD = 25
+
+NDJSON_SCHEMA_DDL = (
+    "shard_id BIGINT, line_no BIGINT, id BIGINT, lang STRING, "
+    "n_chars BIGINT, text_md5 STRING, line_bytes BIGINT"
+)
+
+
+def build_ndjson_gz_kernel(batches):
+    """(shard_id, lines STRING) → (shard_id, gz BINARY): gzip each
+    shard's concatenated NDJSON. Compression happens HERE (Spark SQL
+    has no gzip expression) — mtime pinned so shard bytes are
+    deterministic across retries."""
+    import gzip
+    import io
+
+    import pandas as pd
+
+    for pdf in batches:
+        blobs = []
+        for lines in pdf["lines"]:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(lines.encode("utf-8"))
+            blobs.append(buf.getvalue())
+        yield pd.DataFrame({"shard_id": pdf["shard_id"], "gz": blobs})
+
+
+def parse_ndjson_gz_kernel(batches):
+    """(shard_id, gz BINARY) → one row per JSON line. Strict: a
+    truncated gzip stream or malformed JSON line raises (quarantine
+    whole shards loudly — the WARC posture)."""
+    import gzip
+    import hashlib
+    import json as _json
+
+    import pandas as pd
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "shard_id", "line_no", "id", "lang", "n_chars", "text_md5",
+            "line_bytes")}
+        for shard_id, blob in zip(pdf["shard_id"], pdf["gz"]):
+            text = gzip.decompress(bytes(blob)).decode("utf-8")
+            for i, line in enumerate(text.splitlines()):
+                d = _json.loads(line)
+                out["shard_id"].append(int(shard_id))
+                out["line_no"].append(i + 1)
+                out["id"].append(int(d["id"]))
+                out["lang"].append(d["lang"])
+                out["n_chars"].append(len(d["text"]))
+                out["text_md5"].append(
+                    hashlib.md5(d["text"].encode("utf-8")).hexdigest()
+                )
+                out["line_bytes"].append(len(line.encode("utf-8")))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "ndjson_gz_ingest",
+    oracle=f"""
+    WITH j AS (
+      SELECT doc_id, doc_id // {_NDJSON_DOCS_PER_SHARD} AS shard_id,
+             lang, text,
+             '{{"id": ' || doc_id::VARCHAR || ', "lang": "' || lang
+               || '", "text": "' || text || '"}}' AS line
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(row_number() OVER (PARTITION BY shard_id ORDER BY doc_id)
+                AS BIGINT) AS line_no,
+           doc_id AS id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS text_md5,
+           CAST(strlen(line) AS BIGINT) AS line_bytes
+    FROM j ORDER BY shard_id, line_no
+    """,
+)
+def ndjson_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonl.gz shard round trip: serialize docs to NDJSON (plain
+    column concat — fixture text is quote/backslash-free, pinned by
+    the kernel's strict json.loads), group into shards, gzip in the
+    builder kernel, then recover every line with the decompressing
+    parser. The oracle restates ids/order/digests/byte counts from the
+    table alone — a parser that drops a line, scrambles shard order,
+    or mis-frames a member mismatches.
+
+    Plan: scan → per-row JSON line (codegen) → ONE groupBy (shard
+    assembly, fixture-only: production reads *.jsonl.gz via
+    spark.read.text/binaryFile and runs ONLY the parse kernel) → two
+    chained map-only Arrow kernels (compress, decompress+parse) with
+    no exchange between them → presentation sort."""
+    docs = table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit('{"id": '), F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'), F.col("lang"),
+        F.lit('", "text": "'), F.col("text"), F.lit('"}'),
+    )
+    per_doc = docs.select(
+        F.expr(f"doc_id DIV {_NDJSON_DOCS_PER_SHARD}").alias("shard_id"),
+        "doc_id",
+        line.alias("line"),
+    )
+    shards = per_doc.groupBy("shard_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(doc_id, line))), "
+            "x -> x.line), '\\n')"
+        ).alias("lines")
+    )
+    parsed = shards.mapInPandas(
+        build_ndjson_gz_kernel, "shard_id BIGINT, gz BINARY"
+    ).mapInPandas(parse_ndjson_gz_kernel, NDJSON_SCHEMA_DDL)
+    return parsed.orderBy("shard_id", "line_no")

@@ -193,7 +193,12 @@ GATE_PRIORITY: list[str] = [
     "cdc_lineitem_roundtrip",
     # NEW r7: crawl-style URL canonicalization dedup (planted messy
     # variants) + per-source duplicate-rate rollup
-    "dedup_url_canonical",
+    # r10-late rotation (9th slot): dedup_url_canonical (3 straight
+    # greens r7-r9) yields to the NEW ndjson_gz_ingest (the jsonl.gz
+    # corpus-interchange path — two chained Arrow kernels, compress +
+    # decompress/parse); crawl-dedup evidence stays via
+    # near_dup_rate_by_source + the winnowing/soft-reweight rows
+    "ndjson_gz_ingest",
     "near_dup_rate_by_source",
     # LLM-data-pipeline: dedup family (planted-duplicate fixtures —
     # the gate must see these find duplicates, not match empty sets)
@@ -370,7 +375,12 @@ GATE_PRIORITY: list[str] = [
     # own plant moduli untouched; canary_extraction_scan keeps the
     # privacy family in the gate) yields to the never-checked
     # lang_id_confusion
-    "lang_id_confusion",
+    # r10-late rotation (8th slot): lang_id_confusion (3 straight
+    # greens r7-r9) yields to the NEW pii_luhn_cards (checksum-gated
+    # card detection — the privacy family's validation leg); lang-ID
+    # evidence stays via doc_language_mixture in-gate + the in-suite
+    # rehearsal
+    "pii_luhn_cards",
     # r7-late coverage-first swap: quality_unigram_logprob (green
     # r5+r6, plant-independent; the bigram variant keeps the LM-score
     # family in the gate) yields to the never-checked pmi_top_bigrams

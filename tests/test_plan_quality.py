@@ -1095,3 +1095,29 @@ def test_pdf_text_map_only_kernel(spark):
     assert text.count("MapInPandas") == 1
     exchanges = re.findall(r"Exchange (\w+)partitioning", text)
     assert exchanges == ["range"], exchanges
+
+
+def test_luhn_scan_zero_shuffle_codegen(spark):
+    """The card scan is pure per-row regexp + digit-fold arithmetic:
+    no exchange before the presentation sort, no Python anywhere."""
+    import re
+
+    text = plan_of(spark, "pii_luhn_cards")
+    exchanges = re.findall(r"Exchange (\w+)partitioning", text)
+    assert exchanges == ["range"], exchanges
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text
+
+
+def test_ndjson_gz_chained_kernels_no_exchange_between(spark):
+    """Compress and decompress+parse kernels fuse back-to-back (shard
+    blobs never cross the wire between them); the only exchanges are
+    the fixture shard-assembly groupBy and the output sort."""
+    import re
+
+    text = plan_of(spark, "ndjson_gz_ingest")
+    assert text.count("MapInPandas") == 2
+    exchanges = re.findall(r"Exchange (\w+)partitioning", text)
+    assert sorted(exchanges) == ["hash", "range"], exchanges
+    lines = [l.strip("+-: ") for l in text.splitlines()]
+    i = next(k for k, l in enumerate(lines) if l.startswith("MapInPandas parse_ndjson"))
+    assert lines[i + 1].startswith("MapInPandas build_ndjson"), lines[i : i + 2]
