@@ -235,7 +235,9 @@ def _sh(cmd: list[str], **kw) -> str:
 def test_config(test_dir: str) -> dict:
     """Optional per-test ``config.json`` (the analog of the reference's
     per-test envfile.env): {"pipeline": {...PipelineConfig kwargs},
-    "cli_flags": [...extra replicate flags], "sort": bool,
+    "cli_flags": [...extra replicate flags],
+    "create_flags": [...extra slot-create flags, e.g. --plugin],
+    "sort": bool,
     "expected_count": int (count-only cases — EXPECTED_COUNT),
     "kinesis_error_probability": float (KINESIS_ERROR_PROBABILITY —
     drives the flaky capture transport through the real chunk+partial-
@@ -266,6 +268,13 @@ def main(argv: list[str] | None = None) -> int:
         TEST_NAME=args.test,
         SINK=args.sink,
         EXTRA_FLAGS=" ".join(cfg.get("cli_flags", [])),
+        # slot-creation flags (e.g. --plugin pgoutput): the create step
+        # is a SEPARATE CLI invocation in compose, so replicate-side
+        # cli_flags never reach it — a pgoutput case must create the
+        # slot with the pgoutput plugin or START_REPLICATION hands
+        # pgoutput options to a test_decoding slot (code-review
+        # r10-late-3 #1)
+        CREATE_FLAGS=" ".join(cfg.get("create_flags", [])),
     )
     compose = ["docker", "compose", "-f", os.path.join(here, "docker-compose.yml")]
     try:

@@ -41,6 +41,7 @@ anything but PgOutputError" (tests/test_pgoutput.py).
 
 from __future__ import annotations
 
+import re
 import struct
 from collections import Counter
 from dataclasses import dataclass, field
@@ -857,27 +858,20 @@ def encode_streamed(frame: bytes, stream_xid: int) -> bytes:
 # golden parity can be asserted through pgoutput end to end.
 # ---------------------------------------------------------------------------
 _NAME_TO_OID = {v: k for k, v in _TYPE_NAMES.items()}
-_TYPMOD_RE = None  # lazy-compiled
+_VARCHAR_TYPMOD_RE = re.compile(r"^(character varying|character)\((\d+)\)$")
+_NUMERIC_TYPMOD_RE = re.compile(r"^numeric\((\d+),(\d+)\)$")
 
 
 def _oid_for_type(tname: str) -> tuple[int, int]:
     """Rendered type name → (oid, typmod); inverse of type_name for
     the builtin map plus the typmod forms it produces."""
-    global _TYPMOD_RE
     if tname in _NAME_TO_OID:
         return _NAME_TO_OID[tname], -1
-    import re as _re
-
-    if _TYPMOD_RE is None:
-        _TYPMOD_RE = (
-            _re.compile(r"^(character varying|character)\((\d+)\)$"),
-            _re.compile(r"^numeric\((\d+),(\d+)\)$"),
-        )
-    m = _TYPMOD_RE[0].match(tname)
+    m = _VARCHAR_TYPMOD_RE.match(tname)
     if m:
         oid = 1043 if m.group(1) == "character varying" else 1042
         return oid, int(m.group(2)) + 4
-    m = _TYPMOD_RE[1].match(tname)
+    m = _NUMERIC_TYPMOD_RE.match(tname)
     if m:
         return 1700, ((int(m.group(1)) << 16) | int(m.group(2))) + 4
     raise ValueError(f"cannot reverse-map type name {tname!r} to an OID")
@@ -940,9 +934,10 @@ def frames_with_lsns(items) -> list[tuple[int, bytes]]:
             tables = [t.strip() for t in pm.relation.split(",")]
             flags = line.rsplit("TRUNCATE: ", 1)[1]
             relids = [
-                ensure_relation(t, registry.get(t, (None, ()))[1] or (), ())
-                if t not in registry
-                else registry[t][0]
+                registry[t][0] if t in registry
+                # never-seen table: register an empty shape (TRUNCATE
+                # carries no column metadata)
+                else ensure_relation(t, (), ())
                 for t in tables
             ]
             out.append((cur_lsn, encode_truncate(
@@ -951,6 +946,16 @@ def frames_with_lsns(items) -> list[tuple[int, bytes]]:
                 restart_seqs="restart_seqs" in flags,
             )))
             continue
+        if pm.no_tuple_data:
+            # '(no-tuple-data)' (REPLICA IDENTITY NOTHING) has no
+            # pgoutput equivalent a decoder could round-trip — the
+            # server would simply not send the old tuple. Refuse
+            # loudly rather than emit an empty-tuple frame that
+            # decodes to a DIFFERENT canonical line (code-review
+            # r10-late-3 #2).
+            raise ValueError(
+                f"cannot encode (no-tuple-data) line as pgoutput: {line[:80]!r}"
+            )
         table = pm.relation
         new_shape = tuple((n, t) for n, (_v, t, _q) in pm.columns.items())
         if pm.operation == "INSERT":

@@ -59,3 +59,11 @@ def test_shape_change_resends_relation():
 def test_unknown_type_name_raises():
     with pytest.raises(ValueError, match="reverse-map"):
         frames_from_lines(["table public.t: INSERT: a[tsvector]:'x'"])
+
+
+def test_no_tuple_data_refused_loudly():
+    """REPLICA IDENTITY NOTHING lines have no pgoutput round trip —
+    the converter must refuse, never emit an empty-tuple frame that
+    decodes to a different canonical line."""
+    with pytest.raises(ValueError, match=r"no-tuple-data"):
+        frames_from_lines(["table public.t: DELETE: (no-tuple-data)"])
