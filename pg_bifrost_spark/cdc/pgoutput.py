@@ -365,6 +365,16 @@ class PgOutputDecoder:
     _stream_buf: dict[int, list[tuple[int, str]]] = field(default_factory=dict)
     _stream_overflow: set[int] = field(default_factory=set)
     _stream_skip: set[int] = field(default_factory=set)
+    # transactional 'M' messages inside a streamed txn are NOT durable
+    # until Stream Commit — buffer them per toplevel xid (tagged with
+    # the frame's sub-xid) and publish only on commit, exactly like
+    # _stream_buf lines. Publishing at decode time would surface
+    # fence/outbox markers from transactions that later ABORT
+    # (advisor r10 finding: stream_start + transactional M +
+    # stream_abort must yield nothing from drain_messages()).
+    _stream_msgs: dict[int, list[tuple[int, LogicalMessage]]] = field(
+        default_factory=dict
+    )
 
     def drain_messages(self) -> list[LogicalMessage]:
         """Return and clear the buffered 'M' messages (arrival order).
@@ -402,10 +412,20 @@ class PgOutputDecoder:
                     raise PgOutputError(f"non-UTF-8 text cell: {exc}") from None
             elif kind == b"b":
                 # binary cell (server sends only when the subscriber
-                # asked for binary mode); render as bytea text form so
-                # the canonical line stays self-describing (\xHEX has
-                # no spaces/quotes, so builtin quoting rules hold)
+                # asked for binary mode). Only bytea's binary wire form
+                # IS its raw bytes — any other type's binary format
+                # (int4 big-endian, numeric digit groups, …) would be
+                # silently mis-rendered by hexing, so refuse loudly;
+                # the engine never negotiates binary mode, making this
+                # a corrupt-stream signal, not a feature gap
+                # (advisor r10 finding).
                 n = r.u32()
+                if oid != 17:
+                    raise PgOutputError(
+                        f"binary tuple cell for non-bytea column "
+                        f"{name}[{t}] (oid {oid}) — binary mode was "
+                        "never requested and only bytea is hex-renderable"
+                    )
                 cells.append((name, t, "\\x" + r.take(n).hex(), quote))
             else:
                 raise PgOutputError(f"unknown tuple cell kind {kind!r}")
@@ -539,9 +559,18 @@ class PgOutputDecoder:
             if xid in self._stream_skip:
                 self._stream_skip.discard(xid)
                 self._stream_buf.pop(xid, None)
+                self._stream_msgs.pop(xid, None)
                 self._stream_overflow.discard(xid)
                 self.stats["origin_txns_skipped"] += 1
                 return []
+            # the transaction is now durable: publish its buffered
+            # transactional messages (bounded, drop-newest — mirrors
+            # the non-streamed path)
+            for _sub, m in self._stream_msgs.pop(xid, []):
+                if len(self.messages) >= self.max_buffered_messages:
+                    self.stats["messages_dropped"] += 1
+                else:
+                    self.messages.append(m)
             if xid in self._stream_overflow:
                 self._stream_overflow.discard(xid)
                 raise PgOutputOverflow(
@@ -560,12 +589,18 @@ class PgOutputDecoder:
         self.stats["stream_aborts"] += 1
         if sub == xid:
             self._stream_buf.pop(xid, None)
+            self._stream_msgs.pop(xid, None)
             self._stream_overflow.discard(xid)
             self._stream_skip.discard(xid)
         else:
             buf = self._stream_buf.get(xid)
             if buf is not None:
                 self._stream_buf[xid] = [(sx, ln) for sx, ln in buf if sx != sub]
+            msgs = self._stream_msgs.get(xid)
+            if msgs is not None:
+                self._stream_msgs[xid] = [
+                    (sx, m) for sx, m in msgs if sx != sub
+                ]
         return []
 
     def _buffer_streamed(self, top: int, msg_xid: int, line: str) -> None:
@@ -700,20 +735,31 @@ class PgOutputDecoder:
                 # must not re-surface (code-review r10-late-2 #5)
                 self.stats["origin_messages_filtered"] += 1
                 return None
+            message = LogicalMessage(
+                transactional=bool(flags & 1),
+                lsn=lsn,
+                prefix=prefix,
+                content=content,
+                xid=msg_xid
+                if msg_xid is not None
+                else (self.xid if flags & 1 else None),
+            )
+            if (flags & 1) and self._stream_xid is not None:
+                # durable only at Stream Commit (field docstring);
+                # same bounded-buffer posture as self.messages
+                buf = self._stream_msgs.setdefault(self._stream_xid, [])
+                if len(buf) >= self.max_buffered_messages:
+                    self.stats["messages_dropped"] += 1
+                else:
+                    buf.append(
+                        (msg_xid if msg_xid is not None else self._stream_xid,
+                         message)
+                    )
+                return None
             if len(self.messages) >= self.max_buffered_messages:
                 self.stats["messages_dropped"] += 1
             else:
-                self.messages.append(
-                    LogicalMessage(
-                        transactional=bool(flags & 1),
-                        lsn=lsn,
-                        prefix=prefix,
-                        content=content,
-                        xid=msg_xid
-                        if msg_xid is not None
-                        else (self.xid if flags & 1 else None),
-                    )
-                )
+                self.messages.append(message)
             return None
         raise PgOutputError(f"unknown pgoutput message tag {tag!r}")
 

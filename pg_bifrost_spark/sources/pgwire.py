@@ -358,12 +358,35 @@ class WireConnection:
     def create_slot(self, slot: str, plugin: str = "test_decoding") -> bool:
         """Idempotent on SQLSTATE 42710 (duplicate_object) — the
         reference's create semantics (utils/utils.go:38-56). Returns
-        True when the slot was newly created."""
+        True when the slot was newly created.
+
+        On the already-exists path the pre-existing slot's plugin is
+        verified against the requested one: a stale test_decoding slot
+        under ``--plugin pgoutput`` (or vice versa) would otherwise
+        'succeed' here and only fail at START_REPLICATION with an
+        opaque unknown-plugin-option server error (advisor r10). A
+        ``replication=database`` connection can run plain SQL, so the
+        catalog probe rides the same wire."""
         try:
             self.simple_query(f"CREATE_REPLICATION_SLOT {slot} LOGICAL {plugin}")
             return True
         except ServerError as exc:
             if exc.sqlstate == "42710":
+                try:
+                    rows = self.simple_query(
+                        "SELECT plugin FROM pg_replication_slots "
+                        f"WHERE slot_name = '{slot}'"
+                    )
+                except (ServerError, WireError):
+                    # probe unavailable (old server, permissions):
+                    # keep create idempotent rather than fail it
+                    return False
+                if rows and rows[0][0] and rows[0][0] != plugin:
+                    raise WireError(
+                        f"replication slot {slot!r} already exists with "
+                        f"plugin {rows[0][0]!r} but {plugin!r} was "
+                        "requested — drop the slot or align the plugin"
+                    ) from None
                 return False
             raise
 

@@ -142,6 +142,16 @@ def test_binary_cell_renders_bytea_hex():
     assert pm.columns["payload"] == ("\\x00ff", "bytea", False)
 
 
+def test_binary_cell_on_non_bytea_column_raises():
+    """'b' cells carry the type's BINARY wire format; hexing an int4's
+    big-endian bytes would silently corrupt the canonical value, so
+    any 'b' cell on a non-bytea column is refused (advisor r10)."""
+    d = PgOutputDecoder()
+    d.decode(encode_relation(1, "public", "b", [("id", 23, -1), ("payload", 17, -1)]))
+    with pytest.raises(PgOutputError, match="non-bytea"):
+        d.decode(encode_insert(1, [b"\x00\x00\x00\x01", b"ok"]))
+
+
 def test_relation_resend_evolves_schema():
     """ALTER TABLE mid-stream: a re-sent Relation frame replaces the
     registry entry and subsequent tuples decode under the new shape —
@@ -206,8 +216,12 @@ def test_fuzz_decoder_never_raises_other_exceptions(data):
     )
 )
 def test_fuzz_encode_decode_roundtrip_parses(values):
-    """Any encodable tuple decodes to a line the parser accepts."""
-    cols = [(f"c{i}", 25, -1) for i in range(len(values))]
+    """Any encodable tuple decodes to a line the parser accepts.
+    bytes values encode as 'b' cells, which only bytea columns accept."""
+    cols = [
+        (f"c{i}", 17 if isinstance(v, bytes) else 25, -1)
+        for i, v in enumerate(values)
+    ]
     d = PgOutputDecoder()
     d.decode(encode_relation(5, "public", "r", cols))
     line = d.decode(encode_insert(5, values))
@@ -450,6 +464,77 @@ def test_stream_overflow_raises_loudly_at_commit():
     assert d.stats["stream_overflow"] == 1
     with pytest.raises(PgOutputError, match="exceeded max_streamed_lines"):
         d.decode_events(encode_stream_commit(60))
+
+
+def test_stream_abort_drops_buffered_transactional_messages():
+    """A transactional 'M' inside a streamed txn is durable only at
+    Stream Commit — after Stream Abort, drain_messages() must yield
+    nothing (advisor r10 medium: aborted outbox/fence markers were
+    leaking)."""
+    d = _v2_decoder()
+    d.decode_events(encode_stream_start(99))
+    d.decode_events(
+        encode_streamed(
+            encode_logical_message("fence", b"aborted", transactional=True), 99
+        )
+    )
+    d.decode_events(encode_stream_stop())
+    d.decode_events(encode_stream_abort(99))
+    assert d.drain_messages() == []
+    # a later commit of the same xid replays empty — still no message
+    d.decode_events(encode_stream_commit(99))
+    assert d.drain_messages() == []
+
+
+def test_stream_commit_publishes_transactional_messages():
+    d = _v2_decoder()
+    d.decode_events(encode_stream_start(77))
+    d.decode_events(
+        encode_streamed(
+            encode_logical_message("outbox", b"kept", transactional=True), 77
+        )
+    )
+    d.decode_events(encode_stream_stop())
+    assert d.drain_messages() == []  # not durable before commit
+    d.decode_events(encode_stream_commit(77))
+    msgs = d.drain_messages()
+    assert [m.content for m in msgs] == [b"kept"]
+    assert msgs[0].xid == 77 and msgs[0].transactional
+
+
+def test_stream_subabort_drops_only_subxact_messages():
+    d = _v2_decoder()
+    d.decode_events(encode_stream_start(80))
+    d.decode_events(
+        encode_streamed(
+            encode_logical_message("p", b"top", transactional=True), 80
+        )
+    )
+    d.decode_events(
+        encode_streamed(
+            encode_logical_message("p", b"sub", transactional=True), 81
+        )
+    )
+    d.decode_events(encode_stream_stop())
+    d.decode_events(encode_stream_abort(80, sub_xid=81))
+    d.decode_events(encode_stream_commit(80))
+    assert [m.content for m in d.drain_messages()] == [b"top"]
+
+
+def test_stream_nontransactional_message_surfaces_immediately():
+    """flags&1 == 0 messages are WAL-side-channel, not txn payload —
+    they surface at decode time even mid-stream (and survive abort)."""
+    d = _v2_decoder()
+    d.decode_events(encode_stream_start(90))
+    d.decode_events(
+        encode_streamed(
+            encode_logical_message("marker", b"now", transactional=False), 90
+        )
+    )
+    assert [m.content for m in d.drain_messages()] == [b"now"]
+    d.decode_events(encode_stream_stop())
+    d.decode_events(encode_stream_abort(90))
+    assert d.drain_messages() == []  # already drained; abort adds nothing
 
 
 def test_stream_messages_rejected_on_v1():

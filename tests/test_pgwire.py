@@ -87,6 +87,7 @@ class FakeWalsender:
         self.create_commands: list[str] = []  # full CREATE_REPLICATION_SLOT SQL
         self.saw_replication_param = False
         self.created_slots: list[str] = []
+        self.slot_plugins: dict[str, str] = {}  # slot -> plugin it was created with
         self._srv = socket.socket()
         self._srv.bind(("127.0.0.1", 0))
         self._srv.listen(4)
@@ -276,7 +277,22 @@ class FakeWalsender:
                     )
                 else:
                     self.created_slots.append(slot)
+                    self.slot_plugins[slot] = sql.split()[3]
                     conn.sendall(_msg(b"C", b"CREATE_REPLICATION_SLOT\x00"))
+                self._rfq(conn)
+            elif sql.startswith("SELECT plugin FROM pg_replication_slots"):
+                # catalog probe on the 42710 path (create_slot)
+                want = sql.split("slot_name = '")[1].rstrip("'")
+                rd = struct.pack(">H", 1) + b"plugin\x00" + struct.pack(
+                    ">IHIHIH", 0, 0, 25, 65535, 0, 0
+                )
+                conn.sendall(_msg(b"T", rd))
+                if want in self.slot_plugins:
+                    v = self.slot_plugins[want].encode()
+                    conn.sendall(
+                        _msg(b"D", struct.pack(">H", 1) + struct.pack(">i", len(v)) + v)
+                    )
+                conn.sendall(_msg(b"C", b"SELECT 1\x00"))
                 self._rfq(conn)
             elif sql.startswith("START_REPLICATION"):
                 if self.fail_start:
@@ -427,6 +443,23 @@ def test_create_slot_idempotent_on_42710():
         assert c.create_slot("s1") is False  # 42710 → already exists
         c.close()
         assert srv.created_slots == ["s1"]
+    finally:
+        srv.close()
+
+
+def test_create_slot_plugin_mismatch_raises_clearly():
+    """A stale test_decoding slot under --plugin pgoutput must fail
+    HERE with a clear message, not later at START_REPLICATION with an
+    opaque unknown-plugin-option error (advisor r10)."""
+    srv = FakeWalsender()
+    try:
+        c = _client(srv).connect()
+        assert c.create_slot("s1", plugin="test_decoding") is True
+        with pytest.raises(pgwire.WireError, match="test_decoding.*pgoutput"):
+            c.create_slot("s1", plugin="pgoutput")
+        # same plugin stays idempotent
+        assert c.create_slot("s1", plugin="test_decoding") is False
+        c.close()
     finally:
         srv.close()
 
