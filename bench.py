@@ -658,6 +658,11 @@ SF10_QUERIES = [
     "dsir_importance_score",
     "cdc_lineitem_roundtrip",
     "repeated_span_removal",
+    # r11 (VERDICT r10 ask #5): the two widest-shuffle r10 shapes —
+    # the binary encode→decode→pipeline capstone and the
+    # four-relation Kneser-Ney join stack
+    "cdc_pgoutput_roundtrip",
+    "quality_kn_trigram",
 ]
 SF10_REPLICAS = 100
 
@@ -692,6 +697,51 @@ def bench_sf10(out_path: str = "BENCH_SF10.json") -> None:
         "data_scale": SF10_REPLICAS,
         "sf10_dir": sf10_dir,
         "queries": queries,
+    }
+    _write_json_atomic(out_path, payload)
+    print(json.dumps(payload))
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# --sweep leg (VERDICT r10 ask #2): the HEADLINE baseline protects 97
+# queries; the other ~100 registered ops (rotated-out q-series,
+# windows, text basics) had ZERO wall-time protection and could
+# regress silently. This sweep times EVERY registry query once at the
+# gate SF (sf0.01 — gross-pathology detection needs relative shape,
+# not absolute scale) and writes BENCH_SWEEP.json;
+# tests/test_perf_sweep.py compares it against the committed
+# BENCH_SWEEP_BASELINE.json with a loose suite-median-normalized >5×
+# assertion. Run once per round: `python bench.py --sweep`.
+def bench_sweep(out_path: str = "BENCH_SWEEP.json") -> None:
+    sweep_dir = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.01")
+    plans.load_all()
+    spark = get_spark(app_name="pg_bifrost_spark_sweep")
+    names = sorted(plans.QUERIES)
+    # absorb per-plan codegen/JIT on the tiny SF, then prewarm the
+    # Python worker pool (same discipline as main())
+    for name in names:
+        plans.QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(0, n_workers * 4, 1, n_workers).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    _clean_state(spark)
+    timings: dict[str, float] = {}
+    for i, name in enumerate(names):
+        timings[name] = _run_once(spark, name, sweep_dir)
+        print(f"# sweep [{i + 1}/{len(names)}] {name}: {timings[name]:.3f}s",
+              file=sys.stderr)
+    med = round(statistics.median(timings.values()), 3)
+    payload = {
+        "metric": "registry_sweep_median_sec",
+        "value": med,
+        "unit": "sec",
+        "sf_dir": sweep_dir,
+        "n_queries": len(timings),
+        "queries": timings,
     }
     _write_json_atomic(out_path, payload)
     print(json.dumps(payload))
@@ -783,5 +833,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--sf10" in sys.argv[1:]:
         bench_sf10()
+    elif "--sweep" in sys.argv[1:]:
+        bench_sweep()
     else:
         main()

@@ -626,6 +626,102 @@ def test_live_transport_pgoutput_v2_streamed_end_to_end():
         srv.close()
 
 
+def test_live_transport_v2_interleaved_streams_commit_independently():
+    """VERDICT r10 ask #4: segment-INTERLEAVED streamed transactions
+    over the real wire path (FakeWalsender → LiveTransport). Commits
+    arrive in reverse start order; each replay must carry only its own
+    transaction's lines, stamped with its own commit LSN."""
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+    from tests.test_pgwire import DB, USER, FakeWalsender
+
+    frames = [
+        ("xlog_raw", 100, encode_relation(1, "public", "t", REL)),
+        ("xlog_raw", 100, encode_stream_start(10)),
+        ("xlog_raw", 104, encode_streamed(encode_insert(1, ["100", "a", None]), 10)),
+        ("xlog_raw", 108, encode_stream_stop()),
+        ("xlog_raw", 112, encode_stream_start(20)),
+        ("xlog_raw", 116, encode_streamed(encode_insert(1, ["200", "b", None]), 20)),
+        ("xlog_raw", 120, encode_stream_stop()),
+        ("xlog_raw", 124, encode_stream_start(10, first_segment=False)),
+        ("xlog_raw", 128, encode_streamed(encode_insert(1, ["101", "c", None]), 10)),
+        ("xlog_raw", 132, encode_stream_stop()),
+        ("xlog_raw", 140, encode_stream_commit(20)),
+        ("xlog_raw", 160, encode_stream_commit(10)),
+    ]
+    srv = FakeWalsender(frames=frames)
+    try:
+        t = LiveTransport(
+            f"postgresql://{USER}@127.0.0.1:{srv.port}/{DB}",
+            "s_ilv",
+            plugin="pgoutput",
+            pgoutput_proto_version=2,
+            receive_timeout_s=0.3,
+            max_connect_attempts=1,
+        )
+        rows = t.fetch(0, 20)
+        lines = [r[2] for r in rows]
+        # txn 20 commits FIRST (1 line), then txn 10 (2 lines)
+        assert lines[0] == "BEGIN 20" and lines[2] == "COMMIT 20"
+        assert "id[integer]:200" in lines[1]
+        assert lines[3] == "BEGIN 10" and lines[6] == "COMMIT 10"
+        assert "id[integer]:100" in lines[4] and "id[integer]:101" in lines[5]
+        # each replay rides its own commit LSN; k indexes equal-LSN runs
+        assert [r[0] for r in rows] == [140, 140, 140, 160, 160, 160, 160]
+        assert [r[3] for r in rows] == [0, 1, 2, 0, 1, 2, 3]
+        t.close()
+    finally:
+        srv.close()
+
+
+def test_live_transport_pgoutput_origin_filtering_on_wire_path():
+    """Origin-based loop prevention over the real wire path: a
+    transaction stamped with a skipped origin vanishes wholesale
+    (including its streamed form); local transactions pass."""
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+    from tests.test_pgwire import DB, USER, FakeWalsender
+
+    frames = [
+        ("xlog_raw", 100, encode_relation(1, "public", "t", REL)),
+        # plain txn from the skipped origin: fully dropped
+        ("xlog_raw", 104, encode_begin(5)),
+        ("xlog_raw", 104, encode_origin(name="upstream")),
+        ("xlog_raw", 108, encode_insert(1, ["1", "mirror", None])),
+        ("xlog_raw", 112, encode_commit()),
+        # local txn: passes (deferred BEGIN emission under skip mode)
+        ("xlog_raw", 116, encode_begin(6)),
+        ("xlog_raw", 120, encode_insert(1, ["2", "local", None])),
+        ("xlog_raw", 124, encode_commit()),
+        # streamed txn from the skipped origin: dropped at commit
+        ("xlog_raw", 128, encode_stream_start(7)),
+        ("xlog_raw", 128, encode_origin(name="upstream")),
+        ("xlog_raw", 132, encode_streamed(encode_insert(1, ["3", "mirror2", None]), 7)),
+        ("xlog_raw", 136, encode_stream_stop()),
+        ("xlog_raw", 140, encode_stream_commit(7)),
+    ]
+    srv = FakeWalsender(frames=frames)
+    try:
+        t = LiveTransport(
+            f"postgresql://{USER}@127.0.0.1:{srv.port}/{DB}",
+            "s_org",
+            plugin="pgoutput",
+            pgoutput_proto_version=2,
+            skip_origins="upstream",
+            receive_timeout_s=0.3,
+            max_connect_attempts=1,
+        )
+        rows = t.fetch(0, 20)
+        lines = [r[2] for r in rows]
+        assert lines == [
+            "BEGIN 6",
+            "table public.t: INSERT: id[integer]:2 "
+            "name[character varying(255)]:'local' note[text]:null",
+            "COMMIT 6",
+        ]
+        t.close()
+    finally:
+        srv.close()
+
+
 # ---------------------------------------------------------------------------
 # code-review r10-late regressions
 # ---------------------------------------------------------------------------
