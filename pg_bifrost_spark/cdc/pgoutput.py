@@ -60,6 +60,11 @@ __all__ = [
     "encode_truncate",
     "encode_origin",
     "encode_logical_message",
+    "encode_begin_prepare",
+    "encode_prepare",
+    "encode_commit_prepared",
+    "encode_rollback_prepared",
+    "encode_stream_prepare",
 ]
 
 
@@ -375,6 +380,23 @@ class PgOutputDecoder:
     _stream_msgs: dict[int, list[tuple[int, LogicalMessage]]] = field(
         default_factory=dict
     )
+    # two-phase commit state (protocol two_phase option; proto v3 in
+    # PG 15, but the frame shapes are version-independent). The engine
+    # does what a real apply worker does with prepared transactions:
+    # buffer between Begin Prepare ('b') and Prepare ('P'), hold per
+    # GID, and replay as BEGIN xid … COMMIT xid at Commit Prepared
+    # ('K') — data becomes visible downstream exactly when it becomes
+    # durable on the publisher. Rollback Prepared ('r') drops the
+    # buffer. Downstream (txn assembly, ledger, sinks) stays
+    # two-phase-agnostic, same posture as streamed-txn replay.
+    _prepare_gid: str | None = None
+    _prepare_buf: list[str] = field(default_factory=list)
+    _prepare_msgs: list[LogicalMessage] = field(default_factory=list)
+    _prepared: dict[str, tuple[int, list[str]]] = field(default_factory=dict)
+    _prepared_msgs: dict[str, list[LogicalMessage]] = field(default_factory=dict)
+    _prepared_skip: set[str] = field(default_factory=set)
+    _prepared_overflow: set[str] = field(default_factory=set)
+    _prepare_overflowed: bool = False
 
     def drain_messages(self) -> list[LogicalMessage]:
         """Return and clear the buffered 'M' messages (arrival order).
@@ -508,6 +530,8 @@ class PgOutputDecoder:
                 return [f"COMMIT {xid}"]
             if tag in (b"S", b"E", b"c", b"A"):
                 return self._stream_control(tag, r)
+            if tag in (b"b", b"P", b"K", b"r", b"p"):
+                return self._two_phase(tag, r)
             # inside a stream segment, v2 data/metadata messages carry
             # the (sub)transaction xid right after the tag
             msg_xid: int | None = None
@@ -524,6 +548,22 @@ class PgOutputDecoder:
                     msg_xid if msg_xid is not None else self._stream_xid,
                     line,
                 )
+                return []
+            if self._prepare_gid is not None and tag in (b"I", b"U", b"D", b"T"):
+                # between Begin Prepare and Prepare: buffer, emit at
+                # Commit Prepared (two-phase docstring at _prepare_gid)
+                if self._skip_txn:
+                    self.stats["origin_lines_filtered"] += 1
+                    return []
+                if self._prepare_overflowed:
+                    self.stats["stream_overflow_dropped"] += 1
+                    return []
+                if len(self._prepare_buf) >= self.max_streamed_lines:
+                    self._prepare_buf = []
+                    self._prepare_overflowed = True
+                    self.stats["stream_overflow"] += 1
+                    return []
+                self._prepare_buf.append(line)
                 return []
             if self._skip_txn:
                 self.stats["origin_lines_filtered"] += 1
@@ -601,6 +641,138 @@ class PgOutputDecoder:
                 self._stream_msgs[xid] = [
                     (sx, m) for sx, m in msgs if sx != sub
                 ]
+        return []
+
+    # ----------------------------------------------- two-phase commit
+    def _two_phase(self, tag: bytes, r: _Reader) -> list[str]:
+        """PREPARE TRANSACTION support (the protocol's ``two_phase``
+        option). Frame shapes per the PostgreSQL logical-replication
+        message-format docs; replay-at-Commit-Prepared semantics per
+        the apply-worker model (see the ``_prepare_gid`` field note).
+
+        At-least-once caveat, documented not hidden: like streamed
+        transactions, prepared data is held in-process between Prepare
+        and Commit Prepared. The server's confirmed_flush/restart_lsn
+        cannot advance past an unconsumed PREPARE, so a restart
+        re-sends the whole prepared transaction; a Commit Prepared
+        whose GID this process never saw (possible when the slot was
+        created between the two phases) emits an EMPTY transaction and
+        increments ``commit_prepared_unknown_gid`` rather than
+        guessing."""
+        if tag == b"b":  # Begin Prepare: lsns, ts, xid, gid
+            r.u64()
+            r.u64()
+            r.u64()
+            self.xid = r.u32()
+            gid = r.cstr()
+            self._prepare_gid = gid
+            self._prepare_buf = []
+            self._prepare_msgs = []
+            self._prepare_overflowed = False
+            self._skip_txn = False
+            self.last_origin = None
+            self.stats["begin_prepares"] += 1
+            return []
+        if tag == b"P":  # Prepare: flags, lsns, ts, xid, gid
+            r.u8()
+            r.u64()
+            r.u64()
+            r.u64()
+            xid = r.u32()
+            gid = r.cstr()
+            if self._prepare_gid is not None and self._prepare_gid != gid:
+                raise PgOutputError(
+                    f"Prepare for gid {gid!r} while gid "
+                    f"{self._prepare_gid!r} is open"
+                )
+            if self._skip_txn:
+                self._prepared_skip.add(gid)
+                self._skip_txn = False
+            elif self._prepare_overflowed:
+                self._prepared_overflow.add(gid)
+            else:
+                self._prepared[gid] = (xid, self._prepare_buf)
+                if self._prepare_msgs:
+                    self._prepared_msgs[gid] = self._prepare_msgs
+            self._prepare_gid = None
+            self._prepare_buf = []
+            self._prepare_msgs = []
+            self._prepare_overflowed = False
+            self.stats["prepares"] += 1
+            return []
+        if tag == b"p":  # Stream Prepare: streamed txn's buffer → gid
+            if self.proto_version < 2:
+                raise PgOutputError(
+                    f"stream prepare on proto_version {self.proto_version}"
+                )
+            r.u8()
+            r.u64()
+            r.u64()
+            r.u64()
+            xid = r.u32()
+            gid = r.cstr()
+            if xid in self._stream_skip:
+                self._stream_skip.discard(xid)
+                self._stream_buf.pop(xid, None)
+                self._stream_msgs.pop(xid, None)
+                self._stream_overflow.discard(xid)
+                self._prepared_skip.add(gid)
+            elif xid in self._stream_overflow:
+                self._stream_overflow.discard(xid)
+                self._prepared_overflow.add(gid)
+            else:
+                self._prepared[gid] = (
+                    xid,
+                    [ln for _, ln in self._stream_buf.pop(xid, [])],
+                )
+                msgs = [m for _, m in self._stream_msgs.pop(xid, [])]
+                if msgs:
+                    self._prepared_msgs[gid] = msgs
+            self.stats["stream_prepares"] += 1
+            return []
+        if tag == b"K":  # Commit Prepared: flags, lsns, ts, xid, gid
+            r.u8()
+            r.u64()
+            r.u64()
+            r.u64()
+            xid = r.u32()
+            gid = r.cstr()
+            if gid in self._prepared_skip:
+                self._prepared_skip.discard(gid)
+                self.stats["origin_txns_skipped"] += 1
+                return []
+            if gid in self._prepared_overflow:
+                self._prepared_overflow.discard(gid)
+                raise PgOutputOverflow(
+                    f"prepared transaction {gid!r} exceeded "
+                    f"max_streamed_lines={self.max_streamed_lines}; refusing "
+                    "to emit a silently truncated transaction"
+                )
+            if gid not in self._prepared:
+                self.stats["commit_prepared_unknown_gid"] += 1
+                return [f"BEGIN {xid}", f"COMMIT {xid}"]
+            pxid, lines = self._prepared.pop(gid)
+            for m in self._prepared_msgs.pop(gid, []):
+                if len(self.messages) >= self.max_buffered_messages:
+                    self.stats["messages_dropped"] += 1
+                else:
+                    self.messages.append(m)
+            self.stats["commit_prepareds"] += 1
+            return [f"BEGIN {pxid}", *lines, f"COMMIT {pxid}"]
+        # 'r' Rollback Prepared: flags, prepare/rollback lsns, 2 ts,
+        # xid, gid — drop everything held for the GID
+        r.u8()
+        r.u64()
+        r.u64()
+        r.u64()
+        r.u64()
+        r.u32()
+        gid = r.cstr()
+        self._prepared.pop(gid, None)
+        self._prepared_msgs.pop(gid, None)
+        self._prepared_skip.discard(gid)
+        self._prepared_overflow.discard(gid)
+        self.stats["rollback_prepareds"] += 1
         return []
 
     def _buffer_streamed(self, top: int, msg_xid: int, line: str) -> None:
@@ -756,6 +928,13 @@ class PgOutputDecoder:
                          message)
                     )
                 return None
+            if (flags & 1) and self._prepare_gid is not None:
+                # durable only at Commit Prepared (two-phase docstring)
+                if len(self._prepare_msgs) >= self.max_buffered_messages:
+                    self.stats["messages_dropped"] += 1
+                else:
+                    self._prepare_msgs.append(message)
+                return None
             if len(self.messages) >= self.max_buffered_messages:
                 self.stats["messages_dropped"] += 1
             else:
@@ -869,6 +1048,48 @@ def _xid_prefix(frame: bytes, stream_xid: int | None) -> bytes:
     if stream_xid is None:
         return frame
     return frame[:1] + struct.pack(">I", stream_xid) + frame[1:]
+
+
+def encode_begin_prepare(
+    xid: int, gid: str, prepare_lsn: int = 0, end_lsn: int = 0, ts: int = 0
+) -> bytes:
+    return b"b" + struct.pack(">QQQI", prepare_lsn, end_lsn, ts, xid) + _cstr(gid)
+
+
+def encode_prepare(
+    xid: int, gid: str, prepare_lsn: int = 0, end_lsn: int = 0, ts: int = 0
+) -> bytes:
+    return b"P" + struct.pack(">BQQQI", 0, prepare_lsn, end_lsn, ts, xid) + _cstr(gid)
+
+
+def encode_commit_prepared(
+    xid: int, gid: str, commit_lsn: int = 0, end_lsn: int = 0, ts: int = 0
+) -> bytes:
+    return b"K" + struct.pack(">BQQQI", 0, commit_lsn, end_lsn, ts, xid) + _cstr(gid)
+
+
+def encode_rollback_prepared(
+    xid: int,
+    gid: str,
+    prepare_end_lsn: int = 0,
+    rollback_end_lsn: int = 0,
+    prepare_ts: int = 0,
+    rollback_ts: int = 0,
+) -> bytes:
+    return (
+        b"r"
+        + struct.pack(
+            ">BQQQQI", 0, prepare_end_lsn, rollback_end_lsn, prepare_ts,
+            rollback_ts, xid,
+        )
+        + _cstr(gid)
+    )
+
+
+def encode_stream_prepare(
+    xid: int, gid: str, prepare_lsn: int = 0, end_lsn: int = 0, ts: int = 0
+) -> bytes:
+    return b"p" + struct.pack(">BQQQI", 0, prepare_lsn, end_lsn, ts, xid) + _cstr(gid)
 
 
 def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:

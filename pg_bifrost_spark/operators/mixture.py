@@ -429,3 +429,148 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: corpus diversity + DoReMi-style reweighting
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_diversity_report",
+    oracle="""
+    WITH u AS (
+      SELECT label,
+             list_transform(
+               embedding,
+               x -> CAST(x AS DOUBLE) /
+                    sqrt(list_sum(list_transform(
+                      embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+             ) AS uv
+      FROM embeddings
+    ), e AS (
+      SELECT label, i, uv[i] AS val
+      FROM u, LATERAL (SELECT unnest(range(1, len(uv) + 1)) AS i)
+    ), s AS (
+      SELECT label, i, sum(val) AS sv FROM e GROUP BY label, i
+    ), ss AS (
+      SELECT label, sum(sv * sv) AS sumsq FROM s GROUP BY label
+    ), n AS (
+      SELECT label, count(*) AS n_vecs FROM u GROUP BY label
+    )
+    SELECT n.label AS label,
+           n.n_vecs AS n_vecs,
+           round((ss.sumsq - n.n_vecs) / (n.n_vecs * (n.n_vecs - 1)), 6)
+             AS mean_pairwise_cosine
+    FROM n JOIN ss ON n.label = ss.label
+    ORDER BY label
+    """,
+)
+def embedding_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mean pairwise cosine similarity per label — the corpus
+    diversity number a mixture designer watches (low = diverse, high =
+    redundant; the quantity behind Vendi-score-style diversity audits)
+    — WITHOUT materializing any pair. For unit vectors the moment
+    identity  sum_{i != j} u_i . u_j = ||sum u||^2 - n  collapses the
+    O(n^2) pairwise sum into one vector sum: normalize each embedding
+    (JVM higher-order functions), posexplode to (label, dim, value),
+    ONE groupBy for the per-dimension sums, square-and-sum, done. At
+    100 TB the shuffle carries |labels| x d rows — independent of
+    corpus size. No UDFs anywhere.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    u = emb.select(
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias("uv"),
+    )
+    dims = u.select("label", F.posexplode("uv").alias("i", "val"))
+    per_dim = dims.groupBy("label", "i").agg(F.sum("val").alias("sv"))
+    sumsq = per_dim.groupBy("label").agg(F.sum(F.col("sv") * F.col("sv")).alias("sumsq"))
+    counts = u.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return (
+        counts.join(sumsq, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                (F.col("sumsq") - F.col("n_vecs"))
+                / (F.col("n_vecs") * (F.col("n_vecs") - F.lit(1))),
+                6,
+            ).alias("mean_pairwise_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+# DoReMi step constants: uniform reference weights, step size eta.
+DOREMI_ETA = 1.0
+
+
+@register(
+    "doremi_domain_reweight",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             avg(ln(1 + n_chars)) AS proxy_loss
+      FROM documents GROUP BY source
+    ), base AS (
+      SELECT avg(proxy_loss) AS baseline FROM per
+    ), ex AS (
+      SELECT source, n_docs, round(proxy_loss, 6) AS proxy_loss,
+             round(greatest(proxy_loss - (SELECT baseline FROM base), 0), 6)
+               AS excess_loss,
+             exp({DOREMI_ETA} * greatest(
+               proxy_loss - (SELECT baseline FROM base), 0)) AS raw_w
+      FROM per
+    )
+    SELECT source, n_docs, proxy_loss, excess_loss,
+           round(raw_w / (SELECT sum(raw_w) FROM ex), 6) AS weight
+    FROM ex ORDER BY source
+    """,
+)
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining" — public): per-domain excess loss over the corpus
+    baseline drives a multiplicative-weights update
+    w_d proportional to exp(eta * excess_d), normalized. The proxy
+    loss here is the deterministic ln(1+n_chars) mean (a real run
+    plugs per-domain proxy-model losses into the same plan shape).
+    One map-side-combined groupBy over the corpus; the baseline and
+    the normalizer are single-row broadcasts — at 100 TB the only
+    full-data pass is the per-domain aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.log(F.lit(1) + F.col("n_chars"))).alias("proxy_loss_raw"),
+    )
+    base = per.agg(F.avg("proxy_loss_raw").alias("baseline"))
+    ex = per.crossJoin(F.broadcast(base)).select(
+        "source",
+        "n_docs",
+        F.round("proxy_loss_raw", 6).alias("proxy_loss"),
+        F.round(
+            F.greatest(F.col("proxy_loss_raw") - F.col("baseline"), F.lit(0.0)), 6
+        ).alias("excess_loss"),
+        F.exp(
+            F.lit(DOREMI_ETA)
+            * F.greatest(F.col("proxy_loss_raw") - F.col("baseline"), F.lit(0.0))
+        ).alias("raw_w"),
+    )
+    tot = ex.agg(F.sum("raw_w").alias("z"))
+    return (
+        ex.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "proxy_loss",
+            "excess_loss",
+            F.round(F.col("raw_w") / F.col("z"), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )

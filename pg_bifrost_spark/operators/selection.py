@@ -764,3 +764,73 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= WES_PER_GROUP)
         .orderBy("source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: best-of-n rejection sampling (RLHF-pipeline response selection)
+# ---------------------------------------------------------------------------
+BON_GROUPS = 100  # synthetic prompt grouping: doc_id % BON_GROUPS
+
+
+@register(
+    "rejection_sample_best_of_n",
+    oracle=f"""
+    WITH cand AS (
+      SELECT doc_id % {BON_GROUPS} AS prompt_id, doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+               / greatest(n_chars, 1) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT prompt_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY prompt_id ORDER BY score DESC, doc_id ASC
+             ) AS rk,
+             count(*) OVER (PARTITION BY prompt_id) AS n_candidates
+      FROM cand
+    )
+    SELECT prompt_id, doc_id AS chosen_doc_id, round(score, 6) AS score,
+           n_candidates
+    FROM ranked WHERE rk = 1 ORDER BY prompt_id
+    """,
+)
+def rejection_sample_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling: per prompt group, keep the single
+    highest-scoring candidate (deterministic doc_id tie-break) — the
+    selection step of a rejection-sampling / RAFT-style fine-tuning
+    pipeline (public: Dong et al. 2023, "RAFT: Reward rAnked
+    FineTuning"). Candidates here are documents bucketed into
+    ``doc_id % BON_GROUPS`` prompt groups with an alpha-density score
+    standing in for the reward model (a real run swaps in an RM score
+    column; the plan is identical). ONE window partitioned by
+    prompt_id — at 100 TB each prompt's candidate set is one task's
+    worth of work, never a global sort; no UDFs."""
+    docs = table(spark, sf_dir, "documents")
+    cand = docs.select(
+        (F.col("doc_id") % BON_GROUPS).alias("prompt_id"),
+        "doc_id",
+        (
+            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+            .cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("prompt_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = cand.select(
+        "prompt_id",
+        "doc_id",
+        "score",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("prompt_id")).alias("n_candidates"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "prompt_id",
+            F.col("doc_id").alias("chosen_doc_id"),
+            F.round("score", 6).alias("score"),
+            "n_candidates",
+        )
+        .orderBy("prompt_id")
+    )

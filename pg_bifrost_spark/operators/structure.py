@@ -524,3 +524,180 @@ def refinery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# r11: crawl-link extraction + markdown stripping
+# --------------------------------------------------------------------------
+# Planted anchors: every doc links to a deterministic host shard; every
+# third doc carries a second cross-shard link — enough structure for a
+# per-host outlink aggregate (the crawl-graph building block pagerank
+# consumes) without needing real crawl data in the fixture.
+HREF_RE = 'href="([^"]+)"'
+HOST_RE = "https://([^/]+)/"
+
+PLANT_LINKS_SQL = """docs_l AS (
+      SELECT doc_id,
+             '<p><a href="https://d' || (doc_id % 7)::VARCHAR
+             || '.example.org/page/' || doc_id::VARCHAR || '">ref</a> '
+             || CASE WHEN doc_id % 3 = 0
+                THEN '<a href="https://d' || ((doc_id + 1) % 7)::VARCHAR
+                     || '.example.org/x">x</a> ' ELSE '' END
+             || text || '</p>' AS text
+      FROM documents
+    )"""
+
+
+def plant_links(docs: DataFrame) -> DataFrame:
+    second = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<a href="https://d'),
+            ((F.col("doc_id") + 1) % 7).cast("string"),
+            F.lit('.example.org/x">x</a> '),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.lit('<p><a href="https://d'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.example.org/page/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">ref</a> '),
+            second,
+            F.col("text"),
+            F.lit("</p>"),
+        ),
+    )
+
+
+@register(
+    "html_link_extract",
+    oracle=f"""
+    WITH {PLANT_LINKS_SQL},
+    links AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{HREF_RE}', 1)) AS url
+      FROM docs_l
+    )
+    SELECT regexp_extract(url, '{HOST_RE}', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM links GROUP BY 1 ORDER BY host
+    """,
+)
+def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction: pull every ``href`` out of the page markup,
+    reduce to per-host outlink counts — the edge-list pass that feeds
+    crawl-frontier scheduling and the pagerank quality prior
+    (``pagerank_quality_prior``). Map-only regexp extraction + explode
+    feeding ONE map-side-combined groupBy on host; at 100 TB the
+    shuffle carries (host, partial-count) rows, never page bytes. The
+    href/host patterns stay in the Java-regex ∩ RE2 subset so Spark
+    and DuckDB agree byte-for-byte."""
+    docs = plant_links(table(spark, sf_dir, "documents"))
+    links = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(HREF_RE), 1)).alias("url"),
+    )
+    return (
+        links.select(
+            F.regexp_extract("url", HOST_RE, 1).alias("host"), "doc_id"
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_links"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("host")
+    )
+
+
+# Markdown plant: heading marker, bold, italic, an inline link and a
+# code span in front of every document — the constructs a
+# markdown-sourced training corpus must normalize away.
+MD_LINK_RE = r"\[([^\]]*)\]\([^)]*\)"
+MD_CODE_RE = "`([^`]*)`"
+MD_EMPH_RE = r"\*{1,2}([^*]+)\*{1,2}"
+MD_HEAD_RE = "#+ +"
+
+PLANT_MD_SQL = """docs_m AS (
+      SELECT doc_id,
+             '## T' || doc_id::VARCHAR || ' **b' || (doc_id % 5)::VARCHAR
+             || '** *i* [l' || doc_id::VARCHAR
+             || '](https://m.example.org/' || doc_id::VARCHAR
+             || ') `c' || (doc_id % 3)::VARCHAR || '` ' || text AS text
+      FROM documents
+    )"""
+
+
+def plant_markdown(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("## T"),
+            F.col("doc_id").cast("string"),
+            F.lit(" **b"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("** *i* [l"),
+            F.col("doc_id").cast("string"),
+            F.lit("](https://m.example.org/"),
+            F.col("doc_id").cast("string"),
+            F.lit(") `c"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("` "),
+            F.col("text"),
+        ),
+    )
+
+
+@register(
+    "markdown_strip_text",
+    oracle=rf"""
+    WITH {PLANT_MD_SQL}
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{MD_LINK_RE}')) AS BIGINT)
+             AS links_unwrapped,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(text,
+                  '{MD_LINK_RE}', '\1', 'g'),
+                  '{MD_CODE_RE}', '\1', 'g'),
+                  '{MD_EMPH_RE}', '\1', 'g'),
+                  '{MD_HEAD_RE}', '', 'g'),
+                  ' +', ' ', 'g')) AS stripped
+    FROM docs_m ORDER BY doc_id
+    """,
+)
+def markdown_strip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown → plain text normalization: unwrap ``[label](url)``
+    links to their labels, unquote inline code, drop bold/italic
+    markers and heading hashes, collapse the whitespace the removals
+    leave. Pure map-side regexp_replace chain (whole-stage codegen,
+    zero shuffle, zero UDFs); the patterns avoid lookaround so the
+    Java-regex and RE2 engines agree — only the replacement syntax
+    differs ($1 vs \\1), which the oracle mirrors."""
+    docs = plant_markdown(table(spark, sf_dir, "documents"))
+    stripped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("text", MD_LINK_RE, "$1"),
+                    MD_CODE_RE,
+                    "$1",
+                ),
+                MD_EMPH_RE,
+                "$1",
+            ),
+            MD_HEAD_RE,
+            "",
+        ),
+        " +",
+        " ",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(MD_LINK_RE), 0))
+        .cast("bigint")
+        .alias("links_unwrapped"),
+        F.trim(stripped).alias("stripped"),
+    ).orderBy("doc_id")

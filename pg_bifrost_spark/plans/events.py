@@ -652,3 +652,81 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: CUSUM mean-shift changepoint detection over daily event volumes
+# ---------------------------------------------------------------------------
+CUSUM_SLACK_FRAC = 0.1  # k = slack fraction of the series mean
+CUSUM_H_SIGMA = 3.0  # alarm threshold in stddevs
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), stats AS (
+      SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+      FROM daily GROUP BY event_type
+    ), dev AS (
+      SELECT d.event_type, d.day, d.n, s.mu, s.sigma,
+             sum(d.n - s.mu - {CUSUM_SLACK_FRAC} * s.mu) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM daily d JOIN stats s ON d.event_type = s.event_type
+    ), cusum AS (
+      SELECT event_type, day, n, sigma,
+             cum - least(min(cum) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ), 0) AS s_t
+      FROM dev
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           round(s_t, 6) AS cusum_stat,
+           CAST(s_t > {CUSUM_H_SIGMA} * sigma AS BOOLEAN) AS alarm
+    FROM cusum ORDER BY event_type, day
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM mean-shift detection (Page 1954) over daily
+    event counts per type. The textbook recursion
+    S_t = max(0, S_{{t-1}} + x_t - mu - k) is not window-expressible,
+    but the prefix identity  S_t = cum_t - min(0, min_{{j<=t}} cum_j)
+    (cum = running sum of deviations) turns it into TWO stock window
+    functions — running sum + running min — keeping the whole operator
+    in Catalyst. Scale: the windows run over the (event_type, day)
+    AGGREGATE (tiny — days x types rows), never the raw events; the
+    only corpus-sized pass is the map-side-combined daily count."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "cum",
+        F.sum(
+            F.col("n") - F.col("mu") - F.lit(CUSUM_SLACK_FRAC) * F.col("mu")
+        ).over(w),
+    )
+    cusum = dev.withColumn(
+        "s_t", F.col("cum") - F.least(F.min("cum").over(w), F.lit(0.0))
+    )
+    return cusum.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round("s_t", 6).alias("cusum_stat"),
+        (F.col("s_t") > F.lit(CUSUM_H_SIGMA) * F.col("sigma")).alias("alarm"),
+    ).orderBy("event_type", "day")

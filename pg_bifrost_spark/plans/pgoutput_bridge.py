@@ -105,17 +105,20 @@ def decode_pgoutput_frames(frames: DataFrame) -> DataFrame:
                 if d is None:
                     d = decoders[sid] = PgOutputDecoder()
                 try:
-                    line = d.decode(bytes(frame))
+                    events = d.decode_events(bytes(frame))
                 except PgOutputError:
                     d.stats["invalid_msgs"] += 1
                     continue
-                if line is None:
-                    continue
-                out["wal_start"].append(int(lsn))
-                out["server_wal_end"].append(int(lsn) + 8)
-                out["server_time_ms"].append(0)
-                out["stream_id"].append(int(sid))
-                out["line"].append(line)
+                # a replay frame (Commit Prepared / Stream Commit)
+                # yields a whole transaction: stamp line i at lsn+i so
+                # downstream ordering stays strict within the stream
+                # (frame LSNs are spaced ≥8 apart by the generators)
+                for i, line in enumerate(events):
+                    out["wal_start"].append(int(lsn) + i)
+                    out["server_wal_end"].append(int(lsn) + i + 8)
+                    out["server_time_ms"].append(0)
+                    out["stream_id"].append(int(sid))
+                    out["line"].append(line)
             yield pd.DataFrame(out)
 
     n_par = frames.sparkSession.sparkContext.defaultParallelism
@@ -149,6 +152,115 @@ def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pgoutput.py::test_live_transport_pgoutput_end_to_end."""
     orders = table(spark, sf_dir, "orders")
     frames = pgoutput_frames_from_orders(orders)
+    raw = decode_pgoutput_frames(frames)
+    out = data_messages(run_pipeline(raw, PipelineConfig()))
+    env = _env_once(out)
+    cols = F.col("env.columns")
+
+    def v(name: str) -> F.Column:
+        return F.element_at(F.element_at(cols, name), "new")["v"]
+
+    return env.select(
+        v("o_orderkey").cast("bigint").alias("o_orderkey"),
+        v("o_orderstatus").alias("o_orderstatus"),
+        F.round(v("o_totalprice").cast("double"), 2).alias("totalprice"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# two-phase commit bridge (r11): PREPARE TRANSACTION flows through the
+# same distributed decoder and pipeline
+# ---------------------------------------------------------------------------
+ROLLBACK_MOD = 10
+ROLLBACK_REMAINDER = 7
+
+
+def two_phase_frames_from_orders(
+    orders: DataFrame, n_streams: int = N_STREAMS
+) -> DataFrame:
+    """Each source row → a PREPARED transaction: Begin Prepare ('b') +
+    INSERT + Prepare ('P'), then Commit Prepared ('K') — except rows
+    with ``o_orderkey % 10 == 7``, which get Rollback Prepared ('r')
+    instead and must vanish from the output. LSN layout: lsn0 =
+    1000 + seq*48, frames at +0/+8/+16/+24; the Commit Prepared
+    replay's 3 lines land at +24/+25/+26 (strictly ordered, no
+    collision with the next txn at +48)."""
+    import pandas as pd
+
+    from ..cdc.pgoutput import (
+        encode_begin_prepare,
+        encode_commit_prepared,
+        encode_insert,
+        encode_prepare,
+        encode_relation,
+        encode_rollback_prepared,
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"stream_id": [], "wal_start": [], "frame": []}
+
+            def emit(sid: int, lsn: int, frame: bytes) -> None:
+                out["stream_id"].append(sid)
+                out["wal_start"].append(lsn)
+                out["frame"].append(frame)
+
+            for key, status, price in zip(
+                pdf["o_orderkey"], pdf["o_orderstatus"], pdf["o_totalprice"]
+            ):
+                seq = int(key)
+                sid = seq % n_streams
+                gid = f"gid-{seq}"
+                lsn0 = 1000 + seq * 48
+                emit(sid, lsn0, encode_begin_prepare(seq, gid))
+                emit(
+                    sid,
+                    lsn0 + 8,
+                    encode_insert(RELID, [str(seq), str(status), f"{float(price):.2f}"]),
+                )
+                emit(sid, lsn0 + 16, encode_prepare(seq, gid))
+                if seq % ROLLBACK_MOD == ROLLBACK_REMAINDER:
+                    emit(sid, lsn0 + 24, encode_rollback_prepared(seq, gid))
+                else:
+                    emit(sid, lsn0 + 24, encode_commit_prepared(seq, gid))
+            yield pd.DataFrame(out)
+
+    n_par = orders.sparkSession.sparkContext.defaultParallelism
+    frames = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").repartition(
+        n_par
+    ).mapInPandas(gen, "stream_id int, wal_start long, frame binary")
+
+    relation_frame = encode_relation(
+        RELID, "public", "orders", ORDERS_COLS, key_cols={"o_orderkey"}
+    )
+    heads = orders.sparkSession.range(n_streams).select(
+        F.col("id").cast("int").alias("stream_id"),
+        F.lit(0).cast("long").alias("wal_start"),
+        F.lit(relation_frame).alias("frame"),
+    )
+    return heads.unionByName(frames)
+
+
+@register(
+    "cdc_two_phase_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_orderkey % 10 <> 7
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_two_phase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREPARE TRANSACTION parity gate: every orders row rides a
+    two-phase transaction (b/INSERT/P, then K or — for keys ending in
+    7 — r), through the distributed pgoutput decoder and the full
+    shared pipeline. The oracle excludes the rolled-back keys, so a
+    decoder that leaked rolled-back prepares (or dropped committed
+    ones) hash-mismatches. The reference has no 2PC support at all
+    (test_decoding-only, utils/utils.go:50); this is engine surface
+    for native logical replication with ``two_phase = on`` slots."""
+    orders = table(spark, sf_dir, "orders")
+    frames = two_phase_frames_from_orders(orders)
     raw = decode_pgoutput_frames(frames)
     out = data_messages(run_pipeline(raw, PipelineConfig()))
     env = _env_once(out)
