@@ -199,7 +199,13 @@ GATE_PRIORITY: list[str] = [
     # decompress/parse); crawl-dedup evidence stays via
     # near_dup_rate_by_source + the winnowing/soft-reweight rows
     "ndjson_gz_ingest",
-    "near_dup_rate_by_source",
+    # r11 rotation: near_dup_rate_by_source (4 straight greens r7-r10)
+    # yields to the NEW r11 cdc_two_phase_roundtrip (PREPARE
+    # TRANSACTION parity — b/P/K/r frames through the distributed
+    # decoder, rolled-back GIDs must vanish); near-dup evidence stays
+    # via dedup_winnowing_fingerprint + dedup_soft_reweight +
+    # source_ngram_overlap, and the op stays oracle-backed + rehearsed
+    "cdc_two_phase_roundtrip",
     # LLM-data-pipeline: dedup family (planted-duplicate fixtures —
     # the gate must see these find duplicates, not match empty sets)
     # dedup_exact_documents (4 straight greens) yields to the NEW r6
@@ -232,7 +238,12 @@ GATE_PRIORITY: list[str] = [
     # yields its slot to the never-checked corpus_health_report
     # capstone — every plant-affected dedup row stays in the gate to
     # prove the new fixture vintage
-    "corpus_health_report",
+    # r11 rotation: corpus_health_report (4 straight greens r7-r10)
+    # yields to the NEW r11 embedding_diversity_report (exact mean
+    # pairwise cosine per label via the moment identity — the
+    # diversity number next to the dedup family); corpus-QA capstone
+    # evidence stays via refinery_pipeline + table_profile in gate
+    "embedding_diversity_report",
     # r9 rotation: dedup_containment (3 straight greens r6-r8) yields
     # to the NEW r9 privacy_k_anonymity_report (quasi-ID equivalence-
     # class audit — the privacy family's structured-records leg next
@@ -278,7 +289,12 @@ GATE_PRIORITY: list[str] = [
     # dedup_chunk_passages (3 straight greens) yields to the NEW r7
     # bloom-prefiltered exact incremental dedup; chunking evidence
     # stays via document_chunking
-    "dedup_bloom_prefilter",
+    # r11 rotation: dedup_bloom_prefilter (4 straight greens r7-r10)
+    # yields to the NEW r11 html_link_extract (per-host outlink
+    # edge-list extraction — the crawl-graph leg next to
+    # warc_ingest_records + pagerank_quality_prior); the bloom
+    # prefilter stays pytest-pinned (test_bloom) + oracle-rehearsed
+    "html_link_extract",
     # similarity / embeddings
     # ann_bruteforce_topk (3 straight greens) yielded to the
     # never-checked audio decoder in r7; r9: its batched sibling
@@ -344,7 +360,12 @@ GATE_PRIORITY: list[str] = [
     # NEW r7: the C4 cleaning recipe next to Gopher (planted line
     # structure; pii_redact_customers at 3 straight greens yields its
     # slot — PII evidence stays via pii_scan_documents)
-    "quality_c4_rules",
+    # r11 rotation: quality_c4_rules (4 straight greens r7-r10)
+    # yields to the NEW r11 doremi_domain_reweight (multiplicative-
+    # weights mixture step — the learning leg of the mixture family);
+    # rule-based quality evidence stays via quality_classifier_filter
+    # + quality_rank_calibration + quality_kn_trigram in gate
+    "doremi_domain_reweight",
     # r10-late rotation: tokenizer_fertility_by_lang (3 straight
     # greens r7-r9) yields to the NEW r10 cdc_scd2_history (SCD
     # Type-2 validity intervals over the change stream); fertility
@@ -421,7 +442,12 @@ GATE_PRIORITY: list[str] = [
     # per-paragraph language-mixture classifier; term-ranking evidence
     # stays via tokenizer_vocab_coverage + bm25_retrieval
     # (rare_token_score also rotated out this round, see below)
-    "doc_language_mixture",
+    # r11 rotation: doc_language_mixture (4 straight greens r7-r10)
+    # yields to the NEW r11 markdown_strip_text (markdown→plain
+    # normalization next to refinery_pipeline's HTML leg); language
+    # mixture evidence stays oracle-rehearsed + lang-family rows
+    # (text_mojibake_repair, text_readability_scores) stay in gate
+    "markdown_strip_text",
     # contamination_ngram (3 straight greens r4-r6) yields to the NEW
     # r7 strict prefix-truncation dedup (planted half-length clones);
     # n-gram-overlap evidence stays via ngram_novelty + its greens
@@ -492,7 +518,11 @@ GATE_PRIORITY: list[str] = [
     # NEW r7 robust median/MAD outlier detector (all-BIGINT decision
     # path); histogram evidence stays via ccnet_perplexity_buckets +
     # its recorded greens
-    "events_robust_mad_outliers",
+    # r11 rotation: events_robust_mad_outliers (4 straight greens
+    # r7-r10) yields to the NEW r11 events_cusum_changepoint (CUSUM
+    # mean-shift via the prefix identity — the sequential-detection
+    # leg of the same anomaly family); MAD stays oracle-rehearsed
+    "events_cusum_changepoint",
     # events_anomaly_zscore (3 straight greens) yields to the NEW r7
     # integer-PageRank quality prior (unrolled-CTE oracle); anomaly
     # evidence stays via the windows/events suite rows
@@ -513,7 +543,11 @@ GATE_PRIORITY: list[str] = [
     # r7-late coverage-first swap: retention_cohorts (green r5+r6,
     # plant-independent) yields to the never-checked
     # preference_pair_build
-    "preference_pair_build",
+    # r11 rotation: preference_pair_build (4 straight greens r7-r10)
+    # yields to the NEW r11 rejection_sample_best_of_n (the RAFT-style
+    # best-of-n selection step — natural succession inside the RLHF
+    # data family); pair-building stays oracle-rehearsed every round
+    "rejection_sample_best_of_n",
     # long-proven keepers — tumbling_window_stats and
     # scalar_function_suite anchor the streaming-stats (A6/A7) and
     # scalar-suite (§2.9) evidence rows. Rotated OUT after >=3
