@@ -177,6 +177,17 @@ HEADLINE = [
     # higher-order digit arithmetic in codegen
     "ndjson_gz_ingest",
     "pii_luhn_cards",
+    # r11 batch (frozen as ops landed; ONE end-of-round baseline
+    # refresh per the r10 discipline note): the 2PC capstone pays the
+    # same encode+decode+pipeline cost as the pgoutput roundtrip; the
+    # rest are Catalyst-only aggregates/regexp chains
+    "cdc_two_phase_roundtrip",
+    "embedding_diversity_report",
+    "doremi_domain_reweight",
+    "rejection_sample_best_of_n",
+    "events_cusum_changepoint",
+    "html_link_extract",
+    "markdown_strip_text",
     "cdc_lineitem_roundtrip",
 ]
 

@@ -817,15 +817,19 @@ def rejection_sample_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("prompt_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
+    # candidate counts as a separate map-side-combined aggregate
+    # joined back broadcast: sharing the rank window with an unbounded
+    # count() window would defeat the Partial WindowGroupLimit (each
+    # map partition must forward at most ONE candidate per prompt)
+    n_cand = cand.groupBy("prompt_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
     ranked = cand.select(
-        "prompt_id",
-        "doc_id",
-        "score",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy("prompt_id")).alias("n_candidates"),
+        "prompt_id", "doc_id", "score", F.row_number().over(w).alias("rk")
     )
     return (
         ranked.filter(F.col("rk") == 1)
+        .join(F.broadcast(n_cand), "prompt_id")
         .select(
             "prompt_id",
             F.col("doc_id").alias("chosen_doc_id"),

@@ -19,7 +19,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import register, table
+from . import register, table, tracked_cache
 from ..cdc.pipeline import PipelineConfig, data_messages, run_pipeline
 from .cdc_bridge import _env_once
 
@@ -152,7 +152,14 @@ def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pgoutput.py::test_live_transport_pgoutput_end_to_end."""
     orders = table(spark, sf_dir, "orders")
     frames = pgoutput_frames_from_orders(orders)
-    raw = decode_pgoutput_frames(frames)
+    # cache the decoded lines: run_pipeline's fast/slow parse split
+    # references its input twice, and without this the encode+decode
+    # Arrow kernels execute TWICE (no exchange reuse across the two
+    # filter branches — measured 24.3 s vs 9.5 s at sf0.1, r11). The
+    # cache is line-sized (not frame-sized) and released by
+    # release_caches(); a 100 TB deployment spills via
+    # MEMORY_AND_DISK or checkpoints the decode output the same way.
+    raw = tracked_cache(decode_pgoutput_frames(frames))
     out = data_messages(run_pipeline(raw, PipelineConfig()))
     env = _env_once(out)
     cols = F.col("env.columns")
@@ -261,7 +268,8 @@ def cdc_two_phase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for native logical replication with ``two_phase = on`` slots."""
     orders = table(spark, sf_dir, "orders")
     frames = two_phase_frames_from_orders(orders)
-    raw = decode_pgoutput_frames(frames)
+    # same double-execution guard as cdc_pgoutput_roundtrip above
+    raw = tracked_cache(decode_pgoutput_frames(frames))
     out = data_messages(run_pipeline(raw, PipelineConfig()))
     env = _env_once(out)
     cols = F.col("env.columns")

@@ -1121,3 +1121,101 @@ def test_ndjson_gz_chained_kernels_no_exchange_between(spark):
     lines = [l.strip("+-: ") for l in text.splitlines()]
     i = next(k for k, l in enumerate(lines) if l.startswith("MapInPandas parse_ndjson"))
     assert lines[i + 1].startswith("MapInPandas build_ndjson"), lines[i : i + 2]
+
+
+# ---------------------------------------------------------------------------
+# r11 plan pins
+# ---------------------------------------------------------------------------
+def test_two_phase_roundtrip_same_shape_as_pgoutput_bridge(spark):
+    """The 2PC bridge must pay exactly the pgoutput bridge's costs:
+    encode kernel + per-stream decode kernel + the pipeline's single
+    parse stage (3 Arrow stages), never a row-at-a-time UDF, and no
+    window anywhere (txn assembly is stamped at the source)."""
+    text = plan_of(spark, "cdc_two_phase_roundtrip")
+    # the decoded-lines cache feeds BOTH parse branches (fast JVM /
+    # slow Arrow): the encode+decode kernels execute once behind the
+    # InMemoryRelation (the plan PRINTS their subtree under each cache
+    # scan, so counting MapInPandas nodes overcounts; the two cache
+    # scans are the real pin — without the cache the kernels run
+    # twice, measured 24.3 s vs 9.5 s at sf0.1)
+    assert text.count("InMemoryTableScan") == 2, text.count("InMemoryTableScan")
+    assert sum("MapInPandas parse_lines" in l for l in text.splitlines()) == 1
+    assert "BatchEvalPython" not in text
+    # the batch-replay bridge assembles transactions with the
+    # stream-partitioned window (one stream = one task, 64 streams
+    # scale out); a GLOBAL window (no partition spec) would serialize
+    # the replay through one task and must never appear
+    assert "windowspecdefinition(stream_id" in text
+    assert "windowspecdefinition()" not in text
+    import pg_bifrost_spark.plans as _plans
+
+    _plans.release_caches()
+
+
+def test_embedding_diversity_no_pairs_no_python(spark):
+    """The moment identity must keep this O(n*d): no join of the
+    embedding relation against itself (no SortMergeJoin/Cartesian on
+    corpus-sized inputs), no Python, no window — the only shuffles are
+    the (label, dim) and label aggregates, whose key spaces are
+    data-size-independent."""
+    text = plan_of(spark, "embedding_diversity_report")
+    assert "CartesianProduct" not in text and "BatchEvalPython" not in text
+    assert "Window" not in text
+    # two scans are correct: the counts leg re-reads ONLY the label
+    # column (columnar pruning makes it near-free); what must never
+    # appear is the embeddings relation joined against itself at
+    # vector width (that would be the O(n^2) pairwise plan)
+    assert text.count("Scan parquet") <= 2, text.count("Scan parquet")
+    df = plans.QUERIES["embedding_diversity_report"](spark, SF)
+    ftext = formatted(df)
+    schemas = [l.split("ReadSchema:")[1] for l in ftext.splitlines() if "ReadSchema:" in l]
+    assert any("embedding" not in sch for sch in schemas), schemas
+
+
+def test_doremi_reweight_broadcast_scalars(spark):
+    """Baseline and normalizer are single-row aggregates joined back
+    as broadcasts — never a shuffle join against the per-domain
+    relation."""
+    text = plan_of(spark, "doremi_domain_reweight")
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+    assert "BatchEvalPython" not in text
+
+
+def test_best_of_n_rank_is_partial_group_limit(spark):
+    """The rk=1 filter must become a Partial WindowGroupLimit: each
+    map partition forwards at most one candidate per prompt across
+    the wire."""
+    text = plan_of(spark, "rejection_sample_best_of_n")
+    assert "row_number(), 1, Partial" in text, text
+    assert "BatchEvalPython" not in text
+
+
+def test_cusum_windows_run_on_daily_aggregate(spark):
+    """The CUSUM windows must consume the (event_type, day) aggregate,
+    not raw events: the window's child side carries a HashAggregate,
+    the stats join is broadcast, and there is no Python."""
+    text = plan_of(spark, "events_cusum_changepoint")
+    assert "BroadcastHashJoin" in text
+    assert "windowspecdefinition(event_type" in text
+    assert "BatchEvalPython" not in text
+
+
+def test_link_extract_map_side_explode_one_wide_agg(spark):
+    """href explode is map-side; the only corpus-sized shuffle keys on
+    host (+ the distinct-doc expand) — no joins, no windows, no
+    Python."""
+    text = plan_of(spark, "html_link_extract")
+    assert "Join" not in text and "Window" not in text
+    assert "BatchEvalPython" not in text and "MapInPandas" not in text
+
+
+def test_markdown_strip_zero_shuffle_codegen(spark):
+    """The markdown normalizer is a pure regexp_replace chain: no
+    exchange before the presentation sort, no Python anywhere."""
+    import re
+
+    text = plan_of(spark, "markdown_strip_text")
+    exchanges = re.findall(r"Exchange (\w+)partitioning", text)
+    assert exchanges == ["range"], exchanges
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text

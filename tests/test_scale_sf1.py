@@ -89,6 +89,20 @@ FAMILY = [
     "quality_kn_trigram",
     "warc_ingest_records",
     "table_profile",
+    # r11: the 2PC bridge buffers whole prepared transactions per GID
+    # inside the decode kernel — per-stream memory must stay O(open
+    # prepares), and the cached-lines guard must keep the kernels
+    # single-execution at 10x just as at 1x
+    "cdc_two_phase_roundtrip",
+    # r11: the diversity report's only corpus-sized work is the
+    # map-side posexplode+combine; its shuffle keys on (label, dim) —
+    # a DATA-SIZE-INDEPENDENT key space, so 10x data must cost ~1x
+    # shuffle and the ratio should be among the family's flattest
+    "embedding_diversity_report",
+    # r11: href explode fans out ~links-per-doc rows map-side before
+    # the host-keyed combine — the explode must never materialize
+    # through an exchange at page-bytes width
+    "html_link_extract",
 ]
 
 
