@@ -603,6 +603,19 @@ class PgOutputDecoder:
                 self._stream_overflow.discard(xid)
                 self.stats["origin_txns_skipped"] += 1
                 return []
+            if xid in self._stream_overflow:
+                # refused transaction: its buffered messages must NOT
+                # become durable either — surfacing outbox markers for
+                # a transaction whose data was never emitted would
+                # desync side channels from the data stream
+                # (code-review r11 #3; matches the 2PC overflow path)
+                self._stream_msgs.pop(xid, None)
+                self._stream_overflow.discard(xid)
+                raise PgOutputOverflow(
+                    f"streamed transaction {xid} exceeded max_streamed_lines="
+                    f"{self.max_streamed_lines}; refusing to emit a silently "
+                    "truncated transaction"
+                )
             # the transaction is now durable: publish its buffered
             # transactional messages (bounded, drop-newest — mirrors
             # the non-streamed path)
@@ -611,13 +624,6 @@ class PgOutputDecoder:
                     self.stats["messages_dropped"] += 1
                 else:
                     self.messages.append(m)
-            if xid in self._stream_overflow:
-                self._stream_overflow.discard(xid)
-                raise PgOutputOverflow(
-                    f"streamed transaction {xid} exceeded max_streamed_lines="
-                    f"{self.max_streamed_lines}; refusing to emit a silently "
-                    "truncated transaction"
-                )
             buf = self._stream_buf.pop(xid, [])
             self.stats["stream_commits"] += 1
             return [f"BEGIN {xid}", *[line for _, line in buf], f"COMMIT {xid}"]

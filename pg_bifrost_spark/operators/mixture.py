@@ -476,17 +476,20 @@ def embedding_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the shuffle carries |labels| x d rows — independent of
     corpus size. No UDFs anywhere.
     """
-    emb = table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
+    from .similarity import _as_double, _norm
+
+    # norm computed ONCE per row via withColumn (the similarity
+    # family's established pattern) — embedding the aggregate inside
+    # the transform lambda would re-evaluate the O(d) norm per
+    # ELEMENT, an O(d^2) normalize stage (code-review r11 #4)
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .select("label", _as_double().alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
     )
     u = emb.select(
         "label",
-        F.transform(F.col("embedding"), lambda x: x.cast("double") / norm).alias("uv"),
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("uv"),
     )
     dims = u.select("label", F.posexplode("uv").alias("i", "val"))
     per_dim = dims.groupBy("label", "i").agg(F.sum("val").alias("sv"))
@@ -507,8 +510,9 @@ def embedding_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DoReMi step constants: uniform reference weights, step size eta.
-DOREMI_ETA = 1.0
+# DoReMi step: integer eta so the log-weight stays exact integer
+# arithmetic (see the quantization note in the op docstring).
+DOREMI_ETA = 3
 
 
 @register(
@@ -516,61 +520,70 @@ DOREMI_ETA = 1.0
     oracle=f"""
     WITH per AS (
       SELECT source, count(*) AS n_docs,
-             avg(ln(1 + n_chars)) AS proxy_loss
+             CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
       FROM documents GROUP BY source
-    ), base AS (
-      SELECT avg(proxy_loss) AS baseline FROM per
-    ), ex AS (
-      SELECT source, n_docs, round(proxy_loss, 6) AS proxy_loss,
-             round(greatest(proxy_loss - (SELECT baseline FROM base), 0), 6)
-               AS excess_loss,
-             exp({DOREMI_ETA} * greatest(
-               proxy_loss - (SELECT baseline FROM base), 0)) AS raw_w
+    ), q AS (
+      SELECT source, n_docs, avg_chars,
+             CAST(floor(1000000 * ln(1 + avg_chars)) AS BIGINT)
+               AS proxy_loss_e6
       FROM per
+    ), base AS (
+      SELECT CAST(floor(avg(proxy_loss_e6)) AS BIGINT) AS baseline_e6
+      FROM q
     )
-    SELECT source, n_docs, proxy_loss, excess_loss,
-           round(raw_w / (SELECT sum(raw_w) FROM ex), 6) AS weight
-    FROM ex ORDER BY source
+    SELECT source, n_docs, avg_chars, proxy_loss_e6,
+           greatest(proxy_loss_e6 - (SELECT baseline_e6 FROM base), 0)
+             AS excess_e6,
+           {DOREMI_ETA} * greatest(
+             proxy_loss_e6 - (SELECT baseline_e6 FROM base), 0)
+             AS logweight_e6
+    FROM q ORDER BY source
     """,
 )
 def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One DoReMi-style domain-reweighting step (Xie et al. 2023,
     "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
     Pretraining" — public): per-domain excess loss over the corpus
-    baseline drives a multiplicative-weights update
-    w_d proportional to exp(eta * excess_d), normalized. The proxy
-    loss here is the deterministic ln(1+n_chars) mean (a real run
-    plugs per-domain proxy-model losses into the same plan shape).
-    One map-side-combined groupBy over the corpus; the baseline and
-    the normalizer are single-row broadcasts — at 100 TB the only
-    full-data pass is the per-domain aggregate."""
+    baseline drives the multiplicative-weights update
+    ln w_d = eta * excess_d - ln Z. The gate output carries the
+    UN-normalized log-weight, floor-quantized to e6 integers — the
+    mixture family's established bit-stable form (alpha_logweight_e7
+    precedent; the registry convention bans round() on double
+    aggregates because Spark/DuckDB disagree on rounding boundaries).
+    The proxy loss is ln(1 + avg_chars) where avg_chars is an exact
+    integer sum over an exact count (ONE double division — the only
+    bit-stable way to average); a real run plugs per-domain
+    proxy-model losses into the same plan shape, and the softmax
+    normalization (exp + sum) happens downstream at apply time.
+    One map-side-combined groupBy over the corpus; baseline is a
+    single-row broadcast — at 100 TB the only full-data pass is the
+    per-domain aggregate."""
     docs = table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.avg(F.log(F.lit(1) + F.col("n_chars"))).alias("proxy_loss_raw"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
     )
-    base = per.agg(F.avg("proxy_loss_raw").alias("baseline"))
-    ex = per.crossJoin(F.broadcast(base)).select(
-        "source",
-        "n_docs",
-        F.round("proxy_loss_raw", 6).alias("proxy_loss"),
-        F.round(
-            F.greatest(F.col("proxy_loss_raw") - F.col("baseline"), F.lit(0.0)), 6
-        ).alias("excess_loss"),
-        F.exp(
-            F.lit(DOREMI_ETA)
-            * F.greatest(F.col("proxy_loss_raw") - F.col("baseline"), F.lit(0.0))
-        ).alias("raw_w"),
+    q = per.withColumn(
+        "proxy_loss_e6",
+        F.floor(F.lit(1_000_000) * F.log(F.lit(1.0) + F.col("avg_chars"))).cast(
+            "bigint"
+        ),
     )
-    tot = ex.agg(F.sum("raw_w").alias("z"))
+    base = q.agg(
+        F.floor(F.avg("proxy_loss_e6")).cast("bigint").alias("baseline_e6")
+    )
+    excess = F.greatest(
+        F.col("proxy_loss_e6") - F.col("baseline_e6"), F.lit(0).cast("bigint")
+    )
     return (
-        ex.crossJoin(F.broadcast(tot))
+        q.crossJoin(F.broadcast(base))
         .select(
             "source",
             "n_docs",
-            "proxy_loss",
-            "excess_loss",
-            F.round(F.col("raw_w") / F.col("z"), 6).alias("weight"),
+            "avg_chars",
+            "proxy_loss_e6",
+            excess.alias("excess_e6"),
+            (F.lit(DOREMI_ETA) * excess).alias("logweight_e6"),
         )
         .orderBy("source")
     )

@@ -778,7 +778,7 @@ BON_GROUPS = 100  # synthetic prompt grouping: doc_id % BON_GROUPS
     WITH cand AS (
       SELECT doc_id % {BON_GROUPS} AS prompt_id, doc_id,
              CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
-               / greatest(n_chars, 1) AS score
+               / greatest(n_chars, 1) AS score  -- raw integer-ratio division
       FROM documents
     ), ranked AS (
       SELECT prompt_id, doc_id, score,
@@ -788,8 +788,7 @@ BON_GROUPS = 100  # synthetic prompt grouping: doc_id % BON_GROUPS
              count(*) OVER (PARTITION BY prompt_id) AS n_candidates
       FROM cand
     )
-    SELECT prompt_id, doc_id AS chosen_doc_id, round(score, 6) AS score,
-           n_candidates
+    SELECT prompt_id, doc_id AS chosen_doc_id, score, n_candidates
     FROM ranked WHERE rk = 1 ORDER BY prompt_id
     """,
 )
@@ -833,7 +832,9 @@ def rejection_sample_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "prompt_id",
             F.col("doc_id").alias("chosen_doc_id"),
-            F.round("score", 6).alias("score"),
+            # raw integer-ratio double division — bit-stable on both
+            # engines; round() on doubles is the banned coin flip
+            "score",
             "n_candidates",
         )
         .orderBy("prompt_id")

@@ -657,57 +657,72 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # r11: CUSUM mean-shift changepoint detection over daily event volumes
 # ---------------------------------------------------------------------------
-CUSUM_SLACK_FRAC = 0.1  # k = slack fraction of the series mean
-CUSUM_H_SIGMA = 3.0  # alarm threshold in stddevs
+# Slack k = mu/10 and threshold h = 3*sigma, both expressed in EXACT
+# integer arithmetic (see the op docstring's scaling identity).
+CUSUM_H_SIGMA = 3
 
 
 @register(
     "events_cusum_changepoint",
-    oracle=f"""
+    oracle="""
     WITH daily AS (
       SELECT event_type, date_trunc('day', ts) AS day,
-             CAST(count(*) AS DOUBLE) AS n
+             CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY event_type, date_trunc('day', ts)
     ), stats AS (
-      SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
       FROM daily GROUP BY event_type
     ), dev AS (
-      SELECT d.event_type, d.day, d.n, s.mu, s.sigma,
-             sum(d.n - s.mu - {CUSUM_SLACK_FRAC} * s.mu) OVER (
+      SELECT d.event_type, d.day, d.n, t.cnt, t.s, t.ss,
+             sum(10 * t.cnt * d.n - 11 * t.s) OVER (
                PARTITION BY d.event_type ORDER BY d.day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS cum
-      FROM daily d JOIN stats s ON d.event_type = s.event_type
+      FROM daily d JOIN stats t ON d.event_type = t.event_type
     ), cusum AS (
-      SELECT event_type, day, n, sigma,
+      SELECT event_type, day, n, cnt, s, ss,
              cum - least(min(cum) OVER (
                PARTITION BY event_type ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ), 0) AS s_t
+             ), 0) AS s_t_scaled
       FROM dev
     )
-    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
-           round(s_t, 6) AS cusum_stat,
-           CAST(s_t > {CUSUM_H_SIGMA} * sigma AS BOOLEAN) AS alarm
+    SELECT event_type, day, n AS n_events,
+           CAST(s_t_scaled AS DOUBLE) / (10 * cnt) AS cusum_stat,
+           CAST(s_t_scaled AS DOUBLE) * CAST(s_t_scaled AS DOUBLE)
+             > 900.0 * CAST(cnt * ss - s * s AS DOUBLE) AS alarm
     FROM cusum ORDER BY event_type, day
     """,
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM mean-shift detection (Page 1954) over daily
-    event counts per type. The textbook recursion
-    S_t = max(0, S_{{t-1}} + x_t - mu - k) is not window-expressible,
-    but the prefix identity  S_t = cum_t - min(0, min_{{j<=t}} cum_j)
-    (cum = running sum of deviations) turns it into TWO stock window
-    functions — running sum + running min — keeping the whole operator
-    in Catalyst. Scale: the windows run over the (event_type, day)
-    AGGREGATE (tiny — days x types rows), never the raw events; the
-    only corpus-sized pass is the map-side-combined daily count."""
+    event counts per type, in EXACT integer arithmetic end to end.
+
+    Two identities make this both window-expressible and bit-stable:
+    (1) the textbook recursion S_t = max(0, S_{t-1} + x_t - mu - k)
+    equals cum_t - min(0, min_{j<=t} cum_j) for cum = running sum of
+    deviations — two stock window functions; (2) scaling deviations by
+    10*cnt turns x_t - 1.1*mu (with mu = s/cnt, k = mu/10) into
+    10*cnt*x_t - 11*s, an exact BIGINT — the running sum/min stay
+    integers, so Spark's and DuckDB's different windowed-aggregation
+    association orders cannot produce ULP drift (the registry's
+    no-rounded-double-aggregates convention). The emitted statistic is
+    one integer-over-integer division (bit-stable); the 3-sigma alarm
+    compares s_t^2 > 9*var via 900*(cnt*ss - s^2), squares taken in
+    double to bound magnitudes.
+
+    Scale: the windows run over the (event_type, day) AGGREGATE (days
+    x types rows), never raw events; the only corpus-sized pass is the
+    map-side-combined daily count."""
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date(F.col("ts")).alias("day")
-    ).agg(F.count("*").cast("double").alias("n"))
+    ).agg(F.count("*").cast("bigint").alias("n"))
     stats = daily.groupBy("event_type").agg(
-        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ss"),
     )
     w = (
         W.partitionBy("event_type")
@@ -717,16 +732,22 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = daily.join(F.broadcast(stats), "event_type").withColumn(
         "cum",
         F.sum(
-            F.col("n") - F.col("mu") - F.lit(CUSUM_SLACK_FRAC) * F.col("mu")
+            F.lit(10) * F.col("cnt") * F.col("n") - F.lit(11) * F.col("s")
         ).over(w),
     )
     cusum = dev.withColumn(
-        "s_t", F.col("cum") - F.least(F.min("cum").over(w), F.lit(0.0))
+        "s_t_scaled",
+        F.col("cum") - F.least(F.min("cum").over(w), F.lit(0).cast("bigint")),
     )
+    scaled_d = F.col("s_t_scaled").cast("double")
     return cusum.select(
         "event_type",
         "day",
-        F.col("n").cast("bigint").alias("n_events"),
-        F.round("s_t", 6).alias("cusum_stat"),
-        (F.col("s_t") > F.lit(CUSUM_H_SIGMA) * F.col("sigma")).alias("alarm"),
+        F.col("n").alias("n_events"),
+        (scaled_d / (F.lit(10) * F.col("cnt"))).alias("cusum_stat"),
+        (
+            scaled_d * scaled_d
+            > F.lit(900.0)
+            * (F.col("cnt") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        ).alias("alarm"),
     ).orderBy("event_type", "day")

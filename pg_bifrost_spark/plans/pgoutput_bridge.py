@@ -30,43 +30,34 @@ RELID = 4711
 ORDERS_COLS = [("o_orderkey", 20, -1), ("o_orderstatus", 25, -1), ("o_totalprice", 701, -1)]
 
 
-def pgoutput_frames_from_orders(orders: DataFrame, n_streams: int = N_STREAMS) -> DataFrame:
-    """Each source row → BEGIN + INSERT + COMMIT binary pgoutput frames
-    with the bridge's deterministic LSN arithmetic (lsn0 = 1000 +
-    seq*24), sharded into ``n_streams`` independent streams with the
-    per-stream Relation frame at wal_start 0 — the registry prefix a
-    real session always receives before a relation's first tuple."""
+def _frames_from_orders(
+    orders: DataFrame,
+    row_frames,
+    n_streams: int = N_STREAMS,
+) -> DataFrame:
+    """Shared bridge scaffolding (code-review r11 #5): shard source
+    rows into ``n_streams`` independent streams, emit each row's
+    frames from ``row_frames(seq, status, price) -> [(lsn, frame)]``,
+    and prepend the per-stream Relation frame at wal_start 0 — the
+    registry prefix a real session always receives before a
+    relation's first tuple. The plain and two-phase generators differ
+    ONLY in their per-row frame list."""
     import pandas as pd
 
-    from ..cdc.pgoutput import (
-        encode_begin,
-        encode_commit,
-        encode_insert,
-        encode_relation,
-    )
+    from ..cdc.pgoutput import encode_relation
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = {"stream_id": [], "wal_start": [], "frame": []}
-
-            def emit(sid: int, lsn: int, frame: bytes) -> None:
-                out["stream_id"].append(sid)
-                out["wal_start"].append(lsn)
-                out["frame"].append(frame)
-
             for key, status, price in zip(
                 pdf["o_orderkey"], pdf["o_orderstatus"], pdf["o_totalprice"]
             ):
                 seq = int(key)
                 sid = seq % n_streams
-                lsn0 = 1000 + seq * 24
-                emit(sid, lsn0, encode_begin(seq))
-                emit(
-                    sid,
-                    lsn0 + 8,
-                    encode_insert(RELID, [str(seq), str(status), f"{float(price):.2f}"]),
-                )
-                emit(sid, lsn0 + 16, encode_commit())
+                for lsn, frame in row_frames(seq, str(status), float(price)):
+                    out["stream_id"].append(sid)
+                    out["wal_start"].append(lsn)
+                    out["frame"].append(frame)
             yield pd.DataFrame(out)
 
     n_par = orders.sparkSession.sparkContext.defaultParallelism
@@ -85,18 +76,52 @@ def pgoutput_frames_from_orders(orders: DataFrame, n_streams: int = N_STREAMS) -
     return heads.unionByName(frames)
 
 
-def decode_pgoutput_frames(frames: DataFrame) -> DataFrame:
+def _plain_row_frames(seq: int, status: str, price: float) -> list:
+    """BEGIN + INSERT + COMMIT at lsn0 = 1000 + seq*24 (+0/+8/+16).
+
+    The xid is ``seq`` truncated to 32 bits — PostgreSQL xids ARE
+    uint32, and at 100x data the replicated orderkeys exceed 2^32
+    (struct.error in the encode kernel, caught at the r11 sf10 run).
+    Payload values carry the FULL key, so truncation cannot alias the
+    gate output; time_based_key disambiguates any xid reuse exactly
+    as it does for real wraparound."""
+    from ..cdc.pgoutput import encode_begin, encode_commit, encode_insert
+
+    lsn0 = 1000 + seq * 24
+    return [
+        (lsn0, encode_begin(seq & 0xFFFFFFFF)),
+        (lsn0 + 8, encode_insert(RELID, [str(seq), status, f"{price:.2f}"])),
+        (lsn0 + 16, encode_commit()),
+    ]
+
+
+def pgoutput_frames_from_orders(orders: DataFrame, n_streams: int = N_STREAMS) -> DataFrame:
+    """Each source row → BEGIN + INSERT + COMMIT binary pgoutput
+    frames with deterministic LSN arithmetic (see _plain_row_frames)."""
+    return _frames_from_orders(orders, _plain_row_frames, n_streams)
+
+
+def decode_pgoutput_frames(
+    frames: DataFrame, max_streamed_lines: int | None = None
+) -> DataFrame:
     """Binary frames → RAW_LINE_SCHEMA canonical lines. Streams are
     co-located (repartition on stream_id) and decoded in wal_start
     order with one PgOutputDecoder per stream — Relation frames feed
     the registry and emit nothing, every other frame renders its
     test_decoding line. Malformed frames are dropped and counted,
-    matching the live adapter (client.go:470-482 analog)."""
+    matching the live adapter (client.go:470-482 analog).
+
+    ``max_streamed_lines`` is the per-decoder streamed/prepared-txn
+    buffer cap (a deployment sizes it to executor memory — see
+    PgOutputDecoder); exceeding it raises PgOutputOverflow through the
+    job, never a silently truncated transaction."""
     import pandas as pd
 
     from ..cdc.pgoutput import PgOutputDecoder, PgOutputError
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from ..cdc.pgoutput import PgOutputOverflow
+
         decoders: dict[int, PgOutputDecoder] = {}
         for pdf in batches:
             out = {"wal_start": [], "server_wal_end": [], "server_time_ms": [], "stream_id": [], "line": []}
@@ -104,8 +129,17 @@ def decode_pgoutput_frames(frames: DataFrame) -> DataFrame:
                 d = decoders.get(sid)
                 if d is None:
                     d = decoders[sid] = PgOutputDecoder()
+                    if max_streamed_lines is not None:
+                        d.max_streamed_lines = max_streamed_lines
                 try:
                     events = d.decode_events(bytes(frame))
+                except PgOutputOverflow:
+                    # overflow is NOT a malformed frame: dropping it
+                    # here would silently lose a whole transaction —
+                    # the exact data-loss class the overflow contract
+                    # forbids (cdc/pgoutput.py PgOutputOverflow). The
+                    # live adapter re-raises too (sources/protocol.py).
+                    raise
                 except PgOutputError:
                     d.stats["invalid_msgs"] += 1
                     continue
@@ -182,70 +216,42 @@ ROLLBACK_MOD = 10
 ROLLBACK_REMAINDER = 7
 
 
-def two_phase_frames_from_orders(
-    orders: DataFrame, n_streams: int = N_STREAMS
-) -> DataFrame:
-    """Each source row → a PREPARED transaction: Begin Prepare ('b') +
-    INSERT + Prepare ('P'), then Commit Prepared ('K') — except rows
-    with ``o_orderkey % 10 == 7``, which get Rollback Prepared ('r')
-    instead and must vanish from the output. LSN layout: lsn0 =
-    1000 + seq*48, frames at +0/+8/+16/+24; the Commit Prepared
-    replay's 3 lines land at +24/+25/+26 (strictly ordered, no
-    collision with the next txn at +48)."""
-    import pandas as pd
-
+def _two_phase_row_frames(seq: int, status: str, price: float) -> list:
+    """Begin Prepare + INSERT + Prepare, then Commit Prepared — or,
+    for ``seq % 10 == 7``, Rollback Prepared (the row must vanish).
+    LSN layout: lsn0 = 1000 + seq*48, frames at +0/+8/+16/+24; the
+    Commit Prepared replay's 3 lines land at +24/+25/+26 (strictly
+    ordered, no collision with the next transaction at +48)."""
     from ..cdc.pgoutput import (
         encode_begin_prepare,
         encode_commit_prepared,
         encode_insert,
         encode_prepare,
-        encode_relation,
         encode_rollback_prepared,
     )
 
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            out = {"stream_id": [], "wal_start": [], "frame": []}
-
-            def emit(sid: int, lsn: int, frame: bytes) -> None:
-                out["stream_id"].append(sid)
-                out["wal_start"].append(lsn)
-                out["frame"].append(frame)
-
-            for key, status, price in zip(
-                pdf["o_orderkey"], pdf["o_orderstatus"], pdf["o_totalprice"]
-            ):
-                seq = int(key)
-                sid = seq % n_streams
-                gid = f"gid-{seq}"
-                lsn0 = 1000 + seq * 48
-                emit(sid, lsn0, encode_begin_prepare(seq, gid))
-                emit(
-                    sid,
-                    lsn0 + 8,
-                    encode_insert(RELID, [str(seq), str(status), f"{float(price):.2f}"]),
-                )
-                emit(sid, lsn0 + 16, encode_prepare(seq, gid))
-                if seq % ROLLBACK_MOD == ROLLBACK_REMAINDER:
-                    emit(sid, lsn0 + 24, encode_rollback_prepared(seq, gid))
-                else:
-                    emit(sid, lsn0 + 24, encode_commit_prepared(seq, gid))
-            yield pd.DataFrame(out)
-
-    n_par = orders.sparkSession.sparkContext.defaultParallelism
-    frames = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").repartition(
-        n_par
-    ).mapInPandas(gen, "stream_id int, wal_start long, frame binary")
-
-    relation_frame = encode_relation(
-        RELID, "public", "orders", ORDERS_COLS, key_cols={"o_orderkey"}
+    gid = f"gid-{seq}"  # the gid carries the untruncated identity
+    xid = seq & 0xFFFFFFFF  # uint32, same wraparound note as above
+    lsn0 = 1000 + seq * 48
+    last = (
+        encode_rollback_prepared(xid, gid)
+        if seq % ROLLBACK_MOD == ROLLBACK_REMAINDER
+        else encode_commit_prepared(xid, gid)
     )
-    heads = orders.sparkSession.range(n_streams).select(
-        F.col("id").cast("int").alias("stream_id"),
-        F.lit(0).cast("long").alias("wal_start"),
-        F.lit(relation_frame).alias("frame"),
-    )
-    return heads.unionByName(frames)
+    return [
+        (lsn0, encode_begin_prepare(xid, gid)),
+        (lsn0 + 8, encode_insert(RELID, [str(seq), status, f"{price:.2f}"])),
+        (lsn0 + 16, encode_prepare(xid, gid)),
+        (lsn0 + 24, last),
+    ]
+
+
+def two_phase_frames_from_orders(
+    orders: DataFrame, n_streams: int = N_STREAMS
+) -> DataFrame:
+    """Each source row → a PREPARED transaction (see
+    _two_phase_row_frames)."""
+    return _frames_from_orders(orders, _two_phase_row_frames, n_streams)
 
 
 @register(

@@ -1203,3 +1203,22 @@ def test_fuzz_frame_order_state_machine(ops):
             assert pm.error is None, (op, line, pm.error)
     # terminal state invariants: no unbounded growth markers left over
     assert len(d._stream_buf) <= 1 and len(d._stream_skip) <= 1
+
+
+def test_stream_overflow_drops_buffered_messages_too():
+    """A refused (overflowed) streamed transaction must not leak its
+    transactional messages through drain_messages() — side channels
+    stay in sync with the (never-emitted) data stream (code-review
+    r11 #3)."""
+    d = _v2_decoder()
+    d.max_streamed_lines = 2
+    d.decode_events(encode_stream_start(61))
+    d.decode_events(
+        encode_streamed(encode_logical_message("p", b"x", transactional=True), 61)
+    )
+    for i in range(4):
+        _ins(d, 61, i)
+    d.decode_events(encode_stream_stop())
+    with pytest.raises(PgOutputError, match="max_streamed_lines"):
+        d.decode_events(encode_stream_commit(61))
+    assert d.drain_messages() == []
