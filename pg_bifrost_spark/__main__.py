@@ -97,9 +97,16 @@ def main(argv: list[str] | None = None) -> int:
     rep.add_argument(
         "--pgoutput-proto-version",
         type=int,
-        choices=[1, 2],
+        choices=[1, 2, 3],
         default=1,
-        help="pgoutput protocol version (2 = streamed in-progress txns)",
+        help="pgoutput protocol version (2 = streamed in-progress "
+        "txns, 3 = two-phase commit)",
+    )
+    rep.add_argument(
+        "--two-phase",
+        action="store_true",
+        help="decode PREPARE TRANSACTION flows (requires --plugin "
+        "pgoutput, --pgoutput-proto-version 3, and a TWO_PHASE slot)",
     )
     rep.add_argument(
         "--skip-origins",
@@ -142,6 +149,11 @@ def main(argv: list[str] | None = None) -> int:
             default="test_decoding",
             help="plugin the slot decodes with (create only)",
         )
+        c.add_argument(
+            "--two-phase",
+            action="store_true",
+            help="create the slot with TWO_PHASE (PG 15+; create only)",
+        )
 
     args = p.parse_args(argv)
 
@@ -149,7 +161,9 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.pgcdc import LiveTransport
 
         if args.cmd == "create":
-            LiveTransport.create_slot_ddl(args.dsn, args.slot, plugin=args.plugin)
+            LiveTransport.create_slot_ddl(
+                args.dsn, args.slot, plugin=args.plugin, two_phase=args.two_phase
+            )
         else:
             LiveTransport.drop_slot_ddl(args.dsn, args.slot)
         return 0

@@ -263,17 +263,27 @@ class LiveTransport:
         publication_names: str = "pgbifrost",
         pgoutput_proto_version: int = 1,
         skip_origins: str = "",
+        two_phase: bool = False,
     ):
         from .pgwire import parse_dsn
 
         if plugin not in ("test_decoding", "pgoutput"):
             raise ValueError(f"unsupported logical-decoding plugin {plugin!r}")
-        if pgoutput_proto_version not in (1, 2):
-            # v2 adds streamed in-progress transactions; v3/v4 (two-
-            # phase, parallel apply) change apply-worker semantics this
-            # engine does not need — refuse rather than mis-decode
+        if pgoutput_proto_version not in (1, 2, 3):
+            # v2 adds streamed in-progress transactions, v3 two-phase
+            # commit (PG 15); v4 (parallel streamed apply, PG 16) only
+            # changes apply-worker parallelism hints this sequential
+            # reader does not need — refuse rather than mis-decode
             raise ValueError(
                 f"unsupported pgoutput proto_version {pgoutput_proto_version}"
+            )
+        # two-phase decode: PREPARE TRANSACTION flows as b/P/K/r(/p)
+        # frames (cdc/pgoutput.py::_two_phase). Requires a TWO_PHASE
+        # slot and protocol v3 per the PG docs.
+        self.two_phase = two_phase
+        if two_phase and (plugin != "pgoutput" or pgoutput_proto_version < 3):
+            raise ValueError(
+                "two_phase requires the pgoutput plugin and proto_version >= 3"
             )
         self._kwargs = parse_dsn(dsn)
         self.slot = slot
@@ -379,7 +389,9 @@ class LiveTransport:
             try:
                 conn = WireConnection(**self._kwargs).connect()
                 if self._create_slot:
-                    conn.create_slot(self.slot, plugin=self.plugin)  # idempotent on 42710
+                    conn.create_slot(  # idempotent on 42710
+                        self.slot, plugin=self.plugin, two_phase=self.two_phase
+                    )
                 if self.plugin == "pgoutput":
                     options = {
                         "proto_version": str(self.pgoutput_proto_version),
@@ -387,6 +399,8 @@ class LiveTransport:
                     }
                     if self.pgoutput_proto_version >= 2:
                         options["streaming"] = "on"
+                    if self.two_phase:
+                        options["two_phase"] = "on"
                     conn.start_replication(
                         self.slot,
                         start_lsn,
@@ -636,7 +650,12 @@ class LiveTransport:
 
     # ---------------------------------------------------- slot DDL (CLI)
     @staticmethod
-    def create_slot_ddl(dsn: str, slot: str, plugin: str = "test_decoding") -> bool:
+    def create_slot_ddl(
+        dsn: str,
+        slot: str,
+        plugin: str = "test_decoding",
+        two_phase: bool = False,
+    ) -> bool:
         """CREATE_REPLICATION_SLOT <slot> LOGICAL <plugin> over the
         wire (idempotent on SQLSTATE 42710) — utils/utils.go:38-56; the
         reference hardcodes test_decoding (utils.go:50), this engine
@@ -648,7 +667,7 @@ class LiveTransport:
 
         conn = WireConnection(**parse_dsn(dsn)).connect()
         try:
-            return conn.create_slot(slot, plugin=plugin)
+            return conn.create_slot(slot, plugin=plugin, two_phase=two_phase)
         finally:
             conn.close()
 
@@ -719,6 +738,8 @@ class PgCdcSimpleReader(SimpleDataSourceStreamReader):
                     options.get("pgoutput_proto_version", "1")
                 ),
                 skip_origins=options.get("skip_origins", ""),
+                two_phase=options.get("two_phase", "").lower()
+                in ("on", "true", "1"),
             )
         else:
             self.transport = ReplayTransport(wal_dir)

@@ -355,7 +355,9 @@ class WireConnection:
         }
 
     # ------------------------------------------------------ replication DDL
-    def create_slot(self, slot: str, plugin: str = "test_decoding") -> bool:
+    def create_slot(
+        self, slot: str, plugin: str = "test_decoding", two_phase: bool = False
+    ) -> bool:
         """Idempotent on SQLSTATE 42710 (duplicate_object) — the
         reference's create semantics (utils/utils.go:38-56). Returns
         True when the slot was newly created.
@@ -368,7 +370,13 @@ class WireConnection:
         ``replication=database`` connection can run plain SQL, so the
         catalog probe rides the same wire."""
         try:
-            self.simple_query(f"CREATE_REPLICATION_SLOT {slot} LOGICAL {plugin}")
+            # TWO_PHASE (PG 15+) marks the slot as decoding prepared
+            # transactions at PREPARE time — required for the
+            # pgoutput ``two_phase`` start option to be accepted
+            opts = " (TWO_PHASE)" if two_phase else ""
+            self.simple_query(
+                f"CREATE_REPLICATION_SLOT {slot} LOGICAL {plugin}{opts}"
+            )
             return True
         except ServerError as exc:
             if exc.sqlstate == "42710":

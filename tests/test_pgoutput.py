@@ -1222,3 +1222,51 @@ def test_stream_overflow_drops_buffered_messages_too():
     with pytest.raises(PgOutputError, match="max_streamed_lines"):
         d.decode_events(encode_stream_commit(61))
     assert d.drain_messages() == []
+
+
+def test_two_phase_negotiation_on_the_wire():
+    """two_phase=True must create a TWO_PHASE slot and send the
+    pgoutput ``two_phase`` start option (PG 15+, proto v3); the
+    decoder itself is version-independent for b/P/K/r frames."""
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+    from tests.test_pgwire import DB, USER, FakeWalsender
+
+    frames = [
+        ("xlog_raw", 100, encode_relation(1, "public", "t", REL)),
+        ("xlog_raw", 104, encode_begin_prepare(42, "neg")),
+        ("xlog_raw", 108, encode_insert(1, ["5", "x", None])),
+        ("xlog_raw", 112, encode_prepare(42, "neg")),
+        ("xlog_raw", 130, encode_commit_prepared(42, "neg")),
+    ]
+    srv = FakeWalsender(frames=frames)
+    try:
+        t = LiveTransport(
+            f"postgresql://{USER}@127.0.0.1:{srv.port}/{DB}",
+            "s_neg",
+            plugin="pgoutput",
+            pgoutput_proto_version=3,
+            two_phase=True,
+            receive_timeout_s=0.3,
+            max_connect_attempts=1,
+        )
+        rows = t.fetch(0, 10)
+        assert [r[2] for r in rows][0] == "BEGIN 42"
+        assert any("LOGICAL pgoutput (TWO_PHASE)" in c for c in srv.create_commands)
+        cmd = srv.start_commands[0]
+        assert '"proto_version" \'3\'' in cmd
+        assert '"two_phase" \'on\'' in cmd and '"streaming" \'on\'' in cmd
+        t.close()
+    finally:
+        srv.close()
+
+
+def test_two_phase_requires_pgoutput_v3():
+    from pg_bifrost_spark.sources.pgcdc import LiveTransport
+
+    with pytest.raises(ValueError, match="two_phase requires"):
+        LiveTransport(
+            "postgres://u@h/db", "s", plugin="pgoutput",
+            pgoutput_proto_version=2, two_phase=True,
+        )
+    with pytest.raises(ValueError, match="two_phase requires"):
+        LiveTransport("postgres://u@h/db", "s", two_phase=True)
