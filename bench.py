@@ -188,6 +188,11 @@ HEADLINE = [
     "events_cusum_changepoint",
     "html_link_extract",
     "markdown_strip_text",
+    # r11 second batch: sentence stats (map-only HOFs) and ICLM
+    # similarity-ordered packing (per-bucket windows + broadcast
+    # prefix)
+    "text_sentence_segments",
+    "pack_similarity_ordered",
     "cdc_lineitem_roundtrip",
 ]
 

@@ -1055,3 +1055,127 @@ def reservoir_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: similarity-ordered packing (In-Context Pretraining ordering)
+# ---------------------------------------------------------------------------
+ICLM_BITS = 6  # 2^6 = 64 similarity buckets
+ICLM_BUDGET = 400  # tokens per packed sequence
+
+
+def _iclm_bucket_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(ICLM_BITS)
+    )
+
+
+@register(
+    "pack_similarity_ordered",
+    oracle=f"""
+    WITH j AS (
+      SELECT d.doc_id,
+             CAST(len(string_split_regex(lower(trim(d.text)), '\\s+'))
+               AS BIGINT) AS n_tokens,
+             {_iclm_bucket_sql()} AS bucket
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), w AS (
+      SELECT doc_id, n_tokens, bucket,
+             sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS cum_before
+      FROM j
+    ), pk AS (
+      SELECT doc_id, n_tokens, bucket,
+             cum_before // {ICLM_BUDGET} AS seq_local
+      FROM w
+    ), per_bucket AS (
+      SELECT bucket, max(seq_local) + 1 AS n_seqs FROM pk GROUP BY bucket
+    ), offs AS (
+      SELECT bucket,
+             coalesce(sum(n_seqs) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS seq_offset
+      FROM per_bucket
+    )
+    SELECT pk.doc_id AS doc_id, pk.bucket AS bucket,
+           CAST(offs.seq_offset + pk.seq_local AS BIGINT) AS seq_id,
+           pk.n_tokens AS n_tokens
+    FROM pk JOIN offs ON pk.bucket = offs.bucket
+    ORDER BY doc_id
+    """,
+)
+def pack_similarity_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-ordered sequence packing — the data-ordering step of
+    In-Context Pretraining (Shi et al. 2023, public): related
+    documents land in the SAME packed training sequence, so attention
+    sees coherent context instead of random concatenation. Documents
+    hash to a cosine-LSH bucket (sign pattern of the first ICLM_BITS
+    embedding axes — standard-basis SRP; production swaps in random
+    hyperplanes, the plan is identical), then pack greedily within
+    each bucket under a token budget.
+
+    Scale shape: the global "pack id" needs a global prefix over
+    buckets, decomposed exactly like token_budget_sample — a per-
+    bucket running sum (parallel, one window task per bucket), a
+    per-bucket pack count (tiny aggregate), and a prefix sum over the
+    2^ICLM_BITS bucket totals joined back as a broadcast. Everything
+    is exact integer arithmetic; no floats ever cross an aggregation
+    boundary (registry bit-stability convention)."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    bucket = None
+    for i in range(ICLM_BITS):
+        bit = F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        bucket.alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pk = j.withColumn(
+        "seq_local",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(ICLM_BUDGET)
+        ).cast("bigint"),
+    )
+    per_bucket = tracked_cache(
+        pk.groupBy("bucket").agg((F.max("seq_local") + 1).alias("n_seqs"))
+    )
+    # prefix sum over the ≤2^ICLM_BITS bucket totals as a broadcast
+    # strictly-less self-join — same result as a partition-less
+    # window, but no "WindowExec: No Partition Defined" noise (the
+    # token_budget_sample pattern; cached so the bucket aggregation
+    # cannot recompute twice)
+    x, y = per_bucket.alias("x"), per_bucket.alias("y")
+    offs = (
+        x.join(F.broadcast(y), F.col("y.bucket") < F.col("x.bucket"), "left")
+        .groupBy(F.col("x.bucket").alias("bucket"))
+        .agg(
+            F.coalesce(F.sum("y.n_seqs"), F.lit(0))
+            .cast("bigint")
+            .alias("seq_offset")
+        )
+    )
+    return (
+        pk.join(F.broadcast(offs), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            (F.col("seq_offset") + F.col("seq_local")).alias("seq_id"),
+            "n_tokens",
+        )
+        .orderBy("doc_id")
+    )

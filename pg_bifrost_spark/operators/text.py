@@ -973,3 +973,70 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE 'very_confusing' END"
         ).alias("level"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r11: sentence segmentation
+# ---------------------------------------------------------------------------
+# Lookaround-free sentence pattern (Java-regex ∩ RE2): a maximal run of
+# non-terminators followed by a terminator run. A trailing fragment
+# with no terminal punctuation is NOT a sentence under this rule —
+# deterministic and identical on both engines, which matters more for
+# a corpus statistic than linguistic edge perfection.
+SENT_RE = "[^.!?]+[.!?]+"
+
+
+@register(
+    "text_sentence_segments",
+    oracle=f"""
+    WITH seg AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{SENT_RE}') AS sents
+      FROM documents
+    ), agg AS (
+      SELECT doc_id,
+             CAST(len(sents) AS BIGINT) AS n_sentences,
+             CAST(list_sum(list_transform(
+               sents, s -> len(string_split_regex(trim(s), '\\s+'))
+             )) AS BIGINT) AS n_words
+      FROM seg
+    )
+    SELECT doc_id, n_sentences,
+           coalesce(n_words, 0) AS n_words,
+           CASE WHEN n_sentences > 0
+                THEN CAST(n_words AS DOUBLE) / n_sentences END
+             AS avg_words_per_sentence
+    FROM agg ORDER BY doc_id
+    """,
+)
+def text_sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentence segmentation: split each document into
+    terminator-delimited sentences and report per-doc sentence/word
+    counts and mean sentence length — the unit every
+    readability/quality heuristic builds on, and the chunking
+    granularity for sentence-aligned packing. Pure map-side JVM
+    higher-order functions (regexp_extract_all → transform → size →
+    aggregate), zero shuffle before the presentation sort, zero
+    Python; the raw integer-ratio division is emitted unrounded (the
+    registry's bit-stable convention)."""
+    docs = table(spark, sf_dir, "documents")
+    sents = F.regexp_extract_all("text", F.lit(SENT_RE), 0)
+    n_words = F.aggregate(
+        F.transform(sents, lambda s: F.size(F.split(F.trim(s), r"\s+"))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
+    seg = docs.select(
+        "doc_id",
+        F.size(sents).cast("bigint").alias("n_sentences"),
+        n_words.alias("n_words"),
+    )
+    return seg.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        F.when(
+            F.col("n_sentences") > 0,
+            F.col("n_words").cast("double") / F.col("n_sentences"),
+        ).alias("avg_words_per_sentence"),
+    ).orderBy("doc_id")

@@ -405,7 +405,12 @@ GATE_PRIORITY: list[str] = [
     # r7-late coverage-first swap: quality_unigram_logprob (green
     # r5+r6, plant-independent; the bigram variant keeps the LM-score
     # family in the gate) yields to the never-checked pmi_top_bigrams
-    "pmi_top_bigrams",
+    # r11 second batch: pmi_top_bigrams (4 straight greens r7-r10)
+    # yields to the NEW r11 text_sentence_segments (the unit statistic
+    # readability/chunking builds on); collocation evidence stays via
+    # corpus_distinct_ngram_rate + the gram-join family, and PMI stays
+    # oracle-rehearsed every round
+    "text_sentence_segments",
     # NEW r7: the bigram rung of the LM-quality ladder, per-doc token
     # entropy, and the top-K vocabulary OOV-coverage report
     # r10-late rotation: quality_bigram_logprob (3 straight greens
@@ -451,7 +456,12 @@ GATE_PRIORITY: list[str] = [
     # contamination_ngram (3 straight greens r4-r6) yields to the NEW
     # r7 strict prefix-truncation dedup (planted half-length clones);
     # n-gram-overlap evidence stays via ngram_novelty + its greens
-    "dedup_prefix_truncation",
+    # r11 second batch: dedup_prefix_truncation (4 straight greens
+    # r7-r10) yields to the NEW r11 pack_similarity_ordered (ICLM
+    # similarity-ordered packing — the ordering leg of the packing
+    # family next to sequence_packing); truncation-dedup evidence
+    # stays via dedup_winnowing_fingerprint + oracle rehearsal
+    "pack_similarity_ordered",
     # document_chunking (3 straight greens) yields to the NEW r7
     # exact cosine radius search (the range half of the ANN API);
     # chunking evidence stays pytest-pinned with its r4-r6 greens

@@ -1219,3 +1219,29 @@ def test_markdown_strip_zero_shuffle_codegen(spark):
     exchanges = re.findall(r"Exchange (\w+)partitioning", text)
     assert exchanges == ["range"], exchanges
     assert "MapInPandas" not in text and "BatchEvalPython" not in text
+
+
+def test_sentence_segments_zero_shuffle_codegen(spark):
+    """Sentence segmentation is per-row HOF algebra: no exchange
+    before the presentation sort, no Python anywhere."""
+    import re
+
+    text = plan_of(spark, "text_sentence_segments")
+    exchanges = re.findall(r"Exchange (\w+)partitioning", text)
+    assert exchanges == ["range"], exchanges
+    assert "MapInPandas" not in text and "BatchEvalPython" not in text
+
+
+def test_similarity_packing_partitioned_windows_only(spark):
+    """The pack-id prefix runs as per-bucket windows + a broadcast
+    self-join over bucket totals — never a partition-less window, no
+    Python, and the doc/embedding join must broadcast or hash on ids,
+    never cartesian."""
+    text = plan_of(spark, "pack_similarity_ordered")
+    assert "No Partition Defined" not in text
+    assert "windowspecdefinition(bucket" in text
+    assert "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text and "MapInPandas" not in text
+    import pg_bifrost_spark.plans as _plans
+
+    _plans.release_caches()
