@@ -12,6 +12,14 @@ from pg_bifrost_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 SF01_DIR = "/root/testdata/sf0.01"
 
+# The suite drives ~760 tests through ONE long-lived JVM; at the
+# default 8g the 40-minute mark leaves storage/execution memory
+# fragmented enough that a cache-materializing query (the pgoutput
+# bridge) measured 19.5 s in-suite vs 8.3 s in a fresh session with
+# ZERO code difference (r11). 16g keeps the perf gate measuring plans,
+# not JVM residue; explicit SPARK_GRAFT_DRIVER_MEM still wins.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 
 @pytest.fixture(scope="session")
 def spark():
