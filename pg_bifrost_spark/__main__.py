@@ -193,6 +193,8 @@ def main(argv: list[str] | None = None) -> int:
         source_options["pgoutput_proto_version"] = str(args.pgoutput_proto_version)
         if args.skip_origins:
             source_options["skip_origins"] = args.skip_origins
+        if args.two_phase:
+            source_options["two_phase"] = "on"
     source_options["max_msgs_per_batch"] = str(cfg.client_buffer_size)
 
     workers = cfg.workers if cfg.routing_method == "partition" else None

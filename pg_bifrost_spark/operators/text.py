@@ -1001,9 +1001,9 @@ SENT_RE = "[^.!?]+[.!?]+"
              )) AS BIGINT) AS n_words
       FROM seg
     )
-    SELECT doc_id, n_sentences,
+    SELECT doc_id, coalesce(n_sentences, 0) AS n_sentences,
            coalesce(n_words, 0) AS n_words,
-           CASE WHEN n_sentences > 0
+           CASE WHEN coalesce(n_sentences, 0) > 0
                 THEN CAST(n_words AS DOUBLE) / n_sentences END
              AS avg_words_per_sentence
     FROM agg ORDER BY doc_id
@@ -1026,10 +1026,14 @@ def text_sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("bigint")
+    # NULL text → 0/0, matching the oracle's coalesce exactly (a NULL
+    # array makes size()/aggregate() NULL on the Spark side and
+    # len()/list_sum() NULL in DuckDB — align both to zero rather than
+    # trusting the current fixture to never carry NULLs)
     seg = docs.select(
         "doc_id",
-        F.size(sents).cast("bigint").alias("n_sentences"),
-        n_words.alias("n_words"),
+        F.coalesce(F.size(sents).cast("bigint"), F.lit(0)).alias("n_sentences"),
+        F.coalesce(n_words, F.lit(0)).alias("n_words"),
     )
     return seg.select(
         "doc_id",

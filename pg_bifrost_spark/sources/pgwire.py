@@ -380,21 +380,46 @@ class WireConnection:
             return True
         except ServerError as exc:
             if exc.sqlstate == "42710":
+                # probe plugin AND two_phase: PostgreSQL refuses to
+                # alter a slot's two_phase after decoding starts, so a
+                # mismatch discovered only at START_REPLICATION is an
+                # opaque reconnect loop — fail loudly at create time
+                # instead (code-review r11-late #2). Falls back to the
+                # plugin-only probe on pre-15 servers (no two_phase
+                # column), and stays idempotent if even that fails.
+                rows = None
                 try:
                     rows = self.simple_query(
-                        "SELECT plugin FROM pg_replication_slots "
+                        "SELECT plugin, two_phase FROM pg_replication_slots "
                         f"WHERE slot_name = '{slot}'"
                     )
                 except (ServerError, WireError):
-                    # probe unavailable (old server, permissions):
-                    # keep create idempotent rather than fail it
-                    return False
+                    try:
+                        rows = [
+                            (r[0], None)
+                            for r in self.simple_query(
+                                "SELECT plugin FROM pg_replication_slots "
+                                f"WHERE slot_name = '{slot}'"
+                            )
+                        ]
+                    except (ServerError, WireError):
+                        return False
                 if rows and rows[0][0] and rows[0][0] != plugin:
                     raise WireError(
                         f"replication slot {slot!r} already exists with "
                         f"plugin {rows[0][0]!r} but {plugin!r} was "
                         "requested — drop the slot or align the plugin"
                     ) from None
+                if rows and rows[0][1] is not None:
+                    existing_2pc = rows[0][1] in ("t", "true", "on")
+                    if existing_2pc != two_phase:
+                        raise WireError(
+                            f"replication slot {slot!r} already exists with "
+                            f"two_phase={'on' if existing_2pc else 'off'} but "
+                            f"{'on' if two_phase else 'off'} was requested — "
+                            "a slot's two_phase cannot change after decoding "
+                            "starts; drop the slot or align the flag"
+                        ) from None
                 return False
             raise
 

@@ -17,8 +17,17 @@ SF01_DIR = "/root/testdata/sf0.01"
 # fragmented enough that a cache-materializing query (the pgoutput
 # bridge) measured 19.5 s in-suite vs 8.3 s in a fresh session with
 # ZERO code difference (r11). 16g keeps the perf gate measuring plans,
-# not JVM residue; explicit SPARK_GRAFT_DRIVER_MEM still wins.
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+# not JVM residue — but only where the host can afford it (a 16g -Xmx
+# on a small CI runner would OOM a suite that ran fine at 8g);
+# explicit SPARK_GRAFT_DRIVER_MEM always wins.
+try:
+    _phys_gb = (
+        os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / (1 << 30)
+    )
+except (ValueError, OSError, AttributeError):
+    _phys_gb = 0
+if _phys_gb >= 32:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 
 @pytest.fixture(scope="session")

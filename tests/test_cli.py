@@ -272,3 +272,60 @@ def test_cli_live_dsn_end_to_end(spark, tmp_path):
         assert srv.received_status_lsns and max(srv.received_status_lsns) >= 9040
     finally:
         srv.close()
+
+
+def test_cli_live_two_phase_negotiation_and_delivery(spark, tmp_path):
+    """`replicate ... --plugin pgoutput --pgoutput-proto-version 3
+    --two-phase` must FORWARD the flag into the source (code-review
+    r11-late #1: it parsed but never reached source_options — the
+    negotiation was a silent no-op) and deliver a prepared
+    transaction's rows committed via Commit Prepared."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pgwire import DB, USER, FakeWalsender
+
+    from pg_bifrost_spark.cdc.pgoutput import (
+        encode_begin_prepare,
+        encode_commit_prepared,
+        encode_insert,
+        encode_prepare,
+        encode_relation,
+    )
+
+    REL = [("id", 23, -1)]
+    frames = [
+        ("xlog_raw", 100, encode_relation(1, "public", "orders", REL)),
+        ("xlog_raw", 104, encode_begin_prepare(900, "cli-gid")),
+        ("xlog_raw", 108, encode_insert(1, ["77"])),
+        ("xlog_raw", 112, encode_prepare(900, "cli-gid")),
+        ("xlog_raw", 150, encode_commit_prepared(900, "cli-gid")),
+    ]
+    srv = FakeWalsender(frames=frames)
+    try:
+        dsn = f"postgres://{USER}@127.0.0.1:{srv.port}/{DB}"
+        out_dir = str(tmp_path / "out")
+        rc = main([
+            "replicate", "file-exactly-once",
+            "--dsn", dsn, "--slot", "s2pc",
+            "--plugin", "pgoutput",
+            "--pgoutput-proto-version", "3",
+            "--two-phase",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--out", out_dir,
+            "--once",
+        ])
+        assert rc == 0
+        # negotiation really happened on the wire
+        assert any("LOGICAL pgoutput (TWO_PHASE)" in c for c in srv.create_commands)
+        cmd = srv.start_commands[0]
+        assert '"two_phase" \'on\'' in cmd and '"proto_version" \'3\'' in cmd
+        # and the prepared txn's row landed in the sink
+        vals = [
+            json.loads(r.value)
+            for r in spark.read.text(os.path.join(out_dir, "epoch=*")).collect()
+        ]
+        assert [v["columns"]["id"]["new"]["v"] for v in vals] == ["77"]
+    finally:
+        srv.close()

@@ -88,6 +88,7 @@ class FakeWalsender:
         self.saw_replication_param = False
         self.created_slots: list[str] = []
         self.slot_plugins: dict[str, str] = {}  # slot -> plugin it was created with
+        self.slot_two_phase: dict[str, bool] = {}  # slot -> TWO_PHASE flag
         self._srv = socket.socket()
         self._srv.bind(("127.0.0.1", 0))
         self._srv.listen(4)
@@ -278,20 +279,35 @@ class FakeWalsender:
                 else:
                     self.created_slots.append(slot)
                     self.slot_plugins[slot] = sql.split()[3]
+                    self.slot_two_phase[slot] = "TWO_PHASE" in sql
                     conn.sendall(_msg(b"C", b"CREATE_REPLICATION_SLOT\x00"))
                 self._rfq(conn)
-            elif sql.startswith("SELECT plugin FROM pg_replication_slots"):
-                # catalog probe on the 42710 path (create_slot)
+            elif sql.startswith(
+                ("SELECT plugin FROM pg_replication_slots",
+                 "SELECT plugin, two_phase FROM pg_replication_slots")
+            ):
+                # catalog probe on the 42710 path (create_slot); the
+                # two-column form models PG 15+, the one-column form
+                # the pre-15 fallback
+                two_col = sql.startswith("SELECT plugin, two_phase")
                 want = sql.split("slot_name = '")[1].rstrip("'")
-                rd = struct.pack(">H", 1) + b"plugin\x00" + struct.pack(
+                ncols = 2 if two_col else 1
+                rd = struct.pack(">H", ncols) + b"plugin\x00" + struct.pack(
                     ">IHIHIH", 0, 0, 25, 65535, 0, 0
                 )
+                if two_col:
+                    rd += b"two_phase\x00" + struct.pack(">IHIHIH", 0, 0, 16, 1, 0, 0)
                 conn.sendall(_msg(b"T", rd))
                 if want in self.slot_plugins:
-                    v = self.slot_plugins[want].encode()
-                    conn.sendall(
-                        _msg(b"D", struct.pack(">H", 1) + struct.pack(">i", len(v)) + v)
-                    )
+                    vals = [self.slot_plugins[want].encode()]
+                    if two_col:
+                        vals.append(
+                            b"t" if self.slot_two_phase.get(want) else b"f"
+                        )
+                    dr = struct.pack(">H", len(vals))
+                    for v in vals:
+                        dr += struct.pack(">i", len(v)) + v
+                    conn.sendall(_msg(b"D", dr))
                 conn.sendall(_msg(b"C", b"SELECT 1\x00"))
                 self._rfq(conn)
             elif sql.startswith("START_REPLICATION"):
@@ -1252,3 +1268,26 @@ def test_reconnect_backoff_respects_fetch_budget():
     with pytest.raises(OSError):
         t.fetch(after_lsn=0, limit=1)
     assert _time.monotonic() - t0 < 3.0  # never the 10+20+40 s schedule
+
+
+def test_create_slot_two_phase_mismatch_raises_clearly():
+    """A pre-existing slot created WITHOUT two_phase must refuse a
+    two_phase=True create at create time — PostgreSQL cannot alter a
+    slot's two_phase after decoding starts, so deferring the failure
+    to START_REPLICATION is an opaque reconnect loop (code-review
+    r11-late #2)."""
+    srv = FakeWalsender()
+    try:
+        c = _client(srv).connect()
+        assert c.create_slot("s2", plugin="pgoutput") is True
+        with pytest.raises(pgwire.WireError, match="two_phase=off"):
+            c.create_slot("s2", plugin="pgoutput", two_phase=True)
+        # matching flag stays idempotent, both ways
+        assert c.create_slot("s2", plugin="pgoutput", two_phase=False) is False
+        assert c.create_slot("s3", plugin="pgoutput", two_phase=True) is True
+        assert c.create_slot("s3", plugin="pgoutput", two_phase=True) is False
+        with pytest.raises(pgwire.WireError, match="two_phase=on"):
+            c.create_slot("s3", plugin="pgoutput", two_phase=False)
+        c.close()
+    finally:
+        srv.close()
