@@ -2264,11 +2264,18 @@ def quality_kn_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     p3 = (F.greatest(F.col("c") - d, F.lit(0)) + d * F.col("n1f3") * p2) / F.col(
         "ctx_c"
     )
+    # the gram-count relations scale with the VOCABULARY, not a fixed
+    # dimension table: at 100x data AQE's size estimate still lets
+    # them auto-broadcast, and the driver dies building the broadcast
+    # ("not enough memory to build and broadcast", caught by the r11
+    # sf10 leg). shuffle_hash pins the model-assembly joins to
+    # co-partitioned shuffles — the only broadcast left is the 1-row
+    # corpus total, which is a broadcast by construction.
     lp = (
-        c3.join(c2, ["w1", "w2"])
-        .join(cont2, ["w2", "w3"])
-        .join(mid, ["w2"])
-        .join(cont1, ["w3"])
+        c3.join(c2.hint("shuffle_hash"), ["w1", "w2"])
+        .join(cont2.hint("shuffle_hash"), ["w2", "w3"])
+        .join(mid.hint("shuffle_hash"), ["w2"])
+        .join(cont1.hint("shuffle_hash"), ["w3"])
         .crossJoin(F.broadcast(btot))
         .select(
             "w1", "w2", "w3",
@@ -2276,7 +2283,7 @@ def quality_kn_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        tg.join(lp, ["w1", "w2", "w3"])
+        tg.join(lp.hint("shuffle_hash"), ["w1", "w2", "w3"])
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_trigrams"),
