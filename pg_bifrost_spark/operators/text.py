@@ -984,6 +984,11 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic and identical on both engines, which matters more for
 # a corpus statistic than linguistic edge perfection.
 SENT_RE = "[^.!?]+[.!?]+"
+# Spark-side twin: possessive first class (java.util.regex). Greedy ==
+# possessive here because the classes are disjoint (see
+# text_sentence_segments docstring); RE2 (DuckDB) rejects possessive
+# quantifiers, so the oracle keeps SENT_RE.
+SENT_RE_POSSESSIVE = "[^.!?]++[.!?]+"
 
 
 @register(
@@ -995,15 +1000,16 @@ SENT_RE = "[^.!?]+[.!?]+"
       FROM documents
     ), agg AS (
       SELECT doc_id,
-             CAST(len(sents) AS BIGINT) AS n_sentences,
-             CAST(list_sum(list_transform(
-               sents, s -> len(string_split_regex(trim(s), '\\s+'))
-             )) AS BIGINT) AS n_words
+             CAST(coalesce(len(sents), 0) AS BIGINT) AS n_sentences,
+             CASE WHEN coalesce(len(sents), 0) > 0
+                  THEN CAST(len(string_split_regex(
+                         trim(array_to_string(sents, ' ')), '\\s+'
+                       )) AS BIGINT)
+                  ELSE 0 END AS n_words
       FROM seg
     )
-    SELECT doc_id, coalesce(n_sentences, 0) AS n_sentences,
-           coalesce(n_words, 0) AS n_words,
-           CASE WHEN coalesce(n_sentences, 0) > 0
+    SELECT doc_id, n_sentences, n_words,
+           CASE WHEN n_sentences > 0
                 THEN CAST(n_words AS DOUBLE) / n_sentences END
              AS avg_words_per_sentence
     FROM agg ORDER BY doc_id
@@ -1015,25 +1021,51 @@ def text_sentence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and mean sentence length — the unit every
     readability/quality heuristic builds on, and the chunking
     granularity for sentence-aligned packing. Pure map-side JVM
-    higher-order functions (regexp_extract_all → transform → size →
-    aggregate), zero shuffle before the presentation sort, zero
+    expressions, zero shuffle before the presentation sort, zero
     Python; the raw integer-ratio division is emitted unrounded (the
-    registry's bit-stable convention)."""
+    registry's bit-stable convention).
+
+    Word counting is a single split per DOCUMENT, not a per-sentence
+    fold: every SENT_RE match contains a terminator char (non-
+    whitespace), so no sentence trims to empty and
+    sum_i size(split(trim(s_i), '\\s+')) ==
+    size(split(trim(array_join(sents, ' ')), '\\s+')) exactly — the
+    nested transform-inside-aggregate HOF this replaces ran
+    interpreted per sentence. The DuckDB oracle uses the identical
+    join-once formulation.
+
+    Two Spark-only regex-engine guards (DuckDB's RE2 is linear and
+    needs neither; match results are provably identical):
+    - possessive `[^.!?]++` — the two classes are disjoint, so giving
+      a char back to `[.!?]+` can never succeed and greedy ==
+      possessive; without it java.util.regex backtracks O(len²) on
+      every unmatched tail (measured 8.7 s on 1.5 MB of
+      terminator-free text vs 1.8 s possessive);
+    - an rlike('[.!?]') prefilter — a doc with no terminator at all
+      has zero matches by construction, so skip the per-position
+      find() restart entirely (NULL text also lands here: empty
+      array → 0/0/NULL, same as the NULL-array path it replaces)."""
     docs = table(spark, sf_dir, "documents")
-    sents = F.regexp_extract_all("text", F.lit(SENT_RE), 0)
-    n_words = F.aggregate(
-        F.transform(sents, lambda s: F.size(F.split(F.trim(s), r"\s+"))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("bigint")
+    sents = F.when(
+        F.col("text").rlike("[.!?]"),
+        F.regexp_extract_all("text", F.lit(SENT_RE_POSSESSIVE), 0),
+    ).otherwise(F.array().cast("array<string>"))
+    n_sent = F.coalesce(F.size(sents).cast("bigint"), F.lit(0))
     # NULL text → 0/0, matching the oracle's coalesce exactly (a NULL
-    # array makes size()/aggregate() NULL on the Spark side and
-    # len()/list_sum() NULL in DuckDB — align both to zero rather than
-    # trusting the current fixture to never carry NULLs)
+    # array makes size()/array_join() NULL on the Spark side and
+    # len()/array_to_string() NULL in DuckDB — align both to zero
+    # rather than trusting the current fixture to never carry NULLs)
+    n_words = (
+        F.when(
+            n_sent > 0,
+            F.size(F.split(F.trim(F.array_join(sents, " ")), r"\s+")).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+    )
     seg = docs.select(
         "doc_id",
-        F.coalesce(F.size(sents).cast("bigint"), F.lit(0)).alias("n_sentences"),
-        F.coalesce(n_words, F.lit(0)).alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
     )
     return seg.select(
         "doc_id",

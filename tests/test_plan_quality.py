@@ -1222,14 +1222,20 @@ def test_markdown_strip_zero_shuffle_codegen(spark):
 
 
 def test_sentence_segments_zero_shuffle_codegen(spark):
-    """Sentence segmentation is per-row HOF algebra: no exchange
-    before the presentation sort, no Python anywhere."""
+    """Sentence segmentation is per-row flat expressions: no exchange
+    before the presentation sort, no Python anywhere, and — the r11
+    perf fix — no interpreted HOF fold (aggregate/transform lambdas)
+    and the possessive backtracking guard present in the regex."""
     import re
 
     text = plan_of(spark, "text_sentence_segments")
     exchanges = re.findall(r"Exchange (\w+)partitioning", text)
     assert exchanges == ["range"], exchanges
     assert "MapInPandas" not in text and "BatchEvalPython" not in text
+    # the 25 s r11 plan folded transform() inside aggregate(); the fix
+    # is one split of the joined sentence array — pin the shape
+    assert "aggregate(" not in text and "lambdafunction" not in text, text
+    assert "[^.!?]++[.!?]+" in text, "possessive regex guard missing"
 
 
 def test_similarity_packing_partitioned_windows_only(spark):
