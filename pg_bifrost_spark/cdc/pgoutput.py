@@ -531,6 +531,17 @@ class PgOutputDecoder:
             if tag in (b"S", b"E", b"c", b"A"):
                 return self._stream_control(tag, r)
             if tag in (b"b", b"P", b"K", b"r", b"p"):
+                # refuse-rather-than-mis-decode (ADVICE r11): the
+                # server only emits 2PC frames on a two_phase slot,
+                # which requires proto_version 3 — an un-negotiated
+                # stream whose byte collides with these tags must
+                # raise, not be silently consumed as 2PC state
+                # (mirrors _stream_control's version check)
+                if self.proto_version < 3:
+                    raise PgOutputError(
+                        f"two-phase message {tag!r} on proto_version "
+                        f"{self.proto_version} (two_phase requires 3)"
+                    )
                 return self._two_phase(tag, r)
             # inside a stream segment, v2 data/metadata messages carry
             # the (sub)transaction xid right after the tag

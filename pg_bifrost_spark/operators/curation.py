@@ -1145,11 +1145,19 @@ def pack_similarity_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pk = j.withColumn(
-        "seq_local",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(ICLM_BUDGET)
-        ).cast("bigint"),
+    # seq_local = cum_before div budget in TRUE integral division —
+    # Spark's `/` is double division and floor-of-double diverges from
+    # the oracle's integer `//` once cum_before nears 2^45 (quotient
+    # ulp > 1/budget); `div` keeps the path bigint end to end as the
+    # docstring promises. pk itself is cached: it feeds BOTH per_bucket
+    # and the final join, and without the cache the docs⋈embeddings
+    # join + bucket window exchange execute twice per run.
+    pk = tracked_cache(
+        j.withColumn(
+            "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        ).withColumn(
+            "seq_local", F.expr(f"cum_before div {ICLM_BUDGET}")
+        ).drop("cum_before")
     )
     per_bucket = tracked_cache(
         pk.groupBy("bucket").agg((F.max("seq_local") + 1).alias("n_seqs"))

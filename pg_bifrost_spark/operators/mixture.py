@@ -434,33 +434,46 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # r11: corpus diversity + DoReMi-style reweighting
 # ---------------------------------------------------------------------------
+DIVERSITY_QSCALE = 1_000_000  # e6 per-component quantization
+
+
 @register(
     "embedding_diversity_report",
-    oracle="""
-    WITH u AS (
+    oracle=f"""
+    WITH q AS (
       SELECT label,
              list_transform(
                embedding,
-               x -> CAST(x AS DOUBLE) /
-                    sqrt(list_sum(list_transform(
-                      embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-             ) AS uv
+               x -> CAST(floor(
+                      CAST(x AS DOUBLE) /
+                      sqrt(list_sum(list_transform(
+                        embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                      * {DIVERSITY_QSCALE}
+                    ) AS BIGINT)
+             ) AS qv
       FROM embeddings
+    ), r AS (
+      SELECT label, qv,
+             list_sum(list_transform(qv, x -> x * x)) AS rowsq
+      FROM q
     ), e AS (
-      SELECT label, i, uv[i] AS val
-      FROM u, LATERAL (SELECT unnest(range(1, len(uv) + 1)) AS i)
+      SELECT label, i, qv[i] AS val, rowsq
+      FROM r, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i)
     ), s AS (
-      SELECT label, i, sum(val) AS sv FROM e GROUP BY label, i
+      SELECT label, i, sum(val) AS sv, count(*) AS cnt, sum(rowsq) AS rs
+      FROM e GROUP BY label, i
     ), ss AS (
-      SELECT label, sum(sv * sv) AS sumsq FROM s GROUP BY label
-    ), n AS (
-      SELECT label, count(*) AS n_vecs FROM u GROUP BY label
+      SELECT label, sum(sv * sv) AS sumsq,
+             max(cnt) AS n_vecs, max(rs) AS sum_rowsq
+      FROM s GROUP BY label
     )
-    SELECT n.label AS label,
-           n.n_vecs AS n_vecs,
-           round((ss.sumsq - n.n_vecs) / (n.n_vecs * (n.n_vecs - 1)), 6)
+    SELECT label,
+           n_vecs,
+           CAST(sumsq - sum_rowsq AS DOUBLE) /
+             (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)
+              * {float(DIVERSITY_QSCALE) * DIVERSITY_QSCALE})
              AS mean_pairwise_cosine
-    FROM n JOIN ss ON n.label = ss.label
+    FROM ss
     ORDER BY label
     """,
 )
@@ -475,9 +488,27 @@ def embedding_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE groupBy for the per-dimension sums, square-and-sum, done. At
     100 TB the shuffle carries |labels| x d rows — independent of
     corpus size. No UDFs anywhere.
-    """
+
+    Bit-stability (r12, ADVICE): cross-row double sums accumulate in
+    partition-nondeterministic order, so rounding the final double —
+    round() OR floor() — is a gate coin flip near any boundary. The
+    fix is exactness, not display quantization: each normalized
+    component is floor-quantized PER ROW to an e6 integer (per-row
+    math is a fixed IEEE op sequence, identical in both engines), and
+    every aggregation after that is exact integer/decimal —
+    sum(q) per (label,dim), sum(sv^2), sum(||q||^2) — with the moment
+    identity applied to the quantized vectors
+    (sum_{{i != j}} q_i.q_j = ||sum q||^2 - sum ||q_i||^2, which is
+    exact for ANY vectors, unit or not). One raw double division of
+    exact integers at the end (registry convention). The reported
+    value is the mean pairwise cosine of the e6-quantized unit
+    vectors — within ~d/1e6 (6e-5 at d=64) of the unquantized
+    number, and bit-identical on every run of either engine.
+    decimal(38,0) sums: sv^2 at 100 TB is ~1e34-class, still inside
+    38 digits; bigint would wrap."""
     from .similarity import _as_double, _norm
 
+    S = DIVERSITY_QSCALE
     # norm computed ONCE per row via withColumn (the similarity
     # family's established pattern) — embedding the aggregate inside
     # the transform lambda would re-evaluate the O(d) norm per
@@ -487,23 +518,45 @@ def embedding_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", _as_double().alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
     )
-    u = emb.select(
+    q = emb.select(
         "label",
-        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("uv"),
+        F.transform(F.col("v"), lambda x: F.floor(x / F.col("nrm") * S)).alias("qv"),
+    ).withColumn(
+        # per-row ||q||^2: exact bigint, max d * S^2 = 64e12
+        "rowsq",
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("bigint"), lambda a, x: a + x * x
+        ),
     )
-    dims = u.select("label", F.posexplode("uv").alias("i", "val"))
-    per_dim = dims.groupBy("label", "i").agg(F.sum("val").alias("sv"))
-    sumsq = per_dim.groupBy("label").agg(F.sum(F.col("sv") * F.col("sv")).alias("sumsq"))
-    counts = u.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    # ONE scan, ONE corpus-sized shuffle: every source row lands
+    # exactly once in each of its d (label, i) groups, so count(*)
+    # and sum(rowsq) per dim-group equal n_vecs / sum_rowsq for EVERY
+    # i — max() at label level recovers them without a second scan of
+    # the embeddings relation (the separate counts leg would re-read
+    # the embedding column now that rowsq derives from it)
+    dims = q.select("label", "rowsq", F.posexplode("qv").alias("i", "val"))
+    per_dim = dims.groupBy("label", "i").agg(
+        F.sum(F.col("val").cast("decimal(38,0)")).alias("sv"),
+        F.count("*").alias("cnt"),
+        F.sum(F.col("rowsq").cast("decimal(38,0)")).alias("rs"),
+    )
+    lab = per_dim.groupBy("label").agg(
+        F.sum(F.col("sv") * F.col("sv")).alias("sumsq"),
+        F.max("cnt").alias("n_vecs"),
+        F.max("rs").alias("sum_rowsq"),
+    )
     return (
-        counts.join(sumsq, "label")
+        lab
         .select(
             "label",
             "n_vecs",
-            F.round(
-                (F.col("sumsq") - F.col("n_vecs"))
-                / (F.col("n_vecs") * (F.col("n_vecs") - F.lit(1))),
-                6,
+            (
+                (F.col("sumsq") - F.col("sum_rowsq")).cast("double")
+                / (
+                    F.col("n_vecs").cast("double")
+                    * (F.col("n_vecs") - F.lit(1)).cast("double")
+                    * F.lit(float(S) * S)
+                )
             ).alias("mean_pairwise_cosine"),
         )
         .orderBy("label")

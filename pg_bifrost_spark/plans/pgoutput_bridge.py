@@ -24,6 +24,11 @@ from ..cdc.pipeline import PipelineConfig, data_messages, run_pipeline
 from .cdc_bridge import _env_once
 
 N_STREAMS = 64
+# Minimum LSN gap between consecutive frames in a generated stream.
+# decode_pgoutput_frames stamps a replay frame's line i at lsn+i and
+# ASSERTS replay length < this stride — keep generators and decoder
+# agreeing through this one constant.
+FRAME_LSN_STRIDE = 8
 RELID = 4711
 # (name, type oid, typmod): o_orderkey bigint, o_orderstatus text,
 # o_totalprice double precision
@@ -87,11 +92,11 @@ def _plain_row_frames(seq: int, status: str, price: float) -> list:
     as it does for real wraparound."""
     from ..cdc.pgoutput import encode_begin, encode_commit, encode_insert
 
-    lsn0 = 1000 + seq * 24
+    lsn0 = 1000 + seq * (3 * FRAME_LSN_STRIDE)
     return [
         (lsn0, encode_begin(seq & 0xFFFFFFFF)),
-        (lsn0 + 8, encode_insert(RELID, [str(seq), status, f"{price:.2f}"])),
-        (lsn0 + 16, encode_commit()),
+        (lsn0 + FRAME_LSN_STRIDE, encode_insert(RELID, [str(seq), status, f"{price:.2f}"])),
+        (lsn0 + 2 * FRAME_LSN_STRIDE, encode_commit()),
     ]
 
 
@@ -102,7 +107,9 @@ def pgoutput_frames_from_orders(orders: DataFrame, n_streams: int = N_STREAMS) -
 
 
 def decode_pgoutput_frames(
-    frames: DataFrame, max_streamed_lines: int | None = None
+    frames: DataFrame,
+    max_streamed_lines: int | None = None,
+    proto_version: int = 1,
 ) -> DataFrame:
     """Binary frames → RAW_LINE_SCHEMA canonical lines. Streams are
     co-located (repartition on stream_id) and decoded in wal_start
@@ -128,7 +135,9 @@ def decode_pgoutput_frames(
             for sid, lsn, frame in zip(pdf["stream_id"], pdf["wal_start"], pdf["frame"]):
                 d = decoders.get(sid)
                 if d is None:
-                    d = decoders[sid] = PgOutputDecoder()
+                    d = decoders[sid] = PgOutputDecoder(
+                        proto_version=proto_version
+                    )
                     if max_streamed_lines is not None:
                         d.max_streamed_lines = max_streamed_lines
                 try:
@@ -145,8 +154,19 @@ def decode_pgoutput_frames(
                     continue
                 # a replay frame (Commit Prepared / Stream Commit)
                 # yields a whole transaction: stamp line i at lsn+i so
-                # downstream ordering stays strict within the stream
-                # (frame LSNs are spaced ≥8 apart by the generators)
+                # downstream ordering stays strict within the stream.
+                # The invariant this leans on — replay length stays
+                # below the generators' minimum inter-frame LSN gap
+                # (FRAME_LSN_STRIDE) — must fail LOUDLY if a reuse of
+                # this helper replays a larger transaction, or the
+                # per-line LSNs would interleave across transactions
+                # and break strict per-stream ordering (ADVICE r11)
+                if len(events) >= FRAME_LSN_STRIDE:
+                    raise AssertionError(
+                        f"replay of {len(events)} lines at lsn {lsn} "
+                        f">= inter-frame LSN stride {FRAME_LSN_STRIDE}"
+                        " — widen the generators' frame spacing"
+                    )
                 for i, line in enumerate(events):
                     out["wal_start"].append(int(lsn) + i)
                     out["server_wal_end"].append(int(lsn) + i + 8)
@@ -232,7 +252,7 @@ def _two_phase_row_frames(seq: int, status: str, price: float) -> list:
 
     gid = f"gid-{seq}"  # the gid carries the untruncated identity
     xid = seq & 0xFFFFFFFF  # uint32, same wraparound note as above
-    lsn0 = 1000 + seq * 48
+    lsn0 = 1000 + seq * (6 * FRAME_LSN_STRIDE)
     last = (
         encode_rollback_prepared(xid, gid)
         if seq % ROLLBACK_MOD == ROLLBACK_REMAINDER
@@ -240,9 +260,9 @@ def _two_phase_row_frames(seq: int, status: str, price: float) -> list:
     )
     return [
         (lsn0, encode_begin_prepare(xid, gid)),
-        (lsn0 + 8, encode_insert(RELID, [str(seq), status, f"{price:.2f}"])),
-        (lsn0 + 16, encode_prepare(xid, gid)),
-        (lsn0 + 24, last),
+        (lsn0 + FRAME_LSN_STRIDE, encode_insert(RELID, [str(seq), status, f"{price:.2f}"])),
+        (lsn0 + 2 * FRAME_LSN_STRIDE, encode_prepare(xid, gid)),
+        (lsn0 + 3 * FRAME_LSN_STRIDE, last),
     ]
 
 
@@ -274,8 +294,9 @@ def cdc_two_phase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for native logical replication with ``two_phase = on`` slots."""
     orders = table(spark, sf_dir, "orders")
     frames = two_phase_frames_from_orders(orders)
-    # same double-execution guard as cdc_pgoutput_roundtrip above
-    raw = tracked_cache(decode_pgoutput_frames(frames))
+    # same double-execution guard as cdc_pgoutput_roundtrip above;
+    # proto v3 — the decoder refuses 2PC frames below it (ADVICE r11)
+    raw = tracked_cache(decode_pgoutput_frames(frames, proto_version=3))
     out = data_messages(run_pipeline(raw, PipelineConfig()))
     env = _env_once(out)
     cols = F.col("env.columns")

@@ -56,6 +56,20 @@ PG_EPOCH_UNIX_S = 946_684_800
 MAX_FRAME_LEN = 64 * 1024 * 1024
 
 
+def _validate_slot_name(slot: str) -> str:
+    """Replication-slot charset guard ([a-z0-9_], Postgres's own rule)
+    at the wire-client entry points. Slot names are interpolated into
+    replication-command text AND — on the 42710 already-exists path —
+    into a quoted SQL literal for the catalog probe; a name carrying a
+    quote or whitespace would break or inject that query (ADVICE r11).
+    Mirrors slots._validate_slot so both admin surfaces agree."""
+    if not slot or not all(
+        (c.isalnum() and c.isascii()) or c == "_" for c in slot
+    ):
+        raise WireError(f"invalid replication slot name: {slot!r}")
+    return slot.lower()
+
+
 def lsn_to_int(text: str) -> int:
     hi, lo = text.split("/")
     return (int(hi, 16) << 32) | int(lo, 16)
@@ -369,6 +383,7 @@ class WireConnection:
         opaque unknown-plugin-option server error (advisor r10). A
         ``replication=database`` connection can run plain SQL, so the
         catalog probe rides the same wire."""
+        slot = _validate_slot_name(slot)
         try:
             # TWO_PHASE (PG 15+) marks the slot as decoding prepared
             # transactions at PREPARE time — required for the
@@ -425,6 +440,7 @@ class WireConnection:
 
     def drop_slot(self, slot: str) -> None:
         """DROP_REPLICATION_SLOT <slot> WAIT (utils/utils.go:59-77)."""
+        slot = _validate_slot_name(slot)
         self.simple_query(f"DROP_REPLICATION_SLOT {slot} WAIT")
 
     # --------------------------------------------------------- replication

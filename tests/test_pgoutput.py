@@ -45,8 +45,8 @@ from pg_bifrost_spark.sources.protocol import (
 REL = [("id", 23, -1), ("name", 1043, 259), ("note", 25, -1)]
 
 
-def _decoder_with_rel(relid: int = 1) -> PgOutputDecoder:
-    d = PgOutputDecoder()
+def _decoder_with_rel(relid: int = 1, **kw) -> PgOutputDecoder:
+    d = PgOutputDecoder(**kw)
     assert d.decode(encode_relation(relid, "public", "t", REL, key_cols={"id"})) is None
     return d
 
@@ -642,7 +642,7 @@ def test_prepared_txn_replays_at_commit_prepared():
     """Data between Begin Prepare and Prepare is held; Commit Prepared
     replays the whole transaction as BEGIN/COMMIT — visibility matches
     the publisher's durability point, downstream stays 2PC-agnostic."""
-    d = _decoder_with_rel()
+    d = _decoder_with_rel(proto_version=3)
     assert d.decode_events(encode_begin_prepare(500, "gid-1")) == []
     assert d.decode_events(encode_insert(1, ["1", "a", None])) == []
     assert d.decode_events(encode_insert(1, ["2", "b", None])) == []
@@ -654,7 +654,7 @@ def test_prepared_txn_replays_at_commit_prepared():
 
 
 def test_rollback_prepared_drops_everything():
-    d = _decoder_with_rel()
+    d = _decoder_with_rel(proto_version=3)
     d.decode_events(encode_begin_prepare(501, "gid-2"))
     d.decode_events(encode_insert(1, ["9", "x", None]))
     d.decode_events(
@@ -671,7 +671,7 @@ def test_rollback_prepared_drops_everything():
 
 
 def test_two_independent_prepared_txns_interleave_by_gid():
-    d = _decoder_with_rel()
+    d = _decoder_with_rel(proto_version=3)
     d.decode_events(encode_begin_prepare(510, "g-a"))
     d.decode_events(encode_insert(1, ["10", "a", None]))
     d.decode_events(encode_prepare(510, "g-a"))
@@ -686,7 +686,7 @@ def test_two_independent_prepared_txns_interleave_by_gid():
 
 
 def test_prepared_transactional_messages_durable_at_commit_prepared():
-    d = _decoder_with_rel()
+    d = _decoder_with_rel(proto_version=3)
     d.decode_events(encode_begin_prepare(520, "g-m"))
     d.decode_events(
         encode_logical_message("outbox", b"kept", transactional=True)
@@ -701,7 +701,7 @@ def test_stream_prepare_bridges_streamed_txn_to_two_phase():
     """A large prepared transaction streams its segments first, then
     Stream Prepare ('p') parks the buffer under the GID; Commit
     Prepared replays it."""
-    d = PgOutputDecoder(proto_version=2)
+    d = PgOutputDecoder(proto_version=3)
     d.decode_events(encode_relation(1, "public", "t", REL))
     d.decode_events(encode_stream_start(530))
     d.decode_events(encode_streamed(encode_insert(1, ["30", "s", None]), 530))
@@ -713,8 +713,27 @@ def test_stream_prepare_bridges_streamed_txn_to_two_phase():
     assert d.stats["stream_prepares"] == 1
 
 
+def test_two_phase_frames_refused_below_proto_v3():
+    """Refuse-rather-than-mis-decode (ADVICE r11): an un-negotiated
+    or corrupt stream whose first byte collides with a 2PC tag must
+    raise, not be silently consumed as prepared-transaction state —
+    the same posture _stream_control takes for v1."""
+    for ver in (1, 2):
+        d = _decoder_with_rel(proto_version=ver)
+        for frame in (
+            encode_begin_prepare(1, "g"),
+            encode_prepare(1, "g"),
+            encode_commit_prepared(1, "g"),
+            encode_rollback_prepared(1, "g"),
+            encode_stream_prepare(1, "g"),
+        ):
+            with pytest.raises(PgOutputError, match="two-phase message"):
+                d.decode_events(frame)
+        assert d.stats["begin_prepares"] == 0
+
+
 def test_prepared_origin_skip_drops_whole_txn():
-    d = PgOutputDecoder(skip_origins=frozenset({"upstream"}))
+    d = PgOutputDecoder(proto_version=3, skip_origins=frozenset({"upstream"}))
     d.decode_events(encode_relation(1, "public", "t", REL))
     d.decode_events(encode_begin_prepare(540, "g-o"))
     d.decode_events(encode_origin(name="upstream"))
@@ -725,7 +744,7 @@ def test_prepared_origin_skip_drops_whole_txn():
 
 
 def test_prepared_overflow_raises_loudly_at_commit_prepared():
-    d = _decoder_with_rel()
+    d = _decoder_with_rel(proto_version=3)
     d.max_streamed_lines = 2
     d.decode_events(encode_begin_prepare(550, "g-big"))
     for i in range(4):
@@ -754,6 +773,8 @@ def test_live_transport_two_phase_end_to_end():
             f"postgresql://{USER}@127.0.0.1:{srv.port}/{DB}",
             "s_2pc",
             plugin="pgoutput",
+            pgoutput_proto_version=3,
+            two_phase=True,
             receive_timeout_s=0.3,
             max_connect_attempts=1,
         )

@@ -463,6 +463,25 @@ def test_create_slot_idempotent_on_42710():
         srv.close()
 
 
+def test_slot_name_charset_validated_before_any_wire_traffic():
+    """Slot names reach both replication-command text and (on the
+    42710 path) a quoted SQL literal for the catalog probe — a quote
+    or whitespace would break/inject that query (ADVICE r11). The
+    guard must fire client-side, before bytes hit the wire."""
+    srv = FakeWalsender()
+    try:
+        c = _client(srv).connect()
+        for bad in ("s'; DROP TABLE x--", "s l o t", "", "s-dash", "s\x00"):
+            with pytest.raises(pgwire.WireError, match="invalid replication slot"):
+                c.create_slot(bad)
+            with pytest.raises(pgwire.WireError, match="invalid replication slot"):
+                c.drop_slot(bad)
+        c.close()
+        assert srv.created_slots == []  # nothing reached the server
+    finally:
+        srv.close()
+
+
 def test_create_slot_plugin_mismatch_raises_clearly():
     """A stale test_decoding slot under --plugin pgoutput must fail
     HERE with a clear message, not later at START_REPLICATION with an
