@@ -657,17 +657,27 @@ _BLOCK = 2048  # rows per block: 2048×64 float64 ≈ 1 MB per block row
 def _cosine_block_kernel(batches):
     """mapInPandas kernel over block PAIRS: one BLAS matmul per pair of
     blocks instead of per-element lambda evaluation. Emits qualifying
-    (vec_a, vec_b, cosine) with vec_a < vec_b."""
+    (vec_a, vec_b, cosine) with vec_a < vec_b.
+
+    The payload is FLAT primitive arrays (ids: array<bigint>, flat
+    row-major values: array<double>) — Arrow moves them as one buffer
+    and np.asarray(...).reshape is zero-copy-class. The r11 shape
+    (array<struct<bigint, array<double>>>) decoded to per-element
+    Python dicts here and boxed every double JVM-side; that
+    allocation churn made the query GC-/session-state-sensitive —
+    the root cause of the reproduced in-suite 8x inflation (r12)."""
     import numpy as np
     import pandas as pd
 
     for pdf in batches:
         out_a, out_b, out_c = [], [], []
-        for _, row in pdf.iterrows():
-            ida = np.asarray([r["vec_id"] for r in row["xs"]], dtype=np.int64)
-            idb = np.asarray([r["vec_id"] for r in row["ys"]], dtype=np.int64)
-            A = np.asarray([r["v"] for r in row["xs"]], dtype=np.float64)
-            B = np.asarray([r["v"] for r in row["ys"]], dtype=np.float64)
+        for i in range(len(pdf)):
+            ida = np.asarray(pdf["xi"].iloc[i], dtype=np.int64)
+            idb = np.asarray(pdf["yi"].iloc[i], dtype=np.int64)
+            # np.array (copy): the Arrow-backed buffer is read-only
+            # and the normalize below is in-place
+            A = np.array(pdf["xv"].iloc[i], dtype=np.float64).reshape(len(ida), -1)
+            B = np.array(pdf["yv"].iloc[i], dtype=np.float64).reshape(len(idb), -1)
             A /= np.linalg.norm(A, axis=1, keepdims=True)
             B /= np.linalg.norm(B, axis=1, keepdims=True)
             S = A @ B.T
@@ -707,19 +717,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²/B²) tasks — the distributed GEMM shape that survives scale-up;
     for truly huge n the LSH-bucketed path (``similarity.
     ann_lsh_buckets``) prunes the block grid first. Hash-verified
-    against DuckDB's list_cosine_similarity."""
+    against DuckDB's list_cosine_similarity.
+
+    Block payloads are FLAT primitive arrays: collect_list(vec_id)
+    beside flatten(collect_list(v)) — both aggregates consume the
+    group's rows in the same single pass, so ids[i] always labels flat
+    row i. The r11 array<struct<...>> payload boxed every double in
+    the JVM aggregate, broadcast the blocks relation TWICE (x/y legs,
+    uncached), and Arrow-decoded to per-element Python dicts — an
+    allocation storm whose cost tracked JVM heap state (9 s at 8g vs
+    4 s at 16g vs 1 s on the baseline host; the reproduced in-suite
+    8.24x flag). Flat primitives + tracked_cache(blocks) make the
+    plan allocation-light and session-state-insensitive."""
     emb = plant_duplicates(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    # NOT cached, deliberately: InMemoryRelation's columnar
+    # (de)serialization of wide array columns costs multiples of the
+    # 0.5 s aggregate it would save (measured: cached reads 4-8 s vs
+    # 1 s uncached end-to-end) — recomputing the cheap groupBy on each
+    # self-join leg is the faster and allocation-lighter plan
     blocks = (
         emb.withColumn("blk", (F.col("vec_id") / _BLOCK).cast("int"))
         .groupBy("blk")
-        .agg(F.collect_list(F.struct("vec_id", "v")).alias("rows"))
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.flatten(F.collect_list("v")).alias("flat"),
+        )
     )
     x, y = blocks.alias("x"), blocks.alias("y")
     grid = x.join(y, F.col("x.blk") <= F.col("y.blk")).select(
-        F.col("x.rows").alias("xs"), F.col("y.rows").alias("ys")
+        F.col("x.ids").alias("xi"),
+        F.col("x.flat").alias("xv"),
+        F.col("y.ids").alias("yi"),
+        F.col("y.flat").alias("yv"),
     )
     pairs = grid.mapInPandas(
         _cosine_block_kernel, schema="vec_a bigint, vec_b bigint, cos_raw double"

@@ -252,21 +252,33 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its own exact aggregate: |approx - exact| <= 5% * exact.
     Every row is (exact_parts, true, true, true) on both engines when
     the sketches honor their error budgets — a real correctness gate
-    on the approximation, not just a smoke test."""
+    on the approximation, not just a smoke test.
+
+    Two aggregation legs, deliberately (r12, sweep-outlier fix): a
+    single agg mixing countDistinct with the percentile sketches makes
+    the distinct-agg rewrite's Expand REPLICATE every input row
+    through the sketch updates — measured 15.5 s at sf0.01 (21x the
+    sweep median). The distinct leg (countDistinct + HLL — both over
+    l_partkey, Expand cost is two int columns) and the percentile leg
+    (KLL sketches at accuracy 1,000 — rank error 0.1%, far inside the
+    5% value tolerance; 10,000 bought nothing but update cost) each
+    aggregate to |l_returnflag| = 4 rows, then broadcast-join."""
     li = table(spark, sf_dir, "lineitem")
     tol = 0.05
     def ok(approx, exact):
         return (F.abs(approx - exact) <= tol * exact)
+    distinct_leg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+    )
+    pct_leg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1_000).alias("am"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("em"),
+        F.percentile_approx("l_extendedprice", 0.99, 1_000).alias("a99"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("e99"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
-            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("am"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("em"),
-            F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("a99"),
-            F.expr("percentile(l_extendedprice, 0.99)").alias("e99"),
-        )
+        distinct_leg.join(F.broadcast(pct_leg), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",
