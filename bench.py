@@ -193,6 +193,14 @@ HEADLINE = [
     # prefix)
     "text_sentence_segments",
     "pack_similarity_ordered",
+    # r12 batch (frozen as ops landed; ONE end-of-round refresh): the
+    # two rows-only→oracle-backed conversions that are new measured
+    # shapes — text_rolling_hash moved to the cross-engine md5-prefix
+    # word hash, embedding_pca_project became the PCA quality report
+    # (moment pass + eigh + independent energy pass). The third
+    # conversion, dedup_minhash_lsh, already holds a HEADLINE row.
+    "text_rolling_hash",
+    "embedding_pca_project",
     "cdc_lineitem_roundtrip",
 ]
 

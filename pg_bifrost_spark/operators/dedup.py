@@ -271,9 +271,10 @@ def subtract_hot_shingles(
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# Exact-pair CTE body, shared by the dedup_ngram_jaccard oracle and
+# the dedup_minhash_lsh bounds-check oracle (r12) — one definition so
+# the two gates can never drift apart.
+_EXACT_JACCARD_CTES = f"""
     WITH sh AS (
       SELECT doc_id, unnest(list_distinct([
                x[1] || ' ' || x[2] || ' ' || x[3]
@@ -294,12 +295,22 @@ def subtract_hot_shingles(
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    exact_pairs AS (
+      SELECT doc_a, doc_b,
+             n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5
     )
-    SELECT doc_a, doc_b,
-           n_common::DOUBLE / (sa.n + sb.n - n_common) AS jaccard
-    FROM common JOIN sizes sa ON sa.doc_id = doc_a
-                JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    {_EXACT_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM exact_pairs
     ORDER BY doc_a, doc_b
     """,
 )
@@ -482,17 +493,58 @@ def minhash_signature(shingles: F.Column) -> F.Column:
     )
 
 
-@register("dedup_minhash_lsh", oracle=None)  # probabilistic candidates → rows-only
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs verified by exact Jaccard ≥ 0.5.
+LSH_RECALL_BOUND = 0.95  # matches tests/test_minhash_recall.py
 
-    Plan shape: signatures map-side → explode to (band, band_hash,
-    doc) → shuffle on band_hash (tiny rows) → per-bucket member list
-    with the BUCKET_CAP size filter → pairs enumerated IN-BUCKET by an
-    array expression → exact verify on the candidate subset only. This
-    is the shape that scales: no all-pairs work anywhere, and no
-    degenerate bucket can go quadratic."""
-    return minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    {_EXACT_JACCARD_CTES}
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           true AS subset_ok,
+           true AS recall_ok
+    FROM exact_pairs
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation, driver-gated as a BOUNDS
+    CHECK (r12; was rows-only): candidate pairs are probabilistic, so
+    the gate row emits what IS cross-engine checkable — the exact
+    Jaccard pair count (DuckDB recomputes it through the shared
+    _EXACT_JACCARD_CTES; a Spark-side drift in shingling, hot-shingle
+    cutoff, or the posting-list join hash-mismatches here) plus two
+    engine-computed booleans the oracle pins to TRUE: every verified
+    LSH pair is in the exact set (no false positives — verification
+    is exact Jaccard on hashed shingles) and LSH recall ≥
+    {LSH_RECALL_BOUND}. The pair LIST surface stays available as
+    ``minhash_lsh_pairs`` (the library API) and is pinned by
+    tests/test_minhash_recall.py at two SFs.
+
+    Plan shape (unchanged underneath): signatures map-side → explode
+    to (band, band_hash, doc) → shuffle on band_hash (tiny rows) →
+    per-bucket member list with the BUCKET_CAP size filter → pairs
+    enumerated IN-BUCKET by an array expression → exact verify on the
+    candidate subset only — no all-pairs work anywhere, no degenerate
+    bucket can go quadratic. The summary adds one semi/anti join pair
+    against the exact relation (both sides cached pair lists, tiny)."""
+    docs = table(spark, sf_dir, "documents")
+    exact = tracked_cache(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
+    lsh = tracked_cache(minhash_lsh_pairs(docs).select("doc_a", "doc_b"))
+    keys = ["doc_a", "doc_b"]
+    ne = exact.agg(F.count("*").cast("bigint").alias("n_exact_pairs"))
+    ni = lsh.join(exact, keys, "left_semi").agg(F.count("*").alias("n_in"))
+    na = lsh.join(exact, keys, "left_anti").agg(F.count("*").alias("n_out"))
+    return (
+        ne.crossJoin(ni)
+        .crossJoin(na)
+        .select(
+            "n_exact_pairs",
+            (F.col("n_out") == 0).alias("subset_ok"),
+            (F.col("n_in") >= LSH_RECALL_BOUND * F.col("n_exact_pairs")).alias(
+                "recall_ok"
+            ),
+        )
+    )
 
 
 # (a, b) for all index pairs i < j of a pre-sorted id array — at most

@@ -726,17 +726,13 @@ def pca_project(emb: DataFrame, mean, comps) -> DataFrame:
     )
 
 
-@register("embedding_pca_project")  # rows-only: eigendecomposition is not SQL
-def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{PCA_K} PCA projection of the embeddings table, coordinates
-    quantized to integer milli-units for replay-stable output. Pinned
-    by tests/test_pca.py: exact match vs numpy's full-matrix PCA on
-    the collected fixture, orthonormal components, monotone explained
-    variance, and reconstruction error that shrinks as k grows."""
-    from .dedup import spread
-
-    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    mean, comps, _ = pca_components(emb, PCA_K)
+def pca_projection_milli(emb: DataFrame, k: int = PCA_K) -> DataFrame:
+    """Top-k PCA projection, coordinates quantized to integer
+    milli-units for replay-stable output — the per-vector library
+    surface (pinned by tests/test_pca.py: exact match vs numpy's
+    full-matrix PCA, orthonormal components, monotone explained
+    variance, shrinking reconstruction error)."""
+    mean, comps, _ = pca_components(emb, k)
     proj = pca_project(emb, mean, comps)
     return proj.select(
         "vec_id",
@@ -744,6 +740,90 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "proj_milli"
         ),
     ).orderBy("vec_id")
+
+
+@register(
+    "embedding_pca_project",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           {PCA_K} AS k,
+           true AS ortho_ok,
+           true AS var_monotone_ok,
+           true AS proj_var_ok,
+           true AS recon_nonneg_ok
+    FROM embeddings
+    """,
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, driver-gated as a BOUNDS CHECK (r12; was
+    rows-only — eigendecomposition is not SQL, but its PROMISES are):
+    the gate row carries the cross-engine vector count plus four
+    engine-computed booleans the oracle pins to TRUE —
+    components orthonormal (max |C·Cᵀ − I| ≤ 1e-8), eigenvalues
+    non-increasing, projected variance equal to the top-{PCA_K}
+    eigenvalue sum within 1e-6 relative (Σ‖(x−μ)Cᵀ‖²/(n−1) vs Σλ —
+    the eigen-promise, verified by an independent distributed pass
+    over the data), and Bessel nonnegativity (centered energy ≥
+    projected energy). The float aggregates feed BOOLEANS with 1e-6
+    tolerances, not hashed values, so partition-order double jitter
+    (~1e-15) cannot flip the gate. Per-vector projections remain the
+    library surface (``pca_projection_milli``), pinned by
+    tests/test_pca.py."""
+    import numpy as np
+
+    from .dedup import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    mean, comps, lam = pca_components(emb, PCA_K)
+    ortho_ok = bool(
+        np.abs(comps @ comps.T - np.eye(comps.shape[0])).max() <= 1e-8
+    )
+    var_monotone_ok = bool(np.all(np.diff(lam) <= 1e-12))
+    lam_sum = float(np.sum(lam))
+    mean_l = np.asarray(mean, dtype=np.float64)
+    comps_l = np.asarray(comps, dtype=np.float64)
+
+    def energy_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if len(X) == 0:
+                yield pd.DataFrame({"n": [0], "ssq_c": [0.0], "ssq_p": [0.0]})
+                continue
+            Xc = X - mean_l
+            P = Xc @ comps_l.T
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "ssq_c": [float((Xc * Xc).sum())],
+                    "ssq_p": [float((P * P).sum())],
+                }
+            )
+
+    stats = (
+        emb.select("embedding")
+        .mapInPandas(energy_kernel, schema="n long, ssq_c double, ssq_p double")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("ssq_c").alias("ssq_c"),
+            F.sum("ssq_p").alias("ssq_p"),
+        )
+    )
+    return stats.select(
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.lit(PCA_K).alias("k"),
+        F.lit(ortho_ok).alias("ortho_ok"),
+        F.lit(var_monotone_ok).alias("var_monotone_ok"),
+        (
+            F.abs(F.col("ssq_p") / (F.col("n") - 1) - F.lit(lam_sum))
+            <= F.lit(1e-6) * F.lit(lam_sum)
+        ).alias("proj_var_ok"),
+        (F.col("ssq_c") >= F.col("ssq_p")).alias("recon_nonneg_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -195,15 +195,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_rolling_hash", oracle=None)  # engine-specific word hash → rows-only
+@register(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(
+                 string_split_regex(lower(trim(text)), '\\s+'),
+                 w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)),
+             (acc, h) -> (acc * 31 + h) % 1000000007
+           ) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over the token stream (document
     fingerprinting primitive; e.g. for shift-resistant chunk identity).
-    Engine-specific word hash → no cross-engine oracle; determinism is
-    unit-tested instead."""
+
+    ORACLE-BACKED since r12 (was rows-only): the per-word hash is the
+    first 8 hex digits of md5 — both engines agree byte-for-byte on
+    md5, so the whole fingerprint is cross-engine exact integer
+    arithmetic (word hash < 2^32, acc < 1e9+7, so acc*31 + h < 2^63;
+    the fold is left-to-right in both F.aggregate and list_reduce).
+    The r11 version hashed words with the Spark-only xxhash64, which
+    is why it could not be hash-gated."""
     docs = table(spark, sf_dir, "documents")
-    # modulus small enough that acc*31 + h stays inside int64 (ANSI mode)
-    word_hashes = F.transform(_tokens(), lambda w: F.pmod(F.xxhash64(w), F.lit(1000003)))
+    word_hashes = F.transform(
+        _tokens(), lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
     rolling = F.aggregate(
         word_hashes,
         F.lit(7).cast("long"),

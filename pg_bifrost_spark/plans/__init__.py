@@ -308,7 +308,15 @@ GATE_PRIORITY: list[str] = [
     # r7-late coverage-first swap: multimodal_audio_decode (green
     # r5+r6, plant-independent) yields to the never-checked
     # corpus_distinct_ngram_rate
-    "corpus_distinct_ngram_rate",
+    # r12 rotation: corpus_distinct_ngram_rate (5 straight greens
+    # r7-r11) yields to dedup_minhash_lsh — NEWLY ORACLE-BACKED in r12
+    # (was rows-only since r2: the gate row now emits the cross-engine
+    # exact-Jaccard pair count plus subset/recall booleans the oracle
+    # pins TRUE, closing one of the 14 never-driver-checked entries);
+    # like-for-like machinery swap (same shingle/gram pipeline), and
+    # distinct-gram evidence stays via source_ngram_overlap in-gate +
+    # the scale FAMILY row
+    "dedup_minhash_lsh",
     # embedding_quantize_int8 (3 straight greens, map-only shape)
     # yields to the never-checked leakage_safe_split
     # r9 rotation: leakage_safe_split (3 straight greens r6-r8) yields
@@ -350,7 +358,14 @@ GATE_PRIORITY: list[str] = [
     # quality_gopher_rules (3 straight greens r4-r6) yields to the NEW
     # r7 DSIR hashed-ngram importance score; Gopher evidence stays via
     # quality_c4_rules + the capstone's reused gopher_keep_parts stage
-    "dsir_importance_score",
+    # r12 rotation: dsir_importance_score (5 straight greens r7-r11)
+    # yields to text_rolling_hash — NEWLY ORACLE-BACKED in r12 (was
+    # rows-only: the word hash moved from Spark-only xxhash64 to an
+    # md5-prefix integer both engines compute bit-identically, so the
+    # full fingerprint column is now value-hashed by the driver);
+    # importance-scoring evidence stays via quality_classifier_filter
+    # + quality_rank_calibration + quality_kn_trigram in-gate
+    "text_rolling_hash",
     # r10-late rotation: temperature_mixture_sample (3 straight greens
     # r7-r9) yields to the NEW r10 cdc_pgoutput_roundtrip (the binary
     # in-core plugin path end to end: encode → distributed decode →
@@ -514,7 +529,15 @@ GATE_PRIORITY: list[str] = [
     # token_budget_sample (3 straight greens r4-r6) yields to the NEW
     # r7 contrastive hard-negative miner; budgeted-mixture evidence
     # stays via temperature_mixture_sample + its greens
-    "ann_hard_negatives",
+    # r12 rotation: ann_hard_negatives (5 straight greens r7-r11)
+    # yields to embedding_pca_project — NEWLY ORACLE-BACKED in r12
+    # (was rows-only: the gate row is now the PCA quality report —
+    # cross-engine n_vecs + orthonormality/eigen-order/projected-
+    # variance/Bessel booleans the oracle pins TRUE; per-vector
+    # projections stay as the pca_projection_milli library surface,
+    # pinned by tests/test_pca.py); embedding-family evidence stays
+    # via embedding_diversity_report in-gate + the ANN recall suites
+    "embedding_pca_project",
     # r10-late rotation: zipf_rank_slope (3 straight greens r7-r9)
     # yields to the NEW r10 text_readability_scores (Flesch/FK
     # milli-point scores + level buckets); corpus-stats evidence stays

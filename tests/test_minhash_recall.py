@@ -12,13 +12,16 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_lsh_recall_vs_exact(spark):
+    from pg_bifrost_spark.operators.dedup import minhash_lsh_pairs
+    from pg_bifrost_spark.plans import table
+
     exact = {
         (r.doc_a, r.doc_b)
         for r in plans.QUERIES["dedup_ngram_jaccard"](spark, SF).collect()
     }
     lsh = {
         (r.doc_a, r.doc_b)
-        for r in plans.QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+        for r in minhash_lsh_pairs(table(spark, SF, "documents")).collect()
     }
     assert exact, "fixture should contain near-duplicate documents"
     # LSH output is verified by exact jaccard, so no false positives…
@@ -38,18 +41,26 @@ def test_lsh_verified_subset_and_recall_sf01(spark):
     it must be a subset of the oracle-checked exact pair set
     (dedup_ngram_jaccard, same threshold) with recall ≥ the pinned
     bound."""
+    from pg_bifrost_spark.operators.dedup import minhash_lsh_pairs
+    from pg_bifrost_spark.plans import table
+
     exact = {
         (r.doc_a, r.doc_b)
         for r in plans.QUERIES["dedup_ngram_jaccard"](spark, SF01).collect()
     }
     lsh = {
         (r.doc_a, r.doc_b)
-        for r in plans.QUERIES["dedup_minhash_lsh"](spark, SF01).collect()
+        for r in minhash_lsh_pairs(table(spark, SF01, "documents")).collect()
     }
     assert exact
     assert lsh <= exact, sorted(lsh - exact)[:5]
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.95, f"LSH recall {recall:.2%} at sf0.01"
+    # the r12 gate row summarizes exactly these properties — pin that
+    # its booleans agree with the sets computed here
+    row = plans.QUERIES["dedup_minhash_lsh"](spark, SF01).collect()[0]
+    assert row.n_exact_pairs == len(exact)
+    assert row.subset_ok and row.recall_ok
 
 
 def test_simhash_equals_bruteforce_sf01(spark):

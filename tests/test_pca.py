@@ -72,9 +72,25 @@ def test_projection_and_reconstruction(spark, sf_dir):
     assert e8 < e2 < total
 
 
-def test_registered_query_stable(spark, sf_dir):
-    rows = plans.QUERIES["embedding_pca_project"](spark, sf_dir).collect()
+def test_projection_surface_stable(spark, sf_dir):
+    """The per-vector library surface (r12: split out of the registry
+    row, which became the oracle-backed quality report)."""
+    from pg_bifrost_spark.operators.similarity import pca_projection_milli
+    from pg_bifrost_spark.plans import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = pca_projection_milli(emb).collect()
     assert len(rows) > 0 and all(len(r.proj_milli) == PCA_K for r in rows)
     # deterministic across rebuilds
-    rows2 = plans.QUERIES["embedding_pca_project"](spark, sf_dir).collect()
+    rows2 = pca_projection_milli(emb).collect()
     assert [tuple(r.proj_milli) for r in rows] == [tuple(r.proj_milli) for r in rows2]
+
+
+def test_registered_query_quality_report(spark, sf_dir):
+    """The r12 gate row: one row, all booleans TRUE on healthy PCA —
+    the exact shape the DuckDB oracle pins."""
+    rows = plans.QUERIES["embedding_pca_project"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_vecs > 0 and r.k == PCA_K
+    assert r.ortho_ok and r.var_monotone_ok and r.proj_var_ok and r.recon_nonneg_ok
