@@ -606,6 +606,152 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def bench_interleaved(out_path: str = "BENCH_STREAM.json", reps: int = 3) -> None:
+    """Interleaved single-slot vs 4-slot streaming comparison →
+    BENCH_STREAM.json (VERDICT r11 ask #4: the r10→r11 single-shot
+    artifacts twice printed multi BELOW single purely from host drift
+    between the two measurements; alternating the legs on one host
+    inside one session is the comparison that actually answers
+    "does the multi-slot source scale"). Same corpus, same session:
+    single and multi alternate for ``reps`` rounds, every reranked
+    run on a fresh checkpoint, per-rep numbers recorded so the
+    artifact shows the comparison is paired, not vintage-skewed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pg_bifrost_spark.cdc.fixtures import wal_lines_from_table
+    from pg_bifrost_spark.cdc.pipeline import PipelineConfig, run_pipeline_assembled
+    from pg_bifrost_spark.plans import table
+    from pg_bifrost_spark.plans.cdc_bridge import LINEITEM_PG_TYPES
+    from pg_bifrost_spark.sources import pgcdc_multi
+    from pg_bifrost_spark.streaming.core import drain_cdc_query
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    plans.load_all()
+    spark = get_spark(app_name="pg_bifrost_spark_bench_stream")
+    pgcdc_multi.register(spark)
+    n_slots = 4
+    wal_dir = tempfile.mkdtemp(prefix="bench_wal_il_")
+    multi_base = tempfile.mkdtemp(prefix="bench_wal_il_multi_")
+    try:
+        # same corpus recipe as bench_streaming's timed leg
+        li = table(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % STREAM_ORDER_MOD == 0
+        )
+        raw = wal_lines_from_table(
+            li,
+            "public.lineitem",
+            LINEITEM_PG_TYPES,
+            seq_expr=F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+        )
+        (
+            raw.select(
+                F.to_json(F.struct("wal_start", "server_time_ms", "line")).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(wal_dir)
+        )
+        n_msgs = 0
+        for name in os.listdir(wal_dir):
+            if name.startswith("part-"):
+                path = os.path.join(wal_dir, name)
+                with open(path) as f:
+                    n_msgs += sum(1 for ln in f if ln.strip())
+                os.rename(path, path + ".jsonl")
+        for i in range(n_slots):
+            os.makedirs(os.path.join(multi_base, f"slot_{i}"), exist_ok=True)
+        files = sorted(n for n in os.listdir(wal_dir) if n.endswith(".jsonl"))
+        for j, name in enumerate(files):
+            os.link(
+                os.path.join(wal_dir, name),
+                os.path.join(multi_base, f"slot_{j % n_slots}", name),
+            )
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.format("noop").mode("overwrite").save()
+
+        def multi_sink(batch_df, epoch_id):
+            batch_df.persist()
+            try:
+                run_pipeline_assembled(batch_df, PipelineConfig()).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            finally:
+                batch_df.unpersist()
+
+        def run_single() -> float:
+            ckpt = tempfile.mkdtemp(prefix="bench_ckpt_il_s_")
+            try:
+                _clean_state(spark)
+                t0 = time.perf_counter()
+                drain_cdc_query(
+                    spark, sink, ckpt, cfg=PipelineConfig(),
+                    source_options={
+                        "wal_dir": wal_dir,
+                        "max_msgs_per_batch": str(STREAM_BATCH_MSGS),
+                    },
+                )
+                return round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+        def run_multi() -> float:
+            ckpt = tempfile.mkdtemp(prefix="bench_ckpt_il_m_")
+            try:
+                _clean_state(spark)
+                t0 = time.perf_counter()
+                q = (
+                    spark.readStream.format("pgcdc-multi")
+                    .option("wal_dir", multi_base)
+                    .load()
+                    .writeStream.foreachBatch(multi_sink)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                return round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+        # warm both paths once (streaming-runner launch + codegen are
+        # first-run costs; discard these timings)
+        run_single()
+        run_multi()
+        single, multi = [], []
+        for _ in range(reps):
+            single.append(run_single())
+            multi.append(run_multi())
+        payload = {
+            "metric": "streaming_interleaved_msg_per_sec",
+            "msgs": n_msgs,
+            "slots": n_slots,
+            "sf_dir": sf_dir,
+            "reps": reps,
+            "single_sec": single,
+            "multi_sec": multi,
+            "single_msg_per_sec": [round(n_msgs / s, 1) for s in single],
+            "multi_msg_per_sec": [round(n_msgs / s, 1) for s in multi],
+            "single_median_msg_per_sec": round(
+                n_msgs / statistics.median(single), 1
+            ),
+            "multi_median_msg_per_sec": round(
+                n_msgs / statistics.median(multi), 1
+            ),
+            "multi_ge_single_per_rep": [
+                m <= s for s, m in zip(single, multi)
+            ],
+        }
+        _write_json_atomic(out_path, payload)
+        print(json.dumps(payload))
+    finally:
+        shutil.rmtree(wal_dir, ignore_errors=True)
+        shutil.rmtree(multi_base, ignore_errors=True)
+        spark.stop()
+
+
 def bench_scale(spark, sf_dir: str) -> dict:
     """Time SCALE_QUERIES at the bench SF and at the 10× scale-up;
     report best-of-SCALE_EXECS and the sf1/sf0.1 ratio per query.
@@ -859,5 +1005,7 @@ if __name__ == "__main__":
         bench_sf10()
     elif "--sweep" in sys.argv[1:]:
         bench_sweep()
+    elif "--interleaved" in sys.argv[1:]:
+        bench_interleaved()
     else:
         main()

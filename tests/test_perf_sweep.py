@@ -30,6 +30,31 @@ SWEEP = os.path.join(_REPO, "BENCH_SWEEP.json")
 BASELINE = os.path.join(_REPO, "BENCH_SWEEP_BASELINE.json")
 
 GROSS_PATHOLOGY = 5.0  # normalized ratio beyond which a query fails
+
+# Adjudicated sweep outliers (VERDICT r11 ask #5) — rows whose
+# absolute sweep time sits far above the median for KNOWN,
+# rationale-recorded reasons, so a future rotation doesn't re-litigate
+# them as regressions. All three are DRIVER-LOOP ops: wall time is
+# dominated by one Spark job per iteration (scheduler latency x
+# iteration count), not by data volume — the per-iteration work is a
+# small aggregate, so the time is flat-ish in corpus size (verified by
+# their scale-FAMILY / 10x rows) and shrinks only by cutting
+# iterations, which would change the algorithm:
+#   dedup_jaccard_clusters — label-propagation to a fixed point over
+#     the pair graph; ~1 checkpointed join+agg job per round until
+#     convergence (recursive-CTE-oracle rehearsed).
+#   ivf_kmeans_codebook — Lloyd iterations; one assignment+centroid
+#     job per iteration, driver traffic k x d only.
+#   near_dup_resolution — iterative cluster-representative
+#     resolution over the near-dup graph; same fixed-point shape.
+# approx_aggregates WAS the fourth outlier (15.5 s) — that one was a
+# real plan pathology (countDistinct Expand multiplying sketch
+# updates) and was FIXED in r12 (split legs, accuracy 1000): ~2 s.
+ITERATION_DOMINATED = {
+    "dedup_jaccard_clusters",
+    "ivf_kmeans_codebook",
+    "near_dup_resolution",
+}
 # same floor (and rationale) as the headline gate: the sweep is
 # single-execution, so a ~1 s query whose baseline captured a lucky
 # fast run can print a 5x "regression" out of pure scheduler jitter
@@ -63,7 +88,10 @@ def test_registry_sweep_no_gross_pathology():
     }
     assert not offenders, (
         f"grossly-pathological sweep regressions (normalized by the "
-        f"suite median machine factor {machine:.2f}): {offenders}"
+        f"suite median machine factor {machine:.2f}): {offenders} — "
+        f"note: {sorted(set(offenders) & ITERATION_DOMINATED)} are "
+        "documented iteration-dominated rows (see ITERATION_DOMINATED); "
+        "for those, first check whether the iteration count grew"
     )
 
 
