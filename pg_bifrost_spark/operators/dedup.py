@@ -323,6 +323,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     df_cutoff: int = DF_CUTOFF,
     literal_max: int = 10_000,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with 3-gram Jaccard ≥ threshold over NON-STOP
     shingles, computed exactly through an inverted shingle index
@@ -341,8 +342,12 @@ def ngram_jaccard_pairs(
     # Materialize the shingle arrays once: Catalyst's projection
     # collapse would otherwise inline the (interpreted, expensive)
     # shingling expression into every downstream use, and the
-    # self-join would recompute the whole subtree twice.
-    base = tracked_cache(with_shingles(docs).select("doc_id", "hshingles"))
+    # self-join would recompute the whole subtree twice. A caller that
+    # already holds the cached shingle relation passes it as ``base``
+    # (the dedup_minhash_lsh gate row shares ONE cache across its
+    # exact and LSH legs — code-review r12).
+    if base is None:
+        base = tracked_cache(with_shingles(docs).select("doc_id", "hshingles"))
     kept = subtract_hot_shingles(base, df_cutoff, literal_max)
     sh = spread(
         kept.select(
@@ -493,7 +498,7 @@ def minhash_signature(shingles: F.Column) -> F.Column:
     )
 
 
-LSH_RECALL_BOUND = 0.95  # matches tests/test_minhash_recall.py
+LSH_RECALL_BOUND = 0.95  # imported by tests/test_minhash_recall.py
 
 
 @register(
@@ -528,8 +533,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket can go quadratic. The summary adds one semi/anti join pair
     against the exact relation (both sides cached pair lists, tiny)."""
     docs = table(spark, sf_dir, "documents")
-    exact = tracked_cache(ngram_jaccard_pairs(docs).select("doc_a", "doc_b"))
-    lsh = tracked_cache(minhash_lsh_pairs(docs).select("doc_a", "doc_b"))
+    # ONE shingle cache shared by both legs (each would otherwise
+    # tracked_cache an identical with_shingles subtree and compute the
+    # expensive interpreted shingling twice — code-review r12)
+    base = tracked_cache(with_shingles(docs).select("doc_id", "hshingles"))
+    exact = tracked_cache(
+        ngram_jaccard_pairs(docs, base=base).select("doc_a", "doc_b")
+    )
+    lsh = tracked_cache(
+        minhash_lsh_pairs(docs, base=base).select("doc_a", "doc_b")
+    )
     keys = ["doc_a", "doc_b"]
     ne = exact.agg(F.count("*").cast("bigint").alias("n_exact_pairs"))
     ni = lsh.join(exact, keys, "left_semi").agg(F.count("*").alias("n_in"))
@@ -555,10 +568,20 @@ _BUCKET_PAIRS = (
 )
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
-    sh = tracked_cache(
-        with_shingles(docs).select("doc_id", "hshingles")
-    ).filter(F.size("hshingles") > 0)  # after cache: cheap array check
+def minhash_lsh_pairs(docs: DataFrame, base: DataFrame | None = None) -> DataFrame:
+    if base is None:
+        base = tracked_cache(with_shingles(docs).select("doc_id", "hshingles"))
+    # r12 (code-review): signatures AND verification run over the SAME
+    # hot-subtracted kept sets as ngram_jaccard_pairs. Over FULL sets,
+    # a candidate pair sharing mostly hot (boilerplate) shingles could
+    # verify >= 0.5 here yet score < 0.5 on the exact op's kept sets —
+    # breaking the gate row's subset_ok on corpus shape rather than
+    # engine drift. Excluding df > DF_CUTOFF shingles from signatures
+    # is also the standard LSH posture (boilerplate carries no
+    # near-dup signal and floods bands).
+    sh = subtract_hot_shingles(base).filter(
+        F.size("hshingles") > 0
+    )  # after cache: cheap array check
     sig = sh.select("doc_id", "hshingles", minhash_signature(F.col("hshingles")).alias("sig"))
     rows_per_band = N_PERM // N_BANDS
     bands = sig.select(
@@ -752,7 +775,9 @@ def _cosine_block_kernel(batches):
     WITH {PLANTED_EMB_SQL}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-    FROM embeddings_planted a JOIN embeddings_planted b ON a.vec_id < b.vec_id
+    FROM (SELECT * FROM embeddings_planted WHERE embedding IS NOT NULL) a
+    JOIN (SELECT * FROM embeddings_planted WHERE embedding IS NOT NULL) b
+      ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
     ORDER BY vec_a, vec_b
     """,
@@ -779,11 +804,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncached), and Arrow-decoded to per-element Python dicts — an
     allocation storm whose cost tracked JVM heap state (9 s at 8g vs
     4 s at 16g vs 1 s on the baseline host; the reproduced in-suite
-    8.24x flag). Flat primitives + tracked_cache(blocks) make the
-    plan allocation-light and session-state-insensitive."""
-    emb = plant_duplicates(table(spark, sf_dir, "embeddings"), "vec_id").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    8.24x flag). Flat primitives make the plan allocation-light and
+    session-state-insensitive; blocks is deliberately NOT cached —
+    see the inline comment below."""
+    emb = (
+        plant_duplicates(table(spark, sf_dir, "embeddings"), "vec_id")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        # collect_list drops NULLs PER COLUMN, so a NULL vec_id or v
+        # would desynchronize ids[i] from flat row i in the block
+        # payload (the old struct payload kept them co-located). Drop
+        # such rows explicitly — the oracle's cosine against a NULL
+        # embedding is NULL and fails the >= threshold the same way
+        # (code-review r12).
+        .filter(F.col("vec_id").isNotNull() & F.col("v").isNotNull())
     )
     # NOT cached, deliberately: InMemoryRelation's columnar
     # (de)serialization of wide array columns costs multiples of the

@@ -440,18 +440,21 @@ DIVERSITY_QSCALE = 1_000_000  # e6 per-component quantization
 @register(
     "embedding_diversity_report",
     oracle=f"""
-    WITH q AS (
+    WITH nrm AS (
+      SELECT label, embedding,
+             sqrt(list_sum(list_transform(
+               embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS n2
+      FROM embeddings
+    ), q AS (
       SELECT label,
              list_transform(
                embedding,
-               x -> CAST(floor(
-                      CAST(x AS DOUBLE) /
-                      sqrt(list_sum(list_transform(
-                        embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
-                      * {DIVERSITY_QSCALE}
-                    ) AS BIGINT)
+               x -> CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(
+                           CAST(x AS DOUBLE) / n2 * {DIVERSITY_QSCALE}
+                         ) AS BIGINT) END
              ) AS qv
-      FROM embeddings
+      FROM nrm
     ), r AS (
       SELECT label, qv,
              list_sum(list_transform(qv, x -> x * x)) AS rowsq
@@ -469,10 +472,11 @@ DIVERSITY_QSCALE = 1_000_000  # e6 per-component quantization
     )
     SELECT label,
            n_vecs,
-           CAST(sumsq - sum_rowsq AS DOUBLE) /
-             (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)
-              * {float(DIVERSITY_QSCALE) * DIVERSITY_QSCALE})
-             AS mean_pairwise_cosine
+           CASE WHEN n_vecs >= 2 THEN
+             CAST(sumsq - sum_rowsq AS DOUBLE) /
+               (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE)
+                * {float(DIVERSITY_QSCALE) * DIVERSITY_QSCALE})
+           END AS mean_pairwise_cosine
     FROM ss
     ORDER BY label
     """,
@@ -518,9 +522,18 @@ def embedding_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", _as_double().alias("v"))
         .withColumn("nrm", _norm(F.col("v")))
     )
+    # zero-norm guard (code-review r12): x/0 is NaN and
+    # CAST(floor(NaN) AS BIGINT) hard-errors in DuckDB (and diverges
+    # under Spark ANSI) — a zero vector quantizes to the zero vector
+    # on BOTH sides instead, contributing nothing to any sum
     q = emb.select(
         "label",
-        F.transform(F.col("v"), lambda x: F.floor(x / F.col("nrm") * S)).alias("qv"),
+        F.transform(
+            F.col("v"),
+            lambda x: F.when(
+                F.col("nrm") > 0, F.floor(x / F.col("nrm") * S)
+            ).otherwise(F.lit(0).cast("bigint")),
+        ).alias("qv"),
     ).withColumn(
         # per-row ||q||^2: exact bigint, max d * S^2 = 64e12
         "rowsq",
@@ -550,13 +563,16 @@ def embedding_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "n_vecs",
-            (
+            # a single-vector label has no pairs: NULL, not 0/0 (ANSI
+            # divide-by-zero — caught by the r12 edge-fixture drive)
+            F.when(
+                F.col("n_vecs") >= 2,
                 (F.col("sumsq") - F.col("sum_rowsq")).cast("double")
                 / (
                     F.col("n_vecs").cast("double")
                     * (F.col("n_vecs") - F.lit(1)).cast("double")
                     * F.lit(float(S) * S)
-                )
+                ),
             ).alias("mean_pairwise_cosine"),
         )
         .orderBy("label")

@@ -199,13 +199,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_rolling_hash",
     oracle="""
     SELECT doc_id,
-           list_reduce(
-             list_prepend(CAST(7 AS BIGINT),
-               list_transform(
-                 string_split_regex(lower(trim(text)), '\\s+'),
-                 w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)),
-             (acc, h) -> (acc * 31 + h) % 1000000007
-           ) AS fingerprint
+           CASE WHEN text IS NULL THEN NULL ELSE
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(
+                   string_split_regex(lower(trim(text)), '\\s+'),
+                   w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)),
+               (acc, h) -> (acc * 31 + h) % 1000000007
+             ) END AS fingerprint
     FROM documents ORDER BY doc_id
     """,
 )
@@ -219,7 +220,10 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (word hash < 2^32, acc < 1e9+7, so acc*31 + h < 2^63;
     the fold is left-to-right in both F.aggregate and list_reduce).
     The r11 version hashed words with the Spark-only xxhash64, which
-    is why it could not be hash-gated."""
+    is why it could not be hash-gated. NULL text → NULL fingerprint on
+    BOTH sides (Spark's HOFs propagate NULL; DuckDB's
+    list_prepend(7, NULL) would otherwise yield [7] → fingerprint 7,
+    so the oracle carries an explicit CASE — code-review r12)."""
     docs = table(spark, sf_dir, "documents")
     word_hashes = F.transform(
         _tokens(), lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")

@@ -161,15 +161,17 @@ def decode_pgoutput_frames(
                 # this helper replays a larger transaction, or the
                 # per-line LSNs would interleave across transactions
                 # and break strict per-stream ordering (ADVICE r11)
-                if len(events) >= FRAME_LSN_STRIDE:
+                if len(events) > FRAME_LSN_STRIDE:
+                    # lines occupy lsn..lsn+len-1, so len == STRIDE is
+                    # still strictly below the next frame at lsn+STRIDE
                     raise AssertionError(
                         f"replay of {len(events)} lines at lsn {lsn} "
-                        f">= inter-frame LSN stride {FRAME_LSN_STRIDE}"
+                        f"> inter-frame LSN stride {FRAME_LSN_STRIDE}"
                         " — widen the generators' frame spacing"
                     )
                 for i, line in enumerate(events):
                     out["wal_start"].append(int(lsn) + i)
-                    out["server_wal_end"].append(int(lsn) + i + 8)
+                    out["server_wal_end"].append(int(lsn) + i + FRAME_LSN_STRIDE)
                     out["server_time_ms"].append(0)
                     out["stream_id"].append(int(sid))
                     out["line"].append(line)

@@ -57,17 +57,19 @@ MAX_FRAME_LEN = 64 * 1024 * 1024
 
 
 def _validate_slot_name(slot: str) -> str:
-    """Replication-slot charset guard ([a-z0-9_], Postgres's own rule)
-    at the wire-client entry points. Slot names are interpolated into
-    replication-command text AND — on the 42710 already-exists path —
-    into a quoted SQL literal for the catalog probe; a name carrying a
-    quote or whitespace would break or inject that query (ADVICE r11).
-    Mirrors slots._validate_slot so both admin surfaces agree."""
-    if not slot or not all(
-        (c.isalnum() and c.isascii()) or c == "_" for c in slot
-    ):
-        raise WireError(f"invalid replication slot name: {slot!r}")
-    return slot.lower()
+    """Replication-slot charset guard at the wire-client entry points.
+    Slot names are interpolated into replication-command text AND — on
+    the 42710 already-exists path — into a quoted SQL literal for the
+    catalog probe; a name carrying a quote or whitespace would break
+    or inject that query (ADVICE r11). Delegates to the ONE shared
+    validator (slots._validate_slot) so the two admin surfaces cannot
+    drift, wrapping its ValueError in the wire error type."""
+    from .slots import _validate_slot
+
+    try:
+        return _validate_slot(slot)
+    except ValueError as exc:
+        raise WireError(str(exc)) from None
 
 
 def lsn_to_int(text: str) -> int:

@@ -28,7 +28,9 @@ def test_lsh_recall_vs_exact(spark):
     assert lsh <= exact or all(p in exact for p in lsh)
     # …and 16 bands × 4 rows gives ≥99% expected recall at j≥0.5
     recall = len(lsh & exact) / len(exact)
-    assert recall >= 0.95, f"LSH recall {recall:.2%}"
+    from pg_bifrost_spark.operators.dedup import LSH_RECALL_BOUND
+
+    assert recall >= LSH_RECALL_BOUND, f"LSH recall {recall:.2%}"
 
 
 SF01 = "/root/testdata/sf0.01"
@@ -54,8 +56,10 @@ def test_lsh_verified_subset_and_recall_sf01(spark):
     }
     assert exact
     assert lsh <= exact, sorted(lsh - exact)[:5]
+    from pg_bifrost_spark.operators.dedup import LSH_RECALL_BOUND
+
     recall = len(lsh & exact) / len(exact)
-    assert recall >= 0.95, f"LSH recall {recall:.2%} at sf0.01"
+    assert recall >= LSH_RECALL_BOUND, f"LSH recall {recall:.2%} at sf0.01"
     # the r12 gate row summarizes exactly these properties — pin that
     # its booleans agree with the sets computed here
     row = plans.QUERIES["dedup_minhash_lsh"](spark, SF01).collect()[0]
