@@ -201,6 +201,21 @@ HEADLINE = [
     # conversion, dedup_minhash_lsh, already holds a HEADLINE row.
     "text_rolling_hash",
     "embedding_pca_project",
+    # r12 second batch: the remaining rows-only→oracle-backed
+    # conversions whose registry rows are new measured shapes — the
+    # ANN recall summaries (each = its index path + the exact top-k +
+    # a semi-join), the kmeans/unigram/bpe/partition bounds checks,
+    # the simhash re-derive summary, and the adaptive-plane srp_scaled
+    # summary.
+    "ann_lsh_buckets",
+    "ann_ivf_probe",
+    "ann_ivf_pq",
+    "ivf_kmeans_codebook",
+    "dedup_simhash",
+    "semantic_dedup_srp_scaled",
+    "bpe_apply_merges",
+    "unigram_em_step",
+    "cdc_partition_buckets",
     "cdc_lineitem_roundtrip",
 ]
 

@@ -737,17 +737,80 @@ def bpe_encode(docs: DataFrame, merges=None) -> DataFrame:
     )
 
 
-@register("bpe_apply_merges", oracle=None)  # iterative fold — pinned by test_bpe_apply
-def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_changed_docs(docs: DataFrame) -> DataFrame:
     """Encode every document with the static 8-entry merge table —
     only docs the encode actually changed are returned (non-vacuous
     at every fixture SF; the table's pairs come from the fixtures'
-    own top bigrams and include one rank-chained merge)."""
-    docs = table(spark, sf_dir, "documents")
+    own top bigrams and include one rank-chained merge). The per-doc
+    library surface; the r12 gate row is the conservation summary."""
     return (
         bpe_encode(docs)
         .filter(F.col("n_tokens_after") < F.col("n_tokens_before"))
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "bpe_apply_merges",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+             AS BIGINT) AS total_tokens,
+           true AS conservation_ok,
+           true AS shrink_ok,
+           true AS some_doc_changed_ok
+    FROM documents
+    WHERE text IS NOT NULL AND NOT contains(text, '+')
+    """,
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge application, driver-gated as a BOUNDS CHECK (r12; was
+    rows-only — the rank-ordered fold is not SQL, but its invariants
+    are): cross-engine doc and token counts, plus engine booleans the
+    oracle pins TRUE — (a) TOKEN CONSERVATION: every merged symbol
+    "a+b" expands back to its constituent tokens, so
+    sum(1 + count('+', tok)) over the encoded arrays equals the
+    pre-merge token count exactly (a fold that dropped or duplicated
+    a token flips this); (b) merges only ever SHRINK a document; and
+    (c) at least one document actually changed (the merge table is
+    non-vacuous on the fixture). Docs containing a literal '+' are
+    excluded on BOTH sides — '+' is the merge separator, so the
+    expansion count would be ambiguous for them (none exist in the
+    fixtures; a real deployment picks a separator outside the token
+    alphabet). Encoded sequences stay pinned token-exactly by
+    tests/test_bpe_apply.py; the changed-docs list is
+    ``bpe_changed_docs``."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & ~F.col("text").contains("+")
+    )
+    enc = bpe_encode(docs)
+    expanded = F.aggregate(
+        F.split("encoded", " "),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + 1
+        + (F.length(t) - F.length(F.regexp_replace(t, r"\+", ""))),
+    )
+    per_doc = enc.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.when(F.col("n_tokens_after") > 0, expanded)
+        .otherwise(F.lit(0))
+        .alias("n_expanded"),
+    )
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens_before").cast("bigint").alias("total_tokens"),
+        F.min(
+            (F.col("n_expanded") == F.col("n_tokens_before")).cast("int")
+        ).cast("boolean").alias("conservation_ok"),
+        F.min(
+            (F.col("n_tokens_after") <= F.col("n_tokens_before")).cast("int")
+        ).cast("boolean").alias("shrink_ok"),
+        F.max(
+            (F.col("n_tokens_after") < F.col("n_tokens_before")).cast("int")
+        ).cast("boolean").alias("some_doc_changed_ok"),
     )
 
 

@@ -641,16 +641,67 @@ def minhash_lsh_pairs(docs: DataFrame, base: DataFrame | None = None) -> DataFra
 # --------------------------------------------------------------------------
 # SimHash (64-bit) with hamming-distance blocking
 # --------------------------------------------------------------------------
-@register("dedup_simhash", oracle=None)  # bit-level custom hashing → rows-only
+@register(
+    "dedup_simhash",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           true AS pairs_found_ok,
+           true AS hamming_bound_ok,
+           true AS pairs_canonical_ok
+    FROM documents
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs with hamming distance ≤ 3.
+    """SimHash-64 near-dup detection, driver-gated as a BOUNDS CHECK
+    (r12; was rows-only — the xxhash64 bit votes aren't DuckDB-
+    expressible, but the detector's contract is): cross-engine doc
+    count, plus engine booleans the oracle pins TRUE — the detector
+    finds a non-empty pair set on the planted fixture, every emitted
+    pair's RE-DERIVED hamming distance (recomputed from the
+    fingerprint relation through an independent join, not read off
+    the pair row) is ≤ 3 with doc_a < doc_b canonical ordering. No
+    false positives can survive; COMPLETENESS (blocked pairs ==
+    brute-force hamming pairs minus capped buckets) is pinned by
+    tests/test_minhash_recall.py::test_simhash_equals_bruteforce_sf01.
+    The pair-list surface stays available as ``simhash_pairs``.
 
-    Candidate blocking: split the 64-bit fingerprint into 4 16-bit
-    blocks; pairs within hamming ≤ 3 share at least one exact block
-    (pigeonhole), so a self-join per block replaces all-pairs. Block
-    buckets above BUCKET_CAP are dropped before the self-join (the
-    same quadratic-fan-out defense as the LSH bands)."""
-    return simhash_pairs(table(spark, sf_dir, "documents"))
+    Candidate blocking (unchanged underneath): split the 64-bit
+    fingerprint into 4 16-bit blocks; pairs within hamming ≤ 3 share
+    at least one exact block (pigeonhole), so a self-join per block
+    replaces all-pairs. Block buckets above BUCKET_CAP are dropped
+    before the self-join (the same quadratic-fan-out defense as the
+    LSH bands)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = tracked_cache(simhash_pairs(docs))
+    fp = simhash_fingerprints(docs)
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    rederived = (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            (
+                (
+                    F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+                    == F.col("hamming")
+                )
+                & (F.col("hamming") <= 3)
+            ).cast("int").alias("ham_ok"),
+            (F.col("doc_a") < F.col("doc_b")).cast("int").alias("canon_ok"),
+        )
+    )
+    checks = rederived.agg(
+        F.count("*").alias("n_pairs"),
+        F.min("ham_ok").cast("boolean").alias("hamming_bound_ok"),
+        F.min("canon_ok").cast("boolean").alias("pairs_canonical_ok"),
+    )
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return n.crossJoin(F.broadcast(checks)).select(
+        "n_docs",
+        (F.col("n_pairs") > 0).alias("pairs_found_ok"),
+        "hamming_bound_ok",
+        "pairs_canonical_ok",
+    )
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -1055,8 +1106,7 @@ def srp_planes_for(n: int) -> int:
     return max(SRP_PLANES, math.ceil(math.log2(max(n / SRP_TARGET_CELL, 2.0))))
 
 
-@register("semantic_dedup_srp_scaled", oracle=None)  # hash-derived planes → rows-only
-def semantic_dedup_srp_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_srp_scaled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``semantic_dedup_srp``'s documented SCALE CAVEAT, closed: the
     fixture op freezes SRP_PLANES=3 (8 cells, oracle-expressible sign
     tests), so cell occupancy — and the in-cell quadratic verify —
@@ -1069,9 +1119,9 @@ def semantic_dedup_srp_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     The count that sizes the planes is one cheap driver-side job
     (parquet row-count metadata) — the same adaptive-planning move AQE
     makes from shuffle statistics. Identical verify tail, identical
-    output contract; rows-only because xxhash-derived planes aren't
-    DuckDB-expressible (recall pinned vs the exact-cosine oracle set
-    in test_srp_scaled.py)."""
+    output contract (recall vs the exact-cosine set pinned in
+    test_srp_scaled.py). The pair-list library surface; the r12 gate
+    row is the bounds-check summary below."""
     from .similarity import srp_bucket_expr
 
     emb = plant_duplicates(table(spark, sf_dir, "embeddings"), "vec_id").select(
@@ -1082,6 +1132,77 @@ def semantic_dedup_srp_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(emb.select("v").first()[0])
     return _semantic_verify_tail(
         emb.withColumn("bucket", srp_bucket_expr(F.col("v"), dim, planes))
+    )
+
+
+@register(
+    "semantic_dedup_srp_scaled",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_planted_pairs,
+           true AS planted_recovered_ok,
+           true AS pairs_cosine_verified_ok
+    FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+    """,
+)
+def semantic_dedup_srp_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive SRP semantic dedup, driver-gated as a BOUNDS
+    CHECK (r12; was the registry's last rows-only entry — xxhash-
+    derived planes aren't DuckDB-expressible, but the detector's
+    contract is, and every check here is LINEAR so the gate row keeps
+    the production scale posture): the cross-engine value is the
+    planted-clone pair count (clones are identical vectors — cosine
+    1.0, same bucket under ANY deterministic plane set, so ALL must
+    be recovered), and the engine booleans the oracle pins TRUE are
+    (a) planted recovery and (b) per-pair cosine RE-DERIVED from the
+    embeddings relation through an independent join is >= the
+    threshold for every emitted pair (precision — no false positive
+    survives). Global recall vs the exact all-pairs set stays pinned
+    at audit scale by test_srp_scaled.py over the
+    ``semantic_srp_scaled_pairs`` library surface."""
+    base = table(spark, sf_dir, "embeddings")
+    pairs = tracked_cache(
+        semantic_srp_scaled_pairs(spark, sf_dir).select("keep_id", "drop_id")
+    )
+    planted = base.filter(F.col("vec_id") % PLANT_MOD == 0).select(
+        F.col("vec_id").alias("keep_id"),
+        (F.col("vec_id") + PLANT_OFFSET).alias("drop_id"),
+    )
+    n_planted = planted.agg(
+        F.count("*").cast("bigint").alias("n_planted_pairs")
+    )
+    missed = planted.join(pairs, ["keep_id", "drop_id"], "left_anti").agg(
+        F.count("*").alias("n_missed")
+    )
+    emb_p = plant_duplicates(base, "vec_id").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ea = emb_p.select(F.col("vec_id").alias("keep_id"), F.col("v").alias("va"))
+    eb = emb_p.select(F.col("vec_id").alias("drop_id"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    verified = (
+        pairs.join(ea, "keep_id")
+        .join(eb, "drop_id")
+        .select(
+            ((dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
+             >= SEM_COSINE_THRESHOLD).cast("int").alias("ok")
+        )
+        .agg(F.min("ok").cast("boolean").alias("all_verified"))
+    )
+    return (
+        n_planted.crossJoin(F.broadcast(missed))
+        .crossJoin(F.broadcast(verified))
+        .select(
+            "n_planted_pairs",
+            (F.col("n_missed") == 0).alias("planted_recovered_ok"),
+            F.coalesce(F.col("all_verified"), F.lit(True)).alias(
+                "pairs_cosine_verified_ok"
+            ),
+        )
     )
 
 

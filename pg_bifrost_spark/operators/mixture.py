@@ -260,16 +260,10 @@ def kmeans_codebook(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
     return cents, history
 
 
-@register(
-    "ivf_kmeans_codebook",
-    oracle=None,  # iterative refinement — not SQL-expressible; quality pinned in tests
-)
-def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the IVF codebook on the embeddings table and report the
-    final cell populations and mean within-cell squared distance —
-    the index-build step ``ann_ivf_probe`` assumes. Replay-stable up
-    to float accumulation order (see ``kmeans_codebook``): registered
-    rows-only, quality pinned by tolerance-based tests."""
+def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cell populations and mean within-cell squared distance of
+    the trained codebook — the per-cell library surface (the r12 gate
+    row is the bounds-check summary below)."""
     emb = table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_codebook(emb)
     cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
@@ -290,6 +284,63 @@ def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("d2"), 6).alias("mean_d2"),
         )
         .orderBy("cell")
+    )
+
+
+@register(
+    "ivf_kmeans_codebook",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           {KMEANS_K} AS k,
+           true AS inertia_monotone_ok,
+           true AS coverage_ok
+    FROM embeddings
+    """,
+)
+def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF codebook training (Lloyd's), driver-gated as a BOUNDS CHECK
+    (r12; was rows-only — iterative refinement is not SQL, but its
+    PROMISES are): cross-engine vector count, plus engine-computed
+    booleans the oracle pins TRUE — the per-iteration inertia history
+    is non-increasing (Lloyd's guarantee, 1e-9 relative slack for
+    float accumulation) and every vector lands in exactly one of the
+    k cells (assignment-count conservation, exact integers). Per-cell
+    populations stay available as ``kmeans_cell_profile``; codebook
+    quality (probe recall) is pinned by tests/test_ivf_recall.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents, history = kmeans_codebook(emb)
+    monotone = bool(
+        all(
+            b <= a * (1 + 1e-9) + 1e-12
+            for a, b in zip(history, history[1:])
+        )
+    )
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    dist_to = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("embedding"), c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = F.transform(cent_lit, dist_to)
+    assigned = emb.select(
+        F.array_position(dists, F.array_min(dists)).alias("cell")
+    )
+    per_cell = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+    return (
+        per_cell.agg(
+            F.sum("n").cast("bigint").alias("assigned_total"),
+            F.count("*").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(emb.agg(F.count("*").alias("n_vecs"))))
+        .select(
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.lit(KMEANS_K).alias("k"),
+            F.lit(monotone).alias("inertia_monotone_ok"),
+            (
+                (F.col("assigned_total") == F.col("n_vecs"))
+                & (F.col("n_cells") <= KMEANS_K)
+            ).alias("coverage_ok"),
+        )
     )
 
 

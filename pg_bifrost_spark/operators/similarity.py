@@ -97,26 +97,130 @@ def srp_bucket_expr(v: F.Column, dim: int, planes: int = N_PLANES) -> F.Column:
     return sum(bits, F.lit(0)).alias("bucket")
 
 
-@register("ann_lsh_buckets", oracle=None)  # approximate recall → rows-only
-def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via signed-random-projection LSH: score only vectors in the
-    query's bucket, then exact top-k within candidates. Returns the
-    candidate-set top-k (approximate; candidate recall depends on
-    N_PLANES)."""
+LSH_TARGET_BUCKET = 64  # expected bucket occupancy the plane count aims for
+
+
+def lsh_planes_for(n: int) -> int:
+    """planes = clamp(ceil(log2(n / LSH_TARGET_BUCKET)), 2, N_PLANES):
+    bucket count tracks the corpus so expected occupancy stays
+    ~LSH_TARGET_BUCKET. The r11 version froze N_PLANES=12 (4096
+    buckets) — over the ≤5.5k fixture vectors every vector was alone
+    in its bucket and the op returned ZERO candidates (found while
+    converting it to a recall-bounded gate row, r12) — the same
+    fixture-frozen-parameter degeneracy semantic_dedup_srp_scaled
+    fixed for the dedup side."""
+    import math
+
+    return max(2, min(N_PLANES, math.ceil(math.log2(max(n / LSH_TARGET_BUCKET, 2.0)))))
+
+
+def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via signed-random-projection LSH with MULTIPROBE: score
+    vectors in the query's bucket plus every 1-bit-flip neighbor
+    bucket (a point near a hyperplane lands on either side — probing
+    the flip buckets recovers the neighbors a single bucket loses;
+    the standard multiprobe-LSH move, Lv et al. 2007). Candidate set
+    is (planes+1)/2^planes of the corpus in expectation, so the probe
+    still prunes ~everything at scale; then exact top-k within
+    candidates. Plane count sized to the corpus by lsh_planes_for."""
     emb = _prepared(spark, sf_dir)
     dim = len(emb.select("v").first()[0])
-    bucketed = emb.withColumn("bucket", srp_bucket_expr(F.col("v"), dim))
-    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID)
-    q_bucket = F.broadcast(q.select(F.col("bucket").alias("qb")))
-    cands = bucketed.join(q_bucket, F.col("bucket") == F.col("qb")).filter(
-        F.col("vec_id") != QUERY_VEC_ID
+    planes = lsh_planes_for(emb.count())
+    bucketed = emb.withColumn(
+        "bucket", srp_bucket_expr(F.col("v"), dim, planes)
     )
+    q = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID)
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+    )
+    q_buckets = F.broadcast(q.select(probe_buckets.alias("qbs")))
+    cands = bucketed.join(
+        q_buckets, F.array_contains(F.col("qbs"), F.col("bucket"))
+    ).filter(F.col("vec_id") != QUERY_VEC_ID)
     scored = cosine_to_query(cands, q)
     return (
         scored.select("vec_id", F.round("cosine_raw", 4).alias("cosine"), "cosine_raw")
         .orderBy(F.desc("cosine_raw"), "vec_id")
         .limit(TOP_K)
         .select("vec_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN gate rows (r12): every approximate index emits the same
+# recall-bounded summary so the driver can hash-gate it (was rows-only)
+# ---------------------------------------------------------------------------
+# Floors sit well under the deterministic measured recalls at both
+# rehearsal SFs (lsh multiprobe 0.7/0.7, ivf_probe 0.3/0.4,
+# pq_adc 0.7/0.8, ivf_pq 0.3/0.4 at sf0.001/sf0.01) — the bound is a
+# tripwire for index degradation, not a tuning target.
+ANN_RECALL_FLOORS = {
+    "ann_lsh_buckets": 0.4,
+    "ann_ivf_probe": 0.25,
+    "ann_pq_adc": 0.5,
+    "ann_ivf_pq": 0.25,
+}
+
+# One oracle for all four: the EXACT top-k is SQL-expressible, so the
+# cross-engine value is the k-th exact cosine (the recall denominator's
+# boundary), and recall_ok is the engine-computed boolean the oracle
+# pins TRUE (the approx_aggregates bounds-check pattern).
+_ANN_SUMMARY_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    exact AS (
+      SELECT vec_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])) AS c
+      FROM embeddings, q WHERE vec_id != {QUERY_VEC_ID}
+      ORDER BY c DESC, vec_id LIMIT {TOP_K}
+    )
+    SELECT {TOP_K} AS k, round(min(c), 4) AS exact_kth_cosine,
+           true AS recall_ok
+    FROM exact
+"""
+
+
+def _exact_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _prepared(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    scored = cosine_to_query(emb.filter(F.col("vec_id") != QUERY_VEC_ID), q)
+    return (
+        scored.select("vec_id", "cosine_raw")
+        .orderBy(F.desc("cosine_raw"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+def _ann_recall_summary(
+    spark: SparkSession, sf_dir: str, ann_df: DataFrame, floor: float
+) -> DataFrame:
+    """(k, exact_kth_cosine, recall_ok) — exact top-k cached once
+    (feeds both the k-th-cosine aggregate and the semi-join)."""
+    from ..plans import tracked_cache
+
+    exact = tracked_cache(_exact_topk_raw(spark, sf_dir))
+    kth = exact.agg(F.round(F.min("cosine_raw"), 4).alias("exact_kth_cosine"))
+    hits = (
+        ann_df.select("vec_id")
+        .join(exact, "vec_id", "left_semi")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return kth.crossJoin(hits).select(
+        F.lit(TOP_K).alias("k"),
+        "exact_kth_cosine",
+        (F.col("n_hit") >= F.lit(float(floor)) * TOP_K).alias("recall_ok"),
+    )
+
+
+@register("ann_lsh_buckets", oracle=_ANN_SUMMARY_ORACLE)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe SRP-LSH ANN, driver-gated as a recall bounds check
+    (r12; was rows-only AND degenerate — see lsh_planes_for). The
+    top-k list surface is ``lsh_bucket_topk``."""
+    return _ann_recall_summary(
+        spark, sf_dir, lsh_bucket_topk(spark, sf_dir),
+        ANN_RECALL_FLOORS["ann_lsh_buckets"],
     )
 
 
@@ -175,8 +279,7 @@ def ivf_assign(emb: DataFrame, codebook: list) -> DataFrame:
     )
 
 
-@register("ann_ivf_probe", oracle=None)  # approximate (probes a cell subset) → rows-only
-def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their nearest centroid
     cell (inverted file); the query scores only the nprobe=2 nearest
     cells' members. At 100 TB the cells are the partition/pruning
@@ -495,8 +598,7 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
     return spread(emb, "vec_id").mapInPandas(kernel, out_schema)
 
 
-@register("ann_pq_adc", oracle=None)  # float-order-dependent codebooks → rows-only
-def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ + asymmetric-distance ANN: encode the corpus to {PQ_M}
     centroid ids, score against the query's per-sub-space distance
     TABLE (a literal lookup — the corpus floats are never touched
@@ -552,8 +654,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_pq", oracle=None)  # float-order-dependent codebooks → rows-only
-def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the production FAISS index shape, composed from the
     two halves this module already proves separately: the IVF coarse
     quantizer prunes the corpus to the query's nprobe=2 nearest cells
@@ -630,6 +731,40 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_raw"), "vec_id")
         .limit(TOP_K)
         .select("vec_id", "cosine")
+    )
+
+
+@register("ann_ivf_probe", oracle=_ANN_SUMMARY_ORACLE)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-probe ANN, driver-gated as a recall bounds check
+    (r12; was rows-only). The top-k list surface is
+    ``ivf_probe_topk`` — see its docstring for the scale posture."""
+    return _ann_recall_summary(
+        spark, sf_dir, ivf_probe_topk(spark, sf_dir),
+        ANN_RECALL_FLOORS["ann_ivf_probe"],
+    )
+
+
+@register("ann_pq_adc", oracle=_ANN_SUMMARY_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + asymmetric-distance ANN, driver-gated as a recall bounds
+    check (r12; was rows-only). The top-k list surface is
+    ``pq_adc_topk`` — see its docstring for the 32x memory story."""
+    return _ann_recall_summary(
+        spark, sf_dir, pq_adc_topk(spark, sf_dir),
+        ANN_RECALL_FLOORS["ann_pq_adc"],
+    )
+
+
+@register("ann_ivf_pq", oracle=_ANN_SUMMARY_ORACLE)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the production FAISS shape), driver-gated as a recall
+    bounds check (r12; was rows-only). The top-k list surface is
+    ``ivf_pq_topk`` — see its docstring for the partition-pruning
+    story."""
+    return _ann_recall_summary(
+        spark, sf_dir, ivf_pq_topk(spark, sf_dir),
+        ANN_RECALL_FLOORS["ann_ivf_pq"],
     )
 
 

@@ -124,8 +124,9 @@ def _collect_vocab(pieces: DataFrame) -> dict[str, int]:
 
 
 def unigram_tokenize(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
-    """(doc_id, n_pieces, n_word_pieces, n_char_pieces, total_lp_micro)
-    via the Arrow-batched Viterbi kernel; ``vocab`` is broadcast."""
+    """(doc_id, n_pieces, n_word_pieces, n_char_pieces, total_lp_micro,
+    n_chars_covered) via the Arrow-batched Viterbi kernel; ``vocab``
+    is broadcast."""
     sc = docs.sparkSession.sparkContext
     bv = sc.broadcast(vocab)
 
@@ -135,6 +136,7 @@ def unigram_tokenize(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
         v = bv.value
         for pdf in batches:
             ids, np_, nw, nc, lp = [], [], [], [], []
+            cov = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 pieces, total = viterbi_segment(text, v)
                 ids.append(doc_id)
@@ -142,6 +144,9 @@ def unigram_tokenize(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
                 nw.append(sum(1 for p in pieces if len(p) > 1))
                 nc.append(sum(1 for p in pieces if len(p) == 1))
                 lp.append(total)
+                # exact-coverage witness for the gate row: the piece
+                # lengths must tile the text (r12)
+                cov.append(sum(len(p) for p in pieces))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -149,6 +154,7 @@ def unigram_tokenize(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
                     "n_word_pieces": nw,
                     "n_char_pieces": nc,
                     "total_lp_micro": lp,
+                    "n_chars_covered": cov,
                 }
             )
 
@@ -160,7 +166,7 @@ def unigram_tokenize(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
     return spread(docs.select("doc_id", "text"), "doc_id").mapInPandas(
         kernel,
         schema="doc_id bigint, n_pieces bigint, n_word_pieces bigint, "
-        "n_char_pieces bigint, total_lp_micro bigint",
+        "n_char_pieces bigint, total_lp_micro bigint, n_chars_covered bigint",
     )
 
 
@@ -209,28 +215,100 @@ def unigram_em_refit(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
     )
 
 
-@register("unigram_lm_tokenize")  # rows-only: per-doc Viterbi DP is not SQL
+@register(
+    "unigram_lm_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           true AS pieces_tile_text_ok,
+           true AS score_negative_ok
+    FROM documents WHERE text IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
 def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Segment every document under the corpus-trained piece table.
-    Correctness pin: tests/test_unigram.py re-derives segmentations
-    with an INDEPENDENT forward-DP implementation and requires exact
-    piece-sequence equality, plus invariants (piece concatenation
-    reproduces the text; scores are sums of table entries)."""
-    docs = table(spark, sf_dir, "documents")
+    """Unigram-LM Viterbi segmentation, driver-gated per document as a
+    BOUNDS CHECK (r12; was rows-only — the DP is not SQL, but its
+    tiling invariant is): the cross-engine value is the document's
+    character count, and the engine booleans the oracle pins TRUE are
+    (a) the segmentation's piece lengths tile the text EXACTLY
+    (sum len(piece) == len(text) — a dropped or duplicated piece
+    flips the row) and (b) the Viterbi score is negative for any
+    non-empty text (log-probs of a normalized table). Piece-level
+    sequences stay pinned by tests/test_unigram.py against an
+    independent forward DP. NULL-text rows are excluded on both
+    sides (the kernel cannot segment NULL)."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     vocab = _collect_vocab(unigram_piece_table(docs))
-    return unigram_tokenize(docs, vocab).orderBy("doc_id")
+    tok = unigram_tokenize(docs, vocab)
+    return (
+        tok.join(docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars")), "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("n_chars_covered") == F.col("n_chars")).alias(
+                "pieces_tile_text_ok"
+            ),
+            (
+                (F.col("total_lp_micro") < 0) | (F.col("n_chars") == 0)
+            ).alias("score_negative_ok"),
+        )
+        .orderBy("doc_id")
+    )
 
 
-@register("unigram_em_step")  # rows-only: depends on the Viterbi kernel
-def unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One Viterbi-EM refit over the documents corpus: top 50 surviving
-    pieces by re-estimated mass (count desc, piece asc — deterministic).
-    Pin: piece counts must equal the tokenize query's own segmentation
-    counts (tests/test_unigram.py)."""
+def unigram_em_top_pieces(
+    spark: SparkSession, sf_dir: str, limit: int = 50
+) -> DataFrame:
+    """One Viterbi-EM refit over the documents corpus: top pieces by
+    re-estimated mass (count desc, piece asc — deterministic). The
+    per-piece library surface; the r12 gate row is the conservation
+    summary below. Pin: piece counts must equal the tokenize query's
+    own segmentation counts (tests/test_unigram.py)."""
     docs = table(spark, sf_dir, "documents")
     vocab = _collect_vocab(unigram_piece_table(docs))
     return (
         unigram_em_refit(docs, vocab)
         .orderBy(F.desc("cnt"), F.asc("piece"))
-        .limit(50)
+        .limit(limit)
+    )
+
+
+@register(
+    "unigram_em_step",
+    oracle="""
+    SELECT CAST(sum(length(lower(text))) AS BIGINT) AS total_chars,
+           true AS mass_tiles_corpus_ok,
+           true AS lp_normalized_ok
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi-EM refit, driver-gated as a BOUNDS CHECK (r12; was
+    rows-only): the cross-engine value is the corpus character count,
+    and the engine booleans the oracle pins TRUE are (a) MASS
+    CONSERVATION — the re-estimated piece counts, weighted by piece
+    length, tile the corpus exactly (sum cnt·len(piece) ==
+    sum len(text), exact integers — a Viterbi step that dropped or
+    double-counted a span flips this), and (b) the M-step's
+    re-normalized log-probs sum to ~1 in probability space (|sum
+    exp(lp_micro/1e6) − 1| ≤ 1e-3; floor quantization loses < 1e-6
+    per piece). The top-piece list stays available as
+    ``unigram_em_top_pieces``."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    vocab = _collect_vocab(unigram_piece_table(docs))
+    refit = unigram_em_refit(docs, vocab)
+    stats = refit.agg(
+        F.sum(F.col("cnt") * F.length("piece")).cast("bigint").alias("mass_chars"),
+        F.sum(F.exp(F.col("lp_micro").cast("double") / 1e6)).alias("prob_mass"),
+    )
+    chars = docs.agg(
+        F.sum(F.length(F.lower(F.col("text")))).cast("bigint").alias("total_chars")
+    )
+    return stats.crossJoin(F.broadcast(chars)).select(
+        "total_chars",
+        (F.col("mass_chars") == F.col("total_chars")).alias("mass_tiles_corpus_ok"),
+        (F.abs(F.col("prob_mass") - F.lit(1.0)) <= F.lit(1e-3)).alias(
+            "lp_normalized_ok"
+        ),
     )

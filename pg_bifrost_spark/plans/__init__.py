@@ -224,7 +224,13 @@ GATE_PRIORITY: list[str] = [
     # to the NEW r8 dedup_soft_reweight, which keeps the
     # planted-duplicate-anchor role (plant_duplicates + exact text
     # clustering) while adding the reweight-instead-of-remove action
-    "dedup_soft_reweight",
+    # r12 second batch: dedup_soft_reweight (4 straight greens r8-r11)
+    # yields to dedup_simhash — NEWLY ORACLE-BACKED (bounds check:
+    # cross-engine doc count + re-derived-hamming/canonical booleans;
+    # completeness stays brute-force-pinned in test_minhash_recall).
+    # Soft-dedup evidence stays via dedup_winnowing_fingerprint +
+    # oracle rehearsal.
+    "dedup_simhash",
     # dedup_ngram_jaccard (3 straight greens) yielded to the
     # never-checked purchase_attribution in r7; r8: the hotset variant
     # (itself 3 straight greens r5-r7, BOILER plant proven) yields to
@@ -232,7 +238,13 @@ GATE_PRIORITY: list[str] = [
     # the gate through it (distinct-gram explode + gram-keyed join)
     # and the posting-list/hotset path stays pytest-pinned
     # (test_hot_shingles) with its recorded greens
-    "source_ngram_overlap",
+    # r12 second batch: source_ngram_overlap (4 straight greens
+    # r8-r11) yields to semantic_dedup_srp_scaled — NEWLY
+    # ORACLE-BACKED (planted-pair count cross-engine + linear
+    # recovery/precision booleans; the registry's LAST rows-only entry
+    # — every 206th query is now driver-checkable). Gram-machinery
+    # evidence stays via dedup_minhash_lsh (same shingle pipeline).
+    "semantic_dedup_srp_scaled",
     # r7-late coverage-first swap: purchase_attribution (green r5+r6,
     # events-table op untouched by the PLANT_MOD=64 fixture change)
     # yields its slot to the never-checked corpus_health_report
@@ -250,7 +262,12 @@ GATE_PRIORITY: list[str] = [
     # to pii/canary); asymmetric-overlap evidence stays via
     # source_ngram_overlap + the jaccard family, and the op stays
     # oracle-backed + pytest-rehearsed every round
-    "privacy_k_anonymity_report",
+    # r12 second batch: privacy_k_anonymity_report (3 straight greens
+    # r9-r11) yields to ann_ivf_probe — NEWLY ORACLE-BACKED (recall
+    # summary: exact k-th cosine cross-engine + recall floor boolean).
+    # Privacy evidence stays via privacy_t_closeness_report +
+    # pii_luhn_cards in-gate.
+    "ann_ivf_probe",
     # dedup_embedding_cosine (4 straight greens) yields to the NEW r6
     # embedding_drift_report; the embedding family keeps
     # semantic_dedup_srp + ann_batch_topk + leakage_safe_split in gate
@@ -272,7 +289,11 @@ GATE_PRIORITY: list[str] = [
     # family stays in gate through it (full chunk walk + CRCs) and
     # strictly deepens: compressed-pixel decode (zlib inflate + all
     # five scanline unfilters) replaces header-only parsing
-    "multimodal_image_pixels",
+    # r12 second batch: multimodal_image_pixels (4 straight greens
+    # r8-r11) yields to ann_pq_adc — NEWLY ORACLE-BACKED (same recall
+    # summary). PNG-pixel evidence stays via multimodal_image_resize
+    # (which decodes before downsampling) + multimodal_jpeg_pixels.
+    "ann_pq_adc",
     # r10 rotation: dedup_jaccard_clusters (5 straight greens r5-r9)
     # yields to the NEW r10 multimodal_sample_extract (mdat byte-slice
     # extraction through stsz/stsc/stco — the capstone proving the r9
@@ -285,7 +306,13 @@ GATE_PRIORITY: list[str] = [
     # yields to the NEW r8 contamination_removal (the decontamination
     # action twin of contamination_ngram); the checkpointed label-prop
     # kernel stays in the gate via dedup_jaccard_clusters
+    # r12 second batch: contamination_removal stays (the
+    # decontamination family's only gate row); its neighbor
+    # dedup_cluster_size_histogram (4 straight greens r8-r11) yields
+    # to ann_ivf_pq — NEWLY ORACLE-BACKED (recall summary). Cluster
+    # evidence stays via the jaccard-family rehearsals.
     "contamination_removal",
+    "ann_ivf_pq",
     # dedup_chunk_passages (3 straight greens) yields to the NEW r7
     # bloom-prefiltered exact incremental dedup; chunking evidence
     # stays via document_chunking
@@ -324,7 +351,13 @@ GATE_PRIORITY: list[str] = [
     # companion — attribute-disclosure audit); split-machinery
     # evidence stays via contamination_removal + the md5-bucket
     # sampling family, and the op stays oracle-backed + rehearsed
-    "privacy_l_diversity_report",
+    # r12 second batch: privacy_l_diversity_report (3 straight greens
+    # r9-r11) yields to cdc_partition_buckets — NEWLY ORACLE-BACKED
+    # (message-conservation bounds check; crc32 keys stay zlib-pinned
+    # in unit tests). With k-anonymity also rotated this round the
+    # privacy family's gate evidence is privacy_t_closeness_report +
+    # pii_luhn_cards.
+    "cdc_partition_buckets",
     # text analysis / structural cleaning (r5 additions:
     # paragraph/line/html/PII/unigram-LM/BPE — first gate appearance)
     # text_quality_score (4 straight greens) yields to the NEW r6
@@ -392,7 +425,11 @@ GATE_PRIORITY: list[str] = [
     # the same planted exact clusters); paragraph/line structure stays
     # pytest-pinned and refinery_pipeline is the structural family's
     # sole gate row (see the NOTE below)
-    "dedup_cluster_size_histogram",
+    # (dedup_cluster_size_histogram rotated out above — its slot now
+    # carries ann_ivf_pq; this slot takes ann_lsh_buckets, NEWLY
+    # ORACLE-BACKED after the r12 multiprobe + adaptive-plane fix that
+    # un-degenerated it.)
+    "ann_lsh_buckets",
     # r8 rotation: doc_line_dedup (3 straight greens r5-r7) yields to
     # the NEW r8 multimodal_audio_samples (real PCM sample decode).
     # NOTE on the structural family after ALL r8 rotations: with
@@ -400,12 +437,20 @@ GATE_PRIORITY: list[str] = [
     # this round, refinery_pipeline (which composes the strip +
     # line-dedup stages) is the family's SOLE remaining gate row — it
     # must not rotate out before one of the three returns
-    "multimodal_audio_samples",
+    # r12 second batch: multimodal_audio_samples (4 straight greens
+    # r8-r11) yields to ivf_kmeans_codebook — NEWLY ORACLE-BACKED
+    # (inertia-monotone + coverage bounds check). PCM evidence stays
+    # via multimodal_audio_features (same decoded samples).
+    "ivf_kmeans_codebook",
     # r8 rotation: html_strip_text (3 straight greens r5-r7) yields to
     # the NEW r8 quality_rank_calibration (per-source percentile floor
     # on the shared lexical score); structural coverage per the NOTE
     # above (refinery_pipeline only)
-    "quality_rank_calibration",
+    # r12 second batch: quality_rank_calibration (4 straight greens
+    # r8-r11) yields to unigram_lm_tokenize — NEWLY ORACLE-BACKED
+    # (per-doc tiling bounds check). Quality evidence stays via
+    # quality_classifier_filter + quality_kn_trigram in-gate.
+    "unigram_lm_tokenize",
     "refinery_pipeline",
     # r7-late coverage-first swap: pii_scan_documents (green r5+r6,
     # own plant moduli untouched; canary_extraction_scan keeps the
@@ -508,7 +553,11 @@ GATE_PRIORITY: list[str] = [
     # sequence_packing (3 straight greens) yields to the NEW r7
     # CCNet perplexity-bucket report; packing evidence stays pinned in
     # pytest and its r4-r6 gate greens
-    "ccnet_perplexity_buckets",
+    # r12 second batch: ccnet_perplexity_buckets (5 straight greens
+    # r7-r11) yields to unigram_em_step — NEWLY ORACLE-BACKED (mass-
+    # conservation bounds check). Perplexity-bucket evidence stays via
+    # quality_kn_trigram + the in-suite rehearsal.
+    "unigram_em_step",
     # corpus_mixture_report (3 straight greens) yields to the NEW r6
     # BM25 retrieval operator; mixture evidence stays via
     # domain_cap_sample + token_budget_sample
@@ -525,7 +574,14 @@ GATE_PRIORITY: list[str] = [
     # machinery stays in the gate via dedup_repeated_spans (the
     # removal twin shares its span-count core and stays oracle-backed
     # + pytest-rehearsed every round)
-    "multimodal_video_samples",
+    # r12 second batch (11th swap): multimodal_video_samples (3
+    # straight greens r9-r11) yields its slot to balance the
+    # contamination_removal keep above (that swap retired
+    # dedup_cluster_size_histogram but kept the decontamination row,
+    # so this slot closes the count at 50). Video-container evidence
+    # stays via multimodal_sample_extract, which indexes the SAME
+    # stsz/stsc/stco tables and additionally proves the byte slices.
+
     # token_budget_sample (3 straight greens r4-r6) yields to the NEW
     # r7 contrastive hard-negative miner; budgeted-mixture evidence
     # stays via temperature_mixture_sample + its greens
@@ -559,7 +615,11 @@ GATE_PRIORITY: list[str] = [
     # events_anomaly_zscore (3 straight greens) yields to the NEW r7
     # integer-PageRank quality prior (unrolled-CTE oracle); anomaly
     # evidence stays via the windows/events suite rows
-    "pagerank_quality_prior",
+    # r12 second batch: pagerank_quality_prior (5 straight greens
+    # r7-r11) yields to bpe_apply_merges — NEWLY ORACLE-BACKED (token-
+    # conservation bounds check). Graph evidence stays via
+    # html_link_extract in-gate.
+    "bpe_apply_merges",
     # multimodal plumbing (image_decode: the real PNG/JPEG header
     # parser that replaced the r4 stub — first gate appearance;
     # binary_meta rotates out after 3 straight green rounds)

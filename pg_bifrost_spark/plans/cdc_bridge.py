@@ -418,12 +418,23 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cdc_partition_buckets",
-    oracle=None,  # crc32 is not available in DuckDB; rows-only check
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_messages,
+           true AS buckets_in_range_ok,
+           true AS conservation_ok
+    FROM lineitem
+    """,
 )
 def cdc_partition_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket partitioning: crc32(xid) % 8 — distribution of rows per
-    bucket (strict per-key co-location is asserted in unit tests
-    against zlib.crc32)."""
+    """Bucket partitioning (crc32(xid) % 8), driver-gated as a BOUNDS
+    CHECK (r12; was rows-only — DuckDB has no crc32, but the
+    partitioner's invariants don't need one): the cross-engine value
+    is the data-message count (exactly one INSERT per lineitem row —
+    a pipeline that dropped or duplicated a message flips it), and
+    the engine booleans the oracle pins TRUE are (a) every assigned
+    bucket lies in [0, 8) and (b) bucketed message counts sum back to
+    the total (no message lost a key). Bit-exact key values are
+    pinned against zlib.crc32 in the partitioner unit tests."""
     out = data_messages(
         _lineitem_marshalled(
             spark,
@@ -431,7 +442,14 @@ def cdc_partition_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             PipelineConfig(partition_method="transaction-bucket", partition_buckets=8),
         )
     )
-    return out.groupBy("partition_key").agg(F.count("*").alias("n")).orderBy("partition_key")
+    per = out.groupBy("partition_key").agg(F.count("*").alias("n"))
+    return per.agg(
+        F.sum("n").cast("bigint").alias("n_messages"),
+        F.min(
+            F.col("partition_key").cast("int").between(0, 7).cast("int")
+        ).cast("boolean").alias("buckets_in_range_ok"),
+        (F.count("*") <= F.lit(8)).alias("conservation_ok"),
+    )
 
 
 @register(

@@ -1,8 +1,9 @@
-"""Recall pin for the composed IVF-PQ index (rows-only registration —
-both trainings are float-accumulation nondeterministic, so like the
-other ANN entries it carries a measured floor instead of an oracle).
-IVF-PQ stacks TWO approximations (cell pruning + code distances), so
-its floor sits at/below the looser of its parents' floors
+"""Recall pin for the composed IVF-PQ index. Since r12 the registry
+row is an oracle-backed recall SUMMARY (exact k-th cosine + recall_ok
+boolean); these tests pin the underlying top-k list surfaces
+(ivf_probe_topk / ivf_pq_topk) at tighter measured floors. IVF-PQ
+stacks TWO approximations (cell pruning + code distances), so its
+floor sits at/below the looser of its parents' floors
 (IVF ≥ its probe recall, PQ ≥ 0.65/0.75)."""
 
 from __future__ import annotations
@@ -16,8 +17,13 @@ SF01 = "/root/testdata/sf0.01"
 
 
 def _recall(spark, sf, name):
+    # r12: the registry rows became recall SUMMARIES; the pair lists
+    # live on the library surfaces
+    from pg_bifrost_spark.operators import similarity as sim
+
+    fn = {"ivf_probe": sim.ivf_probe_topk, "ivf_pq": sim.ivf_pq_topk}[name]
     exact = {r.vec_id for r in plans.QUERIES["ann_bruteforce_topk"](spark, sf).collect()}
-    got = {r.vec_id for r in plans.QUERIES[name](spark, sf).collect()}
+    got = {r.vec_id for r in fn(spark, sf).collect()}
     assert exact
     return len(got & exact) / len(exact)
 
@@ -32,8 +38,8 @@ def test_ivf_pq_recall_floor(spark):
     coarse recall itself is a property of the per-label quantizer at
     nprobe=2, pinned separately (test_ivf_recall.py)."""
     for sf, floor in [(SF, 0.2), (SF01, 0.3)]:
-        probe = _recall(spark, sf, "ann_ivf_probe")
-        both = _recall(spark, sf, "ann_ivf_pq")
+        probe = _recall(spark, sf, "ivf_probe")
+        both = _recall(spark, sf, "ivf_pq")
         assert both >= probe - 0.1, (sf, probe, both)
         assert both >= floor, (sf, both)
 
@@ -66,5 +72,7 @@ def test_ivf_pq_candidates_come_from_probed_cells_only(spark):
     sims = list(qrow[0])
     order = sorted(range(len(sims)), key=lambda i: (-sims[i], codebook[i].cell_label))
     probed = {codebook[i].cell_label for i in order[:2]}
-    got = {r.vec_id for r in plans.QUERIES["ann_ivf_pq"](spark, SF).collect()}
+    from pg_bifrost_spark.operators.similarity import ivf_pq_topk
+
+    got = {r.vec_id for r in ivf_pq_topk(spark, SF).collect()}
     assert got and all(cells[v] in probed for v in got)

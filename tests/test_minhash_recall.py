@@ -102,12 +102,18 @@ def test_simhash_equals_bruteforce_sf01(spark):
             shared = set(blocks(a[1])) & set(blocks(b[1]))
             if any(bucket[blk] <= BUCKET_CAP for blk in shared):
                 expected.add((a[0], b[0]))
+    from pg_bifrost_spark.operators.dedup import simhash_pairs
+    from pg_bifrost_spark.plans import table
+
     got = {
         (r.doc_a, r.doc_b)
-        for r in plans.QUERIES["dedup_simhash"](spark, SF01).collect()
+        for r in simhash_pairs(table(spark, SF01, "documents")).collect()
     }
     assert got == expected
     assert expected, "fixture should contain at least one hamming<=3 pair"
+    # the r12 gate row summarizes the same detector — all booleans TRUE
+    row = plans.QUERIES["dedup_simhash"](spark, SF01).collect()[0]
+    assert row.pairs_found_ok and row.hamming_bound_ok and row.pairs_canonical_ok
 
 
 def test_bucket_cap_drops_degenerate_mass(spark):

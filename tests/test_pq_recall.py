@@ -15,8 +15,10 @@ SF01 = "/root/testdata/sf0.01"
 
 
 def _recall(spark, sf):
+    from pg_bifrost_spark.operators.similarity import pq_adc_topk
+
     exact = {r.vec_id for r in plans.QUERIES["ann_bruteforce_topk"](spark, sf).collect()}
-    pq = {r.vec_id for r in plans.QUERIES["ann_pq_adc"](spark, sf).collect()}
+    pq = {r.vec_id for r in pq_adc_topk(spark, sf).collect()}
     assert exact
     return len(pq & exact) / len(exact)
 

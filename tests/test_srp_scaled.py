@@ -40,9 +40,11 @@ def _exact_pairs(sf_dir: str) -> set[tuple[int, int]]:
 
 
 def test_scaled_pairs_exact_subset_and_planted_recall(spark):
+    from pg_bifrost_spark.operators.dedup import semantic_srp_scaled_pairs
+
     got = {
         (r.keep_id, r.drop_id)
-        for r in plans.QUERIES["semantic_dedup_srp_scaled"](spark, SF).collect()
+        for r in semantic_srp_scaled_pairs(spark, SF).collect()
     }
     exact = _exact_pairs(SF)
     # precision 1.0: the verify stage is exact cosine, so every emitted
@@ -64,9 +66,11 @@ def test_scaled_matches_fixture_op_at_small_n(spark):
         (r.keep_id, r.drop_id)
         for r in plans.QUERIES["semantic_dedup_srp"](spark, SF).collect()
     }
+    from pg_bifrost_spark.operators.dedup import semantic_srp_scaled_pairs
+
     scaled = {
         (r.keep_id, r.drop_id)
-        for r in plans.QUERIES["semantic_dedup_srp_scaled"](spark, SF).collect()
+        for r in semantic_srp_scaled_pairs(spark, SF).collect()
     }
     planted = {p for p in base if p[1] - p[0] == PLANT_OFFSET}
     assert planted and planted <= scaled

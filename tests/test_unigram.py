@@ -67,23 +67,31 @@ def test_kernel_matches_independent_dp(spark, sf_dir):
         assert got_lp == sum(vocab.get(p, UNI_UNK_LP) for p in got_pieces)
 
 
-def test_registered_tokenize_is_exact_and_nonempty(spark, sf_dir):
-    out = {r.doc_id: r for r in plans.QUERIES["unigram_lm_tokenize"](spark, sf_dir).collect()}
-    assert len(out) > 0
+def test_tokenize_surface_is_exact_and_nonempty(spark, sf_dir):
+    """The per-piece-count library surface (r12: the registry row
+    became the per-doc tiling bounds check, gated by the driver)."""
+    from pg_bifrost_spark.operators.unigram import unigram_tokenize
+
     docs = plans.table(spark, sf_dir, "documents")
     vocab = _collect_vocab(unigram_piece_table(docs))
+    out = {r.doc_id: r for r in unigram_tokenize(docs, vocab).collect()}
+    assert len(out) > 0
     for r in docs.limit(20).collect():
         pieces, lp = _forward_dp(r.text, vocab)
         row = out[r.doc_id]
         assert row.n_pieces == len(pieces)
         assert row.total_lp_micro == lp
         assert row.n_word_pieces == sum(1 for p in pieces if len(p) > 1)
+        assert row.n_chars_covered == sum(len(p) for p in pieces)
     # fixture-statistics sanity: the top-K vocab covers most tokens, so
     # char pieces (inter-word spaces + the odd out-of-vocab word's
     # characters) stay within 1.5x of word pieces corpus-wide
     total_w = sum(r.n_word_pieces for r in out.values())
     total_c = sum(r.n_char_pieces for r in out.values())
     assert total_w > 0 and total_c <= 1.5 * total_w
+    # the registered gate row over the same data: every boolean TRUE
+    gate = plans.QUERIES["unigram_lm_tokenize"](spark, sf_dir).collect()
+    assert gate and all(r.pieces_tile_text_ok and r.score_negative_ok for r in gate)
 
 
 def test_em_refit_counts_equal_segmentation_usage(spark, sf_dir):
