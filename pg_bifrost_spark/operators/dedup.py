@@ -672,8 +672,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the self-join (the same quadratic-fan-out defense as the
     LSH bands)."""
     docs = table(spark, sf_dir, "documents")
-    pairs = tracked_cache(simhash_pairs(docs))
-    fp = simhash_fingerprints(docs)
+    # the 64-bit-vote fingerprint aggregation is the op's costliest
+    # subtree and is referenced THREE times (pairs + both re-derive
+    # sides) — one cache, shared everywhere (code-review r12)
+    fp = tracked_cache(simhash_fingerprints(docs))
+    pairs = tracked_cache(simhash_pairs(docs, fp=fp))
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
     rederived = (
@@ -734,8 +737,9 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame) -> DataFrame:
-    fp = simhash_fingerprints(docs)
+def simhash_pairs(docs: DataFrame, fp: DataFrame | None = None) -> DataFrame:
+    if fp is None:
+        fp = simhash_fingerprints(docs)
     blocks = fp.select(
         "doc_id",
         "fp",
@@ -1173,8 +1177,14 @@ def semantic_dedup_srp_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed = planted.join(pairs, ["keep_id", "drop_id"], "left_anti").agg(
         F.count("*").alias("n_missed")
     )
-    emb_p = plant_duplicates(base, "vec_id").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # both re-derive sides reference this relation — cache it so the
+    # union-with-clones + cast subtree scans the table once
+    # (code-review r12; the _semantic_verify_tail precedent)
+    emb_p = tracked_cache(
+        plant_duplicates(base, "vec_id").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
     )
     ea = emb_p.select(F.col("vec_id").alias("keep_id"), F.col("v").alias("va"))
     eb = emb_p.select(F.col("vec_id").alias("drop_id"), F.col("v").alias("vb"))

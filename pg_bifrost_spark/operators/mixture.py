@@ -293,7 +293,7 @@ def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_vecs,
            {KMEANS_K} AS k,
            true AS inertia_monotone_ok,
-           true AS coverage_ok
+           true AS final_step_improves_ok
     FROM embeddings
     """,
 )
@@ -301,12 +301,18 @@ def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF codebook training (Lloyd's), driver-gated as a BOUNDS CHECK
     (r12; was rows-only — iterative refinement is not SQL, but its
     PROMISES are): cross-engine vector count, plus engine-computed
-    booleans the oracle pins TRUE — the per-iteration inertia history
-    is non-increasing (Lloyd's guarantee, 1e-9 relative slack for
-    float accumulation) and every vector lands in exactly one of the
-    k cells (assignment-count conservation, exact integers). Per-cell
-    populations stay available as ``kmeans_cell_profile``; codebook
-    quality (probe recall) is pinned by tests/test_ivf_recall.py."""
+    booleans the oracle pins TRUE — (a) the per-iteration inertia
+    history is non-increasing (Lloyd's guarantee, 1e-9 relative slack
+    for float accumulation) and (b) the FINAL M-step helps: total
+    inertia RECOMPUTED through an independent distributed assignment
+    pass under the final centroids is <= the last recorded E-step
+    inertia (which used the pre-update centroids) — a real
+    cross-check between the driver-side history and the distributed
+    plan, not a structural identity (the first r12 version asserted
+    sum-of-assignments == count, which cannot be false by
+    construction — code-review r12). Per-cell populations stay
+    available as ``kmeans_cell_profile``; codebook quality (probe
+    recall) is pinned by tests/test_ivf_recall.py."""
     emb = table(spark, sf_dir, "embeddings")
     cents, history = kmeans_codebook(emb)
     monotone = bool(
@@ -315,6 +321,7 @@ def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in zip(history, history[1:])
         )
     )
+    last_inertia = float(history[-1])
     cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
     dist_to = lambda c: F.aggregate(  # noqa: E731
         F.zip_with(F.col("embedding"), c, lambda a, b: (a - b) * (a - b)),
@@ -322,25 +329,18 @@ def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     dists = F.transform(cent_lit, dist_to)
-    assigned = emb.select(
-        F.array_position(dists, F.array_min(dists)).alias("cell")
+    stats = emb.select(F.array_min(dists).alias("d2")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("d2").alias("final_inertia"),
     )
-    per_cell = assigned.groupBy("cell").agg(F.count("*").alias("n"))
-    return (
-        per_cell.agg(
-            F.sum("n").cast("bigint").alias("assigned_total"),
-            F.count("*").alias("n_cells"),
-        )
-        .crossJoin(F.broadcast(emb.agg(F.count("*").alias("n_vecs"))))
-        .select(
-            F.col("n_vecs").cast("bigint").alias("n_vecs"),
-            F.lit(KMEANS_K).alias("k"),
-            F.lit(monotone).alias("inertia_monotone_ok"),
-            (
-                (F.col("assigned_total") == F.col("n_vecs"))
-                & (F.col("n_cells") <= KMEANS_K)
-            ).alias("coverage_ok"),
-        )
+    return stats.select(
+        "n_vecs",
+        F.lit(KMEANS_K).alias("k"),
+        F.lit(monotone).alias("inertia_monotone_ok"),
+        (
+            F.col("final_inertia")
+            <= F.lit(last_inertia) * F.lit(1.0 + 1e-9) + F.lit(1e-12)
+        ).alias("final_step_improves_ok"),
     )
 
 

@@ -50,6 +50,20 @@ def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact cosine top-k with its raw scores — the single
+    definition behind ann_bruteforce_topk AND the four ANN recall
+    summaries' denominator."""
+    emb = _prepared(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+    scored = cosine_to_query(emb.filter(F.col("vec_id") != QUERY_VEC_ID), q)
+    return (
+        scored.select("vec_id", "cosine_raw")
+        .orderBy(F.desc("cosine_raw"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 @register(
     "ann_bruteforce_topk",
     oracle=f"""
@@ -63,15 +77,12 @@ def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-10 nearest neighbors (cosine) of vec 0."""
-    emb = _prepared(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-    scored = cosine_to_query(emb.filter(F.col("vec_id") != QUERY_VEC_ID), q)
-    return (
-        scored.select("vec_id", F.round("cosine_raw", 4).alias("cosine"), "cosine_raw")
-        .orderBy(F.desc("cosine_raw"), "vec_id")
-        .limit(TOP_K)
-        .select("vec_id", "cosine")
+    """Exact top-10 nearest neighbors (cosine) of vec 0 — a projection
+    of the ONE raw exact-top-k helper the ANN recall summaries also
+    score against (code-review r12: two copies of the top-k definition
+    could drift and silently skew the recall denominator)."""
+    return _exact_topk_raw(spark, sf_dir).select(
+        "vec_id", F.round("cosine_raw", 4).alias("cosine")
     )
 
 
@@ -179,17 +190,6 @@ _ANN_SUMMARY_ORACLE = f"""
            true AS recall_ok
     FROM exact
 """
-
-
-def _exact_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _prepared(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-    scored = cosine_to_query(emb.filter(F.col("vec_id") != QUERY_VEC_ID), q)
-    return (
-        scored.select("vec_id", "cosine_raw")
-        .orderBy(F.desc("cosine_raw"), "vec_id")
-        .limit(TOP_K)
-    )
 
 
 def _ann_recall_summary(

@@ -136,7 +136,7 @@ def unigram_tokenize(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
         v = bv.value
         for pdf in batches:
             ids, np_, nw, nc, lp = [], [], [], [], []
-            cov = []
+            cov, low = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 pieces, total = viterbi_segment(text, v)
                 ids.append(doc_id)
@@ -145,8 +145,16 @@ def unigram_tokenize(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
                 nc.append(sum(1 for p in pieces if len(p) == 1))
                 lp.append(total)
                 # exact-coverage witness for the gate row: the piece
-                # lengths must tile the text (r12)
+                # lengths must tile the text (r12). The lowered length
+                # is emitted FROM THIS KERNEL so the tiling comparison
+                # is same-process exact — JVM lower(), Python
+                # str.lower(), and DuckDB's utf8proc disagree on
+                # length-changing case mappings (U+0130 class), so
+                # comparing kernel coverage against an engine-side
+                # lower() length would flake on multilingual corpora
+                # (code-review r12)
                 cov.append(sum(len(p) for p in pieces))
+                low.append(len(text.lower()) if text is not None else 0)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -155,6 +163,7 @@ def unigram_tokenize(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
                     "n_char_pieces": nc,
                     "total_lp_micro": lp,
                     "n_chars_covered": cov,
+                    "n_chars_lower": low,
                 }
             )
 
@@ -166,7 +175,8 @@ def unigram_tokenize(docs: DataFrame, vocab: dict[str, int]) -> DataFrame:
     return spread(docs.select("doc_id", "text"), "doc_id").mapInPandas(
         kernel,
         schema="doc_id bigint, n_pieces bigint, n_word_pieces bigint, "
-        "n_char_pieces bigint, total_lp_micro bigint, n_chars_covered bigint",
+        "n_char_pieces bigint, total_lp_micro bigint, n_chars_covered bigint, "
+        "n_chars_lower bigint",
     )
 
 
@@ -231,13 +241,16 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOUNDS CHECK (r12; was rows-only — the DP is not SQL, but its
     tiling invariant is): the cross-engine value is the document's
     character count, and the engine booleans the oracle pins TRUE are
-    (a) the segmentation's piece lengths tile the text EXACTLY
-    (sum len(piece) == len(text) — a dropped or duplicated piece
-    flips the row) and (b) the Viterbi score is negative for any
-    non-empty text (log-probs of a normalized table). Piece-level
-    sequences stay pinned by tests/test_unigram.py against an
-    independent forward DP. NULL-text rows are excluded on both
-    sides (the kernel cannot segment NULL)."""
+    (a) the segmentation's piece lengths tile the LOWERCASED text
+    EXACTLY (sum len(piece) == len(text.lower()), both sides of the
+    comparison computed INSIDE the Python kernel — a dropped or
+    duplicated piece flips the row; the cross-engine n_chars value is
+    the RAW codepoint count, which Spark and DuckDB agree on, unlike
+    lowercased lengths — code-review r12) and (b) the Viterbi score
+    is negative for any non-empty text (log-probs of a normalized
+    table). Piece-level sequences stay pinned by tests/test_unigram.py
+    against an independent forward DP. NULL-text rows are excluded on
+    both sides (the kernel cannot segment NULL)."""
     docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     vocab = _collect_vocab(unigram_piece_table(docs))
     tok = unigram_tokenize(docs, vocab)
@@ -246,7 +259,7 @@ def unigram_lm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_chars",
-            (F.col("n_chars_covered") == F.col("n_chars")).alias(
+            (F.col("n_chars_covered") == F.col("n_chars_lower")).alias(
                 "pieces_tile_text_ok"
             ),
             (
@@ -277,7 +290,7 @@ def unigram_em_top_pieces(
 @register(
     "unigram_em_step",
     oracle="""
-    SELECT CAST(sum(length(lower(text))) AS BIGINT) AS total_chars,
+    SELECT CAST(sum(length(text)) AS BIGINT) AS total_chars,
            true AS mass_tiles_corpus_ok,
            true AS lp_normalized_ok
     FROM documents WHERE text IS NOT NULL
@@ -285,12 +298,16 @@ def unigram_em_top_pieces(
 )
 def unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viterbi-EM refit, driver-gated as a BOUNDS CHECK (r12; was
-    rows-only): the cross-engine value is the corpus character count,
-    and the engine booleans the oracle pins TRUE are (a) MASS
-    CONSERVATION — the re-estimated piece counts, weighted by piece
-    length, tile the corpus exactly (sum cnt·len(piece) ==
-    sum len(text), exact integers — a Viterbi step that dropped or
-    double-counted a span flips this), and (b) the M-step's
+    rows-only): the cross-engine value is the RAW corpus codepoint
+    count (Spark and DuckDB agree on length(text); LOWERCASED lengths
+    can differ across JVM / Python / utf8proc on U+0130-class
+    mappings — code-review r12), and the engine booleans the oracle
+    pins TRUE are (a) MASS CONSERVATION — the re-estimated piece
+    counts, weighted by piece length, tile the LOWERCASED corpus
+    exactly (sum cnt·len(piece) == sum len(text.lower()), BOTH sides
+    Python-computed so the comparison is same-process exact; a
+    Viterbi step that dropped or double-counted a span flips this),
+    and (b) the M-step's
     re-normalized log-probs sum to ~1 in probability space (|sum
     exp(lp_micro/1e6) − 1| ≤ 1e-3; floor quantization loses < 1e-6
     per piece). The top-piece list stays available as
@@ -302,13 +319,33 @@ def unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.length("piece")).cast("bigint").alias("mass_chars"),
         F.sum(F.exp(F.col("lp_micro").cast("double") / 1e6)).alias("prob_mass"),
     )
-    chars = docs.agg(
-        F.sum(F.length(F.lower(F.col("text")))).cast("bigint").alias("total_chars")
+
+    def lowered_len_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"n": [sum(len(t.lower()) for t in pdf["text"] if t is not None)]}
+            )
+
+    lowered = (
+        docs.select("text")
+        .mapInPandas(lowered_len_kernel, schema="n long")
+        .agg(F.sum("n").cast("bigint").alias("lowered_chars"))
     )
-    return stats.crossJoin(F.broadcast(chars)).select(
-        "total_chars",
-        (F.col("mass_chars") == F.col("total_chars")).alias("mass_tiles_corpus_ok"),
-        (F.abs(F.col("prob_mass") - F.lit(1.0)) <= F.lit(1e-3)).alias(
-            "lp_normalized_ok"
-        ),
+    chars = docs.agg(
+        F.sum(F.length(F.col("text"))).cast("bigint").alias("total_chars")
+    )
+    return (
+        stats.crossJoin(F.broadcast(chars))
+        .crossJoin(F.broadcast(lowered))
+        .select(
+            "total_chars",
+            (F.col("mass_chars") == F.col("lowered_chars")).alias(
+                "mass_tiles_corpus_ok"
+            ),
+            (F.abs(F.col("prob_mass") - F.lit(1.0)) <= F.lit(1e-3)).alias(
+                "lp_normalized_ok"
+            ),
+        )
     )

@@ -421,7 +421,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_messages,
            true AS buckets_in_range_ok,
-           true AS conservation_ok
+           true AS all_buckets_populated_ok
     FROM lineitem
     """,
 )
@@ -430,11 +430,15 @@ def cdc_partition_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     CHECK (r12; was rows-only — DuckDB has no crc32, but the
     partitioner's invariants don't need one): the cross-engine value
     is the data-message count (exactly one INSERT per lineitem row —
-    a pipeline that dropped or duplicated a message flips it), and
-    the engine booleans the oracle pins TRUE are (a) every assigned
-    bucket lies in [0, 8) and (b) bucketed message counts sum back to
-    the total (no message lost a key). Bit-exact key values are
-    pinned against zlib.crc32 in the partitioner unit tests."""
+    a pipeline that dropped or duplicated a message flips it; this IS
+    the conservation check, hashed against the oracle), and the
+    engine booleans the oracle pins TRUE are (a) every assigned
+    bucket parses as an integer in [0, 8) — NULL-safe: a NULL or
+    non-numeric key coalesces to FALSE rather than vanishing from
+    min() (code-review r12) — and (b) the crc32 spread populates all
+    8 buckets (deterministic at every fixture SF; a partitioner that
+    collapsed keys flips it). Bit-exact key values are pinned against
+    zlib.crc32 in the partitioner unit tests."""
     out = data_messages(
         _lineitem_marshalled(
             spark,
@@ -446,9 +450,14 @@ def cdc_partition_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.agg(
         F.sum("n").cast("bigint").alias("n_messages"),
         F.min(
-            F.col("partition_key").cast("int").between(0, 7).cast("int")
+            F.coalesce(
+                F.col("partition_key").cast("int").between(0, 7),
+                F.lit(False),
+            ).cast("int")
         ).cast("boolean").alias("buckets_in_range_ok"),
-        (F.count("*") <= F.lit(8)).alias("conservation_ok"),
+        (
+            F.count_distinct(F.col("partition_key")) == F.lit(8)
+        ).alias("all_buckets_populated_ok"),
     )
 
 

@@ -163,3 +163,33 @@ def test_bucket_cap_adds_no_shuffle(spark):
     ]
     assert band_exchanges
     assert all("REPARTITION_BY_NUM" in ln for ln in band_exchanges), band_exchanges
+
+
+def test_lsh_multiprobe_recall_and_adaptive_planes(spark):
+    """The r12 ANN-LSH fix: corpus-adaptive plane count (the frozen
+    12-plane bucket isolated EVERY fixture vector — zero candidates)
+    plus 1-bit-flip multiprobe. Pins the plane formula's clamps and
+    the measured recall (0.7 at both SFs) above the gate row's floor,
+    so a probe-set or clamp regression has a local reproducer instead
+    of only a driver-time recall_ok failure (code-review r12)."""
+    from pg_bifrost_spark.operators.similarity import (
+        ANN_RECALL_FLOORS,
+        N_PLANES,
+        lsh_bucket_topk,
+        lsh_planes_for,
+    )
+
+    assert lsh_planes_for(10) == 2          # low clamp
+    assert lsh_planes_for(500) == 3         # fixture scale: 8 buckets
+    assert lsh_planes_for(64 * 2**12) == N_PLANES  # high clamp engages
+    assert lsh_planes_for(10**9) == N_PLANES
+    floor = ANN_RECALL_FLOORS["ann_lsh_buckets"]
+    for sf in (SF, SF01):
+        exact = {
+            r.vec_id
+            for r in plans.QUERIES["ann_bruteforce_topk"](spark, sf).collect()
+        }
+        got = {r.vec_id for r in lsh_bucket_topk(spark, sf).collect()}
+        assert got, f"multiprobe returned no candidates at {sf}"
+        recall = len(got & exact) / len(exact)
+        assert recall >= floor, (sf, recall)
