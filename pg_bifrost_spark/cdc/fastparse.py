@@ -97,6 +97,12 @@ ELIGIBLE_RE = rf"^table ({_NAME}(?:\.{_NAME})*+): (INSERT|UPDATE|DELETE): {_BODY
 # equivalence suite runs both.
 USE_FOLD = False
 
+# Header-field extraction switch (r12): False = plain string ops over
+# the eligibility-pinned line shape (default — 3 fewer per-line regex
+# executions), True = the r1-r11 regexp_extract path (kept for the
+# interleaved A/B and the equivalence suite).
+USE_REGEX_HEADER = False
+
 _COLMAP_T = "map<string,struct<v:string,t:string,q:boolean>>"
 
 
@@ -241,7 +247,26 @@ def jvm_parse(
         use_fold = USE_FOLD
     line = F.col("line")
     is_ctrl = _is_control(line)
-    body = F.regexp_extract(line, r"^table [^:]++: [A-Z]++: (.*+)$", 1)
+    if USE_REGEX_HEADER:
+        body = F.regexp_extract(line, r"^table [^:]++: [A-Z]++: (.*+)$", 1)
+    else:
+        # Header split by PLAIN string ops, not regex (r12, guide §1.2
+        # "per-task work"): every input line already full-matched
+        # ELIGIBLE_RE (the caller's contract), which pins the exact
+        # shape ``table <rel>: <OP>: <body>`` with a colon-and-space-
+        # free relation charset — so the first ``: `` ends the
+        # relation, the second ends the operation, and the body starts
+        # at a computable offset. This removes three per-line regex
+        # executions (body / operation / relation extracts) that
+        # together re-scanned every line three more times after the
+        # eligibility match.
+        rel_expr = F.expr("substring(substring_index(line, ': ', 1), 7)")
+        op_expr = F.substring_index(F.substring_index(line, ": ", 2), ": ", -1)
+        # "table " (6) + rel + ": " (2) + op + ": " (2) → body starts
+        # at 6 + len(rel) + 2 + len(op) + 2 + 1 (substr is 1-based)
+        body = line.substr(
+            F.length(rel_expr) + F.length(op_expr) + F.lit(11), F.length(line)
+        )
     tokens = F.regexp_extract_all(body, F.lit(TOKEN_RE), F.lit(0))
     head = ["wal_start", "server_wal_end", "server_time_ms", "stream_id"]
     # Staging discipline: the HOF-built expressions below are
@@ -282,15 +307,21 @@ def jvm_parse(
         )
     empty_map = F.expr(f"cast(map() as {_COLMAP_T})")
     is_ctrl2 = _is_control(F.col("line"))
+    if USE_REGEX_HEADER:
+        op_out = F.regexp_extract(
+            "line", r"^table [^:]++: (INSERT|UPDATE|DELETE):", 1
+        )
+        rel_out = F.regexp_extract("line", r"^table ([^:]++): ", 1)
+    else:
+        op_out = F.substring_index(F.substring_index("line", ": ", 2), ": ", -1)
+        rel_out = F.expr("substring(substring_index(line, ': ', 1), 7)")
     return staged.select(
         *head,
         F.when(is_ctrl2, F.element_at(F.split("line", " "), 1))
-        .otherwise(
-            F.regexp_extract("line", r"^table [^:]++: (INSERT|UPDATE|DELETE):", 1)
-        )
+        .otherwise(op_out)
         .alias("operation"),
         F.when(is_ctrl2, F.lit(None).cast("string"))
-        .otherwise(F.regexp_extract("line", r"^table ([^:]++): ", 1))
+        .otherwise(rel_out)
         .alias("relation"),
         F.when(is_ctrl2, F.element_at(F.split("line", " "), 2))
         .otherwise(F.lit(None).cast("string"))

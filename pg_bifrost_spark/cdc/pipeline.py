@@ -42,6 +42,17 @@ class PipelineConfig:
     no_marshal_old_value: bool = False
 
 
+def _parse_eligibility(df_lines: DataFrame) -> F.Column:
+    """Fast/slow split predicate: a caller that materializes its lines
+    (the bridge plans cache them) may precompute ``jvm_parseable`` as a
+    ``_able`` column so the split's two branches filter on the stored
+    boolean instead of each re-running the eligibility regex over
+    every line. Without the column, behavior is unchanged."""
+    if "_able" in df_lines.columns:
+        return F.col("_able")
+    return jvm_parseable(F.col("line"))
+
+
 def parse_raw(df_lines: DataFrame) -> DataFrame:
     """Raw (wal_start, server_wal_end, server_time_ms, line) → parsed
     messages. Malformed lines are dropped and counted via an observable
@@ -50,12 +61,21 @@ def parse_raw(df_lines: DataFrame) -> DataFrame:
     Two-branch split: control lines and fast-path-eligible DML parse
     entirely JVM-side inside whole-stage codegen (``fastparse.py``);
     only lines outside the fast grammar pay the Python (Arrow) hop —
-    on a typical CDC stream that is ~zero rows."""
+    on a typical CDC stream that is ~zero rows.
+
+    Both branches re-execute their common input subtree (two filters
+    over one source — Catalyst shares no work across them), so a
+    caller whose lines are EXPENSIVE to produce should materialize
+    them first (the bridge plans cache rendered/decoded lines) and may
+    precompute the eligibility bit as a ``_able`` column — the split
+    then filters on the stored boolean instead of running the
+    eligibility regex once per branch (r12, guide §2.4: the regex was
+    the largest re-executed expression left after the caches)."""
     import uuid
 
-    able = jvm_parseable(F.col("line"))
-    fast = jvm_parse(df_lines.filter(able))
-    slow = df_lines.filter(~able).mapInPandas(
+    able = _parse_eligibility(df_lines)
+    fast = jvm_parse(df_lines.filter(able).drop("_able"))
+    slow = df_lines.filter(~able).drop("_able").mapInPandas(
         parse_lines_to_pandas, schema=PARSED_SCHEMA_DDL
     )
     # barrier: the fast branch's token fold must evaluate ONCE per row.
@@ -162,12 +182,14 @@ def _parse_assembled(df_lines_with_txn: DataFrame) -> DataFrame:
     codegen (fastparse.py); only lines outside the fast grammar pay
     the Python (Arrow) hop — ~zero on a typical stream. The barrier is
     the same once-per-row guard as parse_raw (functions/barrier.py)."""
-    able = jvm_parseable(F.col("line"))
+    able = _parse_eligibility(df_lines_with_txn)
     fast = jvm_parse(
-        df_lines_with_txn.filter(able), passthrough=["txn_id", "time_based_key"]
+        df_lines_with_txn.filter(able).drop("_able"),
+        passthrough=["txn_id", "time_based_key"],
     ).drop("txn_xid")
     slow = (
         df_lines_with_txn.filter(~able)
+        .drop("_able")
         .mapInPandas(parse_lines_to_pandas, schema=PARSED_ASSEMBLED_SCHEMA_DDL)
         .drop("txn_xid")
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register, table, tracked_cache
+from ..cdc.fastparse import jvm_parseable
 from ..cdc.pipeline import PipelineConfig, data_messages, run_pipeline
 from .cdc_bridge import _env_once
 
@@ -215,7 +216,15 @@ def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache is line-sized (not frame-sized) and released by
     # release_caches(); a 100 TB deployment spills via
     # MEMORY_AND_DISK or checkpoints the decode output the same way.
-    raw = tracked_cache(decode_pgoutput_frames(frames))
+    raw = tracked_cache(
+        decode_pgoutput_frames(frames).withColumn(
+            # r12: precompute the fast-path eligibility bit INTO the
+            # cache — the parse split's two branches then filter on the
+            # stored boolean instead of each re-running the eligibility
+            # regex over every cached line (guide §2.4)
+            "_able", jvm_parseable(F.col("line"))
+        )
+    )
     out = data_messages(run_pipeline(raw, PipelineConfig()))
     env = _env_once(out)
     cols = F.col("env.columns")
@@ -227,7 +236,10 @@ def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         v("o_orderkey").cast("bigint").alias("o_orderkey"),
         v("o_orderstatus").alias("o_orderstatus"),
         F.round(v("o_totalprice").cast("double"), 2).alias("totalprice"),
-    ).orderBy("o_orderkey")
+    )
+    # no global sort: the correctness compare is order-insensitive and
+    # a total order over the full table is a pure shuffle+sort tax
+    # (r12, guide §2.4 — same posture as cdc_lineitem_roundtrip)
 
 
 # ---------------------------------------------------------------------------
@@ -298,7 +310,11 @@ def cdc_two_phase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = two_phase_frames_from_orders(orders)
     # same double-execution guard as cdc_pgoutput_roundtrip above;
     # proto v3 — the decoder refuses 2PC frames below it (ADVICE r11)
-    raw = tracked_cache(decode_pgoutput_frames(frames, proto_version=3))
+    raw = tracked_cache(
+        decode_pgoutput_frames(frames, proto_version=3).withColumn(
+            "_able", jvm_parseable(F.col("line"))  # r12, as above
+        )
+    )
     out = data_messages(run_pipeline(raw, PipelineConfig()))
     env = _env_once(out)
     cols = F.col("env.columns")
@@ -310,4 +326,7 @@ def cdc_two_phase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         v("o_orderkey").cast("bigint").alias("o_orderkey"),
         v("o_orderstatus").alias("o_orderstatus"),
         F.round(v("o_totalprice").cast("double"), 2).alias("totalprice"),
-    ).orderBy("o_orderkey")
+    )
+    # no global sort: the correctness compare is order-insensitive and
+    # a total order over the full table is a pure shuffle+sort tax
+    # (r12, guide §2.4 — same posture as cdc_lineitem_roundtrip)
