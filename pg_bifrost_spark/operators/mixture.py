@@ -200,25 +200,89 @@ KMEANS_K = 16
 KMEANS_ITERS = 5
 
 
+def _cell_partials_df(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """ONE distributed assignment pass: nearest-cell via a numpy GEMM
+    (d2 = |x|² + |c|² − 2·x·C, clamped at 0) inside ``mapInPandas``,
+    partial-aggregated per cell WITHIN each Arrow batch — the rows
+    that leave Python are k-cell partials (cell, n, inertia, dim-sums),
+    not per-vector assignments (guide §2.3 aggregate-before-you-move,
+    §4.2 native-code-in-the-kernel).
+
+    r12: this replaces the interpreted nearest-centroid expression —
+    ``transform`` over k ``aggregate(zip_with(...))`` folds, k×d
+    interpreted lambda dispatches per VECTOR per pass — which ran the
+    whole assignment at Python-class speed inside the JVM (measured
+    8.9 s for 7 passes over 20 k×64 at sf0.1; the GEMM runs the same
+    passes in ~1.3 s). Ties break to the FIRST minimal cell in both
+    formulations (np.argmin == array_position-of-min). Arithmetic
+    differs from the Σ(a−b)² fold only in float rounding; every
+    downstream check is tolerance-based by this module's documented
+    contract (centroids were never bit-stable across runs — the
+    per-cell sums already depended on partition accumulation order)."""
+    cent_rows = [list(map(float, c)) for c in cents]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.asarray(cent_rows, dtype=np.float64)
+        cn = (cm * cm).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            d2 = (x * x).sum(axis=1)[:, None] + cn[None, :] - 2.0 * (x @ cm.T)
+            np.maximum(d2, 0.0, out=d2)
+            cell = d2.argmin(axis=1)
+            best = d2[np.arange(len(cell)), cell]
+            out = {"cell": [], "n": [], "inertia": [], "sums": []}
+            for c in np.unique(cell):
+                m = cell == c
+                out["cell"].append(int(c) + 1)
+                out["n"].append(int(m.sum()))
+                out["inertia"].append(float(best[m].sum()))
+                out["sums"].append(x[m].sum(axis=0).tolist())
+            yield pd.DataFrame(out)
+
+    return emb.select("embedding").mapInPandas(
+        kernel, "cell int, n long, inertia double, sums array<double>"
+    )
+
+
+def _cell_partials(
+    emb: DataFrame, cents: list[list[float]]
+) -> dict[int, tuple[int, float, list[float]]]:
+    """Driver-combined per-cell (n, inertia, dim-sums) — the collected
+    rows are at most k × (batches per task) tiny partials."""
+    dim = len(cents[0])
+    agg: dict[int, tuple[int, float, list[float]]] = {}
+    for r in _cell_partials_df(emb, cents).collect():
+        n, inertia, sums = agg.get(r["cell"], (0, 0.0, [0.0] * dim))
+        agg[r["cell"]] = (
+            n + r["n"],
+            inertia + r["inertia"],
+            [a + b for a, b in zip(sums, r["sums"])],
+        )
+    return agg
+
+
 def kmeans_codebook(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     """Distributed Lloyd's iterations over an ``embedding`` column.
 
     Deterministic init (the k lowest vec_ids) and a fixed iteration
     count make the ALGORITHM replay-stable, but the per-cell centroid
-    sums are F.sum over doubles, so centroids are reproducible only up
-    to floating-point accumulation order (partitioning-dependent in
-    the last ulps) — NOT bit-stable across runs. All downstream
+    sums are float accumulations whose order is partitioning-dependent
+    in the last ulps — NOT bit-stable across runs. All downstream
     quality checks (recall/inertia tests, the registered query's
-    rows-only gate) are therefore tolerance-based, never exact-hash.
-    Each iteration is one groupBy over the data (assign map-side
-    against the broadcast centroid literal, partial-agg the per-cell
-    sums); only the k×d centroid matrix touches the driver between
-    iterations — the same driver/executor split as MLlib KMeans
-    (mllib/clustering/KMeans).
+    bounds-check gate) are therefore tolerance-based, never exact-hash.
+    Each iteration is one distributed pass (``_cell_partials_df``: a
+    numpy-GEMM assignment kernel that partial-aggregates per cell
+    inside each Arrow batch); only the k×d centroid matrix touches the
+    driver between iterations — the same driver/executor split as
+    MLlib KMeans (mllib/clustering/KMeans).
 
     Returns (centroids: list[list[float]], inertia_history: list[float]).
     """
-    dim = len(emb.select("embedding").first()[0])
     init = [
         r[0]
         for r in emb.orderBy("vec_id").select("embedding").limit(k).collect()
@@ -226,36 +290,11 @@ def kmeans_codebook(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
     cents = [[float(x) for x in v] for v in init]
     history: list[float] = []
     for _ in range(iters):
-        cent_lit = F.array(
-            *[F.array(*[F.lit(x) for x in c]) for c in cents]
-        )
-        # nearest centroid map-side: squared L2 via aggregate() fold
-        dist_to = lambda c: F.aggregate(  # noqa: E731
-            F.zip_with(F.col("embedding"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dists = F.transform(cent_lit, dist_to)
-        assigned = emb.select(
-            F.array_position(dists, F.array_min(dists)).alias("cell"),
-            F.array_min(dists).alias("d2"),
-            "embedding",
-        )
-        per_cell = assigned.groupBy("cell").agg(
-            F.count("*").alias("n"),
-            F.sum("d2").alias("inertia"),
-            *[
-                F.sum(F.element_at("embedding", i + 1)).alias(f"s{i}")
-                for i in range(dim)
-            ],
-        )
-        rows = per_cell.collect()
-        history.append(float(sum(r["inertia"] for r in rows)))
+        agg = _cell_partials(emb, cents)
+        history.append(float(sum(v[1] for v in agg.values())))
         new_cents = list(cents)
-        for r in rows:
-            new_cents[int(r["cell"]) - 1] = [
-                float(r[f"s{i}"]) / r["n"] for i in range(dim)
-            ]
+        for cell, (n, _, sums) in agg.items():
+            new_cents[cell - 1] = [x / n for x in sums]
         cents = new_cents
     return cents, history
 
@@ -263,28 +302,16 @@ def kmeans_codebook(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final cell populations and mean within-cell squared distance of
     the trained codebook — the per-cell library surface (the r12 gate
-    row is the bounds-check summary below)."""
+    row is the bounds-check summary below). One extra distributed
+    assignment pass under the final centroids; the per-cell stats ride
+    the kernel's in-batch partials."""
     emb = table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_codebook(emb)
-    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
-    dist_to = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("embedding"), c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    per_cell = _cell_partials_df(emb, cents).groupBy("cell").agg(
+        F.sum("n").alias("n_vectors"),
+        F.round(F.sum("inertia") / F.sum("n"), 6).alias("mean_d2"),
     )
-    dists = F.transform(cent_lit, dist_to)
-    assigned = emb.select(
-        F.array_position(dists, F.array_min(dists)).alias("cell"),
-        F.array_min(dists).alias("d2"),
-    )
-    return (
-        assigned.groupBy("cell")
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.round(F.avg("d2"), 6).alias("mean_d2"),
-        )
-        .orderBy("cell")
-    )
+    return per_cell.orderBy("cell")
 
 
 @register(
@@ -322,16 +349,11 @@ def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     last_inertia = float(history[-1])
-    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
-    dist_to = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("embedding"), c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dists = F.transform(cent_lit, dist_to)
-    stats = emb.select(F.array_min(dists).alias("d2")).agg(
-        F.count("*").cast("bigint").alias("n_vecs"),
-        F.sum("d2").alias("final_inertia"),
+    # independent distributed assignment pass under the FINAL centroids
+    # (the same GEMM kernel, re-run — not a readback of the history)
+    stats = _cell_partials_df(emb, cents).agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.sum("inertia").alias("final_inertia"),
     )
     return stats.select(
         "n_vecs",
