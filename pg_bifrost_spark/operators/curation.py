@@ -148,20 +148,27 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
+        # carry the OLD label through the checkpoint so convergence is
+        # a scan of the checkpointed blocks, not another per-round
+        # shuffle join of new-vs-old (r12, guide §2.4: two relations
+        # keyed the same way — here, the same relation — don't need a
+        # join to compare). Labels only ever decrease (least), so
+        # "changed" ⇔ some new component < its old one.
         new_labels = (
             labels.join(neighbor_min, "node", "left_outer")
-            .select("node", F.least("component", F.coalesce("nmin", "component")).alias("component"))
+            .select(
+                "node",
+                F.least("component", F.coalesce("nmin", "component")).alias("component"),
+                F.col("component").alias("_old"),
+            )
         )
         before = persistent_ids()
         new_labels = new_labels.localCheckpoint(eager=True)
         new_ids = persistent_ids() - before
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("component") < F.col("_old")).limit(1).count()
         )
+        new_labels = new_labels.select("node", "component")
         # the previous iterate's checkpoint is now dead weight —
         # without this the loop leaks one per round (VERDICT r3)
         release_rdds(prev_ids)

@@ -324,6 +324,7 @@ def ngram_jaccard_pairs(
     df_cutoff: int = DF_CUTOFF,
     literal_max: int = 10_000,
     base: DataFrame | None = None,
+    kept: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with 3-gram Jaccard ≥ threshold over NON-STOP
     shingles, computed exactly through an inverted shingle index
@@ -348,7 +349,8 @@ def ngram_jaccard_pairs(
     # exact and LSH legs — code-review r12).
     if base is None:
         base = tracked_cache(with_shingles(docs).select("doc_id", "hshingles"))
-    kept = subtract_hot_shingles(base, df_cutoff, literal_max)
+    if kept is None:
+        kept = subtract_hot_shingles(base, df_cutoff, literal_max)
     sh = spread(
         kept.select(
             "doc_id", F.size("hshingles").alias("n"), F.explode("hshingles").alias("shingle")
@@ -537,11 +539,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tracked_cache an identical with_shingles subtree and compute the
     # expensive interpreted shingling twice — code-review r12)
     base = tracked_cache(with_shingles(docs).select("doc_id", "hshingles"))
+    # ONE hot-subtracted kept relation shared by both legs (r12):
+    # subtract_hot_shingles runs a build-time hot-set probe job plus a
+    # full explode+groupBy over every shingle — the exact and LSH legs
+    # each paid it separately (guide §2.4 shared-work rule). The kept
+    # arrays are cached; the exact leg explodes them, the LSH leg
+    # signs and verifies over them — identical inputs either way.
+    kept = tracked_cache(subtract_hot_shingles(base))
     exact = tracked_cache(
-        ngram_jaccard_pairs(docs, base=base).select("doc_a", "doc_b")
+        ngram_jaccard_pairs(docs, base=base, kept=kept).select("doc_a", "doc_b")
     )
     lsh = tracked_cache(
-        minhash_lsh_pairs(docs, base=base).select("doc_a", "doc_b")
+        minhash_lsh_pairs(docs, base=base, kept=kept).select("doc_a", "doc_b")
     )
     keys = ["doc_a", "doc_b"]
     ne = exact.agg(F.count("*").cast("bigint").alias("n_exact_pairs"))
@@ -568,7 +577,11 @@ _BUCKET_PAIRS = (
 )
 
 
-def minhash_lsh_pairs(docs: DataFrame, base: DataFrame | None = None) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    base: DataFrame | None = None,
+    kept: DataFrame | None = None,
+) -> DataFrame:
     if base is None:
         base = tracked_cache(with_shingles(docs).select("doc_id", "hshingles"))
     # r12 (code-review): signatures AND verification run over the SAME
@@ -579,9 +592,9 @@ def minhash_lsh_pairs(docs: DataFrame, base: DataFrame | None = None) -> DataFra
     # engine drift. Excluding df > DF_CUTOFF shingles from signatures
     # is also the standard LSH posture (boilerplate carries no
     # near-dup signal and floods bands).
-    sh = subtract_hot_shingles(base).filter(
-        F.size("hshingles") > 0
-    )  # after cache: cheap array check
+    if kept is None:
+        kept = subtract_hot_shingles(base)
+    sh = kept.filter(F.size("hshingles") > 0)  # cheap array check
     sig = sh.select("doc_id", "hshingles", minhash_signature(F.col("hshingles")).alias("sig"))
     rows_per_band = N_PERM // N_BANDS
     bands = sig.select(
