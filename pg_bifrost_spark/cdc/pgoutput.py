@@ -278,6 +278,17 @@ class Relation:
     # (column name, type oid, typmod, part-of-key flag)
     columns: list[tuple[str, int, int, bool]]
 
+    # Render-plan cache (r12, guide §4.5 heavyweight-init-once): every
+    # per-COLUMN constant the tuple decoder used to re-derive per ROW —
+    # the rendered type name, the non-builtin force-quote flag, the
+    # ``name[type]:`` cell prefix, and the bare-vs-quoted decision
+    # (_render_value's prefix whitelist). Keyed on the decoder's Type-
+    # registry version: a 'Y' frame can rename a non-builtin oid after
+    # this relation was registered, so the plan rebuilds whenever the
+    # registry changes (cheap — Type frames are registry-rare).
+    _plan: list | None = field(default=None, compare=False, repr=False)
+    _plan_version: int = field(default=-1, compare=False, repr=False)
+
     @property
     def relation(self) -> str:
         # pg_catalog tables arrive with empty namespace per the docs
@@ -285,6 +296,30 @@ class Relation:
 
     def cell_types(self) -> list[str]:
         return [type_name(oid, typmod) for _, oid, typmod, _ in self.columns]
+
+    def render_plan(
+        self, types: dict[int, str], version: int
+    ) -> list[tuple[str, str, bool, str, bool, int]]:
+        """Per-column (name, type_str, force_quote, cell_prefix, bare,
+        oid) — semantics identical to per-row type_name +
+        _render_value (pinned by the goldens and the frame fuzz
+        suite)."""
+        if self._plan is None or self._plan_version != version:
+            plan = []
+            for name, oid, typmod, _key in self.columns:
+                t = type_name(oid, typmod, custom=types)
+                quote = oid not in _TYPE_NAMES  # non-builtin: always quote
+                bare = (not quote) and (
+                    t == "oid"
+                    or (
+                        "[" not in t
+                        and any(t.startswith(p) for p in _UNQUOTED_TYPE_PREFIXES)
+                    )
+                )
+                plan.append((name, t, quote, f"{name}[{t}]:", bare, oid))
+            self._plan = plan
+            self._plan_version = version
+        return self._plan
 
 
 _TOAST = object()  # sentinel: 'u' cell kind (unchanged TOAST datum)
@@ -341,8 +376,10 @@ class PgOutputDecoder:
     max_streamed_lines: int = 1_000_000
     stats: Counter = field(default_factory=Counter)
     # Type ('Y') registry: non-builtin type names as the server
-    # declared them, namespace-qualified (see type_name)
+    # declared them, namespace-qualified (see type_name). The version
+    # counter invalidates cached Relation render plans (r12).
     types: dict[int, str] = field(default_factory=dict)
+    _types_version: int = 0
     # Logical-message ('M') buffer — bounded, drop-NEWEST with a loud
     # counter (drop-oldest would silently lose the earliest marker,
     # the one a migration fence cares about); drained via
@@ -407,7 +444,14 @@ class PgOutputDecoder:
         return out
 
     # ------------------------------------------------------------ tuples
-    def _tuple(self, r: _Reader, rel: Relation) -> list[tuple[str, str, object]]:
+    def _tuple(
+        self, r: _Reader, rel: Relation
+    ) -> list[tuple[tuple[str, str, bool, str, bool, int], object]]:
+        """Cells as (column render-plan row, decoded value) pairs —
+        the per-column constants come from the cached
+        ``Relation.render_plan`` instead of being re-derived per row
+        (r12; type_name + the quote whitelist were ~25% of decode CPU
+        in the offline profile)."""
         ncols = r.u16()
         if ncols > r.remaining():  # every cell costs >= 1 byte
             raise PgOutputError(f"declared {ncols} cells, {r.remaining()} bytes left")
@@ -416,20 +460,19 @@ class PgOutputDecoder:
                 f"tuple has {ncols} cells but relation {rel.relation} "
                 f"declares {len(rel.columns)} columns"
             )
-        cells: list[tuple[str, str, object, bool]] = []
-        for name, oid, typmod, _key in rel.columns:
+        plan = rel.render_plan(self.types, self._types_version)
+        cells: list[tuple[tuple[str, str, bool, str, bool, int], object]] = []
+        for meta in plan:
             kind = r.take(1)
-            t = type_name(oid, typmod, custom=self.types)
-            quote = oid not in _TYPE_NAMES  # non-builtin: always quote
             if kind == b"n":
-                cells.append((name, t, None, quote))
+                cells.append((meta, None))
             elif kind == b"u":
-                cells.append((name, t, _TOAST, quote))
+                cells.append((meta, _TOAST))
             elif kind == b"t":
                 n = r.u32()
                 raw = r.take(n)
                 try:
-                    cells.append((name, t, raw.decode("utf-8"), quote))
+                    cells.append((meta, raw.decode("utf-8")))
                 except UnicodeDecodeError as exc:
                     raise PgOutputError(f"non-UTF-8 text cell: {exc}") from None
             elif kind == b"b":
@@ -442,27 +485,38 @@ class PgOutputDecoder:
                 # a corrupt-stream signal, not a feature gap
                 # (advisor r10 finding).
                 n = r.u32()
-                if oid != 17:
+                if meta[5] != 17:
                     raise PgOutputError(
                         f"binary tuple cell for non-bytea column "
-                        f"{name}[{t}] (oid {oid}) — binary mode was "
+                        f"{meta[0]}[{meta[1]}] (oid {meta[5]}) — binary mode was "
                         "never requested and only bytea is hex-renderable"
                     )
-                cells.append((name, t, "\\x" + r.take(n).hex(), quote))
+                cells.append((meta, "\\x" + r.take(n).hex()))
             else:
                 raise PgOutputError(f"unknown tuple cell kind {kind!r}")
         return cells
 
     @staticmethod
-    def _cells_text(cells: list[tuple[str, str, object, bool]]) -> str:
+    def _cells_text(
+        cells: list[tuple[tuple[str, str, bool, str, bool, int], object]]
+    ) -> str:
+        """Render cells from their precomputed plan rows — byte-
+        identical to the former per-cell type_name + _render_value
+        path (which remains the semantic reference for the plan's
+        ``bare`` bit)."""
         parts = []
-        for name, t, v, force_quote in cells:
+        for meta, v in cells:
+            prefix = meta[3]
             if v is _TOAST:
                 # test_decoding renders the sentinel unquoted
                 # (marshaller.go:276-283 matches it by value)
-                parts.append(f"{name}[{t}]:unchanged-toast-datum")
+                parts.append(prefix + "unchanged-toast-datum")
+            elif v is None:
+                parts.append(prefix + "null")
+            elif meta[4]:  # bare: ints/floats/bools/bytea hex
+                parts.append(prefix + str(v))
             else:
-                parts.append(f"{name}[{t}]:{_render_value(v, t, force_quote)}")
+                parts.append(prefix + "'" + str(v).replace("'", "''") + "'")
         return " ".join(parts)
 
     def _rel(self, relid: int) -> Relation:
@@ -850,7 +904,7 @@ class PgOutputDecoder:
                     # columns are non-nullable); test_decoding prints
                     # only the identity cells, so the canonical line
                     # must too
-                    old = [c for c in old if c[2] is not None]
+                    old = [c for c in old if c[1] is not None]
                 marker = r.take(1)
             if marker != b"N":
                 raise PgOutputError(f"UPDATE with unexpected marker {marker!r}")
@@ -869,7 +923,7 @@ class PgOutputDecoder:
             cells = self._tuple(r, rel)
             if marker == b"K":
                 # same key-tuple semantics as UPDATE old-key above
-                cells = [c for c in cells if c[2] is not None]
+                cells = [c for c in cells if c[1] is not None]
             # test_decoding renders the key/old cells as the line's
             # only cells; the marshaller emits them as old values
             # (DELETE branch, marshaller.go:269-271)
@@ -901,6 +955,7 @@ class PgOutputDecoder:
             ns = r.cstr()
             name = r.cstr()
             self.types[oid] = f"{ns or 'pg_catalog'}.{name}"
+            self._types_version += 1  # invalidate cached render plans
             self.stats["types"] += 1
             return None
         if tag == b"M":  # Message: pg_logical_emit_message side-channel

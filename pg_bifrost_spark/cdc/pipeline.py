@@ -171,7 +171,7 @@ def run_pipeline(df_lines: DataFrame, cfg: PipelineConfig | None = None) -> Data
     return filter_partition_marshal(events, cfg)
 
 
-def _parse_assembled(df_lines_with_txn: DataFrame) -> DataFrame:
+def _parse_assembled(df_lines_with_txn: DataFrame, barrier: bool = True) -> DataFrame:
     """Shared parse stage for pre-assembled inputs (RAW_LINE_SCHEMA +
     txn_id + time_based_key): fast/slow split, barrier, parse-error
     drop. One definition so the json and struct pipeline entry points
@@ -181,7 +181,17 @@ def _parse_assembled(df_lines_with_txn: DataFrame) -> DataFrame:
     fast-grammar DML lines parse entirely JVM-side inside whole-stage
     codegen (fastparse.py); only lines outside the fast grammar pay
     the Python (Arrow) hop — ~zero on a typical stream. The barrier is
-    the same once-per-row guard as parse_raw (functions/barrier.py)."""
+    the same once-per-row guard as parse_raw (functions/barrier.py).
+
+    ``barrier=False`` is for consumers that reference the parsed
+    column maps AT MOST ONCE downstream (or not at all): the barrier
+    exists solely to stop CollapseProject inlining the interpreted
+    map-build into multiple extraction sites, and it also blocks
+    column pruning (the documented trade-off in functions/barrier.py)
+    — a consumer that never reads ``columns``/``old_columns`` (e.g.
+    the partition-key bounds check) should let Catalyst prune the
+    whole tokenize+map build out of its plan instead (guide §2.3
+    don't-compute-what-you-throw-away)."""
     able = _parse_eligibility(df_lines_with_txn)
     fast = jvm_parse(
         df_lines_with_txn.filter(able).drop("_able"),
@@ -193,7 +203,10 @@ def _parse_assembled(df_lines_with_txn: DataFrame) -> DataFrame:
         .mapInPandas(parse_lines_to_pandas, schema=PARSED_ASSEMBLED_SCHEMA_DDL)
         .drop("txn_xid")
     )
-    return opt_barrier(fast.unionByName(slow)).filter(F.col("parse_error").isNull())
+    parsed = fast.unionByName(slow)
+    if barrier:
+        parsed = opt_barrier(parsed)
+    return parsed.filter(F.col("parse_error").isNull())
 
 
 def run_pipeline_assembled(

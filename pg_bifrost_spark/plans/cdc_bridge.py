@@ -492,8 +492,13 @@ def cdc_partition_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume gates (cdc_lineitem_roundtrip, cdc_envelope_counts)."""
     from ..cdc.pipeline import _parse_assembled, filter_partition
 
+    # barrier=False (r12): this consumer never reads columns/
+    # old_columns, and every column it does read (operation, txn_id,
+    # parse_error) is referenced once — so instead of the barrier
+    # (which blocks pruning), let Catalyst prune the interpreted
+    # tokenize+map build out of the plan entirely (guide §2.3)
     events = filter_partition(
-        _parse_assembled(_lineitem_raw(spark, sf_dir)),
+        _parse_assembled(_lineitem_raw(spark, sf_dir), barrier=False),
         PipelineConfig(partition_method="transaction-bucket", partition_buckets=8),
     )
     out = events.filter(~F.col("operation").isin("BEGIN", "COMMIT"))

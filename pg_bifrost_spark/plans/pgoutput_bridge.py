@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from . import register, table, tracked_cache
 from ..cdc.fastparse import jvm_parseable
-from ..cdc.pipeline import PipelineConfig, data_messages, run_pipeline
+from ..cdc.pipeline import PipelineConfig, data_messages, run_pipeline_assembled
 from .cdc_bridge import _env_once
 
 N_STREAMS = 64
@@ -111,6 +111,7 @@ def decode_pgoutput_frames(
     frames: DataFrame,
     max_streamed_lines: int | None = None,
     proto_version: int = 1,
+    with_txn: bool = False,
 ) -> DataFrame:
     """Binary frames → RAW_LINE_SCHEMA canonical lines. Streams are
     co-located (repartition on stream_id) and decoded in wal_start
@@ -122,7 +123,20 @@ def decode_pgoutput_frames(
     ``max_streamed_lines`` is the per-decoder streamed/prepared-txn
     buffer cap (a deployment sizes it to executor memory — see
     PgOutputDecoder); exceeding it raises PgOutputOverflow through the
-    job, never a silently truncated transaction."""
+    job, never a silently truncated transaction.
+
+    ``with_txn=True`` (r12, guide §2.4): additionally stamp txn_id /
+    time_based_key per line. The decode is already strictly sequential
+    per stream — the exact contract the streaming pgcdc reader and the
+    test_decoding generators satisfy — so it can carry the current
+    transaction along instead of downstream re-deriving it with a
+    window (one Exchange + per-stream Sort over every line). Stamping
+    reproduces ``assemble_transactions`` exactly: BEGIN/COMMIT lines
+    carry their OWN xid, data lines the last BEGIN's; time_based_key
+    is ``"<xid>-<last BEGIN's wal_start>"`` with the same NULL
+    coalescing (concat_ws skips a missing xid; a missing BEGIN wal is
+    0). Equality of the two paths is pinned by
+    tests/test_pgoutput.py::test_with_txn_stamping_matches_window."""
     import pandas as pd
 
     from ..cdc.pgoutput import PgOutputDecoder, PgOutputError
@@ -131,8 +145,14 @@ def decode_pgoutput_frames(
         from ..cdc.pgoutput import PgOutputOverflow
 
         decoders: dict[int, PgOutputDecoder] = {}
+        # per-stream (last BEGIN xid, last BEGIN wal_start) — state
+        # lives beside the decoders so it spans batches
+        cur_txn: dict[int, tuple[str | None, int | None]] = {}
         for pdf in batches:
             out = {"wal_start": [], "server_wal_end": [], "server_time_ms": [], "stream_id": [], "line": []}
+            if with_txn:
+                out["txn_id"] = []
+                out["time_based_key"] = []
             for sid, lsn, frame in zip(pdf["stream_id"], pdf["wal_start"], pdf["frame"]):
                 d = decoders.get(sid)
                 if d is None:
@@ -176,17 +196,35 @@ def decode_pgoutput_frames(
                     out["server_time_ms"].append(0)
                     out["stream_id"].append(int(sid))
                     out["line"].append(line)
+                    if with_txn:
+                        if line.startswith("BEGIN "):
+                            cur_txn[sid] = (line[6:], int(lsn) + i)
+                        bx, bw = cur_txn.get(sid, (None, None))
+                        # control lines carry their own xid (the
+                        # window path's coalesce(txn_xid, last_begin))
+                        x = (
+                            line.split(" ", 1)[1]
+                            if line.startswith(("BEGIN ", "COMMIT "))
+                            else bx
+                        )
+                        w = bw if bw is not None else 0
+                        out["txn_id"].append(x)
+                        out["time_based_key"].append(
+                            f"{x}-{w}" if x is not None else str(w)
+                        )
             yield pd.DataFrame(out)
 
     n_par = frames.sparkSession.sparkContext.defaultParallelism
+    schema = (
+        "wal_start long, server_wal_end long, server_time_ms long, "
+        "stream_id int, line string"
+    )
+    if with_txn:
+        schema += ", txn_id string, time_based_key string"
     return (
         frames.repartition(n_par, "stream_id")
         .sortWithinPartitions("stream_id", "wal_start")
-        .mapInPandas(
-            decode,
-            "wal_start long, server_wal_end long, server_time_ms long, "
-            "stream_id int, line string",
-        )
+        .mapInPandas(decode, schema)
     )
 
 
@@ -216,8 +254,15 @@ def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache is line-sized (not frame-sized) and released by
     # release_caches(); a 100 TB deployment spills via
     # MEMORY_AND_DISK or checkpoints the decode output the same way.
+    # r12: the decoder stamps txn identity itself (with_txn=True — it
+    # is sequential per stream, the same contract the generators and
+    # the streaming reader provide), so the assembled pipeline runs
+    # with NO window exchange+sort over the line stream; stamping
+    # equality vs assemble_transactions is pinned by
+    # test_pgoutput.py::test_with_txn_stamping_matches_window, and the
+    # window path keeps gate coverage via cdc_whitelist_filter.
     raw = tracked_cache(
-        decode_pgoutput_frames(frames).withColumn(
+        decode_pgoutput_frames(frames, with_txn=True).withColumn(
             # r12: precompute the fast-path eligibility bit INTO the
             # cache — the parse split's two branches then filter on the
             # stored boolean instead of each re-running the eligibility
@@ -225,7 +270,7 @@ def cdc_pgoutput_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_able", jvm_parseable(F.col("line"))
         )
     )
-    out = data_messages(run_pipeline(raw, PipelineConfig()))
+    out = data_messages(run_pipeline_assembled(raw, PipelineConfig()))
     env = _env_once(out)
     cols = F.col("env.columns")
 
@@ -309,13 +354,16 @@ def cdc_two_phase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     frames = two_phase_frames_from_orders(orders)
     # same double-execution guard as cdc_pgoutput_roundtrip above;
-    # proto v3 — the decoder refuses 2PC frames below it (ADVICE r11)
+    # proto v3 — the decoder refuses 2PC frames below it (ADVICE r11).
+    # with_txn=True: decoder-side txn stamping, no window assembly
+    # (r12 — see cdc_pgoutput_roundtrip; the 2PC replay's BEGIN lines
+    # drive the same per-stream stamping state)
     raw = tracked_cache(
-        decode_pgoutput_frames(frames, proto_version=3).withColumn(
+        decode_pgoutput_frames(frames, proto_version=3, with_txn=True).withColumn(
             "_able", jvm_parseable(F.col("line"))  # r12, as above
         )
     )
-    out = data_messages(run_pipeline(raw, PipelineConfig()))
+    out = data_messages(run_pipeline_assembled(raw, PipelineConfig()))
     env = _env_once(out)
     cols = F.col("env.columns")
 

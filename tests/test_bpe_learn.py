@@ -46,10 +46,20 @@ def reference_bpe(word_weights: dict[str, int], steps: int):
 
 
 def _distributed(spark, word_weights: dict[str, int], steps: int):
+    # local_vocab_max=0 forces the fully distributed iterative loop —
+    # these small corpora would otherwise take the r12 small-vocab
+    # driver arm and leave the distributed path untested
     df = spark.createDataFrame(
         list(word_weights.items()), "word string, weight bigint"
     )
-    return learn_bpe_merges(df, steps)
+    return learn_bpe_merges(df, steps, local_vocab_max=0)
+
+
+def _local(spark, word_weights: dict[str, int], steps: int):
+    df = spark.createDataFrame(
+        list(word_weights.items()), "word string, weight bigint"
+    )
+    return learn_bpe_merges(df, steps, local_vocab_max=1 << 30)
 
 
 def test_interacting_merges_match_reference(spark):
@@ -69,6 +79,9 @@ def test_interacting_merges_match_reference(spark):
     assert got == want, f"\n got={got}\nwant={want}"
     # the dynamics actually fired: some learned merge has a multi-char side
     assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in got)
+    # the r12 small-vocab driver arm is the SAME algorithm — pin the
+    # two arms against each other on the interacting corpus
+    assert _local(spark, corpus, steps) == want
 
 
 def test_fixture_text_matches_reference(spark):
@@ -90,10 +103,13 @@ def test_fixture_text_matches_reference(spark):
     df = spark.createDataFrame(
         list(word_weights.items()), "word string, weight bigint"
     )
-    got = learn_bpe_merges(df, steps)
+    got = learn_bpe_merges(df, steps, local_vocab_max=0)
     want = reference_bpe(word_weights, steps)
     assert got == want, f"\n got={got}\nwant={want}"
     assert len(got) == steps
+    # both arms on real Zipf-skewed text (the default arm for this
+    # vocabulary size is the r12 local one)
+    assert learn_bpe_merges(df, steps) == want
 
 
 def test_saturation_stops_early(spark):
@@ -101,6 +117,7 @@ def test_saturation_stops_early(spark):
     returns fewer merges than requested instead of looping."""
     got = _distributed(spark, {"a": 3, "b": 2}, BPE_LEARN_STEPS)
     assert got == []
+    assert _local(spark, {"a": 3, "b": 2}, BPE_LEARN_STEPS) == []
 
 
 def test_empty_words_are_ignored(spark):
@@ -114,3 +131,4 @@ def test_empty_words_are_ignored(spark):
     want = reference_bpe(corpus, 4)
     assert got == want, f"\n got={got}\nwant={want}"
     assert all(a and b for _, a, b, _ in got)
+    assert _local(spark, corpus, 4) == want

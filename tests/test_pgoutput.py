@@ -1291,3 +1291,42 @@ def test_two_phase_requires_pgoutput_v3():
         )
     with pytest.raises(ValueError, match="two_phase requires"):
         LiveTransport("postgres://u@h/db", "s", two_phase=True)
+
+
+def test_with_txn_stamping_matches_window(spark):
+    """``decode_pgoutput_frames(with_txn=True)`` (r12) must stamp the
+    exact txn_id / time_based_key the window-based
+    ``assemble_transactions`` derives from the same line stream — for
+    BOTH the plain and the two-phase (replayed) generators, rollback
+    gaps included."""
+    from pg_bifrost_spark.cdc.pipeline import assemble_transactions, parse_raw
+    from pg_bifrost_spark.plans.pgoutput_bridge import (
+        decode_pgoutput_frames,
+        pgoutput_frames_from_orders,
+        two_phase_frames_from_orders,
+    )
+
+    orders = spark.createDataFrame(
+        [(i, "S", float(i) + 0.25) for i in range(40)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    for frames, proto in (
+        (pgoutput_frames_from_orders(orders, n_streams=4), 1),
+        (two_phase_frames_from_orders(orders, n_streams=4), 3),
+    ):
+        frames = frames.cache()
+        stamped = {
+            (r.stream_id, r.wal_start): (r.txn_id, r.time_based_key)
+            for r in decode_pgoutput_frames(
+                frames, proto_version=proto, with_txn=True
+            ).collect()
+        }
+        windowed = {
+            (r.stream_id, r.wal_start): (r.txn_id, r.time_based_key)
+            for r in assemble_transactions(
+                parse_raw(decode_pgoutput_frames(frames, proto_version=proto))
+            ).collect()
+        }
+        frames.unpersist()
+        assert stamped == windowed
+        assert len(stamped) > 0
