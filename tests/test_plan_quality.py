@@ -1141,12 +1141,13 @@ def test_two_phase_roundtrip_same_shape_as_pgoutput_bridge(spark):
     assert text.count("InMemoryTableScan") == 2, text.count("InMemoryTableScan")
     assert sum("MapInPandas parse_lines" in l for l in text.splitlines()) == 1
     assert "BatchEvalPython" not in text
-    # the batch-replay bridge assembles transactions with the
-    # stream-partitioned window (one stream = one task, 64 streams
-    # scale out); a GLOBAL window (no partition spec) would serialize
-    # the replay through one task and must never appear
-    assert "windowspecdefinition(stream_id" in text
-    assert "windowspecdefinition()" not in text
+    # r12: the decoder stamps txn_id/time_based_key itself
+    # (with_txn=True — decode is strictly sequential per stream), so NO
+    # window may appear: neither the old stream-partitioned assembly
+    # window nor, worse, a GLOBAL window that would serialize the
+    # replay through one task. Window-based assembly keeps gate
+    # coverage via cdc_whitelist_filter.
+    assert "windowspecdefinition" not in text
     import pg_bifrost_spark.plans as _plans
 
     _plans.release_caches()
