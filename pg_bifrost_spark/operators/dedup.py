@@ -1065,12 +1065,81 @@ def semantic_dedup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_verify_tail(emb: DataFrame, cap: int = SEM_BUCKET_CAP) -> DataFrame:
+def _srp_cell_kernel(batches):
+    """mapInPandas kernel over per-bucket groups (bucket, ids, flat):
+    one normalized GEMM per cell instead of an interpreted
+    ``aggregate(zip_with(...))`` fold per PAIR — the in-cell pair count
+    is quadratic in occupancy, so at the cap (4096) a single cell is
+    ~8.4 M folds of dim lambda dispatches vs one 4096×dim matmul here.
+    Same flat-payload + normalize-then-matmul shape as
+    ``_cosine_block_kernel`` (whose round(·,4) output hash-matches
+    DuckDB's sequential-sum cosine — the 4dp-boundary precedent).
+    Emits qualifying (bucket, keep_id, drop_id, cos_raw) with
+    keep_id < drop_id; zero-norm rows go NaN and drop at the
+    threshold, exactly like the fold's 0/0."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out_b, out_a, out_c, out_s = [], [], [], []
+        for i in range(len(pdf)):
+            ids = np.asarray(pdf["ids"].iloc[i], dtype=np.int64)
+            V = np.array(pdf["flat"].iloc[i], dtype=np.float64).reshape(len(ids), -1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                V /= np.linalg.norm(V, axis=1, keepdims=True)
+            S = V @ V.T
+            ia, ic = np.nonzero(
+                (S >= SEM_COSINE_THRESHOLD) & (ids[:, None] < ids[None, :])
+            )
+            out_b.append(np.full(len(ia), pdf["bucket"].iloc[i], dtype=np.int32))
+            out_a.append(ids[ia])
+            out_c.append(ids[ic])
+            out_s.append(S[ia, ic])
+        yield pd.DataFrame(
+            {
+                "bucket": np.concatenate(out_b) if out_b else [],
+                "keep_id": np.concatenate(out_a) if out_a else [],
+                "drop_id": np.concatenate(out_c) if out_c else [],
+                "cos_raw": np.concatenate(out_s) if out_s else [],
+            }
+        )
+
+
+def _semantic_verify_tail(
+    emb: DataFrame, cap: int = SEM_BUCKET_CAP, kernel: bool = True
+) -> DataFrame:
     """The SemDeDup verify stage shared by every coarse partitioner:
     ``emb`` is (vec_id, v DOUBLE[], bucket); output is the in-bucket
-    near-dup pairs at SEM_COSINE_THRESHOLD. Plan shape: norm is a
-    map-side fold, ONE exchange on bucket, cap rides it as a window,
-    then the bucketed self-join."""
+    near-dup pairs at SEM_COSINE_THRESHOLD. Plan shape: ONE exchange
+    on bucket, cap rides it as a window, then one GEMM task per cell
+    (``_srp_cell_kernel``) — no self-join, no cache, the capped
+    relation is consumed exactly once. ``kernel=False`` keeps the
+    r11 fold-based self-join for the equivalence pin
+    (tests/test_srp_kernel.py)."""
+    if kernel:
+        capped = _cap_buckets(
+            spread(emb.select("vec_id", "v", "bucket"), "bucket"), "bucket", cap=cap
+        )
+        # collect_list drops NULLs PER COLUMN → a null vec_id or v would
+        # desynchronize ids[i] from flat row i (the _cosine_block_kernel
+        # precedent). Filter AFTER the cap so such rows still count
+        # toward occupancy exactly as they did in the join path (where
+        # they rode the window but produced only null-cosine pairs).
+        groups = (
+            capped.filter(F.col("vec_id").isNotNull() & F.col("v").isNotNull())
+            .groupBy("bucket")
+            .agg(
+                F.collect_list("vec_id").alias("ids"),
+                F.flatten(F.collect_list("v")).alias("flat"),
+            )
+        )
+        pairs = groups.mapInPandas(
+            _srp_cell_kernel,
+            schema="bucket int, keep_id bigint, drop_id bigint, cos_raw double",
+        )
+        return pairs.select(
+            "bucket", "keep_id", "drop_id", F.round("cos_raw", 4).alias("cosine")
+        ).orderBy("keep_id", "drop_id")
     emb = emb.select(
         "vec_id",
         "v",

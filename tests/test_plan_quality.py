@@ -398,12 +398,12 @@ def test_doc_line_dedup_is_map_only(spark):
 
 
 def test_semantic_dedup_shuffles_on_bucket_only(spark):
-    """The SRP self-join must key on the bucket with NO forced
-    broadcast hint in the operator (at sf0.001 Spark's statistics
-    legitimately pick broadcast; at scale the same plan compiles to a
-    shuffle join — a pinned hint would freeze the small-data choice,
-    the r4 near_dup_resolution lesson). The degenerate-cell cap must
-    ride the bucket exchange as a window, not add a shuffle."""
+    """The SRP verify must key on the bucket with NO forced broadcast
+    hint in the operator. The degenerate-cell cap must ride the bucket
+    exchange as a window, not add a shuffle. Since r12 change #9 the
+    in-cell verify is ONE GEMM task per cell (``_srp_cell_kernel``) —
+    no self-join, no cache: the capped relation is consumed exactly
+    once on its way into the kernel."""
     import inspect
 
     from pg_bifrost_spark.operators import dedup as _d
@@ -413,11 +413,11 @@ def test_semantic_dedup_shuffles_on_bucket_only(spark):
     text = plan_of(spark, "semantic_dedup_srp")
     assert "Exchange hashpartitioning(bucket" in text  # spread on bucket
     assert "Window [count(1)" in text  # cap over the same exchange
-    # the self-join's two references to the bucketed+capped relation
-    # must BOTH read the cached relation, not re-scan the corpus
-    # (FileScan lines appearing inside the InMemoryRelation's printed
-    # cached-plan subtree don't execute)
-    assert text.count("InMemoryTableScan") == 2
+    # the fold-based self-join (two reads of a cached relation) is
+    # gone — the capped relation flows once into the per-cell kernel
+    assert "MapInPandas" in text
+    assert "InMemoryTableScan" not in text
+    assert "Join" not in text
 
 
 def test_ann_batch_topk_broadcasts_queries_only(spark):
