@@ -6,6 +6,14 @@ Default scale: sf0.01 — the DRIVER'S gate scale, so rehearsal and gate
 are byte-comparable (VERDICT r4 ask; sf0.001 rehearsal once passed a
 query the gate hash-failed). Set SPARK_GRAFT_ORACLE_SF=0.001 for a
 faster smoke pass while iterating.
+
+LONG LEG (VERDICT r12 ask #1): the full 206-query × two-engine
+rehearsal runs ~10+ minutes, which pushed the driver's default
+``pytest -x -q`` past its output/time budget (VERIFY_r12 tests_ok
+false by truncation, not failure). It is therefore opt-in:
+``SPARK_GRAFT_FULL_SUITE=1`` — the end-of-round discipline runs it;
+the driver's own 50-query oracle gate covers correctness every round
+regardless.
 """
 
 from __future__ import annotations
@@ -17,6 +25,12 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_SUITE") != "1",
+    reason="long leg (~10 min): set SPARK_GRAFT_FULL_SUITE=1 to run the "
+    "206-query oracle rehearsal (VERDICT r12 ask #1 default-fast profile)",
+)
 
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01")
 SF_DIR = f"/root/testdata/sf{SF}"

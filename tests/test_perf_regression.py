@@ -44,6 +44,20 @@ SF_DIR = "/root/testdata/sf0.1"
 
 RELATIVE_SLACK = 2.0  # query ratio may be up to 2x the median ratio
 ABS_FLOOR_S = 2.0  # absorbs fixed scheduling/codegen jitter on tiny queries
+MACHINE_FACTOR_CAP = 5.0  # ADVICE r12: a uniform regression cannot self-mask
+
+# LONG LEG (VERDICT r12 ask #1): the headline gate re-measures ~117
+# queries at sf0.1 in a fresh subprocess (~10 min) and the streaming
+# floor runs the full streaming bench — both pushed the driver's
+# default `pytest -x -q` past its budget. Opt-in via
+# SPARK_GRAFT_FULL_SUITE=1 (end-of-round discipline); the driver's own
+# bench remains the authoritative perf check every round.
+_PERF_SKIP = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_SUITE") != "1"
+    or os.environ.get("SPARK_GRAFT_SKIP_PERF") == "1",
+    reason="long leg (~10 min): set SPARK_GRAFT_FULL_SUITE=1 "
+    "(and unset SPARK_GRAFT_SKIP_PERF) to run the perf gate",
+)
 
 
 def _baseline() -> dict[str, float]:
@@ -98,6 +112,19 @@ def _gate_measure() -> dict:
 
     def flagged() -> list[str]:
         machine_factor = statistics.median(timings[n] / base[n] for n in timings)
+        # ADVICE r12: the normalization is self-masking by construction
+        # (a uniform fleet-wide regression inflates the median and
+        # hides). Cap the machine factor: real sandbox hosts have
+        # drifted 2.5-3x (r2 record), so 5x headroom never flakes on a
+        # slow host, while a uniform >=5x suite-wide slowdown — which
+        # no host band in 12 rounds produced — fails loudly instead of
+        # normalizing itself away.
+        if machine_factor > MACHINE_FACTOR_CAP:
+            return [
+                f"suite-wide median slowdown {machine_factor:.2f}x exceeds the "
+                f"{MACHINE_FACTOR_CAP}x cap — either a fleet-wide plan "
+                f"regression or a host too degraded to measure on"
+            ]
         # The absolute floor absorbs FIXED per-query noise (scheduler,
         # codegen, first-touch), and that fixed noise scales with the
         # host band like everything else: on a 1.29x-median band an
@@ -127,13 +154,12 @@ def _gate_measure() -> dict:
     if first:
         for line in first:
             name = line.split(":")[0]
-            timings[name] = min(timings[name], run_once(name))
+            if name in timings:  # the machine-factor-cap line is not a query
+                timings[name] = min(timings[name], run_once(name))
     return {"failures": flagged(), "timings": timings}
 
 
-@pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_SKIP_PERF") == "1", reason="perf gate disabled"
-)
+@_PERF_SKIP
 def test_headline_queries_within_budget():
     """Runs ``_gate_measure`` in a FRESH subprocess SparkSession (the
     state every baseline was recorded in) instead of the shared,
@@ -172,9 +198,7 @@ def test_headline_queries_within_budget():
 
 
 
-@pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_SKIP_PERF") == "1", reason="perf gate disabled"
-)
+@_PERF_SKIP
 def test_streaming_replay_throughput_floor(spark):
     """The STREAMING path (pgcdc replay source → assembled pipeline →
     foreachBatch sink) must clear the reference's own throughput bar

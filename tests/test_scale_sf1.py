@@ -15,12 +15,24 @@ this gate times)."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
 
 import pg_bifrost_spark.plans as plans
 from tools.gen_sf import ensure_sf1
+
+# LONG LEG (VERDICT r12 ask #1): times the dedup/ANN family at sf0.1
+# AND the generated 10x fixture — minutes of wall clock that pushed
+# the driver's default `pytest -x -q` past its budget. Opt-in for the
+# end-of-round full-suite run; bench.py's scale leg measures the same
+# ratios every official bench.
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FULL_SUITE") != "1",
+    reason="long leg (minutes): set SPARK_GRAFT_FULL_SUITE=1 to run the "
+    "10x scale-rehearsal gate",
+)
 
 plans.load_all()
 
