@@ -303,7 +303,18 @@ class Relation:
         """Per-column (name, type_str, force_quote, cell_prefix, bare,
         oid) — semantics identical to per-row type_name +
         _render_value (pinned by the goldens and the frame fuzz
-        suite)."""
+        suite).
+
+        OWNERSHIP CONTRACT (ADVICE r12): the cache key is ``version``
+        ALONE — the passed ``types`` dict is ignored on a version hit.
+        That is only sound because a Relation belongs to exactly ONE
+        PgOutputDecoder, whose ``_types_version`` is the single
+        monotonic counter for its single ``types`` dict (bumped on
+        every 'Y' frame). Do NOT share Relation objects across
+        decoders: two decoders with coincidentally equal version
+        counters would serve each other stale type names. Each decoder
+        builds its own Relation instances from its own 'R' frames, so
+        the contract holds for every in-repo caller."""
         if self._plan is None or self._plan_version != version:
             plan = []
             for name, oid, typmod, _key in self.columns:

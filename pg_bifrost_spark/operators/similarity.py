@@ -96,7 +96,18 @@ def srp_bucket_expr(v: F.Column, dim: int, planes: int = N_PLANES) -> F.Column:
     and entirely inside codegen (no UDF, no broadcast of plane
     matrices). ``planes`` is the bit count (2^planes cells); callers
     sizing cells to the corpus (the SemDeDup scale posture) pass
-    planes ≈ log2(n / target_cell)."""
+    planes ≈ log2(n / target_cell).
+
+    Bound (ADVICE r12): the SRP verify kernel declares its bucket
+    column as a 32-bit int, so the bucket id must fit in int32 —
+    planes ≤ 30 keeps every id positive-int32. 30 planes is ~10^9
+    cells ≈ 2.7e11 vectors at the 256-occupancy target, far past any
+    single-job corpus this engine plans for."""
+    if planes > 30:
+        raise ValueError(
+            f"srp_bucket_expr: planes={planes} would overflow the int32 "
+            "bucket id (max 30)"
+        )
     plane_sign = lambda p: F.transform(  # noqa: E731
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: F.when(F.xxhash64(F.lit(p), d) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),

@@ -44,6 +44,28 @@ def test_sign_bucket_kernel_matches_fold(spark):
     assert len(kern) > 0  # planted clones guarantee a non-empty pin
 
 
+def test_zero_norm_vectors_drop(spark):
+    """ADVICE r12: zero-norm vectors have NaN cosine against everyone.
+    The DEFINED semantics is DROP (a zero vector has no direction) —
+    the kernel gets it from numpy (NaN >= t is False); the fold path
+    needs its explicit isnan filter because Spark's >= orders NaN
+    ABOVE every value. Two zero vectors planted into one bucket: both
+    paths must emit no pair involving them, and stay equal."""
+    rows = [
+        (1, [0.0, 0.0, 0.0], 5),
+        (2, [0.0, 0.0, 0.0], 5),  # zero–zero pair: 0/0 -> NaN
+        (3, [1.0, 2.0, 3.0], 5),  # zero–nonzero pairs: 0/x -> NaN
+        (4, [2.0, 4.0, 6.0], 5),  # the one REAL pair (cosine 1.0)
+    ]
+    b = spark.createDataFrame(rows, "vec_id long, v array<double>, bucket int")
+    fold = _rows(D._semantic_verify_tail(b, kernel=False))
+    kern = _rows(D._semantic_verify_tail(b, kernel=True))
+    plans.release_caches()
+    assert kern == fold
+    pair_ids = {(r[1], r[2]) for r in kern}
+    assert pair_ids == {("3", "4")}, pair_ids  # repr'd by _rows
+
+
 def test_scaled_plane_bucket_kernel_matches_fold(spark):
     e = _emb(spark)
     planes = D.srp_planes_for(e.count())
