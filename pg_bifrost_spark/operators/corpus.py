@@ -12,6 +12,8 @@ collect in the plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -915,14 +917,20 @@ def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
 
 # Vocabulary size (distinct words) below which the trainer's ITERATIVE
 # phase runs on the driver instead of as `steps` sequential Spark jobs.
-# Parameterised (env) with a local-mode-safe default: 256 k (word,
-# weight) rows is a few MB — far under any driver limit — while a
-# 100 TB corpus whose distinct-word vocabulary exceeds it keeps the
-# fully distributed loop. See learn_bpe_merges for why this is the
-# right split.
-import os as _os
+# Parameterised (env, read at CALL time inside learn_bpe_merges —
+# ADVICE r12: the previous import-time read froze the value for the
+# process) with a local-mode-safe default: 256 k (word, weight) rows
+# is a few MB — far under any driver limit — while a 100 TB corpus
+# whose distinct-word vocabulary exceeds it keeps the fully
+# distributed loop. See learn_bpe_merges for why this is the right
+# split.
+BPE_LOCAL_VOCAB_DEFAULT = 262144
 
-BPE_LOCAL_VOCAB_MAX = int(_os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB", "262144"))
+
+def _bpe_local_vocab_max() -> int:
+    return int(
+        os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB", str(BPE_LOCAL_VOCAB_DEFAULT))
+    )
 
 
 def _learn_merges_local(
@@ -998,7 +1006,7 @@ def learn_bpe_merges(
     r12 (guide §1.2: the distributed algorithm first): the iterative
     phase is VOCABULARY-sized, and when the distinct-word vocabulary
     fits comfortably on the driver (≤ ``local_vocab_max``, default
-    BPE_LOCAL_VOCAB_MAX) the ``steps`` sequential driver-paced Spark
+    SPARK_GRAFT_BPE_LOCAL_VOCAB, default 256 k) the ``steps`` sequential driver-paced Spark
     jobs are pure scheduling latency — measured ~0.3 s/job against
     micro-seconds of actual work on the fixture's 16-word vocabulary.
     The trainer was ALREADY driver-paced (one collect per step); the
@@ -1010,7 +1018,7 @@ def learn_bpe_merges(
     decided by the data, not the deployment.
     """
     if local_vocab_max is None:
-        local_vocab_max = BPE_LOCAL_VOCAB_MAX
+        local_vocab_max = _bpe_local_vocab_max()
     vocab = tracked_cache(_bpe_vocab(words))
     if local_vocab_max > 0:
         # one cheap vocabulary-sized job decides the arm (the same
@@ -1659,8 +1667,17 @@ def corpus_distinct_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT (source, gram) out of each map partition, which is the
     floor for an exact distinct count. (An approx_count_distinct
     sketch would drop that exchange entirely — the documented trade
-    for a 100-TB run where ±2% on a mixing weight is immaterial.)"""
-    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    for a 100-TB run where ±2% on a mixing weight is immaterial.)
+
+    Spread BEFORE tokenizing (r13, guide §2.5 input parallelism): the
+    documents scan is often ONE parquet split and the trigram build
+    is CPU per row — un-spread, it ran in one task at the 10× scale
+    leg (the with_shingles precedent)."""
+    from .dedup import spread
+
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id").withColumn(
+        "toks", _tokens()
+    )
     grams = docs.select("source", F.explode(trigram_arr()).alias("g"))
     per_gram = grams.groupBy("source", "g").agg(F.count("*").alias("c"))
     return (
@@ -2022,20 +2039,33 @@ def pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PMI_TOP_K} adjacent-token collocations by quantized PMI
     (minimum pair count {PMI_MIN_COUNT}).
 
-    Plan: the unigram count is built once and cached (it feeds the
-    total and BOTH marginal joins), the bigram explode is one
-    map-side-combined count, the bigram total is a map-only per-doc
-    slot sum (no second explode), and the unigram table joins
-    the ≥{PMI_MIN_COUNT}-filtered bigram table twice on the token key
-    (co-partitioned shuffles), both totals ride broadcast single-row
-    crossJoins, and the global top-k is ORDER BY + LIMIT — Spark's
+    Plan: the documents scan is SPREAD before tokenizing (r13, guide
+    §2.5 input parallelism — the scan is often one parquet split and
+    the tokenizer+explode are CPU per row; un-spread they serialized
+    in one task at the 10× scale leg). The three consumers (unigram
+    explode, bigram explode, slot-total sum) each re-tokenize, which
+    interleaved A/B measured FASTER at sf1 than materializing the
+    token arrays once (1.8-2.1 s vs 2.2-2.7 s: the columnar cache
+    build of 50 k string arrays costs more than two extra parallel
+    regex passes). The unigram count is built once and
+    cached (it feeds the total and BOTH marginal joins), the bigram
+    explode is one map-side-combined count, the bigram total is a
+    map-only per-doc slot sum (no second explode), and the unigram
+    table joins the ≥{PMI_MIN_COUNT}-filtered bigram table twice on
+    the token key, both totals ride broadcast single-row crossJoins,
+    and the global top-k is ORDER BY + LIMIT — Spark's
     TakeOrderedAndProject keeps k rows per partition, never a full
     sort. The min-count filter applies BEFORE the joins, so the joined
     relation is collocation-sized, not bigram-domain-sized."""
     from ..plans import tracked_cache
+    from .dedup import spread
 
     q = _qln_micro
-    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    docs = (
+        spread(table(spark, sf_dir, "documents"), "doc_id")
+        .withColumn("toks", _tokens())
+        .select("toks")
+    )
     uni = docs.select(F.explode("toks").alias("w"))
     # the unigram table feeds the total AND both marginal joins —
     # uncached, each consumer re-tokenizes and re-explodes the corpus

@@ -1075,8 +1075,15 @@ def _srp_cell_kernel(batches):
     ``_cosine_block_kernel`` (whose round(·,4) output hash-matches
     DuckDB's sequential-sum cosine — the 4dp-boundary precedent).
     Emits qualifying (bucket, keep_id, drop_id, cos_raw) with
-    keep_id < drop_id; zero-norm rows go NaN and drop at the
-    threshold, exactly like the fold's 0/0."""
+    keep_id < drop_id. Zero-norm rows: 0/0 -> NaN, and numpy's
+    ``NaN >= t`` is False, so degenerate vectors emit NO pair — the
+    operator's DEFINED semantics (a zero vector has no direction, so
+    it is never anyone's near-duplicate). NOTE (ADVICE r12): the fold
+    reference path cannot be left bare — under ANSI mode (Spark 4
+    default) its division ERRORS on a zero-norm pair, and with ANSI
+    off Spark's ``>=`` orders NaN ABOVE every value and would KEEP
+    the pair — so it guards the division (NULL ⇒ dropped) to match
+    (pinned by test_srp_kernel.py::test_zero_norm_vectors_drop)."""
     import numpy as np
     import pandas as pd
 
@@ -1158,7 +1165,12 @@ def _semantic_verify_tail(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos_raw = dot / (F.col("a.nrm") * F.col("c.nrm"))
+    # zero-norm guard (ADVICE r12): under ANSI mode (Spark 4 default)
+    # a bare division ERRORS on a zero-norm pair; the guard yields
+    # NULL, which the threshold filter drops — matching the kernel's
+    # defined semantics (numpy NaN >= t is False ⇒ no pair).
+    nrm_prod = F.col("a.nrm") * F.col("c.nrm")
+    cos_raw = F.when(nrm_prod > 0, dot / nrm_prod)
     return (
         a.join(
             c,
@@ -1171,7 +1183,15 @@ def _semantic_verify_tail(
             F.col("c.vec_id").alias("drop_id"),
             cos_raw.alias("cos_raw"),
         )
-        .filter(F.col("cos_raw") >= SEM_COSINE_THRESHOLD)
+        # NaN filtered explicitly (ADVICE r12): Spark's >= orders NaN
+        # above every value, so 0/0 zero-norm cosines would otherwise
+        # pass the threshold here while the kernel path (numpy
+        # NaN >= t == False) drops them. Dropping IS the defined
+        # semantics — see _srp_cell_kernel's docstring.
+        .filter(
+            ~F.isnan(F.col("cos_raw"))
+            & (F.col("cos_raw") >= SEM_COSINE_THRESHOLD)
+        )
         .select("bucket", "keep_id", "drop_id", F.round("cos_raw", 4).alias("cosine"))
         .orderBy("keep_id", "drop_id")
     )
@@ -1616,10 +1636,15 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _span_hash_arrays(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, span_hs) — the K-token span xxhash64 array per doc of
     ≥ k tokens, materialized ONCE (projection-collapse rule: inlining
-    the transform into explode would re-evaluate per use)."""
-    toked = docs.select("doc_id", tokens_expr().alias("toks")).filter(
-        F.size("toks") >= k
-    )
+    the transform into explode would re-evaluate per use).
+
+    Spread BEFORE tokenizing (r13, guide §2.5 input parallelism): the
+    documents scan is often ONE parquet split, and tokenize + span
+    hashing are CPU per row — un-spread, the whole span build ran in
+    one task at the 10× scale leg (the with_shingles precedent)."""
+    toked = spread(docs, "doc_id").select(
+        "doc_id", tokens_expr().alias("toks")
+    ).filter(F.size("toks") >= k)
     return toked.select(
         "doc_id",
         F.expr(
@@ -1629,19 +1654,32 @@ def _span_hash_arrays(docs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _mark_span_counts(sp: DataFrame, salts: int | None, order_col: str) -> DataFrame:
+def _mark_span_counts(
+    sp: DataFrame,
+    salts: int | None,
+    order_col: str,
+    count_join: bool = False,
+) -> DataFrame:
     """Append ``c`` = corpus-wide occurrence count of each row's span.
 
     Default (``salts=None``, the measured winner): ONE exchange on the
     8-byte span hash + a window count PARTITIONED BY span_h riding it
     (one local sort, spillable per-group buffering; no join, no cache,
-    no second span-scale shuffle — the groupBy-count + count-back-join
-    alternative re-exchanges the corpus-scale count relation because
-    the cached scan's partitioning is opaque to the static planner).
-    No key goes quadratic: a degenerate span repeated 10⁶ times is one
-    window group, counted not paired — but it IS one task's group, so
-    a boilerplate span covering ~10% of span rows makes that task a
-    straggler at extreme scale.
+    no second span-scale shuffle). No key goes quadratic: a degenerate
+    span repeated 10⁶ times is one window group, counted not paired —
+    but it IS one task's group, so a boilerplate span covering ~10% of
+    span rows makes that task a straggler at extreme scale.
+
+    r13 re-adjudication: the cache + groupBy(span_h) + count-back-join
+    shape (``count_join=True``, kept for the measurement pin) was
+    built on the theory that the sort and the scattered-doc second
+    exchange dominate; interleaved A/B at the 10× scale leg AFTER the
+    input-parallelism fix in ``_span_hash_arrays`` says otherwise —
+    window 3.2-3.8 s vs count-join 4.5-5.6 s (stats), 4.6-5.0 vs
+    5.2-5.6 (removal): the cache materialization + extra join stages
+    cost more than the sort they remove. The window stays the default;
+    the REAL r13 win for this family was spreading the one-split
+    documents scan before tokenization (2× at sf1).
 
     ``salts=S`` opts into the skew-bounded two-level shape (VERDICT r6
     ask #4): exchange on (span_h, salt) spreads any hot span over S
@@ -1652,13 +1690,19 @@ def _mark_span_counts(sp: DataFrame, salts: int | None, order_col: str) -> DataF
     partitioning (only the thin side re-exchanges). Measured on a
     planted fixture with ONE span covering 30% of span rows
     (local[32], median of 3): 2.4 M span rows → default 1.87 s vs
-    salted 4.07 s; 9.7 M rows → 4.90 s vs 8.02 s. The default wins at
-    every locally testable scale (the hot group stays a linear count);
-    salted grows closer to linear (1.97× vs 2.63× per 4× data), so
-    flip it on only when one span's row share × corpus size exceeds
-    what a single task can count in acceptable time."""
+    salted 4.07 s; 9.7 M rows → 4.90 s vs 8.02 s."""
     from pyspark.sql import Window
 
+    if salts is None and count_join:
+        sp = tracked_cache(sp)
+        cnt = (
+            sp.groupBy("span_h")
+            .agg(F.count("*").alias("c2"))
+            .filter(F.col("c2") >= 2)
+        )
+        return sp.join(cnt, "span_h", "left").withColumn(
+            "c", F.coalesce(F.col("c2"), F.lit(1))
+        ).drop("c2")
     if salts is None:
         sp = spread(sp, "span_h")
         return sp.withColumn(
@@ -1683,7 +1727,10 @@ def _mark_span_counts(sp: DataFrame, salts: int | None, order_col: str) -> DataF
 
 
 def repeated_span_stats(
-    docs: DataFrame, k: int = SPAN_K, salts: int | None = None
+    docs: DataFrame,
+    k: int = SPAN_K,
+    salts: int | None = None,
+    count_join: bool = False,
 ) -> DataFrame:
     """(doc_id, n_spans, n_repeated, repeat_ratio) for docs containing
     at least one K-token span that occurs ≥2 times in the corpus.
@@ -1695,7 +1742,7 @@ def repeated_span_stats(
     (hash-stable across engines)."""
     spans = _span_hash_arrays(docs, k)
     sp = spans.select("doc_id", F.explode("span_hs").alias("span_h"))
-    marked = _mark_span_counts(sp, salts, "doc_id")
+    marked = _mark_span_counts(sp, salts, "doc_id", count_join=count_join)
     rep = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("bigint")
     return (
         marked.groupBy("doc_id")
@@ -1769,7 +1816,10 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def remove_repeated_spans(
-    docs: DataFrame, k: int = SPAN_K, salts: int | None = None
+    docs: DataFrame,
+    k: int = SPAN_K,
+    salts: int | None = None,
+    count_join: bool = False,
 ) -> DataFrame:
     """(doc_id, n_tokens, n_removed, cleaned_text) for docs that had at
     least one repeated span removed.
@@ -1784,15 +1834,15 @@ def remove_repeated_spans(
     Nothing corpus-proportional is collected or broadcast; the only
     rows that return to the doc side are positions of REPEATED
     spans."""
-    toked = docs.select("doc_id", tokens_expr().alias("toks")).filter(
-        F.size("toks") >= k
-    )
+    toked = spread(docs, "doc_id").select(
+        "doc_id", tokens_expr().alias("toks")
+    ).filter(F.size("toks") >= k)
     spans = _span_hash_arrays(docs, k)
     sp = spans.select(
         "doc_id", F.posexplode("span_hs").alias("pos0", "span_h")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "span_h")
     rep_pos = (
-        _mark_span_counts(sp, salts, "pos")
+        _mark_span_counts(sp, salts, "pos", count_join=count_join)
         .filter(F.col("c") >= 2)
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("pos")).alias("rep_starts"))

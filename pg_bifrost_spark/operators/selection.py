@@ -136,9 +136,33 @@ def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     +1/(N+D) Laplace smoothing keeps empty buckets finite on both
     engines; both logs are quantized per-bucket before the BIGINT
-    per-doc sum, so accumulation order cannot move the hash."""
-    docs = table(spark, sf_dir, "documents").withColumn("toks", _tokens())
-    feats = tracked_cache(_hashed_features(docs))
+    per-doc sum, so accumulation order cannot move the hash.
+
+    r13 (guide §2.3 aggregate-before-you-move): the cached relation is
+    the per-(doc, bucket) COUNT, not the raw occurrence stream. A doc
+    hits ≤ DSIR_BUCKETS distinct buckets, so the compact relation is
+    ≤ docs × 256 rows instead of ~2 rows per token — at the 10× scale
+    leg that is ~1.3 M cached+rescanned rows instead of ~5.4 M, and
+    every downstream sum is over counts (identical BIGINT totals:
+    sum over occurrences ≡ sum of n·per-group). The partial
+    aggregation runs map-side on explode output whose doc rows are
+    contiguous, so the one exchange carries the compact rows only."""
+    from .dedup import spread
+
+    # spread BEFORE tokenizing (r13, guide §2.5 input skew): the
+    # documents scan is often ONE parquet split, and every downstream
+    # cost here (regex tokenize, bigram build, md5 per feature) is
+    # CPU per ROW — un-spread, the whole feature build ran in one
+    # task at the 10× scale leg. Narrow source rows move once; the
+    # same pinning is correct on a real cluster (spread's contract).
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id").withColumn(
+        "toks", _tokens()
+    )
+    feats = tracked_cache(
+        _hashed_features(docs)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
     is_tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
 
     # Each bucket-count relation feeds BOTH its total and the lambda
@@ -146,10 +170,10 @@ def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice per side (4 passes where 2 suffice), so both are cached —
     # ≤DSIR_BUCKETS rows each.
     tcnt = tracked_cache(
-        feats.filter(is_tgt).groupBy("bucket").agg(F.count("*").alias("t"))
+        feats.filter(is_tgt).groupBy("bucket").agg(F.sum("n").alias("t"))
     )
     rcnt = tracked_cache(
-        feats.filter(~is_tgt).groupBy("bucket").agg(F.count("*").alias("r"))
+        feats.filter(~is_tgt).groupBy("bucket").agg(F.sum("n").alias("r"))
     )
     tot_t = tcnt.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tt"))
     tot_r = rcnt.agg(F.coalesce(F.sum("r"), F.lit(0)).alias("rr"))
@@ -173,8 +197,8 @@ def dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.join(F.broadcast(lam), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_feats"),
-            F.sum("lam").cast("bigint").alias("dsir_micro_nats"),
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("n") * F.col("lam")).cast("bigint").alias("dsir_micro_nats"),
         )
         .orderBy("doc_id")
     )

@@ -1,14 +1,15 @@
-"""Skew-bounded (salted two-level) span counting — the opt-in shape
-for corpora where one boilerplate span covers a large share of span
-rows (VERDICT r6 ask #4). The default window shape stays the winner at
-every locally testable scale (measurement in ``_mark_span_counts``);
-these tests pin that the salted path is a pure plan-shape change:
-byte-identical results on a fixture with a genuinely hot span."""
+"""Span-counting arm equivalence: the default window shape, the r13
+count-join alternative (``count_join=True`` — measured slower, kept as
+the adjudication pin in ``_mark_span_counts``), and the skew-bounded
+salted two-level shape (``salts=S``, VERDICT r6 ask #4) must all be
+pure plan-shape changes: byte-identical results on a fixture with a
+genuinely hot span."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pg_bifrost_spark import plans
 from pg_bifrost_spark.operators.dedup import (
     remove_repeated_spans,
     repeated_span_stats,
@@ -55,11 +56,17 @@ def test_salted_stats_identical(spark):
         (r.doc_id, r.n_spans, r.n_repeated, r.repeat_ratio)
         for r in repeated_span_stats(docs).collect()
     }
+    plans.release_caches()
+    alt = {
+        (r.doc_id, r.n_spans, r.n_repeated, r.repeat_ratio)
+        for r in repeated_span_stats(docs, count_join=True).collect()
+    }
     salted = {
         (r.doc_id, r.n_spans, r.n_repeated, r.repeat_ratio)
         for r in repeated_span_stats(docs, salts=7).collect()
     }
-    assert base and base == salted
+    plans.release_caches()
+    assert base and base == salted and base == alt
     # the hot docs really are flagged (the fixture has corpus repeats)
     assert sum(1 for d, *_ in base if d % 10 < 3) == 60
 
@@ -70,11 +77,17 @@ def test_salted_removal_identical(spark):
         (r.doc_id, r.n_tokens, r.n_removed, r.cleaned_text)
         for r in remove_repeated_spans(docs).collect()
     }
+    plans.release_caches()
+    alt = {
+        (r.doc_id, r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in remove_repeated_spans(docs, count_join=True).collect()
+    }
     salted = {
         (r.doc_id, r.n_tokens, r.n_removed, r.cleaned_text)
         for r in remove_repeated_spans(docs, salts=7).collect()
     }
-    assert base and base == salted
+    plans.release_caches()
+    assert base and base == salted and base == alt
     # an all-hot doc is cut to empty (every token covered)
     hot = {r for r in base if r[0] % 10 < 3}
     assert hot and all(r[3] == "" and r[1] == r[2] for r in hot)

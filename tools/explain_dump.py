@@ -1,10 +1,12 @@
 """Dump ``.explain("formatted")`` for named registry queries to
-``plans/r12/<query>_<tag>.txt`` — the committed evidence for plan-shape
-claims in OPTIMIZATION_r12.md (the judge cannot run Spark).
+``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (default round:
+r13) — the committed evidence for plan-shape claims in
+OPTIMIZATION_<round>.md (the judge cannot run Spark).
 
 Usage: python tools/explain_dump.py <tag> <query> [<query> ...]
        python tools/explain_dump.py <tag> --all
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_PLANS_ROUND (default r13).
 """
 
 from __future__ import annotations
@@ -25,7 +27,11 @@ def main() -> None:
     if names == ["--all"]:
         names = sorted(plans.QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="explain_dump")
     for name in names:
