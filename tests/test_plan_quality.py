@@ -725,12 +725,14 @@ def test_span_corruption_map_only(spark):
     assert "BatchEvalPython" not in text
 
 
-def test_distinct_ngram_rate_two_exchanges_no_python(spark):
-    """Diversity report: explode → ONE (source, gram) exchange with
-    map-side combine → a |sources|-row second aggregation. No windows,
-    no joins, no Python, nothing collected."""
+def test_distinct_ngram_rate_three_exchanges_no_python(spark):
+    """Diversity report: doc_id spread (r13 input-parallelism fix for
+    the one-split documents scan) → explode → ONE (source, gram)
+    exchange with map-side combine → a |sources|-row second
+    aggregation. No windows, no joins, no Python, nothing collected."""
     text = plan_of(spark, "corpus_distinct_ngram_rate")
-    assert text.count("Exchange hashpartitioning") == 2, text
+    assert text.count("Exchange hashpartitioning") == 3, text
+    assert "REPARTITION_BY_NUM" in text  # the spread survives
     assert "Join" not in text
     assert "BatchEvalPython" not in text and "Window" not in text
     assert "partial_count" in text or "HashAggregate" in text
