@@ -88,6 +88,7 @@ def wal_lines_from_table(
     n_streams: int = 64,
     operation: str = "INSERT",
     with_txn: bool = False,
+    parallelize: bool = True,
 ) -> DataFrame:
     """Render each row of ``df`` as a test_decoding INSERT inside its own
     transaction (BEGIN/INSERT/COMMIT). Built entirely from Column
@@ -127,9 +128,15 @@ def wal_lines_from_table(
     # parallelize BEFORE rendering: the source is often one parquet
     # split, and this shuffle moves narrow source rows (cheap) so that
     # render/explode/parse downstream run on every core with no
-    # further exchange
+    # further exchange. ``parallelize=False`` (r13) keeps the input
+    # partitioning for DIMENSION-sized replays (the nation chain:
+    # 25 rows) — repartitioning those to core count produced
+    # 32 near-empty partitions PER ARM (96 tasks per stage after the
+    # three-arm union) and one extra exchange+AQE job per arm, pure
+    # scheduling latency on a fixed-size stream.
     n_par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(n_par).select(insert_line.alias("_dml"), seq.cast("long").alias("_seq"))
+    base = df.repartition(n_par) if parallelize else df
+    base = base.select(insert_line.alias("_dml"), seq.cast("long").alias("_seq"))
     lsn0 = F.lit(1000) + F.col("_seq") * 24
     lines = base.select(
         F.pmod(F.col("_seq"), F.lit(n_streams)).cast("int").alias("stream_id"),

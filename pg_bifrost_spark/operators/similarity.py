@@ -235,19 +235,28 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The embeddings fixture dimension. Already assumed module-wide by the
+# PQ split (PQ_M sub-vectors x PQ_SUB dims each); _centroids builds one
+# avg aggregate per dimension from it.
+EMB_DIM = 64
+
+
 def _centroids(emb: DataFrame) -> DataFrame:
-    """Coarse quantizer: per-label centroids via posexplode+groupBy —
-    the IVF codebook. (A production build would run k-means||; the
-    assignment/probe machinery below is identical.)"""
-    pos = emb.select("label", F.posexplode("v").alias("pos", "x"))
-    cent = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
-        .select("label", F.transform("pc", lambda e: e["cx"]).alias("centroid"))
+    """Coarse quantizer: per-label centroids — the IVF codebook. (A
+    production build would run k-means||; the assignment/probe
+    machinery below is identical.)
+
+    r13 (guide §2.4): ONE groupBy(label) with a per-dimension avg
+    instead of posexplode + groupBy(label, pos) + re-assemble — drops
+    an exchange, a x64 row fan-out, and an AQE stage from a path that
+    executes as a driver-blocking collect in every IVF query (the
+    ann_ivf_pq decomposition measured the old chain at 4 scheduling
+    round-trips for 0.5-0.8 s on 2000 vectors)."""
+    return emb.groupBy("label").agg(
+        F.array(
+            *[F.avg(F.element_at(F.col("v"), i + 1)) for i in range(EMB_DIM)]
+        ).alias("centroid")
     )
-    return cent
 
 
 def ivf_assign(emb: DataFrame, codebook: list) -> DataFrame:
@@ -508,7 +517,12 @@ PQ_REFINE = 50    # ADC candidate pool exact-reranked
 PQ_TRAIN_SAMPLE = 16_384  # vectors collected for codebook training
 
 
-def pq_codebooks(
+def pq_codebooks(emb: DataFrame, **kw):
+    """Codebooks only — see ``pq_codebooks_and_query``."""
+    return pq_codebooks_and_query(emb, **kw)[0]
+
+
+def pq_codebooks_and_query(
     emb: DataFrame,
     m: int = PQ_M,
     sub: int = PQ_SUB,
@@ -565,7 +579,17 @@ def pq_codebooks(
                 sums[:, d] = np.bincount(cells, weights=Xm[:, d], minlength=k_eff)
             nz = cnt > 0
             books[mi][nz] = sums[nz] / cnt[nz, None]
-    return [[list(map(float, c)) for c in bk] for bk in books]
+    books_out = [[list(map(float, c)) for c in bk] for bk in books]
+    # The unit QUERY vector rides the SAME collect: QUERY_VEC_ID is the
+    # fixture minimum, so it is in the lowest-vec_id training sample,
+    # and its u column is the identical IEEE division the callers
+    # previously re-derived with a separate .first() job (2 scheduling
+    # round-trips per ANN query — the ann_ivf_pq decomposition).
+    qu = next(
+        (list(map(float, r["u"])) for r in rows if r["vec_id"] == QUERY_VEC_ID),
+        None,
+    )
+    return books_out, qu
 
 
 def pq_encode(emb: DataFrame, books) -> DataFrame:
@@ -624,12 +648,14 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction. Recall vs exact top-k pinned in
     ``tests/test_pq_recall.py``."""
     emb = _prepared(spark, sf_dir)
-    books = pq_codebooks(emb)
+    books, qu = pq_codebooks_and_query(emb)
     coded = pq_encode(emb, books)
-    # query-side distance tables, computed driver-side from the single
-    # query vector (M×K floats)
-    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
-    qu = [x / qrow["nrm"] for x in qrow["v"]]
+    # query-side distance tables, driver-side from the single query
+    # vector (M×K floats); qu rode the codebook training collect
+    # (fallback only if the query id were outside the sample prefix)
+    if qu is None:
+        qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
+        qu = [x / qrow["nrm"] for x in qrow["v"]]
     tables = []
     for i, book in enumerate(books):
         qs = qu[i * PQ_SUB : (i + 1) * PQ_SUB]
@@ -696,12 +722,14 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", "nrm", "cell", "cell_sims"
     )
     # PQ codes over the SAME corpus (unit-normalized sub-spaces)
-    books = pq_codebooks(emb)
+    books, qu = pq_codebooks_and_query(emb)
     coded = pq_encode(assigned, books).select("vec_id", "cell", "cell_sims", "codes", "v", "nrm")
     # query: nprobe nearest cells + per-sub-space ADC tables (driver
-    # side, M×K floats — same literal-table pattern as ann_pq_adc)
-    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
-    qu = [x / qrow["nrm"] for x in qrow["v"]]
+    # side, M×K floats — same literal-table pattern as ann_pq_adc);
+    # qu rode the codebook training collect
+    if qu is None:
+        qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("v", "nrm").first()
+        qu = [x / qrow["nrm"] for x in qrow["v"]]
     tables = []
     for i, book in enumerate(books):
         qs = qu[i * PQ_SUB : (i + 1) * PQ_SUB]

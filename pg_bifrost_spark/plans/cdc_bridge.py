@@ -318,7 +318,8 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     types = {"n_nationkey": "bigint", "n_name": "text"}
     inserts = wal_lines_from_table(
-        nation, "public.nation", types, seq_expr="n_nationkey", with_txn=True
+        nation, "public.nation", types, seq_expr="n_nationkey",
+        with_txn=True, parallelize=False,
     )
     updates = wal_lines_from_table(
         nation.filter(F.col("n_nationkey") % 2 == 0).withColumn(
@@ -329,6 +330,7 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_expr=F.col("n_nationkey") + 10_000,
         operation="UPDATE",
         with_txn=True,
+        parallelize=False,
     )
     deletes = wal_lines_from_table(
         nation.filter(F.col("n_nationkey") == 0).select("n_nationkey"),
@@ -337,6 +339,7 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_expr=F.col("n_nationkey") + 20_000,
         operation="DELETE",
         with_txn=True,
+        parallelize=False,
     )
     raw = inserts.unionByName(updates).unionByName(deletes)
     # r12: the generator renders whole transactions, so it stamps txn
@@ -408,7 +411,8 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = {"n_nationkey": "bigint", "n_name": "text"}
     key = F.col("n_nationkey")
     v1 = wal_lines_from_table(
-        nation, "public.nation", types, seq_expr="n_nationkey", with_txn=True
+        nation, "public.nation", types, seq_expr="n_nationkey",
+        with_txn=True, parallelize=False,
     )
     v2 = wal_lines_from_table(
         nation.filter(key % 2 == 0).select(
@@ -420,6 +424,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_expr=key + 10_000,
         operation="UPDATE",
         with_txn=True,
+        parallelize=False,
     )
     v3 = wal_lines_from_table(
         nation.filter(key % 4 == 0).select(
@@ -431,6 +436,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_expr=key + 20_000,
         operation="UPDATE",
         with_txn=True,
+        parallelize=False,
     )
     raw = v1.unionByName(v2).unionByName(v3)
     # r12: generator-stamped txns → assembled pipeline (no window
@@ -559,6 +565,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n_nationkey": "bigint", "n_name": "text"},
         seq_expr="n_nationkey",
         with_txn=True,
+        parallelize=False,
     )
     evolved = wal_lines_from_table(
         nation.filter(F.col("n_nationkey") % 2 == 0).select(
@@ -573,6 +580,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_expr=F.col("n_nationkey") + 10_000,
         operation="UPDATE",
         with_txn=True,
+        parallelize=False,
     )
     raw = inserts.unionByName(evolved)
     # r12: generator-stamped txns → assembled pipeline (no window
